@@ -1,0 +1,98 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB at the given sf dir, then compares
+row count, column names/dtypes, and an order-insensitive value hash
+(rows sorted, columns sorted by name, values stringified).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from trade_data_collection_service_spark.schema import TABLES
+from trade_data_collection_service_spark.session import get_spark
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.round(6)
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def value_hash(df: pd.DataFrame) -> int:
+    return int(pd.util.hash_pandas_object(normalize(df).astype(str), index=False).sum())
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"weak {name}: rows={len(sdf)} (no oracle)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        else:
+            sn, on = normalize(sdf), normalize(odf)
+            sdt = {c: str(sn[c].dtype) for c in sn.columns}
+            odt = {c: str(on[c].dtype) for c in on.columns}
+            if sdt != odt:
+                problems.append(f"dtypes {sdt} != {odt}")
+            if not problems and value_hash(sdf) != value_hash(odf):
+                msg = "value hash mismatch"
+                if sn.shape == on.shape:
+                    diff = sn.compare(on)
+                    msg += "; first diffs: " + diff.head(5).to_string().replace("\n", " | ")
+                problems.append(msg)
+        if problems:
+            print(f"FAIL {name}: {'; '.join(str(p) for p in problems)}")
+            failures += 1
+        else:
+            print(f"ok   {name}: rows={len(sdf)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,62 @@
+"""Physical table layout (SURVEY.md §2.1 S5-S6, §4).
+
+Spark twin of the reference's MergeTree physical design
+(clickhouse_schema.py:143-146):
+
+    PARTITION BY toYYYYMM(start)          -> write.partitionBy(month)
+    ORDER BY (exchange,symbol,start,...)  -> sortWithinPartitions(...)
+    column codecs / LowCardinality        -> parquet zstd + dict encoding
+    index_granularity 8192                -> parquet row-group min/max stats
+
+Writing sorted-within-partitions gives parquet row groups tight
+min/max ranges on (exchange, symbol, start), so key-prefix predicates
+prune row groups exactly like ClickHouse's sparse primary index, and
+month partition directories give Catalyst partition pruning for
+time-range queries.  At 100 TB this is the difference between reading
+one month × few symbols and scanning the table.
+
+``compact`` is the OPTIMIZE TABLE FINAL analog
+(data_quality_check.py:473): rewrite a month partition deduped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trade_data_collection_service_spark.functions.timeutil import yyyymm
+from trade_data_collection_service_spark.operators.dedup import dedup_latest
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def write_candles(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Append candles with the reference's partition/sort layout."""
+    (
+        df.withColumn("month", yyyymm("start"))
+        .repartition("month")
+        .sortWithinPartitions("exchange", "symbol", "start")
+        .write.mode(mode)
+        .partitionBy("month")
+        .parquet(path)
+    )
+
+
+def compact(spark: SparkSession, path: str, months: list[str] | None = None) -> None:
+    """Rewrite (a subset of) month partitions with duplicates collapsed
+    — OPTIMIZE FINAL.  Repairs after gap refill keep windows
+    partition-aligned to bound rewrite cost (SURVEY.md §7)."""
+    df = spark.read.parquet(path)
+    if months:
+        df = df.filter(df["month"].isin(months))
+    deduped = dedup_latest(df.drop("month"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        deduped.withColumn("month", yyyymm("start"))
+        .repartition("month")
+        .sortWithinPartitions("exchange", "symbol", "start")
+        .write.mode("overwrite")
+        .partitionBy("month")
+        .parquet(path)
+    )
