@@ -1,0 +1,120 @@
+"""Benchmark harness — the driver runs this per-round and records the
+JSON line into BENCH_r{N}.json (see BASELINE.md for reference points).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized with a count-style action (noop write) so
+the full plan executes; JVM/session startup is excluded from timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trade_data_collection_service_spark.session import get_spark
+
+
+def headline_queries():
+    """Name -> callable(spark, sf_dir) -> DataFrame.  A scale-stressing
+    subset of the full surface: ingest-shaped aggregation, dedup
+    window, the full 8-level rollup cascade, gap detection, and the
+    read path."""
+    import __spark_entry__ as entrymod
+    from trade_data_collection_service_spark.candles import (
+        candles_from_events,
+        candles_with_duplicates,
+    )
+    from trade_data_collection_service_spark.operators import (
+        cascade,
+        dedup_latest,
+        missing_timestamps,
+    )
+
+    q = entrymod.queries()
+
+    def full_cascade_1d(spark, sf_dir):
+        c = dedup_latest(candles_from_events(spark, sf_dir))
+        return cascade(c)[1440]
+
+    def dedup_full(spark, sf_dir):
+        return dedup_latest(candles_with_duplicates(spark, sf_dir))
+
+    def gaps_full(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        return (
+            missing_timestamps(candles_from_events(spark, sf_dir))
+            .groupBy("exchange", "symbol")
+            .agg(F.count(F.lit(1)).alias("n_missing"))
+        )
+
+    out = {
+        "candles_1m": q["candles_1m"],
+        "dedup_full": dedup_full,
+        "cascade_1d": full_cascade_1d,
+        "gaps_full": gaps_full,
+        "recent_topn": q["recent_topn"],
+        "latest_per_symbol": q["latest_per_symbol"],
+        "backfill_plan": q["backfill_plan"],
+    }
+    # Extension headliners when present (added in later milestones).
+    for name in (
+        "tpch_q1",
+        "tpch_q3",
+        "doc_dedup_exact",
+        "doc_minhash_lsh",
+        "emb_cosine_topk",
+        "text_quality",
+    ):
+        if name in q:
+            out[name] = q[name]
+    return out
+
+
+def run_one(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # Force full execution of every column (count alone can prune).
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    for name, fn in headline_queries().items():
+        try:
+            # warm once (file listing, code paths), measure second run
+            run_one(spark, fn, sf_dir)
+            timings[name] = round(run_one(spark, fn, sf_dir), 4)
+        except Exception as e:  # pragma: no cover
+            print(f"bench {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t > 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time (warm, noop-sink)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
