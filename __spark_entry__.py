@@ -36,6 +36,11 @@ from trade_data_collection_service_spark.operators import (
     rollup_raw,
 )
 from trade_data_collection_service_spark.operators import queries as Q
+from trade_data_collection_service_spark.ext import dedup as XD
+from trade_data_collection_service_spark.ext import similarity as XS
+from trade_data_collection_service_spark.ext import text as XT
+from trade_data_collection_service_spark.ext import tpch as XH
+from trade_data_collection_service_spark.ext.multimodal import media_features
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -170,8 +175,50 @@ def _q_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quarantine(candles_with_invalid(spark, sf_dir))
 
 
+def _q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XD.exact_dedup(XD.documents_neardup(spark, sf_dir))
+
+
+def _q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XD.minhash_lsh_pairs(XD.documents_neardup(spark, sf_dir))
+
+
+def _q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XD.ngram_jaccard_pairs(XD.documents_neardup(spark, sf_dir))
+
+
+def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XD.simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XD.simhash_near_pairs(XD.documents_neardup(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- general relational surface / bench anchors ---
+        "tpch_q1": XH.q1_pricing_summary,
+        "tpch_q3": XH.q3_shipping_priority,
+        "tpch_q5": XH.q5_region_revenue,
+        "events_json": XH.events_json_extract,
+        # --- text analysis (documents) ---
+        "doc_token_stats": XT.token_stats,
+        "doc_lang_id": XT.lang_id,
+        "doc_quality": XT.quality_score,
+        "doc_fingerprint": XT.fingerprint,
+        # --- dedup ladder (documents) ---
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_minhash_lsh": _q_doc_minhash_lsh,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "doc_simhash": _q_doc_simhash,
+        "doc_simhash_pairs": _q_doc_simhash_pairs,
+        # --- similarity search (embeddings) ---
+        "emb_cosine_topk": XS.brute_force_topk,
+        "emb_ivf_topk": XS.ivf_topk,
+        "emb_neardup": XS.embedding_neardup_pairs,
+        # --- multimodal plumbing ---
+        "multimodal_features": media_features,
         "candles_1m": _q_candles_1m,
         "dedup_latest": _q_dedup_latest,
         "rollup_5m": _q_rollup_5m,
@@ -218,8 +265,347 @@ _VALID_COND = """
 """
 
 
+# Shared DuckDB fragments for the extension oracles -----------------------
+
+_REVENUE = (
+    "CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)"
+    " AS DECIMAL(18,4))) AS DOUBLE)"
+)
+
+# tokens/shingles twins of ext.text.with_tokens / shingles_col
+_TOKS_CTE = r"""
+toks AS (
+  SELECT *, string_split_regex(lower(text), '\s+') AS tokens FROM {src}
+)
+"""
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT *, CASE WHEN len(tokens) >= 3
+    THEN list_distinct(list_transform(range(1, len(tokens) - 1),
+         i -> array_to_string(list_slice(tokens, i, i + 2), ' ')))
+    ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+)
+"""
+
+_MINHASH_COLS = ",\n".join(
+    f"  list_min(list_transform(shingles, s -> md5('{j}|' || s))) AS mh{j}"
+    for j in range(12)
+)
+
+_SIMHASH_EXPR = " + ".join(
+    "(CASE WHEN list_sum(list_transform(tokens, t -> "
+    f"strpos('0123456789abcdef', substr(md5(t), {k + 1}, 1)) - 8.5)) > 0 "
+    f"THEN {2 ** k} ELSE 0 END)"
+    for k in range(16)
+)
+
+# embeddings as double vectors with norms (twin of ext.similarity.vectors)
+_VEC_CTE = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, emb,
+         sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+  FROM e
+)
+"""
+
+_COS = (
+    "round(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    " / ({na} * {nb}), 6)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- general relational surface ---
+        "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+          sum(l_quantity) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_base_price,
+          CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+            AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+            * (1.0 + l_tax), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+          CAST(count(*) AS BIGINT) AS count_order,
+          round(avg(l_quantity), 6) AS avg_qty,
+          round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*), 6) AS avg_disc
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_q3": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               {_REVENUE} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q5": f"""
+        SELECT n_name, {_REVENUE} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1 ORDER BY revenue DESC, n_name
+        """,
+        "events_json": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               round(avg(k), 6) AS avg_k,
+               min(k) AS min_k, max(k) AS max_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY 1 ORDER BY 1
+        """,
+        # --- text analysis ---
+        "doc_token_stats": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars_measured,
+          CAST(len(tokens) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct_tokens,
+          CAST(list_sum(list_transform(tokens,
+            t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT)
+            AS n_subword_units,
+          round(CAST(list_sum(list_transform(tokens, t -> length(t)))
+            AS DOUBLE) / len(tokens), 6) AS avg_token_len
+        FROM toks
+        """,
+        "doc_lang_id": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , scored AS (
+          SELECT doc_id, lang AS labeled_lang,
+            CAST(len(list_filter(tokens,
+              t -> t IN ('the','a','fast','small'))) AS BIGINT) AS score_en,
+            CAST(len(list_filter(tokens,
+              t -> t IN ('data','table','row','value'))) AS BIGINT) AS score_es,
+            CAST(len(list_filter(tokens,
+              t -> t IN ('stream','batch','window','group'))) AS BIGINT) AS score_de
+          FROM toks
+        )
+        SELECT *, CASE
+          WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+          WHEN score_es >= score_de THEN 'es'
+          ELSE 'de' END AS predicted_lang
+        FROM scored
+        """,
+        "doc_quality": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        SELECT doc_id,
+          CAST(len(tokens) AS BIGINT) AS n_tokens,
+          round(len(list_distinct(tokens)) / len(tokens), 6) AS distinct_ratio,
+          round(len(list_filter(tokens, t -> t IN ('the','a')))
+            / len(tokens), 6) AS stopword_ratio,
+          (len(tokens) >= 10 AND len(tokens) <= 10000) AS length_ok,
+          round(0.5 * (len(list_distinct(tokens)) / len(tokens))
+            + 0.3 * (1.0 - (len(list_filter(tokens, t -> t IN ('the','a')))
+                            / len(tokens)))
+            + 0.2 * (CASE WHEN len(tokens) >= 10 AND len(tokens) <= 10000
+                     THEN 1.0 ELSE 0.0 END), 6) AS quality_score
+        FROM toks
+        """,
+        "doc_fingerprint": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + ", "
+        + _SHINGLES_CTE
+        + """
+        SELECT doc_id,
+          md5(array_to_string(tokens, ' ')) AS fp_md5,
+          list_min(list_transform(shingles, s -> md5(s))) AS fp_min_shingle
+        FROM sh
+        """,
+        # --- dedup ladder ---
+        "doc_dedup_exact": XD.DOCS_NEARDUP_CTE
+        + ", "
+        + _TOKS_CTE.format(src="docs")
+        + """
+        SELECT md5(array_to_string(tokens, ' ')) AS digest,
+               min(doc_id) AS canonical_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM toks
+        GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_minhash_lsh": XD.DOCS_NEARDUP_CTE
+        + ", "
+        + _TOKS_CTE.format(src="docs")
+        + ", "
+        + _SHINGLES_CTE
+        + f"""
+        , mh AS (
+          SELECT doc_id, shingles,
+{_MINHASH_COLS}
+          FROM sh
+        ), bands AS (
+          SELECT doc_id, shingles, 0 AS band_id,
+                 md5(mh0 || mh1 || mh2) AS band_key FROM mh
+          UNION ALL SELECT doc_id, shingles, 1, md5(mh3 || mh4 || mh5) FROM mh
+          UNION ALL SELECT doc_id, shingles, 2, md5(mh6 || mh7 || mh8) FROM mh
+          UNION ALL SELECT doc_id, shingles, 3, md5(mh9 || mh10 || mh11) FROM mh
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ), verified AS (
+          SELECT c.doc_a, c.doc_b,
+                 round(len(list_intersect(sa.shingles, sb.shingles))
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+                   6) AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+        )
+        SELECT * FROM verified WHERE jaccard >= 0.5
+        """,
+        "doc_ngram_jaccard": XD.DOCS_NEARDUP_CTE
+        + """
+        , samp AS (SELECT * FROM docs WHERE doc_id % 4 = 0),
+        """
+        + _TOKS_CTE.format(src="samp")
+        + ", "
+        + _SHINGLES_CTE
+        + """
+        , ex AS (
+          SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s
+          FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS na, b.n_sh AS nb,
+                 CAST(count(*) AS BIGINT) AS n_inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter / (na + nb - n_inter), 6) AS jaccard
+        FROM inter WHERE round(n_inter / (na + nb - n_inter), 6) >= 0.5
+        """,
+        "doc_simhash": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + f"""
+        SELECT doc_id, CAST({_SIMHASH_EXPR} AS BIGINT) AS simhash
+        FROM toks
+        """,
+        "doc_simhash_pairs": XD.DOCS_NEARDUP_CTE
+        + """
+        , samp AS (SELECT * FROM docs WHERE doc_id % 4 = 0),
+        """
+        + _TOKS_CTE.format(src="samp")
+        + f"""
+        , fp AS (
+          SELECT doc_id, CAST({_SIMHASH_EXPR} AS BIGINT) AS simhash
+          FROM toks
+        ), halves AS (
+          SELECT doc_id, simhash, 0 AS blk, simhash % 256 AS key FROM fp
+          UNION ALL
+          SELECT doc_id, simhash, 1, simhash // 256 FROM fp
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS fp_a, b.simhash AS fp_b
+          FROM halves a JOIN halves b
+            ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 1
+        """,
+        # --- similarity search ---
+        "emb_cosine_topk": _VEC_CTE
+        + f"""
+        , q AS (
+          SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+          FROM n WHERE vec_id < 5
+        ), sims AS (
+          SELECT q_id, vec_id,
+                 {_COS.format(a="q_emb", b="emb", na="q_nrm", nb="nrm")} AS sim
+          FROM n, q WHERE vec_id <> q_id
+        ), ranked AS (
+          SELECT q_id, vec_id, sim,
+                 CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT)
+                   AS rank
+          FROM sims
+        )
+        SELECT * FROM ranked WHERE rank <= 3
+        """,
+        "emb_ivf_topk": _VEC_CTE
+        + f"""
+        , c AS (
+          SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm
+          FROM n WHERE vec_id < 8
+        ), asg AS (
+          SELECT vec_id, emb, nrm, c_id,
+                 {_COS.format(a="emb", b="c_emb", na="nrm", nb="c_nrm")} AS c_sim
+          FROM n, c
+        ), bucketed AS (
+          SELECT vec_id, emb, nrm, c_id AS bucket
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS r
+                FROM asg)
+          WHERE r = 1
+        ), q AS (
+          SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm,
+                 bucket AS q_bucket
+          FROM bucketed WHERE vec_id >= 100 AND vec_id < 103
+        ), sims AS (
+          SELECT q_id, b.bucket, vec_id,
+                 {_COS.format(a="q_emb", b="emb", na="q_nrm", nb="nrm")} AS sim
+          FROM bucketed b, q
+          WHERE b.bucket = q.q_bucket AND b.vec_id <> q.q_id
+        ), ranked AS (
+          SELECT q_id, bucket, vec_id, sim,
+                 CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT)
+                   AS rank
+          FROM sims
+        )
+        SELECT * FROM ranked WHERE rank <= 3
+        """,
+        "emb_neardup": _VEC_CTE
+        + f"""
+        , planted AS (
+          SELECT vec_id + 1000000 AS vec_id, emb, nrm
+          FROM n WHERE vec_id % 50 = 0
+        ), corpus AS (
+          SELECT vec_id, emb, nrm FROM n
+          UNION ALL SELECT vec_id, emb, nrm FROM planted
+        ), samp AS (
+          SELECT * FROM corpus WHERE vec_id % 5 = 0
+        ), pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 {_COS.format(a="a.emb", b="b.emb", na="a.nrm", nb="b.nrm")}
+                   AS sim
+          FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+        )
+        SELECT * FROM pairs WHERE sim >= 0.99
+        """,
+        # --- multimodal ---
+        "multimodal_features": """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               round((octet_length(encode(text)) % 256) / 255.0, 6)
+                 AS fake_feature
+        FROM documents
+        """,
         "candles_1m": CANDLES_CTE + "SELECT * FROM candles",
         "dedup_latest": CANDLES_DUP_CTE
         + """

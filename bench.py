@@ -69,10 +69,11 @@ def headline_queries():
     for name in (
         "tpch_q1",
         "tpch_q3",
+        "tpch_q5",
         "doc_dedup_exact",
         "doc_minhash_lsh",
         "emb_cosine_topk",
-        "text_quality",
+        "doc_quality",
     ):
         if name in q:
             out[name] = q[name]

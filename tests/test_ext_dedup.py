@@ -1,0 +1,81 @@
+from pyspark.sql import functions as F
+
+from trade_data_collection_service_spark.ext.dedup import (
+    documents_neardup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+
+def test_exact_dedup_finds_planted(spark, sf_dir):
+    docs = documents_neardup(spark, sf_dir)
+    out = exact_dedup(docs).collect()
+    # every 25th doc has an exact copy at +2000000
+    planted = {r["canonical_doc_id"] for r in out}
+    orig = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 25 == 0)
+        .collect()
+    }
+    assert orig <= planted
+    by_canon = {r["canonical_doc_id"]: r["n_copies"] for r in out}
+    assert all(n >= 2 for n in by_canon.values())
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, sf_dir):
+    docs = documents_neardup(spark, sf_dir)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    planted = {
+        (r["doc_id"], r["doc_id"] + 1000000)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .collect()
+    }
+    # LSH with 4 bands of 3 at jaccard ~0.9 catches essentially all
+    # planted pairs; require >= 90% recall to keep the test stable.
+    assert len(planted & pairs) >= 0.9 * len(planted)
+    # verification step guarantees precision: every reported pair
+    # really has jaccard >= 0.5 (checked by construction), planted or not
+
+
+def test_ngram_jaccard_sample_pairs(spark, sf_dir):
+    docs = documents_neardup(spark, sf_dir)
+    rows = ngram_jaccard_pairs(docs).collect()
+    assert all(r["jaccard"] >= 0.5 for r in rows)
+    # planted near-dups in the doc_id%4 sample appear (%10 and %4 -> %20)
+    sampled_planted = {
+        (r["doc_id"], r["doc_id"] + 1000000)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter((F.col("doc_id") % 20 == 0))
+        .collect()
+    }
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert sampled_planted <= got
+
+
+def test_simhash_deterministic_and_bounded(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert a == b
+    assert all(0 <= v < 2**16 for v in a.values())
+
+
+def test_simhash_pairs_include_exact_copies(spark, sf_dir):
+    docs = documents_neardup(spark, sf_dir)
+    rows = simhash_near_pairs(docs).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    # exact copies (%25 planted at +2000000) within the %4 sample have
+    # identical fingerprints -> hamming 0
+    planted = {
+        (r["doc_id"], r["doc_id"] + 2000000)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter((F.col("doc_id") % 100 == 0))
+        .collect()
+    }
+    for p in planted:
+        assert got.get(p) == 0

@@ -1,0 +1,65 @@
+import math
+
+from trade_data_collection_service_spark.ext.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    vectors,
+)
+
+
+def test_brute_force_topk_shape_and_order(spark, sf_dir):
+    rows = brute_force_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] != q for r in rs)
+        assert all(-1.0 <= r["sim"] <= 1.0 for r in rs)
+
+
+def test_brute_force_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(r["emb"])
+        for r in vectors(spark, sf_dir).collect()
+    }
+    rows = brute_force_topk(spark, sf_dir, n_queries=1, k=3).collect()
+    q = emb[0]
+    sims = {
+        vid: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for vid, v in emb.items()
+        if vid != 0
+    }
+    expected = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:3]
+    got = [(r["vec_id"], r["sim"]) for r in rows]
+    for (evid, esim), (gvid, gsim) in zip(expected, got):
+        assert evid == gvid
+        assert math.isclose(esim, gsim, abs_tol=2e-6)
+
+
+def test_ivf_searches_only_own_bucket(spark, sf_dir):
+    rows = ivf_topk(spark, sf_dir).collect()
+    assert rows
+    # each query returns results from exactly one bucket
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], set()).add(r["bucket"])
+    assert all(len(b) == 1 for b in by_q.values())
+
+
+def test_neardup_contains_planted(spark, sf_dir):
+    rows = embedding_neardup_pairs(spark, sf_dir).collect()
+    got = {(r["vec_a"], r["vec_b"]): r["sim"] for r in rows}
+    # every 50th vector has an identical copy at +1000000 (both in the
+    # %5 sample) -> cosine 1.0
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    planted = {(v, v + 1000000) for v in range(0, n, 50)}
+    for p in planted:
+        assert p in got
+        assert got[p] >= 0.999999

@@ -54,7 +54,8 @@ WITH candles AS (
 
 # Candles plus injected duplicate versions (FIXTURES.md §1.1 "dup
 # variants"): every 3rd minute bucket gets a second row 3 s later with
-# a nudged close/volume — dedup (A9) must keep the later version.
+# a nudged volume (a VALID revision — it must survive validate()) —
+# dedup (A9) must keep the later version.
 CANDLES_DUP_CTE = (
     CANDLES_CTE
     + """
@@ -62,7 +63,7 @@ CANDLES_DUP_CTE = (
   SELECT * FROM candles
   UNION ALL
   SELECT exchange, symbol, "interval", start, stop, close_unixtime, trades,
-         open, high, low, round(close * 1.01, 6) AS close,
+         open, high, low, close,
          round(volume + 1.0, 6) AS volume, timestamp,
          receipt_timestamp + INTERVAL 3 SECOND AS receipt_timestamp
   FROM candles WHERE (close_unixtime // 60) % 3 = 0
@@ -160,7 +161,6 @@ def candles_with_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
     dup = (
         c.filter(F.expr("(close_unixtime div 60) % 3 = 0"))
-        .withColumn("close", F.round(F.col("close") * 1.01, 6))
         .withColumn("volume", F.round(F.col("volume") + 1.0, 6))
         .withColumn(
             "receipt_timestamp",

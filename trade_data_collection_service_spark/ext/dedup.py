@@ -1,0 +1,258 @@
+"""Document deduplication operators (BASELINE.json north star):
+exact, MinHash+LSH, SimHash, n-gram Jaccard — the standard
+training-corpus dedup ladder, built Spark-first.
+
+Scale design:
+- Exact dedup: one hash-groupBy on the digest — a single shuffle of
+  (digest, doc_id), no text movement.
+- MinHash+LSH: signatures are computed per-row with array expressions
+  (no explode, no UDF, stays in codegen); only the (band_id, band_key,
+  doc_id) triples are shuffled (bands × docs rows, ~100 bytes each —
+  at 100 TB of text this is GBs, not TBs).  Candidate pairs come from
+  the band-bucket self-join; exact Jaccard verification only touches
+  candidates.  Common-prefix band keys of true near-dups land in the
+  same bucket; skewed buckets (boilerplate docs) are AQE skew-join
+  territory, or cap bucket size before pairing.
+- SimHash: 16-nibble signed-sum fingerprint per row, again pure
+  column expressions.
+- Cross-engine determinism: all hashing is md5-hex (string min/
+  comparisons), identical in DuckDB — NOT murmur/xxhash which differ
+  per engine.
+
+Seeds/bands: 12 minhash permutations in 4 bands of 3 — per the
+classic S-curve this catches pairs with Jaccard ≳ 0.6 w.h.p. at this
+corpus size; tune NUM_SEEDS/BANDS for the target threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trade_data_collection_service_spark.ext.text import shingles_col, with_tokens
+
+NUM_SEEDS = 12
+BAND_SIZE = 3
+NUM_BANDS = NUM_SEEDS // BAND_SIZE
+
+# DuckDB twin of documents_neardup (kept adjacent, as with candles):
+# every 10th doc gets a near-duplicate copy (tail appended) and every
+# 25th an exact duplicate, at offset ids.
+DOCS_NEARDUP_CTE = """
+WITH docs AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zz extra tail zz', lang, source,
+         n_chars + 17
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 25 = 0
+)
+"""
+
+
+def documents_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of DOCS_NEARDUP_CTE — planted near/exact duplicates
+    so dedup operators have positives to find (FIXTURES.md pattern)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    near = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat("text", F.lit(" zz extra tail zz")))
+        .withColumn("n_chars", F.col("n_chars") + 17)
+    )
+    exact = d.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content digest: one row per distinct normalized
+    text, canonical = min doc_id, with the duplicate count."""
+    d = with_tokens(docs).withColumn(
+        "digest", F.md5(F.concat_ws(" ", "tokens"))
+    )
+    return (
+        d.groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("canonical_doc_id")
+    )
+
+
+def _minhash(seed: int, shingles: Column | str = "shingles") -> Column:
+    s = F.col(shingles) if isinstance(shingles, str) else shingles
+    return F.array_min(
+        F.transform(s, lambda x: F.md5(F.concat(F.lit(f"{seed}|"), x)))
+    )
+
+
+def with_minhash_bands(docs: DataFrame) -> DataFrame:
+    """Add shingles, the NUM_SEEDS minhash signature, and NUM_BANDS
+    band keys (md5 of the concatenated band rows)."""
+    d = with_tokens(docs).withColumn("shingles", shingles_col())
+    for j in range(NUM_SEEDS):
+        d = d.withColumn(f"mh{j}", _minhash(j))
+    for b in range(NUM_BANDS):
+        cols = [F.col(f"mh{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
+        d = d.withColumn(f"band{b}", F.md5(F.concat(*cols)))
+    return d
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+
+    shingle→minhash→band→bucket-join→verify; returns (doc_a, doc_b,
+    jaccard) for verified pairs above the threshold."""
+    sig = with_minhash_bands(docs).select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key"))
+                for b in range(NUM_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+
+    left = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        "band_id",
+        "band_key",
+    )
+    right = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        "band_id",
+        "band_key",
+    )
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jaccard = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    return (
+        cand.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, every: int = 4
+) -> DataFrame:
+    """All-pairs n-gram Jaccard on a deterministic document sample
+    (doc_id % every == 0): shingle-explode, co-occurrence join, exact
+    Jaccard.  The no-LSH baseline — quadratic in the worst case, so it
+    runs on a sample; minhash_lsh_pairs is the scale path."""
+    d = (
+        with_tokens(docs.filter(F.col("doc_id") % every == 0))
+        .withColumn("shingles", shingles_col())
+        .select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    )
+    ex = d.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "sh"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "sh"
+    )
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jaccard = F.round(
+        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+    )
+    return (
+        inter.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per token, the first ``bits`` hex nibbles
+    of md5(token) vote ±(nibble-7.5) on their position; the sign
+    pattern packs into an integer fingerprint.  Frequency-weighted
+    (duplicate tokens vote repeatedly), pure column expressions."""
+    d = with_tokens(docs)
+
+    def _vote(k: int):
+        def merge(acc, t):
+            return acc + (
+                F.conv(F.substring(F.md5(t), k + 1, 1), 16, 10).cast("double")
+                - F.lit(7.5)
+            )
+
+        return F.aggregate("tokens", F.lit(0.0), merge)
+
+    bit_cols = []
+    for k in range(bits):
+        vote = _vote(k)
+        bit_cols.append(F.when(vote > 0, F.lit(2**k).cast("long")).otherwise(F.lit(0).cast("long")))
+    fp = bit_cols[0]
+    for c in bit_cols[1:]:
+        fp = fp + c
+    return d.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 1, every: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs on the 16-bit fingerprint: block on the
+    two 8-bit halves (pigeonhole: hamming ≤ 1 guarantees one half
+    matches exactly; wider radii need more blocks), verify exact
+    popcount distance.  Runs on a deterministic sample — a 16-bit
+    fingerprint over a tiny shared vocabulary clusters heavily, so the
+    radius is kept tight; production corpora use 64-bit fingerprints
+    (same expressions, 64 nibble votes) where hamming ≤ 3 is selective."""
+    s = simhash(docs.filter(F.col("doc_id") % every == 0))
+    halves = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"), (F.col("simhash") % 256).alias("key")),
+                F.struct(
+                    F.lit(1).alias("blk"),
+                    F.floor(F.col("simhash") / 256).cast("long").alias("key"),
+                ),
+            )
+        ).alias("h"),
+    ).select("doc_id", "simhash", "h.blk", "h.key")
+    a = halves.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "blk", "key"
+    )
+    b = halves.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "blk", "key"
+    )
+    cand = (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

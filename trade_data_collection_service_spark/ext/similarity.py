@@ -1,0 +1,166 @@
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+- brute_force_topk: exact cosine top-k — the correctness baseline.
+  Query set is broadcast; the big side streams through one
+  whole-stage-codegen pass (zip_with/aggregate fold, no UDF, no
+  shuffle of the vectors themselves); top-k per query via window
+  rank on the (rounded) similarity.
+- ivf_topk: the scale path — coarse-quantize every vector to its
+  nearest centroid (IVF bucketing), then search only the query's
+  probe buckets.  At 100 TB the bucketed table is written
+  partitioned by bucket id, so a query touches nprobe partitions
+  instead of the full corpus.
+- embedding_neardup_pairs: near-duplicate detection by cosine ≥
+  threshold within a deterministic sample (embedding-cosine member
+  of the dedup ladder).
+
+Determinism: similarities are computed in double with a fixed
+fold order, rounded to 6 decimals BEFORE ranking, ties broken on
+vec_id — identical in the DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _as_double(col: str = "embedding") -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the vector as array<double> plus its norm
+    (norms precomputed once — never inside the pair loop)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.select(
+        "vec_id", "label", _as_double().alias("emb")
+    ).withColumn("nrm", _norm("emb"))
+
+
+def brute_force_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 3
+) -> DataFrame:
+    """Exact cosine top-k: queries = vec_id < n_queries (broadcast),
+    corpus = everything; returns (q_id, vec_id, sim, rank)."""
+    v = vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sims = (
+        v.join(broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "sim", F.round(_dot("emb", "q_emb") / (F.col("nrm") * F.col("q_nrm")), 6)
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "sim", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def assign_buckets(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF coarse quantization: each vector joins the (broadcast)
+    centroid set and keeps its max-cosine centroid as bucket id."""
+    c = centroids.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    sims = v.join(broadcast(c)).withColumn(
+        "c_sim", F.round(_dot("emb", "c_emb") / (F.col("nrm") * F.col("c_nrm")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("c_id"))
+    return (
+        sims.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "label", "emb", "nrm", F.col("c_id").alias("bucket"))
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    n_queries: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """IVF(nprobe=1) approximate top-k: centroids are the first
+    n_centroids vectors (a deterministic stand-in for k-means — the
+    bucketing/search plumbing is what matters); each query searches
+    only its own bucket."""
+    v = vectors(spark, sf_dir)
+    centroids = v.filter(F.col("vec_id") < n_centroids)
+    bucketed = assign_buckets(v, centroids)
+    q = bucketed.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    sims = (
+        bucketed.join(
+            broadcast(q),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn(
+            "sim", F.round(_dot("emb", "q_emb") / (F.col("nrm") * F.col("q_nrm")), 6)
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "bucket", "vec_id", "sim", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.99, every: int = 5
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a deterministic sample,
+    with planted duplicates (vec_id + 1000000 copies of every 50th
+    vector) so positives exist — FIXTURES.md injection pattern."""
+    v = vectors(spark, sf_dir)
+    planted = v.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    corpus = v.unionByName(planted).filter(
+        (F.col("vec_id") % every == 0)
+    )
+    a = corpus.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
+        "sim", F.round(_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    )
+    return (
+        pairs.filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (BASELINE.json north star; SURVEY.md §7
+step 8): token stats, language-ID heuristic, quality scoring, document
+fingerprinting.
+
+Everything is built from JVM-side built-ins (split/transform/filter/
+aggregate on arrays) — no Python UDFs in these paths, so the operators
+stay inside whole-stage codegen and scale linearly with executors.
+Each has an exact DuckDB oracle twin in __spark_entry__.
+
+Shared token model: lowercase, split on whitespace.  3-word shingles
+(distinct) are the unit for n-gram/minhash dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Marker vocabularies for the language-ID heuristic.  The synthetic
+# corpus is an English-ish word soup, so these are demonstration
+# marker sets over its vocabulary; swap for real stopword lists in
+# production.  Deterministic tie-break: en > es > de.
+LANG_MARKERS = {
+    "en": ("the", "a", "fast", "small"),
+    "es": ("data", "table", "row", "value"),
+    "de": ("stream", "batch", "window", "group"),
+}
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", F.split(F.lower(F.col(text_col)), r"\s+"))
+
+
+def shingles_col(tokens: Column | str = "tokens", k: int = 3) -> Column:
+    """Distinct k-word shingles; empty array for docs shorter than k."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.when(
+        F.size(t) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, a BPE-ish
+    sub-word proxy count (4-char chunks per token, ceil), char length."""
+    docs = with_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct_tokens"),
+        F.aggregate(
+            "tokens",
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)),
+        ).alias("n_subword_units"),
+        F.round(
+            F.aggregate(
+                "tokens", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            )
+            / F.size("tokens"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def _marker_count(markers: tuple[str, ...]) -> Column:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(f"size(filter(tokens, t -> t IN ({quoted})))").cast("long")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token hit counts per language,
+    argmax with deterministic tie-break (en > es > de)."""
+    docs = with_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        _marker_count(LANG_MARKERS["en"]).alias("score_en"),
+        _marker_count(LANG_MARKERS["es"]).alias("score_es"),
+        _marker_count(LANG_MARKERS["de"]).alias("score_de"),
+    )
+    predicted = (
+        F.when(
+            (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_de")),
+            F.lit("en"),
+        )
+        .when(F.col("score_es") >= F.col("score_de"), F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return scored.withColumn("predicted_lang", predicted)
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/distinct ratios folded into a
+    single [0,1]-ish score (the usual pre-training heuristic filter)."""
+    docs = with_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    n_tokens = F.size("tokens")
+    stop_hits = _marker_count(("the", "a"))
+    distinct_ratio = F.size(F.array_distinct("tokens")) / n_tokens
+    stop_ratio = stop_hits / n_tokens
+    length_ok = (n_tokens >= 10) & (n_tokens <= 10000)
+    score = F.round(
+        0.5 * distinct_ratio + 0.3 * (F.lit(1.0) - stop_ratio) + 0.2 * length_ok.cast("double"),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        length_ok.alias("length_ok"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized text plus
+    a winnowing-style min-hash over 3-word shingles (the rolling-hash
+    analog — the minimum shingle digest is order/position-robust)."""
+    docs = with_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    normalized = F.concat_ws(" ", "tokens")
+    sh = shingles_col()
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fp_md5"),
+        F.array_min(F.transform(sh, F.md5)).alias("fp_min_shingle"),
+    )

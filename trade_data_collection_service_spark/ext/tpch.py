@@ -1,0 +1,129 @@
+"""General relational query surface on the TPC-H-ish driver tables.
+
+The reference's own query surface is narrow (filters/top-N/grouped
+min); these queries prove the engine inherits the full relational
+algebra from Spark — multi-way joins with broadcast dimension sides,
+wide aggregations, top-K — and they anchor the benchmark suite.
+
+Cross-engine float determinism: money aggregates are computed per-row
+in double (deterministic expression), rounded to their exact decimal
+width, cast to decimal for EXACT summation, and cast back to double —
+bit-identical between Spark and DuckDB regardless of partial-agg
+ordering (see __spark_entry__ oracle twins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 adapted to the driver's lineitem schema: pricing
+    summary per (returnflag, linestatus) for shipments before the
+    cutoff.  One scan, map-side partial aggregation, 6 result rows."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    disc_price = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    charge = F.round(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax")),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+            # quantity is integer-valued -> double sum is exact; discount
+            # goes through decimal so the mean is order-independent.
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted: top-10 unshipped orders by revenue for one
+    market segment.  customer is a broadcast dimension; orders⋈lineitem
+    shuffles on orderkey."""
+    cutoff = F.lit("1996-03-15").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 adapted: revenue per nation inside one region for one
+    order-date year.  nation/region/supplier are broadcast dims."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (SURVEY.md §2.8 note): parse
+    the k field, aggregate per event_type."""
+    from trade_data_collection_service_spark.candles import events_df
+
+    ev = events_df(spark, sf_dir)  # handles the TIMESTAMP(NANOS) column
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

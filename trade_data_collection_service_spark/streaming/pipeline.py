@@ -1,0 +1,198 @@
+"""Structured Streaming shell (SURVEY.md §2.9 T1-T11, §3.1).
+
+The reference's realtime path is: websocket candle feed → closed
+candles only → insert with retries → ClickHouse MV cascade keeps the
+rollups fresh.  The Spark-native shape (SURVEY.md §7 step 7):
+
+    readStream (candle events)
+      → validate                    (P6, same batch operator)
+      → withWatermark + dropDuplicatesWithinWatermark   (T3, A9)
+      → foreachBatch:
+           append raw candles (partitioned layout)
+           upsert every rollup level touched by the batch (T4)
+
+The batch-core functions (validate / dedup_latest / rollup_raw /
+rollup_reagg) ARE the streaming logic — foreachBatch wraps them, so
+streaming and repair compute identical results (mirrors the reference
+reusing the same SELECT for MV and backfill, clickhouse_schema.py:189-206
+vs data_quality_check.py:375-390).
+
+Exactly-once: the checkpoint replays an in-flight batch after a
+crash; both sinks are idempotent — the raw append is deduped on read
+(A9) or compaction, and the rollup upsert overwrites whole
+(exchange, symbol, candle_start) keys for the affected buckets, so a
+replay converges to the same table (SURVEY.md §7 "hard parts").
+
+Why foreachBatch and not a stateful windowed agg: the rollup cascade
+must serve reads of EVERY intermediate level (1m..1d), and repairs
+must be able to rewrite history far past any watermark.  Keeping the
+levels as tables updated per micro-batch — incremental-MV style —
+matches the reference's semantics exactly; an in-engine stateful agg
+would hold 1d windows open in state for a day and still need the
+repair path.  State here is bounded by the batch's touched buckets,
+not by window width.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trade_data_collection_service_spark.functions.timeutil import bucket_start
+from trade_data_collection_service_spark.operators.dedup import dedup_latest
+from trade_data_collection_service_spark.operators.rollup import (
+    rollup_raw,
+    rollup_reagg,
+)
+from trade_data_collection_service_spark.operators.validate import validate
+from trade_data_collection_service_spark.schema import (
+    CANDLE_KEY,
+    ROLLUP_MINUTES,
+    cascade_specs,
+)
+
+
+def rollup_paths(base_dir: str) -> dict[int, str]:
+    return {s.minutes: os.path.join(base_dir, s.table) for s in cascade_specs()}
+
+
+def upsert_rollup_levels(
+    spark: SparkSession,
+    raw_path: str,
+    batch_1m: DataFrame,
+    base_dir: str,
+    minutes: list[int] | None = None,
+) -> None:
+    """Incrementally maintain the rollup cascade for one micro-batch.
+
+    Exactness under replays AND arbitrarily-late duplicates: each
+    level's touched buckets are RECOMPUTED from the (deduped) level
+    below, never merged additively — an additive merge of a stored
+    bucket with a late re-delivery of an already-counted candle would
+    double-count volume/trades.  Recomputation makes the whole
+    pipeline idempotent: checkpoint replays and duplicate appends
+    converge to the same tables (the reference gets this from
+    ReplacingMergeTree dedup + watchdog recompute,
+    data_quality_check.py:391-485; we get it in-line).
+
+    Work per batch is O(touched buckets), independent of history:
+    - level 1m reads the deduped raw rows for the batch's buckets
+      (partition pruning + sorted row groups make this a point read);
+    - level N reads the level-N-1 table rows covering its touched
+      buckets (a coarser, smaller key set each step).
+    At scale each level's rewrite is a partition-aligned overwrite
+    (replaceWhere); here it rewrites the small parquet table.
+    """
+    minutes = minutes or ROLLUP_MINUTES
+    paths = rollup_paths(base_dir)
+    bucket_keys = ["exchange", "symbol", "candle_start"]
+
+    # Touched 1m buckets from this batch.
+    touched = (
+        batch_1m.select(
+            "exchange",
+            "symbol",
+            bucket_start("start", minutes[0]).alias("candle_start"),
+        )
+        .distinct()
+        .cache()
+    )
+    source = None  # level below's full (fresh) table
+    for i, m in enumerate(minutes):
+        path = paths[m]
+        # Coarsen the touched-bucket set to this level's grid.
+        touched = (
+            touched.select(
+                "exchange",
+                "symbol",
+                bucket_start("candle_start", m).alias("candle_start"),
+            ).distinct()
+        ).cache()
+        if i == 0:
+            raw = dedup_latest(spark.read.parquet(raw_path))
+            rows = raw.join(
+                F.broadcast(touched).withColumnRenamed("candle_start", "start"),
+                ["exchange", "symbol", "start"],
+                "left_semi",
+            )
+            recomputed = rollup_raw(rows, m)
+        else:
+            # covering join expressed as semi-join on the coarse bucket
+            rows = source.withColumn(
+                "__cb", bucket_start("candle_start", m)
+            ).join(
+                F.broadcast(touched.withColumnRenamed("candle_start", "__cb")),
+                ["exchange", "symbol", "__cb"],
+                "left_semi",
+            ).drop("__cb")
+            recomputed = rollup_reagg(rows, m)
+        try:
+            stored = spark.read.parquet(path)
+            keep = stored.join(F.broadcast(touched), bucket_keys, "left_anti")
+            out = keep.unionByName(recomputed)
+        except Exception:  # first batch: nothing stored yet
+            out = recomputed
+        out.write.mode("overwrite").parquet(path + ".tmp")
+        spark.read.parquet(path + ".tmp").write.mode("overwrite").parquet(path)
+        source = spark.read.parquet(path)
+
+
+def start_candle_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+    minutes: list[int] | None = None,
+):
+    """File-source candle stream → validate → watermark dedup →
+    foreachBatch(append raw + maintain cascade).
+
+    ``available_now`` processes the current backlog then stops —
+    the replayable-test mode; production uses a continuous trigger.
+    """
+    from trade_data_collection_service_spark.schema import CANDLE_SCHEMA
+
+    raw_path = os.path.join(out_dir, "candles_raw")
+
+    # No stateful dedup in-stream: dropDuplicatesWithinWatermark keeps
+    # the FIRST arrival and discards anything below the watermark, which
+    # is the wrong semantic for versioned candles — the reference's
+    # ReplacingMergeTree keeps every version and resolves last-write-wins
+    # at merge/read time (clickhouse_schema.py:143-145).  We mirror that:
+    # append all valid versions, dedup_latest on read, compaction
+    # rewrites.  This also makes the pipeline insensitive to arrival
+    # order — arbitrarily late revisions converge via the rollup
+    # recompute, with no state to size and no watermark cliff.
+    stream = (
+        spark.readStream.schema(CANDLE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # T9/T10 flow control analog
+        .parquet(source_dir)
+        .transform(validate)
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        b = dedup_latest(batch).cache()
+        try:
+            b.write.mode("append").parquet(raw_path)
+            upsert_rollup_levels(batch.sparkSession, raw_path, b, out_dir, minutes)
+        finally:
+            b.unpersist()
+
+    writer = stream.writeStream.option("checkpointLocation", checkpoint_dir).foreachBatch(
+        sink
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def freshness_report(spark: SparkSession, out_dir: str, threshold_minutes: int = 2) -> DataFrame:
+    """T5 freshness monitor over the streamed raw table."""
+    from trade_data_collection_service_spark.operators.queries import freshness
+
+    raw = spark.read.parquet(os.path.join(out_dir, "candles_raw"))
+    return freshness(dedup_latest(raw), threshold_minutes)
