@@ -147,6 +147,12 @@ def _q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.freshness(candles_from_events(spark, sf_dir))
 
 
+def _q_listing_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Split near month end so some (exchange, symbol) pairs exist on
+    # only one side — a real diff in both directions.
+    return Q.listing_diff(candles_from_events(spark, sf_dir), "2024-01-30 23:00:00")
+
+
 def _q_gap_missing_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
     return (
@@ -232,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_filter": _q_symbol_filter,
         "readme_window": _q_readme_window,
         "freshness": _q_freshness,
+        "listing_diff": _q_listing_diff,
         "gap_missing_count": _q_gap_missing_count,
         "gap_islands": _q_gap_islands,
         "backfill_plan": _q_backfill_plan,
@@ -290,8 +297,15 @@ sh AS (
 """
 
 _MINHASH_COLS = ",\n".join(
-    f"  list_min(list_transform(shingles, s -> md5('{j}|' || s))) AS mh{j}"
-    for j in range(12)
+    f"  list_min(list_transform(shingles,"
+    f" s -> substr(md5('{j // 4}|' || s), {(j % 4) * 8 + 1}, 8))) AS mh{j}"
+    for j in range(XD.NUM_SEEDS)
+)
+
+_BAND_SELECTS = "\n          UNION ALL ".join(
+    f"SELECT doc_id, shingles, {b} AS band_id, "
+    f"md5(mh{b * 3} || mh{b * 3 + 1} || mh{b * 3 + 2}) AS band_key FROM mh"
+    for b in range(XD.NUM_BANDS)
 )
 
 _SIMHASH_EXPR = " + ".join(
@@ -456,11 +470,7 @@ def oracle_sql() -> dict[str, str]:
 {_MINHASH_COLS}
           FROM sh
         ), bands AS (
-          SELECT doc_id, shingles, 0 AS band_id,
-                 md5(mh0 || mh1 || mh2) AS band_key FROM mh
-          UNION ALL SELECT doc_id, shingles, 1, md5(mh3 || mh4 || mh5) FROM mh
-          UNION ALL SELECT doc_id, shingles, 2, md5(mh6 || mh7 || mh8) FROM mh
-          UNION ALL SELECT doc_id, shingles, 3, md5(mh9 || mh10 || mh11) FROM mh
+          {_BAND_SELECTS}
         ), cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
@@ -699,6 +709,21 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT symbol, max(stop) AS latest_stop FROM candles GROUP BY symbol),
              (SELECT max(stop) AS now_ts FROM candles)
         ORDER BY symbol
+        """,
+        "listing_diff": CANDLES_CTE
+        + """
+        , known AS (
+            SELECT DISTINCT exchange, symbol FROM candles
+            WHERE start < TIMESTAMP '2024-01-30 23:00:00'
+        ), current_set AS (
+            SELECT DISTINCT exchange, symbol FROM candles
+            WHERE start >= TIMESTAMP '2024-01-30 23:00:00'
+        )
+        SELECT exchange, symbol, 'added' AS change
+        FROM (SELECT * FROM current_set EXCEPT SELECT * FROM known)
+        UNION ALL
+        SELECT exchange, symbol, 'delisted' AS change
+        FROM (SELECT * FROM known EXCEPT SELECT * FROM current_set)
         """,
         "gap_missing_count": CANDLES_CTE
         + """

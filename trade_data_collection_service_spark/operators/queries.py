@@ -124,6 +124,24 @@ def readme_window_query(
     )
 
 
+def listing_diff(candles: DataFrame, split_ts) -> DataFrame:
+    """J2 (data_collector.py:135-137): symbol-universe diff.  The
+    watcher compares the exchange's current listings against the known
+    set each minute: current − known = hot-add, known − current =
+    delist.  Derived deterministically here by splitting the table at
+    ``split_ts``: known = symbols seen before, current = seen after.
+    Set difference via exceptAll / anti-join."""
+    known = candles.filter(F.col("start") < F.lit(split_ts).cast("timestamp")).select(
+        "exchange", "symbol"
+    ).distinct()
+    current = candles.filter(
+        F.col("start") >= F.lit(split_ts).cast("timestamp")
+    ).select("exchange", "symbol").distinct()
+    added = current.exceptAll(known).withColumn("change", F.lit("added"))
+    delisted = known.exceptAll(current).withColumn("change", F.lit("delisted"))
+    return added.unionByName(delisted).orderBy("exchange", "symbol", "change")
+
+
 def freshness(candles: DataFrame, threshold_minutes: int = 2) -> DataFrame:
     """T5 (data_quality_check.py:111-141): newest stop per symbol, lag
     vs the table's max stop (the deterministic stand-in for now()),
