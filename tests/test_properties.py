@@ -1,0 +1,127 @@
+"""Property-based tests (SURVEY.md §5 item 3): dedup + rollup results
+must be independent of arrival order, duplicate injection, and
+batch/stream split points — the reference's core implicit guarantee
+(idempotence via the ReplacingMergeTree key, data_quality_check.py:338-343).
+
+Row generation is plain-Python (fast); Spark evaluates the operators.
+Example counts are kept small because each example runs Spark jobs.
+"""
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from trade_data_collection_service_spark.operators import (
+    cascade,
+    dedup_latest,
+    rollup_raw,
+)
+
+COLS = [
+    "exchange",
+    "symbol",
+    "interval",
+    "start",
+    "stop",
+    "close_unixtime",
+    "trades",
+    "open",
+    "high",
+    "low",
+    "close",
+    "volume",
+    "timestamp",
+    "receipt_timestamp",
+]
+
+BASE = datetime(2024, 1, 1)
+
+
+@st.composite
+def candle_rows(draw):
+    """A small candle set with duplicate versions at random keys."""
+    n = draw(st.integers(min_value=1, max_value=25))
+    rows = []
+    for i in range(n):
+        minute = draw(st.integers(min_value=0, max_value=120))
+        sym = draw(st.sampled_from(["S1", "S2"]))
+        start = BASE + timedelta(minutes=minute)
+        stop = start + timedelta(minutes=1)
+        version = draw(st.integers(min_value=0, max_value=3))
+        px = float(draw(st.integers(min_value=1, max_value=500)))
+        rows.append(
+            (
+                "E",
+                sym,
+                "1m",
+                start,
+                stop,
+                int(stop.timestamp()),
+                1 + version,
+                px,
+                px + 1.0,
+                px - 1.0,
+                px + 0.5,
+                px,
+                stop,
+                stop + timedelta(seconds=version),
+            )
+        )
+    return rows
+
+
+def _frames_equal(a, b):
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=candle_rows(), seed=st.randoms(use_true_random=False))
+def test_dedup_rollup_arrival_order_invariant(spark, rows, seed):
+    shuffled = rows[:]
+    seed.shuffle(shuffled)
+    a = rollup_raw(dedup_latest(spark.createDataFrame(rows, COLS)), 5)
+    b = rollup_raw(dedup_latest(spark.createDataFrame(shuffled, COLS)), 5)
+    assert _frames_equal(a, b)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=candle_rows(), cut=st.integers(min_value=0, max_value=25))
+def test_dedup_split_point_invariant(spark, rows, cut):
+    """dedup(A ∪ B) == dedup(dedup(A) ∪ dedup(B)) for any split —
+    the property that makes micro-batch boundaries invisible."""
+    cut = min(cut, len(rows))
+    whole = dedup_latest(spark.createDataFrame(rows, COLS))
+    a = dedup_latest(spark.createDataFrame(rows[:cut], COLS)) if cut else None
+    b = (
+        dedup_latest(spark.createDataFrame(rows[cut:], COLS))
+        if cut < len(rows)
+        else None
+    )
+    if a is None:
+        recombined = dedup_latest(b)
+    elif b is None:
+        recombined = dedup_latest(a)
+    else:
+        recombined = dedup_latest(a.unionByName(b))
+    assert _frames_equal(whole, recombined)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=candle_rows())
+def test_cascade_equals_direct_property(spark, rows):
+    c = dedup_latest(spark.createDataFrame(rows, COLS))
+    levels = cascade(c, [1, 5, 15])
+    assert _frames_equal(levels[15], rollup_raw(c, 15))
