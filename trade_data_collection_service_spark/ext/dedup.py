@@ -88,80 +88,102 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash(seed: int, shingles: Column | str = "shingles") -> Column:
-    """Minhash for one of NUM_SEEDS virtual permutations.
+def exploded_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) rows — shingle construction happens exactly once.
 
-    Cost optimization: instead of one md5 per (seed, shingle) — 18
-    digest evaluations per shingle — we compute md5 for seed-group
-    ``seed // 4`` (5 evaluations) and slice a non-overlapping 8-hex
-    (32-bit) chunk per seed.  Chunks of one digest are independent
-    bits, so the LSH S-curve is preserved at a fraction of the hash
-    cost (measured ~2.5× faster on the sf0.1 bench query)."""
-    s = F.col(shingles) if isinstance(shingles, str) else shingles
-    group, chunk = seed // 4, seed % 4
-    return F.array_min(
-        F.transform(
-            s,
-            lambda x: F.substring(
-                F.md5(F.concat(F.lit(f"{group}|"), x)), chunk * 8 + 1, 8
-            ),
-        )
+    The array-column formulation (18 withColumn minhashes over a
+    shingles array) looks tidy but Catalyst's CollapseProject inlines
+    the array expression into every minhash column, re-running shingle
+    construction 19× per row (measured 8.1 s vs 2.5 s at sf0.1).  The
+    exploded form is also the scale shape: shingle rows stream through
+    codegen and the signature is a plain aggregation — no wide arrays
+    pinned in memory for book-length documents."""
+    return with_tokens(docs).select(
+        "doc_id", F.explode(shingles_col()).alias("sh")
     )
 
 
-def with_minhash_bands(docs: DataFrame) -> DataFrame:
-    """Add shingles, the NUM_SEEDS minhash signature, and NUM_BANDS
-    band keys (md5 of the concatenated band rows)."""
-    d = with_tokens(docs).withColumn("shingles", shingles_col())
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """One row per doc: shingle count + the NUM_SEEDS minhash
+    signature + NUM_BANDS band keys.
+
+    Hash cost: NUM_SEEDS // 4 md5 digests per shingle (computed once
+    as columns), each sliced into four non-overlapping 8-hex (32-bit)
+    chunks — independent bits of one digest, so the LSH S-curve is
+    preserved at a fraction of the digest cost."""
+    ex = exploded_shingles(docs)
+    n_groups = (NUM_SEEDS + 3) // 4
+    hashed = ex.select(
+        "doc_id",
+        "sh",
+        *[
+            F.md5(F.concat(F.lit(f"{g}|"), F.col("sh"))).alias(f"h{g}")
+            for g in range(n_groups)
+        ],
+    )
+    aggs = [F.count(F.lit(1)).alias("n_sh")]
     for j in range(NUM_SEEDS):
-        d = d.withColumn(f"mh{j}", _minhash(j))
+        g, chunk = j // 4, j % 4
+        aggs.append(
+            F.min(F.substring(F.col(f"h{g}"), chunk * 8 + 1, 8)).alias(f"mh{j}")
+        )
+    sig = hashed.groupBy("doc_id").agg(*aggs)
     for b in range(NUM_BANDS):
         cols = [F.col(f"mh{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
-        d = d.withColumn(f"band{b}", F.md5(F.concat(*cols)))
-    return d
+        sig = sig.withColumn(f"band{b}", F.md5(F.concat(*cols)))
+    return sig
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact Jaccard verification.
 
     shingle→minhash→band→bucket-join→verify; returns (doc_a, doc_b,
-    jaccard) for verified pairs above the threshold."""
-    sig = with_minhash_bands(docs).select(
+    jaccard) for verified pairs above the threshold.  Only
+    (band_id, band_key, doc_id) triples shuffle for candidate
+    generation; exact Jaccard is computed for candidates via the
+    exploded shingle table (co-occurrence count), never by shipping
+    shingle arrays."""
+    ex = exploded_shingles(docs).cache()
+    sig = minhash_signatures(docs)
+    bands = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key"))
                 for b in range(NUM_BANDS)
             ])
         ).alias("band"),
-    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+    ).select("doc_id", "band.band_id", "band.band_key")
 
-    left = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        "band_id",
-        "band_key",
-    )
-    right = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        "band_id",
-        "band_key",
-    )
     cand = (
-        left.join(right, ["band_id", "band_key"])
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
     )
+    inter = (
+        cand.join(ex.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    counts = sig.select("doc_id", "n_sh")
     jaccard = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        6,
+        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
     )
     return (
-        cand.withColumn("jaccard", jaccard)
+        inter.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")

@@ -92,14 +92,28 @@ def rollup_reagg(df: DataFrame, minutes: int) -> DataFrame:
     )
 
 
-def cascade(raw_1m: DataFrame, minutes: list[int] | None = None) -> dict[int, DataFrame]:
+def cascade(
+    raw_1m: DataFrame,
+    minutes: list[int] | None = None,
+    prepartition: bool = True,
+) -> dict[int, DataFrame]:
     """Build every rollup level, each from the previous level.
 
     Returns {minutes: rollup DataFrame}.  Level 1 is the raw candles
     re-shaped to rollup schema; each subsequent level re-aggregates the
     prior one (divisibility enforced by RollupSpec).
+
+    ``prepartition`` hash-partitions the input ONCE on (exchange,
+    symbol) — a subset of every level's grouping keys, so
+    HashPartitioning(exchange, symbol) satisfies each aggregation's
+    ClusteredDistribution and the whole 8-level cascade runs with a
+    single shuffle instead of one per level.  At 100 TB that removes
+    7 full-table shuffles; per-key skew is bounded because a symbol's
+    candles are at most minutes-per-retention rows.
     """
     minutes = minutes or ROLLUP_MINUTES
+    if prepartition:
+        raw_1m = raw_1m.repartition("exchange", "symbol")
     out: dict[int, DataFrame] = {}
     prev: DataFrame | None = None
     for spec in cascade_specs(minutes):
