@@ -181,6 +181,18 @@ def _q_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quarantine(candles_with_invalid(spark, sf_dir))
 
 
+def _q_sma_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import sma
+
+    return sma(candles_from_events(spark, sf_dir), 20)
+
+
+def _q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import vwap_daily
+
+    return vwap_daily(candles_from_events(spark, sf_dir))
+
+
 def _q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.exact_dedup(XD.documents_neardup(spark, sf_dir))
 
@@ -239,6 +251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readme_window": _q_readme_window,
         "freshness": _q_freshness,
         "listing_diff": _q_listing_diff,
+        "sma_20": _q_sma_20,
+        "vwap_daily": _q_vwap_daily,
         "gap_missing_count": _q_gap_missing_count,
         "gap_islands": _q_gap_islands,
         "backfill_plan": _q_backfill_plan,
@@ -724,6 +738,28 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT exchange, symbol, 'delisted' AS change
         FROM (SELECT * FROM known EXCEPT SELECT * FROM current_set)
+        """,
+        "sma_20": CANDLES_CTE
+        + """
+        SELECT exchange, symbol, start, close,
+               round(avg(close) OVER w, 6) AS sma_20,
+               CAST(count(*) OVER w AS BIGINT) AS n_in_frame
+        FROM candles
+        WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        """,
+        "vwap_daily": CANDLES_CTE
+        + """
+        , agg AS (
+          SELECT exchange, symbol, date_trunc('day', start) AS day,
+                 CAST(sum(CAST(round(close * volume, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sum_pv,
+                 CAST(sum(CAST(round(volume, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sum_volume,
+                 CAST(count(*) AS BIGINT) AS n_candles
+          FROM candles GROUP BY 1, 2, 3
+        )
+        SELECT *, round(sum_pv / sum_volume, 6) AS vwap FROM agg
         """,
         "gap_missing_count": CANDLES_CTE
         + """

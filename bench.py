@@ -103,6 +103,18 @@ def main() -> None:
             print(f"bench {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t > 0), 4)
+    # Throughput anchor vs BASELINE.md: the reference's backfill path
+    # tops out at ~4-6k candles/s (load_history.py:33,427); ours is
+    # candles derived+aggregated per second in the candles_1m stage.
+    throughput = None
+    try:
+        from trade_data_collection_service_spark.candles import candles_from_events
+
+        n_candles = candles_from_events(spark, sf_dir).count()
+        if timings.get("candles_1m", 0) > 0:
+            throughput = round(n_candles / timings["candles_1m"], 1)
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -111,6 +123,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "candles_per_sec": throughput,
             }
         )
     )

@@ -1,0 +1,34 @@
+from datetime import datetime
+
+from trade_data_collection_service_spark.operators.analytics import sma, vwap_daily
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, ["exchange", "symbol", "start", "close", "volume"]
+    )
+
+
+def test_sma_hand_computed(spark):
+    rows = [
+        ("E", "S", datetime(2024, 1, 1, 0, m), float(c), 1.0)
+        for m, c in enumerate([10, 20, 30, 40])
+    ]
+    out = {r["start"].minute: r for r in sma(_mk(spark, rows), 3).collect()}
+    assert out[0]["sma_3"] == 10.0 and out[0]["n_in_frame"] == 1
+    assert out[1]["sma_3"] == 15.0
+    assert out[2]["sma_3"] == 20.0
+    assert out[3]["sma_3"] == 30.0  # (20+30+40)/3
+    assert out[3]["n_in_frame"] == 3
+
+
+def test_vwap_hand_computed(spark):
+    rows = [
+        ("E", "S", datetime(2024, 1, 1, 0, 0), 10.0, 2.0),
+        ("E", "S", datetime(2024, 1, 1, 12, 0), 20.0, 6.0),
+        ("E", "S", datetime(2024, 1, 2, 0, 0), 30.0, 1.0),
+    ]
+    out = {r["day"].day: r for r in vwap_daily(_mk(spark, rows)).collect()}
+    # day 1: (10*2 + 20*6) / (2+6) = 140/8 = 17.5
+    assert out[1]["vwap"] == 17.5 and out[1]["n_candles"] == 2
+    assert out[2]["vwap"] == 30.0

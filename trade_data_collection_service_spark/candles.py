@@ -125,23 +125,21 @@ def candles_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = events_df(spark, sf_dir)
     start = F.date_trunc("minute", F.col("ts"))
-    stop = start + F.expr("INTERVAL 1 MINUTE")
     base = ev.select(
         F.when(F.col("event_type") < "m", F.lit("EXCH_A"))
         .otherwise(F.lit("EXCH_B"))
         .alias("exchange"),
         F.concat(F.lit("SYM"), (F.col("user_id") % 8).cast("string")).alias("symbol"),
-        F.lit("1m").alias("interval"),
         start.alias("start"),
-        stop.alias("stop"),
-        F.unix_timestamp(stop).alias("close_unixtime"),
         F.col("event_id"),
         F.col("ts"),
         F.col("value"),
     )
-    return base.groupBy(
-        "exchange", "symbol", "interval", "start", "stop", "close_unixtime"
-    ).agg(
+    # Group on the minimal key (exchange, symbol, start); interval /
+    # stop / close_unixtime are functionally dependent on start and
+    # derived after aggregation — narrower hash-map keys, same result
+    # as the oracle's 6-column GROUP BY.
+    agg = base.groupBy("exchange", "symbol", "start").agg(
         F.count(F.lit(1)).alias("trades"),
         F.min_by("value", "event_id").alias("open"),
         F.max("value").alias("high"),
@@ -150,6 +148,23 @@ def candles_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.abs("value")), 6).alias("volume"),
         F.date_trunc("second", F.max("ts")).alias("timestamp"),
         F.date_trunc("second", F.max("ts")).alias("receipt_timestamp"),
+    )
+    stop = F.col("start") + F.expr("INTERVAL 1 MINUTE")
+    return agg.select(
+        "exchange",
+        "symbol",
+        F.lit("1m").alias("interval"),
+        "start",
+        stop.alias("stop"),
+        F.unix_timestamp(stop).alias("close_unixtime"),
+        "trades",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "timestamp",
+        "receipt_timestamp",
     )
 
 
