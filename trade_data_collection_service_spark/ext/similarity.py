@@ -97,31 +97,55 @@ def assign_buckets(v: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def probe_buckets(v: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+    """Top-``nprobe`` nearest centroids per vector (the buckets an IVF
+    query searches)."""
+    c = centroids.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    sims = v.join(broadcast(c)).withColumn(
+        "c_sim", F.round(_dot("emb", "c_emb") / (F.col("nrm") * F.col("c_nrm")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("c_id"))
+    return (
+        sims.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .select("vec_id", "emb", "nrm", F.col("c_id").alias("probe_bucket"))
+    )
+
+
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
     n_centroids: int = 8,
     n_queries: int = 3,
     k: int = 3,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF(nprobe=1) approximate top-k: centroids are the first
-    n_centroids vectors (a deterministic stand-in for k-means — the
-    bucketing/search plumbing is what matters); each query searches
-    only its own bucket."""
+    """IVF approximate top-k: centroids are the first n_centroids
+    vectors (a deterministic stand-in for k-means — the bucketing/
+    search plumbing is what matters); each query searches its
+    ``nprobe`` nearest buckets.  At scale the bucketed table is
+    written partitionBy(bucket), so a query reads nprobe partitions
+    instead of the corpus."""
     v = vectors(spark, sf_dir)
     centroids = v.filter(F.col("vec_id") < n_centroids)
     bucketed = assign_buckets(v, centroids)
-    q = bucketed.filter(
-        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)
+    probes = probe_buckets(
+        v.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)),
+        centroids,
+        nprobe,
     ).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
-        F.col("bucket").alias("q_bucket"),
+        F.col("probe_bucket").alias("q_bucket"),
     )
     sims = (
         bucketed.join(
-            broadcast(q),
+            broadcast(probes),
             (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
         )
         .withColumn(
