@@ -181,6 +181,33 @@ def _q_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quarantine(candles_with_invalid(spark, sf_dir))
 
 
+def _candles_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one (exchange, symbol) over one week — bounded grid for the
+    # gap-filled read queries
+    return candles_from_events(spark, sf_dir).filter(
+        (F.col("exchange") == "EXCH_A")
+        & (F.col("symbol") == "SYM0")
+        & (F.col("start") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("start") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    )
+
+
+def _q_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.resample import gap_filled
+
+    return gap_filled(_candles_week(spark, sf_dir))
+
+
+def _q_gap_filled_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.resample import (
+        gap_filled_ffill,
+    )
+
+    return gap_filled_ffill(_candles_week(spark, sf_dir)).select(
+        "exchange", "symbol", "start", "close", "is_gap", "close_ffill"
+    )
+
+
 def _q_sma_20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.operators.analytics import sma
 
@@ -251,6 +278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readme_window": _q_readme_window,
         "freshness": _q_freshness,
         "listing_diff": _q_listing_diff,
+        "gap_filled": _q_gap_filled,
+        "gap_filled_ffill": _q_gap_filled_ffill,
         "sma_20": _q_sma_20,
         "vwap_daily": _q_vwap_daily,
         "gap_missing_count": _q_gap_missing_count,
@@ -738,6 +767,55 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT exchange, symbol, 'delisted' AS change
         FROM (SELECT * FROM known EXCEPT SELECT * FROM current_set)
+        """,
+        "gap_filled": CANDLES_CTE
+        + """
+        , week AS (
+            SELECT * FROM candles
+            WHERE exchange = 'EXCH_A' AND symbol = 'SYM0'
+              AND start >= TIMESTAMP '2024-01-08 00:00:00'
+              AND start <  TIMESTAMP '2024-01-15 00:00:00'
+        ), bounds AS (
+            SELECT exchange, symbol, min(start) AS lo, max(start) AS hi
+            FROM week GROUP BY 1, 2
+        ), grid AS (
+            SELECT exchange, symbol,
+                   unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS start
+            FROM bounds
+        )
+        SELECT g.exchange, g.symbol, g.start,
+               w.open, w.high, w.low, w.close, w.volume, w.trades,
+               (w.close IS NULL) AS is_gap
+        FROM grid g LEFT JOIN week w
+          ON g.exchange = w.exchange AND g.symbol = w.symbol
+         AND g.start = w.start
+        """,
+        "gap_filled_ffill": CANDLES_CTE
+        + """
+        , week AS (
+            SELECT * FROM candles
+            WHERE exchange = 'EXCH_A' AND symbol = 'SYM0'
+              AND start >= TIMESTAMP '2024-01-08 00:00:00'
+              AND start <  TIMESTAMP '2024-01-15 00:00:00'
+        ), bounds AS (
+            SELECT exchange, symbol, min(start) AS lo, max(start) AS hi
+            FROM week GROUP BY 1, 2
+        ), grid AS (
+            SELECT exchange, symbol,
+                   unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS start
+            FROM bounds
+        ), joined AS (
+            SELECT g.exchange, g.symbol, g.start, w.close,
+                   (w.close IS NULL) AS is_gap
+            FROM grid g LEFT JOIN week w
+              ON g.exchange = w.exchange AND g.symbol = w.symbol
+             AND g.start = w.start
+        )
+        SELECT *, last_value(close IGNORE NULLS) OVER (
+                 PARTITION BY exchange, symbol ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS close_ffill
+        FROM joined
         """,
         "sma_20": CANDLES_CTE
         + """

@@ -70,6 +70,9 @@ def headline_queries():
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",
+        "events_json",
+        "sma_20",
+        "vwap_daily",
         "doc_dedup_exact",
         "doc_minhash_lsh",
         "emb_cosine_topk",

@@ -1,0 +1,48 @@
+from datetime import datetime
+
+import pytest
+
+from trade_data_collection_service_spark.operators.resample import (
+    gap_filled,
+    gap_filled_ffill,
+    rollup_tf,
+)
+
+
+def _frame(spark, minutes_close):
+    rows = [
+        ("E", "S", datetime(2024, 1, 1, 0, m), 1.0, float(c), 0.5, float(c), 1.0, 1)
+        for m, c in minutes_close
+    ]
+    return spark.createDataFrame(
+        rows,
+        ["exchange", "symbol", "start", "open", "high", "low", "close", "volume", "trades"],
+    )
+
+
+def test_gap_filled_marks_holes(spark):
+    df = _frame(spark, [(0, 10), (1, 11), (4, 14)])
+    out = {r["start"].minute: r for r in gap_filled(df).collect()}
+    assert sorted(out) == [0, 1, 2, 3, 4]
+    assert not out[0]["is_gap"] and out[0]["close"] == 10.0
+    assert out[2]["is_gap"] and out[2]["close"] is None
+    assert out[3]["is_gap"]
+    assert not out[4]["is_gap"]
+
+
+def test_ffill_carries_last_close(spark):
+    df = _frame(spark, [(0, 10), (1, 11), (4, 14)])
+    out = {r["start"].minute: r["close_ffill"] for r in gap_filled_ffill(df).collect()}
+    assert out == {0: 10.0, 1: 11.0, 2: 11.0, 3: 11.0, 4: 14.0}
+
+
+def test_rollup_tf_grammar(spark):
+    df = _frame(spark, [(0, 10), (7, 11)])
+    r5 = rollup_tf(df, "5m")
+    assert r5.count() == 2
+    r1h = rollup_tf(df, "1h")
+    assert r1h.count() == 1
+    with pytest.raises(ValueError):
+        rollup_tf(df, "30s")
+    with pytest.raises(ValueError):
+        rollup_tf(df, "bogus")
