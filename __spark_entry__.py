@@ -59,9 +59,22 @@ ROLLUP_COLS = [
 ]
 
 
+def _utc(spark: SparkSession) -> None:
+    """Pin the session to UTC (runtime-settable) — timestamp
+    truncation above minute grain (days for VWAP, months for
+    partitioning) is timezone-sensitive, and the DuckDB oracle
+    computes in naive/UTC.  The driver's session config is not ours,
+    so every contract entry sets this defensively."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events → 1m candles → validate → dedup → rollup
     cascade to 15m (SURVEY.md §7 minimum end-to-end slice)."""
+    _utc(spark)
     c = dedup_latest(candles_from_events(spark, SF0001))
     levels = cascade(c, [1, 5, 15])
     return levels[15].select(*ROLLUP_COLS)
@@ -240,7 +253,21 @@ def _q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.simhash_near_pairs(XD.documents_neardup(spark, sf_dir))
 
 
+def _with_utc(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _utc(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _with_utc(fn) for name, fn in _queries().items()}
+
+
+def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- general relational surface / bench anchors ---
         "tpch_q1": XH.q1_pricing_summary,
