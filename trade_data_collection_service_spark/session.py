@@ -28,10 +28,15 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local[*] runs everything in the driver JVM; the default 1g
+        # heap OOMs on multi-million-row aggregations.  Only effective
+        # for the first session in a process (JVM launch conf).
+        .config("spark.driver.memory", driver_mem)
         # Deterministic time semantics: everything is UTC, as in the
         # reference schema (DateTime64(3,'UTC')).
         .config("spark.sql.session.timeZone", "UTC")
