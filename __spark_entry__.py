@@ -233,6 +233,23 @@ def _q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vwap_daily(candles_from_events(spark, sf_dir))
 
 
+def _q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    # `quantile_cont`, both R-7) — the exact-percentile analytics the
+    # approximate ClickHouse `quantile` family would approximate.
+    c = candles_from_events(spark, sf_dir)
+    return (
+        c.groupBy("symbol")
+        .agg(
+            F.round(F.percentile("close", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("close", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("close", F.lit(0.99)), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("symbol")
+    )
+
+
 def _q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.exact_dedup(XD.documents_neardup(spark, sf_dir))
 
@@ -309,6 +326,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_filled_ffill": _q_gap_filled_ffill,
         "sma_20": _q_sma_20,
         "vwap_daily": _q_vwap_daily,
+        "price_percentiles": _q_price_percentiles,
         "gap_missing_count": _q_gap_missing_count,
         "gap_islands": _q_gap_islands,
         "backfill_plan": _q_backfill_plan,
@@ -865,6 +883,15 @@ def oracle_sql() -> dict[str, str]:
           FROM candles GROUP BY 1, 2, 3
         )
         SELECT *, round(sum_pv / sum_volume, 6) AS vwap FROM agg
+        """,
+        "price_percentiles": CANDLES_CTE
+        + """
+        SELECT symbol,
+               round(quantile_cont(close, 0.5), 6) AS p50,
+               round(quantile_cont(close, 0.95), 6) AS p95,
+               round(quantile_cont(close, 0.99), 6) AS p99,
+               CAST(count(*) AS BIGINT) AS n
+        FROM candles GROUP BY symbol ORDER BY symbol
         """,
         "gap_missing_count": CANDLES_CTE
         + """

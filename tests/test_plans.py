@@ -1,0 +1,61 @@
+"""Plan-regression tests: lock in the physical properties the engine
+is designed around (docs/ARCHITECTURE.md plan audit).  A change that
+silently reintroduces per-level cascade shuffles, breaks predicate
+pushdown, or turns top-N into a full sort fails here, not in a 100 TB
+deployment.
+"""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from trade_data_collection_service_spark.candles import candles_from_events
+from trade_data_collection_service_spark.operators import cascade, dedup_latest
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_cascade_single_shuffle(spark, sf_dir):
+    c = dedup_latest(candles_from_events(spark, sf_dir))
+    full = cascade(c)[1440]
+    # derivation agg + dedup agg + the one cascade repartition = 3;
+    # anything more means a level started shuffling again.
+    assert _exchanges(_plan(full)) <= 3
+
+
+def test_topn_plans_take_ordered(spark, sf_dir):
+    from trade_data_collection_service_spark.operators.queries import recent_candles
+
+    q = recent_candles(candles_from_events(spark, sf_dir), "EXCH_A", "SYM0", "1m", 200)
+    assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.tpch import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # column pruning: the scan must not read l_orderkey/l_partkey etc.
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schema and "l_orderkey" not in read_schema.group(1)
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.tpch import q3_shipping_priority
+
+    assert "BroadcastHashJoin" in _plan(q3_shipping_priority(spark, sf_dir))
+
+
+def test_dedup_is_aggregation_not_sort(spark, sf_dir):
+    plan = _plan(dedup_latest(candles_from_events(spark, sf_dir)))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
