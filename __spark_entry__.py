@@ -233,6 +233,31 @@ def _q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vwap_daily(candles_from_events(spark, sf_dir))
 
 
+def _q_repair_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T7 end-to-end: corrupt a 15m rollup window (drop even days,
+    # double volume on the rest), repair it from raw, return the
+    # repaired window.  The oracle aggregates raw directly — hash
+    # equality proves the repair restored exact truth.
+    from trade_data_collection_service_spark.operators.repair import repair_window
+
+    ws, we = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
+    c = candles_from_events(spark, sf_dir)
+    good = rollup_raw(c, 15)
+    in_win = (
+        (F.col("exchange") == "EXCH_A")
+        & (F.col("symbol") == "SYM0")
+        & (F.col("candle_start") >= F.lit(ws).cast("timestamp"))
+        & (F.col("candle_start") < F.lit(we).cast("timestamp"))
+    )
+    corrupted = good.filter(~in_win).unionByName(
+        good.filter(in_win)
+        .filter(F.dayofmonth("candle_start") % 2 == 1)
+        .withColumn("volume", F.round(F.col("volume") * 2, 6))
+    )
+    repaired = repair_window(corrupted, c, 15, "EXCH_A", "SYM0", ws, we)
+    return repaired.filter(in_win).select(*ROLLUP_COLS)
+
+
 def _q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     # `quantile_cont`, both R-7) — the exact-percentile analytics the
@@ -327,6 +352,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sma_20": _q_sma_20,
         "vwap_daily": _q_vwap_daily,
         "price_percentiles": _q_price_percentiles,
+        "repair_window": _q_repair_window,
         "gap_missing_count": _q_gap_missing_count,
         "gap_islands": _q_gap_islands,
         "backfill_plan": _q_backfill_plan,
@@ -883,6 +909,17 @@ def oracle_sql() -> dict[str, str]:
           FROM candles GROUP BY 1, 2, 3
         )
         SELECT *, round(sum_pv / sum_volume, 6) AS vwap FROM agg
+        """,
+        "repair_window": CANDLES_CTE
+        + f"""
+        SELECT exchange, symbol,
+               time_bucket(INTERVAL '15 minutes', start) AS candle_start,
+               {_ROLLUP_AGG}
+        FROM candles
+        WHERE exchange = 'EXCH_A' AND symbol = 'SYM0'
+          AND start >= TIMESTAMP '2024-01-05 00:00:00'
+          AND start <  TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY 1, 2, 3
         """,
         "price_percentiles": CANDLES_CTE
         + """
