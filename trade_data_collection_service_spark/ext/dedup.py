@@ -5,28 +5,28 @@ training-corpus dedup ladder, built Spark-first.
 Scale design:
 - Exact dedup: one hash-groupBy on the digest — a single shuffle of
   (digest, doc_id), no text movement.
-- MinHash+LSH: signatures are computed per-row with array expressions
-  (no explode, no UDF, stays in codegen); only the (band_id, band_key,
-  doc_id) triples are shuffled (bands × docs rows, ~100 bytes each —
-  at 100 TB of text this is GBs, not TBs).  Candidate pairs come from
-  the band-bucket self-join; exact Jaccard verification only touches
-  candidates.  Common-prefix band keys of true near-dups land in the
-  same bucket; skewed buckets (boilerplate docs) are AQE skew-join
-  territory, or cap bucket size before pairing.
-- SimHash: 16-nibble signed-sum fingerprint per row, again pure
-  column expressions.
+- MinHash+LSH: shingles explode once to (doc_id, shingle) rows; the
+  signature is a plain aggregation of digest-chunk minima (see
+  exploded_shingles/minhash_signatures docstrings).  Only (band_id,
+  band_key, doc_id) triples shuffle for candidate generation (bands ×
+  docs rows, ~100 bytes each — at 100 TB of text this is GBs, not
+  TBs); exact Jaccard verification touches candidates only.  Skewed
+  band buckets (boilerplate docs) are AQE skew-join territory, or cap
+  bucket size before pairing.
+- SimHash: 16-nibble signed-sum fingerprint per row, pure column
+  expressions.
 - Cross-engine determinism: all hashing is md5-hex (string min/
   comparisons), identical in DuckDB — NOT murmur/xxhash which differ
   per engine.
 
-Seeds/bands: 12 minhash permutations in 4 bands of 3 — per the
-classic S-curve this catches pairs with Jaccard ≳ 0.6 w.h.p. at this
-corpus size; tune NUM_SEEDS/BANDS for the target threshold.
+Seeds/bands: NUM_SEEDS virtual permutations in NUM_BANDS bands of
+BAND_SIZE (S-curve rationale on the constants below); tune for the
+target Jaccard threshold.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trade_data_collection_service_spark.ext.text import shingles_col, with_tokens

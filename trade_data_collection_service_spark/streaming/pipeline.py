@@ -6,10 +6,10 @@ rollups fresh.  The Spark-native shape (SURVEY.md §7 step 7):
 
     readStream (candle events)
       → validate                    (P6, same batch operator)
-      → withWatermark + dropDuplicatesWithinWatermark   (T3, A9)
       → foreachBatch:
-           append raw candles (partitioned layout)
-           upsert every rollup level touched by the batch (T4)
+           append raw candles, all versions (T3: ReplacingMergeTree
+             model — last-write-wins resolved on read, see below)
+           recompute every rollup bucket touched by the batch (T4)
 
 The batch-core functions (validate / dedup_latest / rollup_raw /
 rollup_reagg) ARE the streaming logic — foreachBatch wraps them, so
@@ -48,7 +48,6 @@ from trade_data_collection_service_spark.operators.rollup import (
 )
 from trade_data_collection_service_spark.operators.validate import validate
 from trade_data_collection_service_spark.schema import (
-    CANDLE_KEY,
     ROLLUP_MINUTES,
     cascade_specs,
 )
@@ -148,8 +147,10 @@ def start_candle_stream(
     available_now: bool = True,
     minutes: list[int] | None = None,
 ):
-    """File-source candle stream → validate → watermark dedup →
-    foreachBatch(append raw + maintain cascade).
+    """File-source candle stream → validate → foreachBatch(append raw
+    + maintain cascade).  ``watermark`` is retained as a declared
+    lateness bound for documentation/monitoring; correctness does not
+    depend on it (see module docstring).
 
     ``available_now`` processes the current backlog then stops —
     the replayable-test mode; production uses a continuous trigger.
