@@ -37,6 +37,13 @@ def get_spark(
         # heap OOMs on multi-million-row aggregations.  Only effective
         # for the first session in a process (JVM launch conf).
         .config("spark.driver.memory", driver_mem)
+        # Bucketed tables (sources/tables.py) need a catalog; keep the
+        # warehouse + derby metastore out of the working directory.
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/spark_graft_derby",
+        )
         # Deterministic time semantics: everything is UTC, as in the
         # reference schema (DateTime64(3,'UTC')).
         .config("spark.sql.session.timeZone", "UTC")

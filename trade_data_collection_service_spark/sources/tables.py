@@ -43,6 +43,33 @@ def write_candles(df: DataFrame, path: str, mode: str = "append") -> None:
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and sorted) on its join key —
+    the co-located-join layout (task brief: "bucketing for co-located
+    joins").  Two tables bucketed on the same key with the same bucket
+    count join with ZERO shuffle: Catalyst recognizes the output
+    partitioning of both scans and plans a sort-merge join directly on
+    the bucket files.  At 100 TB this removes the dominant cost of
+    every fact⋈fact join that repeats a key (candles⋈candles as-of
+    lookups, lineitem⋈orders, …).
+
+    Requires a catalog (saveAsTable) — bucket metadata lives in the
+    metastore, not in parquet."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def compact(spark: SparkSession, path: str, months: list[str] | None = None) -> None:
     """Rewrite (a subset of) month partitions with duplicates collapsed
     — OPTIMIZE FINAL.  Repairs after gap refill keep windows
