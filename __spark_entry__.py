@@ -233,6 +233,34 @@ def _q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vwap_daily(candles_from_events(spark, sf_dir))
 
 
+def _q_asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AS-OF join: the close price as of each event's timestamp, per
+    # (exchange, symbol) — oracle twin is DuckDB's native ASOF JOIN.
+    from trade_data_collection_service_spark.candles import events_df
+    from trade_data_collection_service_spark.operators.asof import asof_join
+
+    ev = events_df(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_type") < "m", F.lit("EXCH_A"))
+        .otherwise(F.lit("EXCH_B"))
+        .alias("exchange"),
+        F.concat(F.lit("SYM"), (F.col("user_id") % 8).cast("string")).alias("symbol"),
+        "ts",
+    )
+    c = candles_from_events(spark, sf_dir)
+    out = asof_join(
+        ev,
+        c,
+        ["exchange", "symbol"],
+        "ts",
+        "start",
+        ["start", "close"],
+    )
+    return out.select(
+        "event_id", "exchange", "symbol", "asof_start", "asof_close"
+    )
+
+
 def _q_repair_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # T7 end-to-end: corrupt a 15m rollup window (drop even days,
     # double volume on the rest), repair it from raw, return the
@@ -353,6 +381,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap_daily": _q_vwap_daily,
         "price_percentiles": _q_price_percentiles,
         "repair_window": _q_repair_window,
+        "asof_price": _q_asof_price,
         "gap_missing_count": _q_gap_missing_count,
         "gap_islands": _q_gap_islands,
         "backfill_plan": _q_backfill_plan,
@@ -909,6 +938,22 @@ def oracle_sql() -> dict[str, str]:
           FROM candles GROUP BY 1, 2, 3
         )
         SELECT *, round(sum_pv / sum_volume, 6) AS vwap FROM agg
+        """,
+        "asof_price": CANDLES_CTE
+        + """
+        , ev AS (
+          SELECT event_id,
+                 CASE WHEN event_type < 'm' THEN 'EXCH_A'
+                      ELSE 'EXCH_B' END AS exchange,
+                 'SYM' || CAST(user_id % 8 AS VARCHAR) AS symbol,
+                 ts
+          FROM events
+        )
+        SELECT e.event_id, e.exchange, e.symbol,
+               c.start AS asof_start, c.close AS asof_close
+        FROM ev e ASOF JOIN candles c
+          ON e.exchange = c.exchange AND e.symbol = c.symbol
+         AND e.ts >= c.start
         """,
         "repair_window": CANDLES_CTE
         + f"""
