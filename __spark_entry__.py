@@ -233,6 +233,31 @@ def _q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vwap_daily(candles_from_events(spark, sf_dir))
 
 
+def _q_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Range join (inequality-only predicate): classify candles into
+    # price bands via a broadcast nested-loop join against a tiny
+    # bands dimension — the right physical plan when the range side
+    # is small; larger range sides bucket on overlapping keys first.
+    c = candles_from_events(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [(0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0), (3, 150.0, 1e12)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        c.join(
+            F.broadcast(bands),
+            (F.col("close") >= F.col("lo")) & (F.col("close") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_candles"),
+            F.min("close").alias("min_close"),
+            F.max("close").alias("max_close"),
+        )
+        .orderBy("band")
+    )
+
+
 def _q_asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AS-OF join: the close price as of each event's timestamp, per
     # (exchange, symbol) — oracle twin is DuckDB's native ASOF JOIN.
@@ -382,6 +407,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": _q_price_percentiles,
         "repair_window": _q_repair_window,
         "asof_price": _q_asof_price,
+        "price_bands": _q_price_bands,
         "gap_missing_count": _q_gap_missing_count,
         "gap_islands": _q_gap_islands,
         "backfill_plan": _q_backfill_plan,
@@ -938,6 +964,18 @@ def oracle_sql() -> dict[str, str]:
           FROM candles GROUP BY 1, 2, 3
         )
         SELECT *, round(sum_pv / sum_volume, 6) AS vwap FROM agg
+        """,
+        "price_bands": CANDLES_CTE
+        + """
+        SELECT CAST(b.band AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_candles,
+               min(c.close) AS min_close,
+               max(c.close) AS max_close
+        FROM candles c
+        JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 100.0),
+                     (2, 100.0, 150.0), (3, 150.0, 1e12)) b(band, lo, hi)
+          ON c.close >= b.lo AND c.close < b.hi
+        GROUP BY 1 ORDER BY 1
         """,
         "asof_price": CANDLES_CTE
         + """
