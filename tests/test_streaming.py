@@ -14,6 +14,7 @@ from trade_data_collection_service_spark.candles import candles_with_duplicates
 from trade_data_collection_service_spark.operators import cascade, dedup_latest
 from trade_data_collection_service_spark.schema import CANDLE_SCHEMA
 from trade_data_collection_service_spark.streaming.pipeline import (
+    read_rollup_level,
     rollup_paths,
     start_candle_stream,
 )
@@ -67,7 +68,7 @@ def test_streamed_raw_matches_batch(stream_dirs):
 @pytest.mark.parametrize("level", LEVELS)
 def test_streamed_rollups_match_batch(stream_dirs, level):
     spark, out, candles = stream_dirs
-    stored = spark.read.parquet(rollup_paths(out)[level])
+    stored = read_rollup_level(spark, rollup_paths(out)[level])
     expected = cascade(dedup_latest(candles), LEVELS)[level]
     assert stored.count() == expected.count()
     assert stored.exceptAll(expected).count() == 0

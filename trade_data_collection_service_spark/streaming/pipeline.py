@@ -40,7 +40,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from trade_data_collection_service_spark.functions.timeutil import bucket_start
+from trade_data_collection_service_spark.functions.timeutil import bucket_start, yyyymm
 from trade_data_collection_service_spark.operators.dedup import dedup_latest
 from trade_data_collection_service_spark.operators.rollup import (
     rollup_raw,
@@ -55,6 +55,36 @@ from trade_data_collection_service_spark.schema import (
 
 def rollup_paths(base_dir: str) -> dict[int, str]:
     return {s.minutes: os.path.join(base_dir, s.table) for s in cascade_specs()}
+
+
+def _fs_for(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` — works for file://, hdfs://, s3a://."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit missing-table probe.  Replaces the old bare
+    ``except Exception`` around the read: ANY other read failure (perm
+    error, corrupt footer, transient FS fault) must FAIL the batch so
+    the checkpoint replays it — silently treating it as "first batch"
+    would discard all untouched history."""
+    fs, hpath = _fs_for(spark, path)
+    return fs.exists(hpath)
+
+
+def _rm(spark: SparkSession, path: str) -> None:
+    fs, hpath = _fs_for(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def read_rollup_level(spark: SparkSession, path: str) -> DataFrame:
+    """Read a rollup level table, hiding the physical ``month``
+    partition column (layout detail, not part of the rollup schema)."""
+    df = spark.read.parquet(path)
+    return df.drop("month") if "month" in df.columns else df
 
 
 def upsert_rollup_levels(
@@ -76,13 +106,30 @@ def upsert_rollup_levels(
     ReplacingMergeTree dedup + watchdog recompute,
     data_quality_check.py:391-485; we get it in-line).
 
-    Work per batch is O(touched buckets), independent of history:
+    Work per batch is O(touched buckets) compute and O(touched month
+    partitions) I/O, independent of history:
     - level 1m reads the deduped raw rows for the batch's buckets
       (partition pruning + sorted row groups make this a point read);
     - level N reads the level-N-1 table rows covering its touched
-      buckets (a coarser, smaller key set each step).
-    At scale each level's rewrite is a partition-aligned overwrite
-    (replaceWhere); here it rewrites the small parquet table.
+      buckets (a coarser, smaller key set each step);
+    - each level table is stored ``partitionBy(month)`` (the
+      reference's toYYYYMM partitioning, clickhouse_schema.py:144) and
+      only the month partitions containing touched buckets are
+      rewritten, via dynamic partition overwrite — untouched history
+      is never read or written.
+
+    Publish protocol per level: the touched months' new contents
+    (kept untouched buckets + recomputed buckets) are first
+    materialized to a sibling ``.stage`` directory, then written into
+    the live table with ``partitionOverwriteMode=dynamic``.  The stage
+    step is deliberate: it removes the read-from/write-to-same-path
+    hazard, and a crash before the publish leaves the live table
+    untouched (the checkpoint replays the batch).  A crash *during*
+    the publish job-commit is bounded to the touched month partitions,
+    which the replayed batch fully rewrites from the stage inputs
+    recomputed off the (idempotent, append-only) raw table — so replay
+    still converges.  On a transactional table format (Delta/Iceberg)
+    the publish becomes a single replaceWhere commit.
     """
     minutes = minutes or ROLLUP_MINUTES
     paths = rollup_paths(base_dir)
@@ -102,8 +149,9 @@ def upsert_rollup_levels(
     for i, m in enumerate(minutes):
         path = paths[m]
         # Coarsen the touched-bucket set to this level's grid.
+        prev_touched = touched
         touched = (
-            touched.select(
+            prev_touched.select(
                 "exchange",
                 "symbol",
                 bucket_start("candle_start", m).alias("candle_start"),
@@ -127,15 +175,45 @@ def upsert_rollup_levels(
                 "left_semi",
             ).drop("__cb")
             recomputed = rollup_reagg(rows, m)
-        try:
-            stored = spark.read.parquet(path)
-            keep = stored.join(F.broadcast(touched), bucket_keys, "left_anti")
+        if table_exists(spark, path):
+            # Rewrite ONLY month partitions containing touched buckets:
+            # within those months, keep the untouched buckets' stored
+            # rows and splice in the recomputed ones.
+            touched_months = (
+                touched.select(yyyymm("candle_start").alias("month")).distinct()
+            )
+            stored = read_rollup_level(spark, path)
+            keep = (
+                stored.withColumn("month", yyyymm("candle_start"))
+                .join(F.broadcast(touched_months), ["month"], "left_semi")
+                .drop("month")
+                .join(F.broadcast(touched), bucket_keys, "left_anti")
+            )
             out = keep.unionByName(recomputed)
-        except Exception:  # first batch: nothing stored yet
+        else:
             out = recomputed
-        out.write.mode("overwrite").parquet(path + ".tmp")
-        spark.read.parquet(path + ".tmp").write.mode("overwrite").parquet(path)
-        source = spark.read.parquet(path)
+        stage = path + ".stage"
+        (
+            out.withColumn("month", yyyymm("candle_start"))
+            .repartition("month")
+            .sortWithinPartitions("exchange", "symbol", "candle_start")
+            .write.mode("overwrite")
+            .partitionBy("month")
+            .parquet(stage)
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            spark.read.parquet(stage)
+            .write.mode("overwrite")
+            .partitionBy("month")
+            .parquet(path)
+        )
+        _rm(spark, stage)
+        # `touched` is materialized by the writes above; the finer
+        # level's cache is no longer referenced.
+        prev_touched.unpersist()
+        source = read_rollup_level(spark, path)
+    touched.unpersist()
 
 
 def start_candle_stream(
