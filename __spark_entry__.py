@@ -640,9 +640,17 @@ def oracle_sql() -> dict[str, str]:
           FROM sh
         ), bands AS (
           {_BAND_SELECTS}
+        ), capped AS (
+          -- band-bucket size cap, identical to ext/dedup.py
+          -- minhash_lsh_pairs(max_bucket=1000)
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_key)
+                   AS n_bucket
+            FROM bands
+          ) WHERE n_bucket <= 1000
         ), cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
+          FROM capped a JOIN capped b
             ON a.band_id = b.band_id AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id
         ), verified AS (
@@ -769,11 +777,27 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT vec_id, emb, nrm FROM planted
         ), samp AS (
           SELECT * FROM corpus WHERE vec_id % 5 = 0
+        ), bands AS (
+          -- coordinate-sign LSH banding, identical to
+          -- ext/similarity.py:sign_lsh_bands (8 bands x 8 dims)
+          SELECT vec_id, band, string_agg(bit, '' ORDER BY idx) AS key
+          FROM (
+            SELECT vec_id, CAST((i - 1) // 8 AS INT) AS band, i AS idx,
+                   CASE WHEN emb[i] >= 0 THEN '1' ELSE '0' END AS bit
+            FROM samp, range(1, 65) t(i)
+          )
+          GROUP BY vec_id, band
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
         ), pairs AS (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          SELECT vec_a, vec_b,
                  {_COS.format(a="a.emb", b="b.emb", na="a.nrm", nb="b.nrm")}
                    AS sim
-          FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+          FROM cand
+          JOIN samp a ON a.vec_id = cand.vec_a
+          JOIN samp b ON b.vec_id = cand.vec_b
         )
         SELECT * FROM pairs WHERE sim >= 0.99
         """,

@@ -79,3 +79,41 @@ def test_simhash_pairs_include_exact_copies(spark, sf_dir):
     }
     for p in planted:
         assert got.get(p) == 0
+
+
+def test_minhash_lsh_bucket_cap_bounds_viral_band(spark, sf_dir):
+    """VERDICT r1 item 3: a viral band bucket (one boilerplate text
+    shared by many docs) must not go quadratic — with a cap, its
+    B*(B-1)/2 candidate pairs are dropped before pairing, while
+    genuine near-dup pairs outside the bucket are still found."""
+    boiler = "the same cookie banner boilerplate text repeated verbatim"
+    rows = [(i, boiler) for i in range(40)]  # viral cluster, B=40
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(docs, threshold=0.5)
+    capped = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=5)
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    # uncapped: the 40-doc cluster alone yields 780 pairs
+    assert n_uncapped >= 40 * 39 // 2
+    # capped: the viral bucket is dropped everywhere (identical docs
+    # share every band), only the 2-doc near-dup pair survives
+    assert n_capped == 1
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+
+
+def test_minhash_lsh_default_cap_is_noop_on_fixture(spark, sf_dir):
+    """The default cap (1000) must not change fixture results — the
+    oracle twin applies the same cap, and CORRECTNESS compares them."""
+    docs = documents_neardup(spark, sf_dir)
+    assert (
+        minhash_lsh_pairs(docs).exceptAll(
+            minhash_lsh_pairs(docs, max_bucket=10**9)
+        ).count()
+        == 0
+    )

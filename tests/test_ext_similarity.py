@@ -63,3 +63,52 @@ def test_neardup_contains_planted(spark, sf_dir):
     for p in planted:
         assert p in got
         assert got[p] >= 0.999999
+
+
+def test_neardup_no_nested_loop_join(spark, sf_dir):
+    """The LSH rewrite's whole point (VERDICT r1 item 2): candidate
+    generation is an equi-join on (band, key) — the plan must not
+    contain an all-pairs BroadcastNestedLoopJoin or CartesianProduct."""
+    plan = embedding_neardup_pairs(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:4000]
+    assert "CartesianProduct" not in plan, plan[:4000]
+
+
+def test_neardup_lsh_recall_equals_brute_force(spark, sf_dir):
+    """On the fixture, LSH candidates + cosine verify returns exactly
+    the brute-force pair set (all positives are exact duplicates,
+    which agree on every sign band)."""
+    from pyspark.sql import functions as F
+    from trade_data_collection_service_spark.ext.similarity import _dot, vectors
+
+    lsh = {
+        (r["vec_a"], r["vec_b"], r["sim"])
+        for r in embedding_neardup_pairs(spark, sf_dir).collect()
+    }
+    v = vectors(spark, sf_dir)
+    planted = v.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    corpus = v.unionByName(planted).filter(F.col("vec_id") % 5 == 0)
+    a = corpus.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    brute = {
+        (r["vec_a"], r["vec_b"], r["sim"])
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "sim",
+            F.round(_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 6),
+        )
+        .filter(F.col("sim") >= 0.99)
+        .select("vec_a", "vec_b", "sim")
+        .collect()
+    }
+    assert lsh == brute

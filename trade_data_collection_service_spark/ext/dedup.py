@@ -134,7 +134,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sig
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_bucket: int = 1000
+) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact Jaccard verification.
 
     shingle→minhash→band→bucket-join→verify; returns (doc_a, doc_b,
@@ -142,7 +144,20 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     (band_id, band_key, doc_id) triples shuffle for candidate
     generation; exact Jaccard is computed for candidates via the
     exploded shingle table (co-occurrence count), never by shipping
-    shingle arrays."""
+    shingle arrays.
+
+    ``max_bucket`` (VERDICT r1 item 3) bounds the quadratic blowup of
+    a viral band bucket: a band key shared by B docs contributes
+    B·(B-1)/2 candidate pairs, so one boilerplate key (cookie banners,
+    license headers) can dominate the whole job.  Buckets larger than
+    the cap are dropped BEFORE pairing — standard LSH practice: a
+    bucket that large is a boilerplate cluster, not a near-dup signal,
+    and each member still gets candidates from its 5 other, more
+    selective bands.  The check is one extra aggregation over the
+    small band triples (map-side partial count), after which every
+    surviving bucket is ≤ max_bucket, so the self-join is provably
+    O(n_buckets · max_bucket²) worst-case instead of O(B²).  The
+    DuckDB oracle applies the identical cap."""
     ex = exploded_shingles(docs).cache()
     sig = minhash_signatures(docs)
     bands = sig.select(
@@ -154,6 +169,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             ])
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
+    small_buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+        .filter(F.col("n_bucket") <= max_bucket)
+        .select("band_id", "band_key")
+    )
+    bands = bands.join(small_buckets, ["band_id", "band_key"], "left_semi")
 
     cand = (
         bands.alias("a")

@@ -161,12 +161,63 @@ def ivf_topk(
     )
 
 
+def sign_lsh_bands(
+    corpus: DataFrame, dim: int = 64, n_bands: int = 8
+) -> DataFrame:
+    """Coordinate-sign LSH banding for embeddings: band ``j`` hashes
+    dims ``[j*b, (j+1)*b)`` to a b-char sign bitstring.  Two vectors
+    land in the same (band, key) bucket iff the signs of one whole
+    coordinate block agree — exact duplicates agree on every band, and
+    near-duplicates (cos → 1) disagree on at most a few coordinates,
+    so they almost surely share ≥1 band.  This is the
+    random-hyperplane LSH family with axis-aligned hyperplanes, which
+    keeps the hash engine-portable and deterministic (no RNG to
+    replicate in the oracle).  Pure column expressions — codegen, no
+    UDF.  Returns (vec_id, band, key)."""
+    b = dim // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat(
+                    *[
+                        F.when(F.col("emb")[j * b + i] >= 0, F.lit("1")).otherwise(
+                            F.lit("0")
+                        )
+                        for i in range(b)
+                    ]
+                ).alias("key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    return corpus.select("vec_id", F.explode(bands).alias("bk")).select(
+        "vec_id", "bk.band", "bk.key"
+    )
+
+
 def embedding_neardup_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.99, every: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.99,
+    every: int = 5,
+    dim: int = 64,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a deterministic sample,
     with planted duplicates (vec_id + 1000000 copies of every 50th
-    vector) so positives exist — FIXTURES.md injection pattern."""
+    vector) so positives exist — FIXTURES.md injection pattern.
+
+    Scale shape (VERDICT r1 item 2): candidates come from an EQUI-join
+    on sign-LSH (band, key) buckets — the same bucketed shape as
+    ``minhash_lsh_pairs`` for text — then cosine is verified on
+    candidates only.  No all-pairs comparison anywhere: the join is a
+    shuffled hash/sort-merge join on the band key, never a
+    BroadcastNestedLoopJoin (plan-asserted in tests), so the cost is
+    O(vectors x bands + candidate pairs) instead of O(n^2).  The
+    DuckDB oracle twin implements the identical banding, so results
+    are exactly comparable; recall vs brute force is asserted on the
+    fixture in pytest."""
     v = vectors(spark, sf_dir)
     planted = v.filter(F.col("vec_id") % 50 == 0).withColumn(
         "vec_id", F.col("vec_id") + 1000000
@@ -174,14 +225,30 @@ def embedding_neardup_pairs(
     corpus = v.unionByName(planted).filter(
         (F.col("vec_id") % every == 0)
     )
+    bands = sign_lsh_bands(corpus, dim, n_bands)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
     a = corpus.select(
         F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")
     )
     b = corpus.select(
         F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b")
     )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
-        "sim", F.round(_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    pairs = (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn(
+            "sim", F.round(_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 6)
+        )
     )
     return (
         pairs.filter(F.col("sim") >= threshold)
