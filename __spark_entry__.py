@@ -383,6 +383,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search (embeddings) ---
         "emb_cosine_topk": XS.brute_force_topk,
         "emb_ivf_topk": XS.ivf_topk,
+        "emb_ivf_trained_topk": XS.ivf_trained_topk,
         "emb_neardup": XS.embedding_neardup_pairs,
         # --- multimodal plumbing ---
         "multimodal_features": media_features,
@@ -501,6 +502,43 @@ _COS = (
     "round(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
     " / ({na} * {nb}), 6)"
 )
+
+
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's k-means as chained CTEs — the DuckDB twin of
+    ext/kmeans.fit(round_to=6): init = first k vectors by vec_id,
+    argmin on squared-L2 ROUNDED to 6 (ties to lowest cluster id),
+    per-dim means rounded to 6.  Both engines rank and round
+    identically, so the trained centroids are bit-equal."""
+    parts = [
+        f"""
+        , c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster,
+                 emb AS centroid
+          FROM (SELECT vec_id, emb FROM n ORDER BY vec_id LIMIT {k})
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+        , a{i} AS (
+          SELECT vec_id, emb, cluster FROM (
+            SELECT v.vec_id, v.emb, c.cluster,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     round(list_sum(list_transform(list_zip(v.emb, c.centroid),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) ASC,
+                     c.cluster ASC) AS r
+            FROM n v, c{i - 1} c
+          ) WHERE r = 1
+        ), c{i} AS (
+          SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+            SELECT cluster, di AS pos, round(avg(emb[di]), 6) AS m
+            FROM a{i}, range(1, {dim + 1}) t(di)
+            GROUP BY cluster, di
+          ) GROUP BY cluster
+        )"""
+        )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -743,6 +781,42 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id, emb, nrm, c_id,
                  {_COS.format(a="emb", b="c_emb", na="nrm", nb="c_nrm")} AS c_sim
           FROM n, c
+        ), bucketed AS (
+          SELECT vec_id, emb, nrm, c_id AS bucket
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS r
+                FROM asg)
+          WHERE r = 1
+        ), q AS (
+          SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm,
+                 bucket AS q_bucket
+          FROM bucketed WHERE vec_id >= 100 AND vec_id < 103
+        ), sims AS (
+          SELECT q_id, b.bucket, vec_id,
+                 {_COS.format(a="q_emb", b="emb", na="q_nrm", nb="nrm")} AS sim
+          FROM bucketed b, q
+          WHERE b.bucket = q.q_bucket AND b.vec_id <> q.q_id
+        ), ranked AS (
+          SELECT q_id, bucket, vec_id, sim,
+                 CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT)
+                   AS rank
+          FROM sims
+        )
+        SELECT * FROM ranked WHERE rank <= 3
+        """,
+        "emb_ivf_trained_topk": _VEC_CTE
+        + _kmeans_ctes(k=8, iters=2, dim=64)
+        + f"""
+        , tc AS (
+          SELECT cluster AS c_id, centroid AS c_emb,
+                 sqrt(list_sum(list_transform(centroid, x -> x * x)))
+                   AS c_nrm
+          FROM c2
+        ), asg AS (
+          SELECT vec_id, emb, nrm, c_id,
+                 {_COS.format(a="emb", b="c_emb", na="nrm", nb="c_nrm")} AS c_sim
+          FROM n, tc
         ), bucketed AS (
           SELECT vec_id, emb, nrm, c_id AS bucket
           FROM (SELECT *, row_number() OVER (

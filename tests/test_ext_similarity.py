@@ -112,3 +112,17 @@ def test_neardup_lsh_recall_equals_brute_force(spark, sf_dir):
         .collect()
     }
     assert lsh == brute
+
+
+def test_ivf_trained_topk_uses_trained_centroids(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.similarity import ivf_trained_topk
+
+    rows = ivf_trained_topk(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], set()).add(r["bucket"])
+    # nprobe=1: each query searches exactly one (trained) bucket
+    assert all(len(b) == 1 for b in by_q.values())
+    # trained cluster ids are 1..8, not raw vec_ids
+    assert all(1 <= r["bucket"] <= 8 for r in rows)

@@ -34,14 +34,21 @@ def _sqdist(a, b):
 
 
 def assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: (vec_id, emb, cluster, sqdist)."""
+    """Nearest centroid per vector: (vec_id, emb, cluster, sqdist).
+
+    The argmin ranks on the distance ROUNDED to 6 decimals (ties to
+    the lowest centroid id) so assignments are bit-portable across
+    engines — the DuckDB oracle twin ranks identically, and sub-1e-6
+    distance differences from summation order can't flip a cluster."""
     c = centroids.select(
         F.col("cluster").alias("c_id"), F.col("centroid").alias("c_emb")
     )
     scored = corpus.join(broadcast(c)).withColumn(
         "d", _sqdist(F.col("emb"), F.col("c_emb"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("c_id").asc())
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("d"), 6).asc(), F.col("c_id").asc()
+    )
     return (
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
@@ -49,15 +56,24 @@ def assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def update(assigned: DataFrame) -> DataFrame:
+def update(assigned: DataFrame, round_to: int | None = None) -> DataFrame:
     """New centroids = per-cluster mean, via posexplode so the shuffle
-    carries (cluster, dim) partial sums, not vectors."""
+    carries (cluster, dim) partial sums, not vectors.
+
+    ``round_to`` rounds each mean coordinate — set it (6) when the
+    trained centroids must be reproducible across engines (the IVF
+    oracle twin): partial-aggregation order perturbs the last float
+    bits, and rounding collapses those differences identically in
+    Spark and DuckDB."""
     exploded = assigned.select(
         "cluster", F.posexplode("emb").alias("pos", "x")
     )
+    mean = F.avg("x")
+    if round_to is not None:
+        mean = F.round(mean, round_to)
     means = (
         exploded.groupBy("cluster", "pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(mean.alias("m"))
         .groupBy("cluster")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
@@ -73,10 +89,14 @@ def fit(
     sf_dir: str,
     k: int = 8,
     max_iters: int = 5,
+    round_to: int | None = None,
 ) -> tuple[DataFrame, list[float]]:
     """Run Lloyd's iterations; returns (centroids DataFrame, inertia
     per iteration).  Centroids are cached per iteration — only the
-    small k×dim frame ever lands on the driver-side loop boundary."""
+    small k×dim frame ever lands on the driver-side loop boundary —
+    and the PREVIOUS iteration's cache is unpersisted once the new one
+    is materialized, so cached frames don't accumulate across
+    iterations (ADVICE r1)."""
     v = vectors(spark, sf_dir).select("vec_id", "emb").cache()
     centroids = (
         v.orderBy("vec_id")
@@ -95,6 +115,9 @@ def fit(
         inertia.append(
             assigned.agg(F.round(F.sum("sqdist"), 6).alias("j")).collect()[0]["j"]
         )
-        centroids = update(assigned).cache()
+        prev = centroids
+        centroids = update(assigned, round_to).cache()
         centroids.count()  # materialize so the next loop reuses it
+        prev.unpersist()
+    v.unpersist()
     return centroids, inertia

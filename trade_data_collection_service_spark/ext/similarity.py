@@ -161,6 +161,60 @@ def ivf_topk(
     )
 
 
+def ivf_trained_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_queries: int = 3,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF top-k with TRAINED centroids (VERDICT r1 item 4): the
+    coarse quantizer comes from ``kmeans.fit`` (deterministic init =
+    first n vectors, ``iters`` Lloyd steps, means rounded to 6
+    decimals for engine portability) instead of ivf_topk's first-N
+    stand-in.  Trained centroids track the data distribution, which is
+    what recall at scale depends on: buckets get balanced, so nprobe
+    partitions cover the true neighbors.  Search plumbing is identical
+    to ivf_topk — bucketed corpus, broadcast probes, partitionBy
+    (bucket) at rest."""
+    from trade_data_collection_service_spark.ext.kmeans import fit
+
+    cents, _ = fit(spark, sf_dir, k=n_centroids, max_iters=iters, round_to=6)
+    centroids = cents.select(
+        F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
+    ).withColumn("nrm", _norm("emb"))
+    v = vectors(spark, sf_dir)
+    bucketed = assign_buckets(v, centroids)
+    probes = probe_buckets(
+        v.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)),
+        centroids,
+        nprobe,
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("probe_bucket").alias("q_bucket"),
+    )
+    sims = (
+        bucketed.join(
+            broadcast(probes),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn(
+            "sim", F.round(_dot("emb", "q_emb") / (F.col("nrm") * F.col("q_nrm")), 6)
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "bucket", "vec_id", "sim", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 def sign_lsh_bands(
     corpus: DataFrame, dim: int = 64, n_bands: int = 8
 ) -> DataFrame:
