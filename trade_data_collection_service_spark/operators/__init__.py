@@ -15,3 +15,9 @@ from trade_data_collection_service_spark.operators.gaps import (  # noqa: F401
     missing_timestamps,
 )
 from trade_data_collection_service_spark.operators.backfill import backfill_plan  # noqa: F401
+from trade_data_collection_service_spark.operators.watchdog import (  # noqa: F401
+    rest_refill,
+    table_refill,
+    verify_rollup,
+    watchdog_cycle,
+)

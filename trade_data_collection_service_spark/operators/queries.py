@@ -108,16 +108,23 @@ def readme_window_query(
     """P4/O4 (README.md:56-68): IN-list symbols over the trailing N
     hours, ordered by (symbol, start).  ``now`` defaults to the max
     event time in the table so results are deterministic for the
-    oracle; production passes current_timestamp()."""
+    oracle; production passes current_timestamp().
+
+    The default "now" is a broadcast scalar join, not a driver-side
+    collect — one job instead of two, and the whole query stays a
+    single lazy plan (ADVICE r1: no .collect() in operators/)."""
     if now_expr is None:
-        now_expr = candles.agg(F.max("start")).collect()[0][0]
+        now_ts = F.col("__now")
+        base = candles.crossJoin(
+            F.broadcast(candles.agg(F.max("start").alias("__now")))
+        )
+    else:
+        now_ts = F.lit(now_expr).cast("timestamp")
+        base = candles
     return (
-        candles.filter(
+        base.filter(
             F.col("symbol").isin(symbols)
-            & (
-                F.col("start")
-                >= F.lit(now_expr).cast("timestamp") - F.expr(f"INTERVAL {hours} HOURS")
-            )
+            & (F.col("start") >= now_ts - F.expr(f"INTERVAL {hours} HOURS"))
         )
         .select("symbol", "start", "open", "high", "low", "close", "volume")
         .orderBy("symbol", "start")
