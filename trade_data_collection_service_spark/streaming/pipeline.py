@@ -89,7 +89,7 @@ def read_rollup_level(spark: SparkSession, path: str) -> DataFrame:
 
 def upsert_rollup_levels(
     spark: SparkSession,
-    raw_path: str,
+    raw_path: str | DataFrame,
     batch_1m: DataFrame,
     base_dir: str,
     minutes: list[int] | None = None,
@@ -158,7 +158,12 @@ def upsert_rollup_levels(
             ).distinct()
         ).cache()
         if i == 0:
-            raw = dedup_latest(spark.read.parquet(raw_path))
+            raw_df = (
+                raw_path
+                if isinstance(raw_path, DataFrame)
+                else spark.read.parquet(raw_path)
+            )
+            raw = dedup_latest(raw_df)
             rows = raw.join(
                 F.broadcast(touched).withColumnRenamed("candle_start", "start"),
                 ["exchange", "symbol", "start"],
@@ -224,18 +229,29 @@ def start_candle_stream(
     watermark: str = "10 minutes",
     available_now: bool = True,
     minutes: list[int] | None = None,
+    writer=None,
 ):
-    """File-source candle stream → validate → foreachBatch(append raw
-    + maintain cascade).  ``watermark`` is retained as a declared
-    lateness bound for documentation/monitoring; correctness does not
-    depend on it (see module docstring).
+    """File-source candle stream → validate → foreachBatch(write raw
+    via the pluggable sink + maintain cascade).  ``watermark`` is
+    retained as a declared lateness bound for documentation/
+    monitoring; correctness does not depend on it (see module
+    docstring).
+
+    ``writer`` is a ``sinks.CandleWriter`` — default ParquetCandleWriter
+    (append + dedup-on-read); SqlUpsertCandleWriter is the external-
+    database (ClickHouse/JDBC-like) shape with the same idempotency
+    contract, so crash replays converge on either sink.
 
     ``available_now`` processes the current backlog then stops —
     the replayable-test mode; production uses a continuous trigger.
     """
     from trade_data_collection_service_spark.schema import CANDLE_SCHEMA
+    from trade_data_collection_service_spark.streaming.sinks import (
+        ParquetCandleWriter,
+    )
 
-    raw_path = os.path.join(out_dir, "candles_raw")
+    if writer is None:
+        writer = ParquetCandleWriter(out_dir)
 
     # No stateful dedup in-stream: dropDuplicatesWithinWatermark keeps
     # the FIRST arrival and discards anything below the watermark, which
@@ -256,17 +272,23 @@ def start_candle_stream(
     def sink(batch: DataFrame, batch_id: int) -> None:
         b = dedup_latest(batch).cache()
         try:
-            b.write.mode("append").parquet(raw_path)
-            upsert_rollup_levels(batch.sparkSession, raw_path, b, out_dir, minutes)
+            writer.write_raw(b)
+            upsert_rollup_levels(
+                batch.sparkSession,
+                writer.read_raw(batch.sparkSession),
+                b,
+                out_dir,
+                minutes,
+            )
         finally:
             b.unpersist()
 
-    writer = stream.writeStream.option("checkpointLocation", checkpoint_dir).foreachBatch(
-        sink
-    )
+    stream_writer = stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(sink)
     if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+        stream_writer = stream_writer.trigger(availableNow=True)
+    return stream_writer.start()
 
 
 def freshness_report(spark: SparkSession, out_dir: str, threshold_minutes: int = 2) -> DataFrame:
