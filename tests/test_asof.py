@@ -29,3 +29,34 @@ def test_asof_semantics(spark):
         ).collect()
     }
     assert out == {1: 10.0, 2: 11.0, 3: 12.0, 4: None, 5: None}
+
+
+def test_asof_duplicate_right_timestamps_deterministic(spark):
+    """ADVICE r1: with duplicate right timestamps per key, the winning
+    payload must be a total-order choice (largest tiebreaker), stable
+    across runs and partitionings."""
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 00:00:00", 10.0, 1),
+            ("A", "2024-01-01 00:00:00", 99.0, 2),  # same ts, higher version
+            ("A", "2024-01-01 00:05:00", 50.0, 3),
+        ],
+        "sym string, ts string, price double, version long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    left = spark.createDataFrame(
+        [("A", "2024-01-01 00:03:00")], "sym string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    for _ in range(3):
+        # explicit version tiebreaker
+        r1 = asof_join(
+            left, right, ["sym"], "ts", "ts", ["price"], right_order=["version"]
+        ).collect()
+        assert [x["asof_price"] for x in r1] == [99.0]
+        # default: payload itself is the tiebreaker -> largest price
+        r2 = asof_join(left, right.repartition(3), ["sym"], "ts", "ts", ["price"]).collect()
+        assert [x["asof_price"] for x in r2] == [99.0]

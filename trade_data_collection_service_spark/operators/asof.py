@@ -15,6 +15,13 @@ the same lower bound a merge-based as-of algorithm pays.  No
 point-in-time explode, no per-row lookup.  Tie semantics: a right
 row AT the left timestamp is visible (>=), matching DuckDB's
 ``ASOF JOIN ... ON l.ts >= r.ts`` which serves as the oracle twin.
+
+Oracle-divergence note (ADVICE r1): this operator is LEFT-OUTER — a
+left row with no preceding right row keeps null payloads — while
+DuckDB's ``ASOF JOIN`` is INNER (such rows are dropped).  The
+``asof_price`` oracle query hash-matches because the fixture
+guarantees every event a same-minute candle; callers comparing
+against an inner as-of must filter the null-payload rows.
 """
 
 from __future__ import annotations
@@ -31,29 +38,50 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     prefix: str = "asof_",
+    right_order: list[str] | None = None,
 ) -> DataFrame:
     """Left rows + ``{prefix}{payload}`` columns from the latest right
     row with ``right_ts <= left_ts`` on the same key (nulls when no
-    right row precedes the left row)."""
+    right row precedes the left row).
+
+    ``right_order``: deterministic tiebreaker among right rows sharing
+    the same (key, right_ts) — e.g. a version/receipt column; the
+    LARGEST value wins.  Defaults to the payload columns themselves,
+    so the winning payload is always a total-order choice and results
+    are stable across runs/partitionings (ADVICE r1: ``orderBy(__t,
+    __side)`` alone is not a total order under duplicate right
+    timestamps)."""
     left_types = dict(left.dtypes)
+    right_types = dict(right.dtypes)
+    order_cols = right_order if right_order is not None else payload
     tagged_r = right.select(
         *keys,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.col(p).alias(f"__p_{p}") for p in payload],
+        *[F.col(c).alias(f"__o_{i}") for i, c in enumerate(order_cols)],
         *[F.lit(None).cast(left_types[c]).alias(f"__l_{c}") for c in left.columns],
     )
     tagged_l = left.select(
         *keys,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(dict(right.dtypes)[p]).alias(f"__p_{p}") for p in payload],
+        *[F.lit(None).cast(right_types[p]).alias(f"__p_{p}") for p in payload],
+        *[
+            F.lit(None).cast(right_types[c]).alias(f"__o_{i}")
+            for i, c in enumerate(order_cols)
+        ],
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
-    # right rows sort before left rows at equal __t → inclusive match
+    # right rows sort before left rows at equal __t → inclusive match;
+    # equal right timestamps totally ordered by the tiebreaker
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__t", "__side")
+        .orderBy(
+            "__t",
+            "__side",
+            *[F.col(f"__o_{i}") for i in range(len(order_cols))],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = tagged_r.unionByName(tagged_l, allowMissingColumns=False)
