@@ -77,6 +77,13 @@ def headline_queries():
         "doc_minhash_lsh",
         "emb_cosine_topk",
         "doc_quality",
+        # round-2 additions (VERDICT r1 item 8 + new operators)
+        "asof_price",
+        "repair_window",
+        "doc_simhash_pairs",
+        "emb_neardup",
+        "emb_ivf_trained_topk",
+        "watchdog_cycle",
     ):
         if name in q:
             out[name] = q[name]
