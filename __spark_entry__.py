@@ -736,9 +736,19 @@ def oracle_sql() -> dict[str, str]:
         + ", "
         + _SHINGLES_CTE
         + """
-        , ex AS (
-          SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s
-          FROM sh
+        , ex0 AS (
+          SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), rare AS (
+          -- posting-list cap: identical stop-shingle removal to
+          -- ngram_jaccard_pairs(max_posting=64)
+          SELECT s FROM ex0 GROUP BY s HAVING count(DISTINCT doc_id) <= 64
+        ), exk AS (
+          SELECT doc_id, s FROM ex0 JOIN rare USING (s)
+        ), sizes AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM exk GROUP BY doc_id
+        ), ex AS (
+          SELECT e.doc_id, e.s, z.n_sh FROM exk e JOIN sizes z USING (doc_id)
         ), inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.n_sh AS na, b.n_sh AS nb,
