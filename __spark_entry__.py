@@ -36,6 +36,7 @@ from trade_data_collection_service_spark.operators import (
     rollup_raw,
 )
 from trade_data_collection_service_spark.operators import queries as Q
+from trade_data_collection_service_spark.ext import cluster as XC
 from trade_data_collection_service_spark.ext import dedup as XD
 from trade_data_collection_service_spark.ext import similarity as XS
 from trade_data_collection_service_spark.ext import text as XT
@@ -365,6 +366,20 @@ def _q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.ngram_jaccard_pairs(XD.documents_neardup(spark, sf_dir))
 
 
+def _q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = XD.documents_neardup(spark, sf_dir)
+    pairs = XD.minhash_lsh_pairs(docs)
+    return XC.assign_clusters(docs, pairs).orderBy("doc_id")
+
+
+def _q_doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = XD.documents_neardup(spark, sf_dir)
+    pairs = XD.minhash_lsh_pairs(docs)
+    clusters = XC.assign_clusters(docs, pairs)
+    scored = XT.quality_of(docs).select("doc_id", "quality_score")
+    return XC.keep_best_per_cluster(scored, clusters)
+
+
 def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -403,6 +418,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_minhash_lsh": _q_doc_minhash_lsh,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "doc_dup_clusters": _q_doc_dup_clusters,
+        "doc_dedup_keep_best": _q_doc_dedup_keep_best,
         "doc_simhash": _q_doc_simhash,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         # --- similarity search (embeddings) ---
@@ -502,6 +519,72 @@ _BAND_SELECTS = "\n          UNION ALL ".join(
     f"SELECT doc_id, shingles, {b} AS band_id, "
     f"md5(mh{b * 3} || mh{b * 3 + 1} || mh{b * 3 + 2}) AS band_key FROM mh"
     for b in range(XD.NUM_BANDS)
+)
+
+# Shared LSH candidate/verify CTE chain (over a `docs` CTE) — used by
+# doc_minhash_lsh and the dedup-cluster oracles.
+_LSH_CTES = (
+    ", "
+    + _TOKS_CTE.format(src="docs")
+    + ", "
+    + _SHINGLES_CTE
+    + f"""
+        , mh AS (
+          SELECT doc_id, shingles,
+{_MINHASH_COLS}
+          FROM sh
+        ), bands AS (
+          {_BAND_SELECTS}
+        ), capped AS (
+          -- band-bucket size cap, identical to ext/dedup.py
+          -- minhash_lsh_pairs(max_bucket=1000)
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_key)
+                   AS n_bucket
+            FROM bands
+          ) WHERE n_bucket <= 1000
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM capped a JOIN capped b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ), verified AS (
+          SELECT c.doc_a, c.doc_b,
+                 round(len(list_intersect(sa.shingles, sb.shingles))
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+                   6) AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+        )
+"""
+)
+
+# Connected components over the verified LSH pairs: min-reachable-id
+# via a recursive CTE — the fixpoint ext/cluster.py's label
+# propagation converges to.
+_CLUSTER_CTES = (
+    XD.DOCS_NEARDUP_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _LSH_CTES
+    + """
+        , pairs AS (
+          SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5
+        ), edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b AS a, doc_a AS b FROM pairs
+        ), reach(doc_id, r) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT e.a, r.r FROM edges e JOIN reach r ON r.doc_id = e.b
+        ), labels AS (
+          SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        ), clusters_all AS (
+          SELECT d.doc_id,
+                 coalesce(l.cluster_id, d.doc_id) AS cluster_id
+          FROM docs d LEFT JOIN labels l USING (doc_id)
+        )
+"""
 )
 
 _SIMHASH_EXPR = " + ".join(
@@ -693,40 +776,36 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1 HAVING count(*) > 1
         """,
         "doc_minhash_lsh": XD.DOCS_NEARDUP_CTE
-        + ", "
-        + _TOKS_CTE.format(src="docs")
-        + ", "
-        + _SHINGLES_CTE
-        + f"""
-        , mh AS (
-          SELECT doc_id, shingles,
-{_MINHASH_COLS}
-          FROM sh
-        ), bands AS (
-          {_BAND_SELECTS}
-        ), capped AS (
-          -- band-bucket size cap, identical to ext/dedup.py
-          -- minhash_lsh_pairs(max_bucket=1000)
-          SELECT * FROM (
-            SELECT *, count(*) OVER (PARTITION BY band_id, band_key)
-                   AS n_bucket
-            FROM bands
-          ) WHERE n_bucket <= 1000
-        ), cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM capped a JOIN capped b
-            ON a.band_id = b.band_id AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id
-        ), verified AS (
-          SELECT c.doc_a, c.doc_b,
-                 round(len(list_intersect(sa.shingles, sb.shingles))
-                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
-                   6) AS jaccard
-          FROM cand c
-          JOIN sh sa ON sa.doc_id = c.doc_a
-          JOIN sh sb ON sb.doc_id = c.doc_b
-        )
+        + _LSH_CTES
+        + """
         SELECT * FROM verified WHERE jaccard >= 0.5
+        """,
+        "doc_dup_clusters": _CLUSTER_CTES
+        + """
+        SELECT doc_id, cluster_id FROM clusters_all ORDER BY doc_id
+        """,
+        "doc_dedup_keep_best": _CLUSTER_CTES
+        + """
+        , q AS (
+          SELECT doc_id,
+            round(0.5 * (len(list_distinct(tokens)) / len(tokens))
+              + 0.3 * (1.0 - (len(list_filter(tokens, t -> t IN ('the','a')))
+                              / len(tokens)))
+              + 0.2 * (CASE WHEN len(tokens) >= 10 AND len(tokens) <= 10000
+                       THEN 1.0 ELSE 0.0 END), 6) AS quality_score
+          FROM toks
+        ), ranked AS (
+          SELECT c.cluster_id, q.doc_id, q.quality_score,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY q.quality_score DESC, q.doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+          FROM clusters_all c JOIN q USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS keep_doc_id,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               quality_score AS best_quality
+        FROM ranked WHERE rn = 1 AND n_docs > 1
+        ORDER BY cluster_id
         """,
         "doc_ngram_jaccard": XD.DOCS_NEARDUP_CTE
         + """

@@ -1,0 +1,138 @@
+"""Duplicate-cluster resolution: near-dup pairs → connected
+components → one canonical document per cluster.
+
+Pair emitters (exact digest groups, MinHash+LSH, SimHash) find EDGES;
+a training-data dedup pipeline needs the components of that graph —
+"these 5 docs are all the same article" — and then a policy choice of
+which member to keep.  The reference has no analog (single-node
+tooling stops at pairs); this is the standard distributed follow-up
+(MapReduce connected-components family; the min-label-propagation
+below is the classic "hash-to-min" variant).
+
+Scale notes:
+- Each iteration is one equi-join (labels ⋈ edges, shuffle on node
+  id) + one groupBy-min — both map-side-combinable.  Iterations =
+  graph diameter.  Near-dup clusters are shallow (a viral doc links
+  to its copies directly, diameter 2-3), so the loop converges in
+  single digits; the O(log n)-round large-star/small-star contraction
+  is the upgrade path if components with long chains appear.
+- Labels are cached per iteration and the previous cache unpersisted
+  (ADVICE r1: no cache accumulation); every few rounds the frame is
+  localCheckpoint-ed so the iterative lineage cannot grow unbounded.
+- The convergence probe is ONE scalar count per iteration —
+  acceptable driver traffic for an iterative algorithm (same budget
+  as ext/kmeans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every node appearing in ``pairs``,
+    where cluster_id is the component's minimum node id (the DuckDB
+    recursive-CTE oracle computes min-reachable-id, the same
+    fixpoint)."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .cache()
+    )
+    for i in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("b"),
+                    F.col("cluster_id").alias("nbr_label"),
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_label", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        if i % 5 == 4:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def assign_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Every doc gets a cluster_id: its component min if it appears in
+    any pair, else itself (singleton cluster)."""
+    labels = connected_components(pairs)
+    return (
+        docs.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
+def keep_best_per_cluster(
+    scored_docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str = "quality_score",
+) -> DataFrame:
+    """Canonical-document selection: per multi-doc cluster, keep the
+    highest-quality member (ties → lowest doc_id).  Implemented as a
+    max-of-struct aggregation — map-side partial, no window sort —
+    the same shape operators/dedup.py uses for last-write-wins.
+
+    Output: (cluster_id, keep_doc_id, n_docs, best_quality)."""
+    j = clusters.join(scored_docs, "doc_id")
+    best = F.max(
+        F.struct(F.col(quality_col).alias("q"), (-F.col("doc_id")).alias("neg_id"))
+    )
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            best.alias("best"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("keep_doc_id"),
+            F.col("n_docs"),
+            F.col("best.q").alias("best_quality"),
+        )
+        .orderBy("cluster_id")
+    )

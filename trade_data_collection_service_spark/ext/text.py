@@ -101,7 +101,15 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/stopword/distinct ratios folded into a
     single [0,1]-ish score (the usual pre-training heuristic filter)."""
-    docs = with_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return quality_of(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def quality_of(raw_docs: DataFrame) -> DataFrame:
+    """DataFrame-level quality scorer — same columns as
+    ``quality_score`` but over any docs frame (used by the dedup
+    cluster canonical-selection path, which scores the near-dup
+    corpus rather than the base table)."""
+    docs = with_tokens(raw_docs)
     n_tokens = F.size("tokens")
     stop_hits = _marker_count(("the", "a"))
     distinct_ratio = F.size(F.array_distinct("tokens")) / n_tokens
