@@ -38,6 +38,7 @@ from trade_data_collection_service_spark.operators import (
 from trade_data_collection_service_spark.operators import queries as Q
 from trade_data_collection_service_spark.ext import cluster as XC
 from trade_data_collection_service_spark.ext import dedup as XD
+from trade_data_collection_service_spark.ext import pipeline as XP
 from trade_data_collection_service_spark.ext import similarity as XS
 from trade_data_collection_service_spark.ext import text as XT
 from trade_data_collection_service_spark.ext import tpch as XH
@@ -380,6 +381,30 @@ def _q_doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XC.keep_best_per_cluster(scored, clusters)
 
 
+def _q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XP.stratified_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def _q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XP.train_split(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XP.vocab_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XP.pii_scrub(XP.documents_with_pii(spark, sf_dir))
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.candles import events_df
+
+    return XP.sessionize(events_df(spark, sf_dir))
+
+
 def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -420,6 +445,13 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_dup_clusters": _q_doc_dup_clusters,
         "doc_dedup_keep_best": _q_doc_dedup_keep_best,
+        # --- training-pipeline curation ops ---
+        "doc_sample_stratified": _q_doc_sample_stratified,
+        "doc_train_split": _q_doc_train_split,
+        "doc_vocab_topk": _q_doc_vocab_topk,
+        "doc_pii_scrub": _q_doc_pii_scrub,
+        "event_sessions": _q_event_sessions,
+        "emb_quantized_topk": XS.quantized_topk,
         "doc_simhash": _q_doc_simhash,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         # --- similarity search (embeddings) ---
@@ -806,6 +838,113 @@ def oracle_sql() -> dict[str, str]:
                quality_score AS best_quality
         FROM ranked WHERE rn = 1 AND n_docs > 1
         ORDER BY cluster_id
+        """,
+        "doc_sample_stratified": """
+        SELECT doc_id, lang, source, hash_prefix FROM (
+          SELECT doc_id, lang, source,
+                 substr(md5('sample-v1|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   AS hash_prefix
+          FROM documents
+        )
+        WHERE hash_prefix < CASE lang
+          WHEN 'de' THEN '40' WHEN 'en' THEN 'cc' WHEN 'es' THEN '80'
+          ELSE '00' END
+        ORDER BY doc_id
+        """,
+        "doc_train_split": """
+        SELECT doc_id, lang,
+               CASE WHEN p < '0a' THEN 'test'
+                    WHEN p < '14' THEN 'val'
+                    ELSE 'train' END AS split
+        FROM (
+          SELECT doc_id, lang,
+                 substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 2) AS p
+          FROM documents
+        )
+        ORDER BY doc_id
+        """,
+        "doc_vocab_topk": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks)
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM tok
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token
+        LIMIT 50
+        """,
+        "doc_pii_scrub": r"""
+        WITH docs AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com id 55501' || CAST(doc_id AS VARCHAR)
+                      ELSE text END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+'))
+               AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT)
+               AS n_numbers,
+          md5(regexp_replace(
+                regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+',
+                               '<EMAIL>', 'g'),
+                '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5
+        FROM docs ORDER BY doc_id
+        """,
+        "event_sessions": """
+        WITH flags AS (
+          SELECT user_id, ts, event_id, value,
+            CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                 WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS nf
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, CAST(sum(nf) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+            AS session_seq
+          FROM flags
+        )
+        SELECT user_id, session_seq,
+               min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value, 2) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_value
+        FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "emb_quantized_topk": _VEC_CTE
+        + """
+        , qv AS (
+          SELECT vec_id, label,
+            list_transform(emb, x -> CAST(round(
+              x * (127.0 / list_max(list_transform(emb, y -> abs(y))))
+            ) AS BIGINT)) AS qemb
+          FROM e
+        ), qn AS (
+          SELECT vec_id, qemb,
+            sqrt(CAST(list_sum(list_transform(qemb, x -> x * x)) AS DOUBLE))
+              AS qnrm
+          FROM qv
+        ), q AS (
+          SELECT vec_id AS q_id, qemb AS q_qemb, qnrm AS q_qnrm
+          FROM qn WHERE vec_id < 5
+        ), sims AS (
+          SELECT q.q_id, v.vec_id,
+            round(CAST(list_sum(list_transform(
+                    list_zip(v.qemb, q.q_qemb), p -> p[1] * p[2]))
+                  AS DOUBLE) / (v.qnrm * q.q_qnrm), 6) AS sim_q
+          FROM qn v JOIN q ON v.vec_id <> q.q_id
+        ), ranked AS (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS BIGINT) AS rank
+          FROM sims
+        )
+        SELECT q_id, vec_id, sim_q, rank
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank
         """,
         "doc_ngram_jaccard": XD.DOCS_NEARDUP_CTE
         + """

@@ -1,0 +1,80 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from trade_data_collection_service_spark.ext import pipeline as XP
+
+
+def test_stratified_sample_deterministic_and_stratified(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = XP.stratified_sample(docs).collect()
+    s2 = XP.stratified_sample(docs).collect()
+    assert s1 == s2  # hash sampling: no run-to-run variance
+    total = {r["lang"]: 0 for r in s1}
+    for r in s1:
+        total[r["lang"]] += 1
+    base = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # keep rates must order en(~80%) > es(~50%) > de(~25%)
+    rates = {lang: total.get(lang, 0) / base[lang] for lang in base}
+    assert rates["en"] > rates["es"] > rates["de"] > 0
+
+
+def test_train_split_covers_all_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = XP.train_split(docs)
+    n = docs.count()
+    assert out.count() == n
+    by_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_split["train"] > by_split.get("val", 0)
+    assert by_split["train"] > by_split.get("test", 0)
+
+
+def test_pii_scrub_planted_hits(spark, sf_dir):
+    out = XP.pii_scrub(XP.documents_with_pii(spark, sf_dir))
+    rows = out.collect()
+    for r in rows:
+        if r["doc_id"] % 7 == 0:
+            assert r["n_emails"] >= 1 and r["n_numbers"] >= 1
+        else:
+            assert r["n_emails"] == 0
+
+
+def test_sessionize_gap_splits(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, 1.0),
+        (2, t0 + dt.timedelta(minutes=10), 7, 2.0),
+        (3, t0 + dt.timedelta(minutes=50), 7, 3.0),  # 40min gap -> new
+        (4, t0, 8, 5.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = XP.sessionize(ev, gap_minutes=30).collect()
+    got = {(r["user_id"], r["session_seq"]): r for r in out}
+    assert set(got) == {(7, 1), (7, 2), (8, 1)}
+    assert got[(7, 1)]["n_events"] == 2
+    assert got[(7, 1)]["total_value"] == 3.0
+    assert got[(7, 2)]["n_events"] == 1
+    assert got[(7, 2)]["session_start"] == t0 + dt.timedelta(minutes=50)
+
+
+def test_quantized_topk_tracks_exact(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    exact = brute_force_topk(spark, sf_dir)
+    quant = quantized_topk(spark, sf_dir)
+    # int8 quantization of 64-dim unit-ish vectors: top-1 neighbor per
+    # query must appear in the exact top-3 (deterministic fixture).
+    e3 = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    q1 = [
+        (r["q_id"], r["vec_id"]) for r in quant.collect() if r["rank"] == 1
+    ]
+    assert q1 and all(p in e3 for p in q1)

@@ -1,0 +1,165 @@
+"""Training-data pipeline utilities over ``documents`` / ``events``:
+deterministic sampling and split assignment, vocabulary building,
+PII scrubbing, and event sessionization.
+
+All pure column expressions (whole-stage codegen, no UDFs), each with
+an exact DuckDB oracle twin in __spark_entry__.  Determinism contract:
+every "random" choice is an md5-hex comparison on a salted key —
+reproducible across engines, runs, and cluster sizes, and stable under
+repartitioning (the classic requirement for dataset splits: a doc's
+split must never depend on which executor saw it).
+
+Scale notes:
+- Sampling/split/scrub are map-only — no shuffle at all; they fuse
+  into the parquet scan.
+- vocab_topk shuffles (token, partial-count) pairs only — map-side
+  combine collapses each partition's counts first — then TakeOrdered
+  for the global top-k; never a full sort of the vocabulary.
+- sessionize shuffles once on user_id (window partition key); the
+  running-sum session numbering is the gaps-and-islands idiom
+  (operators/gaps.py W4) applied to user activity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trade_data_collection_service_spark.ext.text import with_tokens
+
+# Per-language keep thresholds on the first two md5-hex chars of the
+# salted doc key: P(prefix < 'cc') = 204/256 ≈ 80%, '80' → 50%,
+# '40' → 25%.  Fixed-width lowercase hex compares lexicographically ==
+# numerically, so the same string comparison runs on both engines.
+SAMPLE_THRESHOLDS = {"en": "cc", "es": "80", "de": "40"}
+SPLIT_SALT = "split-v1"
+
+
+def _hash_prefix(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(salt + "|"), key)), 1, 2)
+
+
+def stratified_sample(
+    docs: DataFrame, thresholds: dict[str, str] | None = None, salt: str = "sample-v1"
+) -> DataFrame:
+    """Deterministic per-language downsampling (the language-rebalance
+    step of corpus curation): keep a doc iff its salted hash prefix is
+    below the language's threshold."""
+    thresholds = thresholds or SAMPLE_THRESHOLDS
+    prefix = _hash_prefix(F.col("doc_id").cast("string"), salt)
+    thr: Column = F.lit("00")
+    for lang, t in sorted(thresholds.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    return (
+        docs.withColumn("hash_prefix", prefix)
+        .filter(F.col("hash_prefix") < thr)
+        .select("doc_id", "lang", "source", "hash_prefix")
+        .orderBy("doc_id")
+    )
+
+
+def train_split(docs: DataFrame, salt: str = SPLIT_SALT) -> DataFrame:
+    """Deterministic train/val/test assignment by hash range:
+    prefix < '0a' → test (~3.9%), < '14' → val (next ~3.9%), else
+    train.  Membership depends only on (salt, doc_id)."""
+    prefix = _hash_prefix(F.col("doc_id").cast("string"), salt)
+    split = (
+        F.when(prefix < "0a", F.lit("test"))
+        .when(prefix < "14", F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(
+        "doc_id", "lang", split.alias("split")
+    ).orderBy("doc_id")
+
+
+def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by total occurrences (ties →
+    lexicographic), with document frequency — the tokenizer-training /
+    stop-list precursor."""
+    tok = with_tokens(docs).select(
+        "doc_id", F.explode("tokens").alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    ).limit(k)
+
+
+# Planted-PII fixture (FIXTURES.md pattern): the synthetic corpus has
+# no PII, so every 7th doc gets a deterministic email + long number
+# appended — in the Spark source AND the oracle CTE — giving the
+# scrubber real positives to find.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+"
+PII_NUMBER_RE = r"[0-9]{3,}"
+
+
+def documents_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com id 55501"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, planted).otherwise(F.col("text")),
+    )
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Scrub emails and long digit runs (phone/account-number proxy)
+    from text; report per-doc hit counts and the md5 of the scrubbed
+    text (full text stays out of the result — compare digests, not
+    documents)."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+        PII_NUMBER_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_NUMBER_RE)).cast("long").alias("n_numbers"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-user sessionization: a gap > ``gap_minutes`` between
+    consecutive events starts a new session.  One shuffle (window on
+    user_id); the deterministic event order is (ts, event_id).
+
+    Output: one row per session — (user_id, session_seq, session_start,
+    session_end, n_events, total_value)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_session = (
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        > F.lit(gap_us)
+    ).cast("int")
+    sess = events.withColumn(
+        "session_seq",
+        F.sum(F.coalesce(new_session, F.lit(1))).over(w).cast("long"),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal-sum determinism (memory rule: never hash-compare
+            # a float sum whose accumulation order can differ)
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
