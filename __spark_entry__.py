@@ -235,6 +235,26 @@ def _q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vwap_daily(candles_from_events(spark, sf_dir))
 
 
+def _q_bollinger_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import bollinger
+
+    return bollinger(candles_from_events(spark, sf_dir), 20)
+
+
+def _q_daily_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import (
+        daily_volatility,
+    )
+
+    return daily_volatility(candles_from_events(spark, sf_dir))
+
+
+def _q_atr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import atr
+
+    return atr(candles_from_events(spark, sf_dir), 14)
+
+
 def _q_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Range join (inequality-only predicate): classify candles into
     # price bands via a broadcast nested-loop join against a tiny
@@ -479,6 +499,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_filled_ffill": _q_gap_filled_ffill,
         "sma_20": _q_sma_20,
         "vwap_daily": _q_vwap_daily,
+        "bollinger_20": _q_bollinger_20,
+        "daily_volatility": _q_daily_volatility,
+        "atr_14": _q_atr_14,
         "price_percentiles": _q_price_percentiles,
         "repair_window": _q_repair_window,
         "watchdog_cycle": _q_watchdog_cycle,
@@ -1303,6 +1326,74 @@ def oracle_sql() -> dict[str, str]:
         FROM candles
         WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        """,
+        "bollinger_20": CANDLES_CTE
+        + """
+        , base AS (
+          SELECT exchange, symbol, start, close,
+                 CAST(round(close, 2) AS DECIMAL(12,2)) AS c2
+          FROM candles
+        ), stats AS (
+          SELECT exchange, symbol, start, close,
+                 CAST(count(*) OVER w AS BIGINT) AS n_in_frame,
+                 CAST(sum(c2) OVER w AS DOUBLE) AS s1,
+                 CAST(sum(CAST(c2 * c2 AS DECIMAL(24,4))) OVER w AS DOUBLE)
+                   AS s2
+          FROM base
+          WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ), m AS (
+          SELECT *, s1 / n_in_frame AS m1,
+                 sqrt(greatest(
+                   s2 / n_in_frame - (s1 / n_in_frame) * (s1 / n_in_frame),
+                   0.0)) AS sd
+          FROM stats
+        )
+        SELECT exchange, symbol, start, close,
+               round(m1, 6) AS bb_mid,
+               round(m1 + 2.0 * sd, 6) AS bb_upper,
+               round(m1 - 2.0 * sd, 6) AS bb_lower,
+               n_in_frame
+        FROM m
+        """,
+        "daily_volatility": CANDLES_CTE
+        + """
+        , lr AS (
+          SELECT exchange, symbol, start,
+                 ln(close / lag(close) OVER (
+                   PARTITION BY exchange, symbol ORDER BY start)) AS r
+          FROM candles
+        ), rr AS (
+          SELECT exchange, symbol, start,
+                 CAST(round(r * r, 12) AS DECIMAL(28,14)) AS r2
+          FROM lr WHERE r IS NOT NULL
+        )
+        SELECT exchange, symbol, date_trunc('day', start) AS day,
+               CAST(count(*) AS BIGINT) AS n_returns,
+               round(sqrt(CAST(sum(r2) AS DOUBLE)), 8) AS realized_vol
+        FROM rr GROUP BY 1, 2, 3
+        """,
+        "atr_14": CANDLES_CTE
+        + """
+        , tr AS (
+          SELECT exchange, symbol, start,
+            CAST(round(CASE WHEN pc IS NULL THEN high - low
+                 ELSE greatest(high - low, abs(high - pc), abs(low - pc))
+                 END, 6) AS DECIMAL(18,6)) AS tr_dec
+          FROM (
+            SELECT *, lag(close) OVER (
+              PARTITION BY exchange, symbol ORDER BY start) AS pc
+            FROM candles
+          )
+        )
+        SELECT exchange, symbol, start,
+               CAST(tr_dec AS DOUBLE) AS true_range,
+               round(CAST(sum(tr_dec) OVER w AS DOUBLE)
+                     / (count(*) OVER w), 6) AS atr_14,
+               CAST(count(*) OVER w AS BIGINT) AS n_in_frame
+        FROM tr
+        WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
         """,
         "vwap_daily": CANDLES_CTE
         + """

@@ -32,3 +32,35 @@ def test_vwap_hand_computed(spark):
     # day 1: (10*2 + 20*6) / (2+6) = 140/8 = 17.5
     assert out[1]["vwap"] == 17.5 and out[1]["n_candles"] == 2
     assert out[2]["vwap"] == 30.0
+
+
+def test_bollinger_band_ordering(spark, sf_dir):
+    from trade_data_collection_service_spark.candles import candles_from_events
+    from trade_data_collection_service_spark.operators.analytics import bollinger
+
+    rows = bollinger(candles_from_events(spark, sf_dir), 20).collect()
+    assert rows
+    for r in rows:
+        assert r["bb_lower"] <= r["bb_mid"] <= r["bb_upper"]
+        assert 1 <= r["n_in_frame"] <= 20
+
+
+def test_atr_positive_and_bounded_frame(spark, sf_dir):
+    from trade_data_collection_service_spark.candles import candles_from_events
+    from trade_data_collection_service_spark.operators.analytics import atr
+
+    rows = atr(candles_from_events(spark, sf_dir), 14).collect()
+    assert rows
+    for r in rows:
+        assert r["true_range"] >= 0 and r["atr_14"] >= 0
+        assert 1 <= r["n_in_frame"] <= 14
+
+
+def test_daily_volatility_nonnegative(spark, sf_dir):
+    from trade_data_collection_service_spark.candles import candles_from_events
+    from trade_data_collection_service_spark.operators.analytics import (
+        daily_volatility,
+    )
+
+    rows = daily_volatility(candles_from_events(spark, sf_dir)).collect()
+    assert rows and all(r["realized_vol"] >= 0 for r in rows)

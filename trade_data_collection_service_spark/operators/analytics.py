@@ -58,3 +58,90 @@ def vwap_daily(candles: DataFrame) -> DataFrame:
         )
         .orderBy("exchange", "symbol", "day")
     )
+
+
+def bollinger(candles: DataFrame, n: int = 20, k: float = 2.0) -> DataFrame:
+    """Bollinger bands: N-candle moving mean ± k·stddev of close.
+
+    Mean and variance come from decimal-exact windowed sums of
+    round(close, 2) and its square — windowed FLOAT sums are
+    order-dependent (DuckDB aggregates frames via segment trees,
+    Spark sequentially), decimal sums are exact in both engines, so
+    the derived doubles are bit-identical.  Population variance
+    (÷ n) over the in-frame rows; head frames use what exists."""
+    w = (
+        Window.partitionBy("exchange", "symbol")
+        .orderBy("start")
+        .rowsBetween(-(n - 1), 0)
+    )
+    c2 = F.round("close", 2).cast("decimal(12,2)")
+    cnt = F.count(F.lit(1)).over(w)
+    m1 = F.sum(c2).over(w).cast("double") / cnt
+    m2 = F.sum((c2 * c2).cast("decimal(24,4)")).over(w).cast("double") / cnt
+    sd = F.sqrt(F.greatest(m2 - m1 * m1, F.lit(0.0)))
+    return candles.select(
+        "exchange",
+        "symbol",
+        "start",
+        "close",
+        F.round(m1, 6).alias("bb_mid"),
+        F.round(m1 + k * sd, 6).alias("bb_upper"),
+        F.round(m1 - k * sd, 6).alias("bb_lower"),
+        cnt.cast("long").alias("n_in_frame"),
+    )
+
+
+def daily_volatility(candles: DataFrame) -> DataFrame:
+    """Per-day realized volatility: sqrt(Σ r²) of 1m log returns
+    r = ln(close_t / close_{t-1}) per (exchange, symbol).  The r²
+    terms are per-row rounded and decimal-summed (float-sum order
+    is engine-dependent; decimal addition is exact), mirroring the
+    vwap_daily determinism contract."""
+    w = Window.partitionBy("exchange", "symbol").orderBy("start")
+    r = F.log(F.col("close") / F.lag("close").over(w))
+    r2 = F.round(r * r, 12).cast("decimal(28,14)")
+    with_r = candles.select(
+        "exchange", "symbol", "start", r2.alias("r2")
+    ).filter(F.col("r2").isNotNull())
+    return (
+        with_r.groupBy(
+            "exchange", "symbol", F.date_trunc("day", "start").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_returns"),
+            F.round(F.sqrt(F.sum("r2").cast("double")), 8).alias("realized_vol"),
+        )
+        .orderBy("exchange", "symbol", "day")
+    )
+
+
+def atr(candles: DataFrame, n: int = 14) -> DataFrame:
+    """Average True Range: TR = max(high−low, |high−prev_close|,
+    |low−prev_close|); ATR = N-candle simple moving average of TR
+    (decimal-exact windowed sum, same contract as bollinger)."""
+    ws = Window.partitionBy("exchange", "symbol").orderBy("start")
+    prev_close = F.lag("close").over(ws)
+    # First candle has no prev_close: TR is high−low by definition —
+    # made explicit because NULL-in-greatest semantics differ across
+    # engines (Spark skips NULLs; the oracle mirrors this CASE).
+    tr = F.when(prev_close.isNull(), F.col("high") - F.col("low")).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev_close),
+            F.abs(F.col("low") - prev_close),
+        )
+    )
+    wf = ws.rowsBetween(-(n - 1), 0)
+    tr_dec = F.round(tr, 6).cast("decimal(18,6)")
+    base = candles.select("exchange", "symbol", "start", tr_dec.alias("tr_dec"))
+    cnt = F.count(F.lit(1)).over(wf)
+    return base.select(
+        "exchange",
+        "symbol",
+        "start",
+        F.col("tr_dec").cast("double").alias("true_range"),
+        F.round(F.sum("tr_dec").over(wf).cast("double") / cnt, 6).alias(
+            f"atr_{n}"
+        ),
+        cnt.cast("long").alias("n_in_frame"),
+    )
