@@ -84,6 +84,11 @@ def headline_queries():
         "emb_neardup",
         "emb_ivf_trained_topk",
         "watchdog_cycle",
+        # round-2 wave 2: curation + analytics + cluster ops
+        "doc_dup_clusters",
+        "event_sessions",
+        "bollinger_20",
+        "emb_quantized_topk",
     ):
         if name in q:
             out[name] = q[name]
