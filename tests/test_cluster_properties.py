@@ -1,0 +1,122 @@
+"""Property tests for the round-2 iterative/stateful operators:
+connected components must equal a pure-Python union-find on random
+graphs (including long chains — worst case for label propagation),
+and batch sessionization must equal a reference fold on random event
+streams regardless of input order."""
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from trade_data_collection_service_spark.ext.cluster import connected_components
+from trade_data_collection_service_spark.ext.pipeline import sessionize
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member id per component
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_components_match_union_find(spark, edges):
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == _union_find(edges)
+
+
+def _ref_sessions(rows, gap_minutes):
+    """Reference fold: per user, in (ts, event_id) order."""
+    out = {}
+    by_user: dict[int, list] = {}
+    for eid, ts, uid, val in rows:
+        by_user.setdefault(uid, []).append((ts, eid, val))
+    for uid, evs in by_user.items():
+        evs.sort()
+        seq = 0
+        cur = None
+        for ts, eid, val in evs:
+            if cur is None or (ts - cur["end"]).total_seconds() > gap_minutes * 60:
+                seq += 1
+                cur = {"start": ts, "end": ts, "n": 1}
+                out[(uid, seq)] = cur
+            else:
+                cur["end"] = max(cur["end"], ts)
+                cur["n"] += 1
+    return {k: (v["start"], v["end"], v["n"]) for k, v in out.items()}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user_id
+            st.integers(min_value=0, max_value=300),  # minutes offset
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.permutations(range(40)),
+)
+def test_sessionize_matches_reference_any_order(spark, evs, perm):
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(minutes=m), u, 1.0)
+        for i, (u, m) in enumerate(evs)
+    ]
+    shuffled = [rows[perm[i] % len(rows)] for i in range(len(rows))]
+    # dedupe after modular indexing while keeping arbitrary order
+    seen, arrival = set(), []
+    for r in shuffled + rows:
+        if r[0] not in seen:
+            seen.add(r[0])
+            arrival.append(r)
+    ev = spark.createDataFrame(
+        arrival, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+        )
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert got == _ref_sessions(rows, 30)
