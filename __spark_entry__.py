@@ -43,6 +43,7 @@ from trade_data_collection_service_spark.ext import similarity as XS
 from trade_data_collection_service_spark.ext import text as XT
 from trade_data_collection_service_spark.ext import tpch as XH
 from trade_data_collection_service_spark.ext.multimodal import media_features
+from trade_data_collection_service_spark.functions.sketch import ALPHA
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -425,6 +426,24 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.sessionize(events_df(spark, sf_dir))
 
 
+def _q_events_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.candles import events_df
+    from trade_data_collection_service_spark.functions.sketch import hll_distinct
+
+    ev = events_df(spark, sf_dir).withColumn("day", F.date_trunc("day", "ts"))
+    exact = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_users_exact")
+    )
+    est = hll_distinct(ev, ["day"], "user_id")
+    return exact.join(est, "day").orderBy("day")
+
+
+def _q_doc_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XP.reservoir_per_group(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "lang", "doc_id", 10
+    )
+
+
 def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -471,6 +490,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_topk": _q_doc_vocab_topk,
         "doc_pii_scrub": _q_doc_pii_scrub,
         "event_sessions": _q_event_sessions,
+        "events_hll_daily": _q_events_hll_daily,
+        "doc_reservoir": _q_doc_reservoir,
         "emb_quantized_topk": XS.quantized_topk,
         "doc_simhash": _q_doc_simhash,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
@@ -938,6 +959,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(round(value, 2) AS DECIMAL(18,4))) AS DOUBLE)
                  AS total_value
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_hll_daily": f"""
+        WITH ev AS (
+          SELECT date_trunc('day', ts) AS day, user_id FROM events
+        ), vals AS (
+          SELECT day, user_id,
+            CAST(list_sum(list_transform(range(1, 9),
+              i -> (strpos('0123456789abcdef',
+                     substr(md5('hll-v1|' || CAST(user_id AS VARCHAR)),
+                            CAST(i AS INTEGER), 1)) - 1)
+                   * (16.0 ** (8 - i)))) AS BIGINT) AS x
+          FROM ev
+        ), rr AS (
+          SELECT day, x & 63 AS hll_idx,
+                 CASE WHEN (x >> 6) = 0 THEN 27
+                      ELSE 27 - length(to_base(x >> 6, 2)) END AS rho
+          FROM vals
+        ), regs AS (
+          SELECT day, hll_idx, max(rho) AS reg FROM rr GROUP BY 1, 2
+        ), folded AS (
+          SELECT day, count(*) AS n_regs, sum(2.0 ** (-reg)) AS sum_pow
+          FROM regs GROUP BY 1
+        ), est AS (
+          SELECT day,
+            CASE WHEN {ALPHA * 64 * 64!r} / (sum_pow + (64 - n_regs))
+                      <= {2.5 * 64!r}
+                  AND n_regs < 64
+                 THEN 64.0 * ln(64.0 / (64 - n_regs))
+                 ELSE {ALPHA * 64 * 64!r} / (sum_pow + (64 - n_regs))
+            END AS e
+          FROM folded
+        ), ex AS (
+          SELECT date_trunc('day', ts) AS day,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+          FROM events GROUP BY 1
+        )
+        SELECT ex.day, ex.n_users_exact, round(est.e, 4) AS hll_estimate
+        FROM ex JOIN est USING (day) ORDER BY day
+        """,
+        "doc_reservoir": """
+        SELECT lang, doc_id, rk FROM (
+          SELECT lang, doc_id,
+                 CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY md5('res-v1|' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS BIGINT) AS rk
+          FROM documents
+        ) WHERE rk <= 10 ORDER BY lang, rk
         """,
         "emb_quantized_topk": _VEC_CTE
         + """

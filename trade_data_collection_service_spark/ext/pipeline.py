@@ -163,3 +163,26 @@ def sessionize(
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n: int = 10,
+    salt: str = "res-v1",
+) -> DataFrame:
+    """Deterministic fixed-size sample per group ("reservoir" by salted
+    hash rank): the n smallest md5(salt|id) per group.  Unlike a true
+    reservoir it is reproducible and stable under repartitioning and
+    re-runs — the property an eval-set builder needs.  One shuffle on
+    the group key; rows beyond rank n never leave the exchange
+    (window + filter → rank pushdown via WindowGroupLimit)."""
+    key = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key, id_col)
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= n)
+        .select(group_col, id_col, "rk")
+        .orderBy(group_col, "rk")
+    )
