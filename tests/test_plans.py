@@ -59,3 +59,50 @@ def test_dedup_is_aggregation_not_sort(spark, sf_dir):
     plan = _plan(dedup_latest(candles_from_events(spark, sf_dir)))
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.pipeline import vocab_topk
+
+    plan = _plan(vocab_topk(spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    # top-k over the vocabulary must never be a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sampling_is_map_only(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.pipeline import train_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # split assignment fuses into the scan: zero exchanges before sort
+    plan = _plan(train_split(docs))
+    scan_part = plan.split("Sort", 1)[-1]
+    assert _exchanges(plan.split("Sort", 1)[0]) == 0 or "Exchange" not in scan_part
+
+
+def test_reservoir_uses_window_group_limit(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.pipeline import reservoir_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(reservoir_per_group(docs, "lang", "doc_id", 10))
+    # rank<=n pushes into WindowGroupLimit: only 10 rows per group
+    # survive past the exchange (Spark 3.5+ optimization)
+    assert "WindowGroupLimit" in plan
+
+
+def test_hll_register_agg_is_partial(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.candles import events_df
+    from trade_data_collection_service_spark.functions.sketch import hll_distinct
+
+    ev = events_df(spark, sf_dir).withColumn("day", F.date_trunc("day", "ts"))
+    plan = _plan(hll_distinct(ev, ["day"], "user_id"))
+    # two-phase hash agg: map-side partial max before the shuffle
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_quantized_topk_broadcasts_queries(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.similarity import quantized_topk
+
+    plan = _plan(quantized_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
