@@ -120,3 +120,27 @@ def test_sessionize_matches_reference_any_order(spark, evs, perm):
         for r in sessionize(ev, gap_minutes=30).collect()
     }
     assert got == _ref_sessions(rows, 30)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_star_components_match_union_find(spark, edges):
+    from trade_data_collection_service_spark.ext.cluster import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == _union_find(edges)

@@ -91,6 +91,116 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    — the O(log n)-round upgrade path over hash-to-min propagation
+    for graphs with long chains.
+
+    Each round is two edge rewrites (one shuffle each, on node id):
+    - large-star: every node links its LARGER neighbors to its
+      neighborhood minimum — tall trees flatten geometrically;
+    - small-star: every node links its smaller-or-equal neighbors
+      (and itself) to the minimum — stars contract onto their root.
+    The edge multiset converges to (node → component-min) stars;
+    termination is detected by the edge-set hash stabilizing (one
+    scalar aggregate per round, same driver budget as the
+    propagation loop's convergence count).
+
+    Output: (doc_id, cluster_id), cluster_id = component min —
+    identical contract to ``connected_components`` (property-tested
+    against union-find)."""
+    e = (
+        pairs.select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        return edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _mins(edges_sym: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) ∪ {u})
+        return (
+            edges_sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+
+    def _fingerprint(edges: DataFrame) -> tuple:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # XOR fold: order-independent, cannot overflow (ANSI mode
+            # rejects a long SUM of 64-bit hashes)
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = None
+    for _ in range(max_iter):
+        sym = _sym(e)
+        mins = _mins(sym)
+        # large-star: (v, m(u)) for v ∈ N(u), v > u
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = (
+            large.select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sym = _sym(e)
+        mins = _mins(sym)
+        # small-star: (v, m(u)) for v ∈ N(u), v ≤ u, plus (u, m(u))
+        small = (
+            sym.join(mins, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+        )
+        e = (
+            small.select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = _fingerprint(e)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # stars: every non-root points at its component min; roots appear
+    # only on the right — add them as self-labeled.
+    nodes = pairs.select(F.col(src).alias("doc_id")).union(
+        pairs.select(F.col(dst).alias("doc_id"))
+    ).distinct()
+    return (
+        nodes.join(
+            e.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id")),
+            "doc_id",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.min(F.coalesce("cluster_id", "doc_id")).alias("cluster_id"))
+    )
+
+
 def assign_clusters(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
