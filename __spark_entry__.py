@@ -472,6 +472,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": XH.q1_pricing_summary,
         "tpch_q3": XH.q3_shipping_priority,
         "tpch_q5": XH.q5_region_revenue,
+        "tpch_q6": XH.q6_forecast_revenue,
+        "tpch_q10": XH.q10_returned_items,
         "events_json": XH.events_json_extract,
         # --- text analysis (documents) ---
         "doc_token_stats": XT.token_stats,
@@ -769,6 +771,29 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY 1 ORDER BY revenue DESC, n_name
+        """,
+        "tpch_q6": """
+        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 4)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.03 AND l_discount <= 0.09
+          AND l_quantity < 24
+        """,
+        "tpch_q10": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               {_REVENUE} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
         "events_json": """
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

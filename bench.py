@@ -70,6 +70,8 @@ def headline_queries():
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",
+        "tpch_q6",
+        "tpch_q10",
         "events_json",
         "sma_20",
         "vwap_daily",

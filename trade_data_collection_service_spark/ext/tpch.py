@@ -108,6 +108,53 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 adapted: forecast revenue change — one scan with every
+    predicate pushed to parquet (shipdate year, discount band,
+    quantity cap), one scalar decimal-exact sum.  The canonical
+    filter-pushdown benchmark."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.09)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).cast(
+        "decimal(18,4)"
+    )
+    return l.agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 adapted to the driver schema: top-20 customers by
+    revenue lost to returns in one quarter.  customer/nation broadcast;
+    the orders⋈lineitem join shuffles on orderkey; top-20 via
+    TakeOrdered on the rounded revenue with custkey tie-break."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (SURVEY.md §2.8 note): parse
     the k field, aggregate per event_type."""
