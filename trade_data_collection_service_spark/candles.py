@@ -117,15 +117,13 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
-def candles_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive the 1-minute raw candle table from ``events``.
-
-    Spark twin of ``CANDLES_CTE``.  Produces the reference's raw-candle
-    schema (clickhouse_schema.py:123-147; SURVEY.md §1.3).
-    """
-    ev = events_df(spark, sf_dir)
+def candle_projection(ev: DataFrame) -> DataFrame:
+    """Per-event projection to (exchange, symbol, start, event_id, ts,
+    value) — shared by the batch derivation and the streaming windowed
+    twin (streaming/candle_window.py), so both compute identical
+    candles from identical inputs."""
     start = F.date_trunc("minute", F.col("ts"))
-    base = ev.select(
+    return ev.select(
         F.when(F.col("event_type") < "m", F.lit("EXCH_A"))
         .otherwise(F.lit("EXCH_B"))
         .alias("exchange"),
@@ -135,11 +133,11 @@ def candles_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"),
         F.col("value"),
     )
-    # Group on the minimal key (exchange, symbol, start); interval /
-    # stop / close_unixtime are functionally dependent on start and
-    # derived after aggregation — narrower hash-map keys, same result
-    # as the oracle's 6-column GROUP BY.
-    agg = base.groupBy("exchange", "symbol", "start").agg(
+
+
+def candle_aggs() -> list:
+    """The OHLCV aggregation expressions (batch ≡ streaming)."""
+    return [
         F.count(F.lit(1)).alias("trades"),
         F.min_by("value", "event_id").alias("open"),
         F.max("value").alias("high"),
@@ -148,7 +146,11 @@ def candles_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.abs("value")), 6).alias("volume"),
         F.date_trunc("second", F.max("ts")).alias("timestamp"),
         F.date_trunc("second", F.max("ts")).alias("receipt_timestamp"),
-    )
+    ]
+
+
+def finalize_candles(agg: DataFrame) -> DataFrame:
+    """(exchange, symbol, start, aggs…) → full raw-candle schema."""
     stop = F.col("start") + F.expr("INTERVAL 1 MINUTE")
     return agg.select(
         "exchange",
@@ -166,6 +168,21 @@ def candles_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp",
         "receipt_timestamp",
     )
+
+
+def candles_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the 1-minute raw candle table from ``events``.
+
+    Spark twin of ``CANDLES_CTE``.  Produces the reference's raw-candle
+    schema (clickhouse_schema.py:123-147; SURVEY.md §1.3).  Groups on
+    the minimal key (exchange, symbol, start); interval / stop /
+    close_unixtime are functionally dependent on start and derived
+    after aggregation — narrower hash-map keys, same result as the
+    oracle's 6-column GROUP BY.
+    """
+    base = candle_projection(events_df(spark, sf_dir))
+    agg = base.groupBy("exchange", "symbol", "start").agg(*candle_aggs())
+    return finalize_candles(agg)
 
 
 def candles_with_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
