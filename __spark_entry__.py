@@ -42,7 +42,10 @@ from trade_data_collection_service_spark.ext import pipeline as XP
 from trade_data_collection_service_spark.ext import similarity as XS
 from trade_data_collection_service_spark.ext import text as XT
 from trade_data_collection_service_spark.ext import tpch as XH
-from trade_data_collection_service_spark.ext.multimodal import media_features
+from trade_data_collection_service_spark.ext.multimodal import (
+    media_features,
+    media_frame_sample,
+)
 from trade_data_collection_service_spark.functions.sketch import ALPHA
 
 SF0001 = "/root/testdata/sf0.001"
@@ -504,6 +507,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": XS.embedding_neardup_pairs,
         # --- multimodal plumbing ---
         "multimodal_features": media_features,
+        "multimodal_frames": media_frame_sample,
         "candles_1m": _q_candles_1m,
         "dedup_latest": _q_dedup_latest,
         "rollup_5m": _q_rollup_5m,
@@ -1252,6 +1256,17 @@ def oracle_sql() -> dict[str, str]:
                round((octet_length(encode(text)) % 256) / 255.0, 6)
                  AS fake_feature
         FROM documents
+        """,
+        "multimodal_frames": """
+        SELECT doc_id AS media_id, i AS frame_idx,
+               md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64))
+                 AS frame_md5,
+               round(ascii(substr(text, CAST(i * 64 + 1 AS INTEGER), 1))
+                 / 255.0, 6) AS f0
+        FROM documents,
+             unnest(range(0, CAST(floor(length(text) / 64) AS BIGINT), 4))
+               AS t(i)
+        ORDER BY media_id, frame_idx
         """,
         "candles_1m": CANDLES_CTE + "SELECT * FROM candles",
         "dedup_latest": CANDLES_DUP_CTE

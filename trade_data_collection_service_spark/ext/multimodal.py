@@ -87,3 +87,58 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_from_documents(spark, sf_dir)).orderBy("media_id")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+        T.StructField("f0", T.DoubleType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, stride: int = 4
+) -> DataFrame:
+    """Frame sampling: treat each payload as fixed-size frames and
+    keep every ``stride``-th full frame — the video-keyframe shape of
+    the pipeline, exercising mapInPandas' 1→N row fan-out (one input
+    row yields a variable number of frame rows inside the same Arrow
+    batch; no shuffle, no explode of materialized frame arrays).
+
+    Per frame: a content digest (md5) and a stub first-byte feature —
+    the decode stand-in (_decode_stub rationale; real frame decoding
+    drops in behind the same signature).  The synthetic payloads are
+    ASCII text bytes, which is what lets the DuckDB oracle reproduce
+    the digests with substr/md5."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, digests, f0s = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, len(b) // frame_bytes, stride):
+                    frame = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    digests.append(hashlib.md5(frame).hexdigest())
+                    f0s.append(round(frame[0] / 255.0, 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                    "f0": pd.Series(f0s, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(media_from_documents(spark, sf_dir)).orderBy(
+        "media_id", "frame_idx"
+    )
