@@ -1468,9 +1468,13 @@ def oracle_sql() -> dict[str, str]:
         + """
         , lr AS (
           SELECT exchange, symbol, start,
-                 ln(close / lag(close) OVER (
-                   PARTITION BY exchange, symbol ORDER BY start)) AS r
-          FROM candles
+                 CASE WHEN pc > 0 AND close > 0 THEN ln(close / pc) END AS r
+          FROM (
+            SELECT exchange, symbol, start, close,
+                   lag(close) OVER (
+                     PARTITION BY exchange, symbol ORDER BY start) AS pc
+            FROM candles
+          )
         ), rr AS (
           SELECT exchange, symbol, start,
                  CAST(round(r * r, 12) AS DECIMAL(28,14)) AS r2

@@ -98,7 +98,13 @@ def daily_volatility(candles: DataFrame) -> DataFrame:
     is engine-dependent; decimal addition is exact), mirroring the
     vwap_daily determinism contract."""
     w = Window.partitionBy("exchange", "symbol").orderBy("start")
-    r = F.log(F.col("close") / F.lag("close").over(w))
+    prev = F.lag("close").over(w)
+    # log returns are only defined for positive prices; zero closes
+    # exist in the synthetic data (and halted books in real data) —
+    # guard both engines identically (ANSI mode errors on x/0).
+    r = F.when(
+        (prev > 0) & (F.col("close") > 0), F.log(F.col("close") / prev)
+    )
     r2 = F.round(r * r, 12).cast("decimal(28,14)")
     with_r = candles.select(
         "exchange", "symbol", "start", r2.alias("r2")
