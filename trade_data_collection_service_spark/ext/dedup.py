@@ -268,28 +268,36 @@ def ngram_jaccard_pairs(
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per token, the first ``bits`` hex nibbles
-    of md5(token) vote ±(nibble-7.5) on their position; the sign
+    of md5(token) vote ±(nibble−7.5) on their position; the sign
     pattern packs into an integer fingerprint.  Frequency-weighted
-    (duplicate tokens vote repeatedly), pure column expressions."""
-    d = with_tokens(docs)
+    (duplicate tokens vote repeatedly).
 
-    def _vote(k: int):
-        def merge(acc, t):
-            return acc + (
-                F.conv(F.substring(F.md5(t), k + 1, 1), 16, 10).cast("double")
-                - F.lit(7.5)
-            )
-
-        return F.aggregate("tokens", F.lit(0.0), merge)
-
-    bit_cols = []
+    Exploded formulation (gotcha: CollapseProject): the array-fold
+    form re-evaluates md5 per token for EVERY bit's aggregate (16×);
+    exploding once computes one digest per token row, folds all 16
+    votes in a single groupBy — and it is the scale shape (token rows
+    stream through codegen; map-side partial sums).  Vote sums are
+    exact: every term is a half-integer with |v| ≤ 7.5, so float
+    addition is order-independent here and the sign bits — and the
+    DuckDB list_sum oracle — are deterministic."""
+    ex = with_tokens(docs).select("doc_id", F.explode("tokens").alias("t"))
+    h = ex.select("doc_id", F.md5("t").alias("h"))
+    votes = [
+        F.sum(
+            F.conv(F.substring("h", k + 1, 1), 16, 10).cast("double")
+            - F.lit(7.5)
+        ).alias(f"v{k}")
+        for k in range(bits)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    fp = None
     for k in range(bits):
-        vote = _vote(k)
-        bit_cols.append(F.when(vote > 0, F.lit(2**k).cast("long")).otherwise(F.lit(0).cast("long")))
-    fp = bit_cols[0]
-    for c in bit_cols[1:]:
-        fp = fp + c
-    return d.select("doc_id", fp.alias("simhash"))
+        bit = (
+            F.when(F.col(f"v{k}") > 0, F.lit(2**k).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -302,7 +310,12 @@ def simhash_near_pairs(
     fingerprint over a tiny shared vocabulary clusters heavily, so the
     radius is kept tight; production corpora use 64-bit fingerprints
     (same expressions, 64 nibble votes) where hamming ≤ 3 is selective."""
-    s = simhash(docs.filter(F.col("doc_id") % every == 0))
+    # Materialize fingerprints once: both join sides derive from this
+    # frame, and without the boundary each side re-runs the full
+    # token-vote aggregation (same lineage rule as quantized_topk).
+    s = simhash(docs.filter(F.col("doc_id") % every == 0)).localCheckpoint(
+        eager=True
+    )
     halves = s.select(
         "doc_id",
         "simhash",
