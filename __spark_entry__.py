@@ -447,6 +447,25 @@ def _q_doc_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE declarative plan:
+    near-dup clusters → keep best doc per cluster → quality filter →
+    deterministic split assignment.  What a user runs to turn a raw
+    crawl into a training corpus."""
+    docs = XD.documents_neardup(spark, sf_dir)
+    pairs = XD.minhash_lsh_pairs(docs)
+    clusters = XC.assign_clusters(docs, pairs)
+    scored = XT.quality_of(docs).select("doc_id", "quality_score")
+    kept = XC.keep_doc_per_cluster(scored, clusters)
+    split = XP.train_split(docs)
+    return (
+        kept.filter(F.col("quality_score") >= 0.5)
+        .join(split, "doc_id")
+        .select("doc_id", "lang", "split", "n_docs", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
 def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -489,6 +508,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_dup_clusters": _q_doc_dup_clusters,
         "doc_dedup_keep_best": _q_doc_dedup_keep_best,
+        "corpus_curated": _q_corpus_curated,
         # --- training-pipeline curation ops ---
         "doc_sample_stratified": _q_doc_sample_stratified,
         "doc_train_split": _q_doc_train_split,
@@ -911,6 +931,37 @@ def oracle_sql() -> dict[str, str]:
                quality_score AS best_quality
         FROM ranked WHERE rn = 1 AND n_docs > 1
         ORDER BY cluster_id
+        """,
+        "corpus_curated": _CLUSTER_CTES
+        + """
+        , q AS (
+          SELECT doc_id,
+            round(0.5 * (len(list_distinct(tokens)) / len(tokens))
+              + 0.3 * (1.0 - (len(list_filter(tokens, t -> t IN ('the','a')))
+                              / len(tokens)))
+              + 0.2 * (CASE WHEN len(tokens) >= 10 AND len(tokens) <= 10000
+                       THEN 1.0 ELSE 0.0 END), 6) AS quality_score
+          FROM toks
+        ), ranked AS (
+          SELECT c.cluster_id, q.doc_id, q.quality_score,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY q.quality_score DESC, q.doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+          FROM clusters_all c JOIN q USING (doc_id)
+        ), kept AS (
+          SELECT doc_id, quality_score, CAST(n_docs AS BIGINT) AS n_docs
+          FROM ranked WHERE rn = 1
+        )
+        SELECT k.doc_id, d.lang,
+               CASE WHEN substr(md5('split-v1|' || CAST(k.doc_id AS VARCHAR)),
+                      1, 2) < '0a' THEN 'test'
+                    WHEN substr(md5('split-v1|' || CAST(k.doc_id AS VARCHAR)),
+                      1, 2) < '14' THEN 'val'
+                    ELSE 'train' END AS split,
+               k.n_docs, k.quality_score
+        FROM kept k JOIN docs d USING (doc_id)
+        WHERE k.quality_score >= 0.5
+        ORDER BY k.doc_id
         """,
         "doc_sample_stratified": """
         SELECT doc_id, lang, source, hash_prefix FROM (

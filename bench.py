@@ -88,6 +88,7 @@ def headline_queries():
         "watchdog_cycle",
         # round-2 wave 2: curation + analytics + cluster ops
         "doc_dup_clusters",
+        "corpus_curated",
         "event_sessions",
         "bollinger_20",
         "emb_quantized_topk",

@@ -247,3 +247,28 @@ def keep_best_per_cluster(
         )
         .orderBy("cluster_id")
     )
+
+
+def keep_doc_per_cluster(
+    scored_docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str = "quality_score",
+) -> DataFrame:
+    """Like keep_best_per_cluster but over ALL clusters (singletons
+    keep themselves): the winner-per-cluster projection used by the
+    end-to-end curation pipeline.  Output: (doc_id, cluster_id,
+    n_docs, quality) for the kept doc of every cluster."""
+    j = clusters.join(scored_docs, "doc_id")
+    best = F.max(
+        F.struct(F.col(quality_col).alias("q"), (-F.col("doc_id")).alias("neg_id"))
+    )
+    return (
+        j.groupBy("cluster_id")
+        .agg(best.alias("best"), F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            (-F.col("best.neg_id")).alias("doc_id"),
+            "cluster_id",
+            "n_docs",
+            F.col("best.q").alias(quality_col),
+        )
+    )
