@@ -239,6 +239,47 @@ def _q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vwap_daily(candles_from_events(spark, sf_dir))
 
 
+_SYMBOLS = [f"SYM{i}" for i in range(8)]
+
+
+def _q_pivot_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: daily volume matrix (exchange, day) × symbol.
+    Spark's pivot with an EXPLICIT value list stays a single two-phase
+    aggregation (no extra distinct-values job, no second shuffle);
+    decimal sums keep the matrix cells engine-exact."""
+    c = candles_from_events(spark, sf_dir)
+    vol = F.round("volume", 6).cast("decimal(28,6)")
+    piv = (
+        c.groupBy("exchange", F.date_trunc("day", "start").alias("day"))
+        .pivot("symbol", _SYMBOLS)
+        .agg(F.sum(vol).cast("double"))
+    )
+    return piv.orderBy("exchange", "day")
+
+
+def _q_volume_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS / ROLLUP surface: volume totals at (exchange,
+    symbol), (exchange), and grand-total grain in ONE pass — Spark
+    expands the sets in a single Expand+aggregate (one shuffle), the
+    OLAP-cube idiom."""
+    c = candles_from_events(spark, sf_dir)
+    vol = F.round("volume", 6).cast("decimal(28,6)")
+    return (
+        c.rollup("exchange", "symbol")
+        .agg(
+            F.sum(vol).cast("double").alias("total_volume"),
+            F.count(F.lit(1)).alias("n_candles"),
+        )
+        .select(
+            F.coalesce("exchange", F.lit("ALL")).alias("exchange"),
+            F.coalesce("symbol", F.lit("ALL")).alias("symbol"),
+            "total_volume",
+            "n_candles",
+        )
+        .orderBy("exchange", "symbol")
+    )
+
+
 def _q_bollinger_20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.operators.analytics import bollinger
 
@@ -546,6 +587,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_filled_ffill": _q_gap_filled_ffill,
         "sma_20": _q_sma_20,
         "vwap_daily": _q_vwap_daily,
+        "pivot_volume": _q_pivot_volume,
+        "volume_rollup_sets": _q_volume_rollup_sets,
         "bollinger_20": _q_bollinger_20,
         "daily_volatility": _q_daily_volatility,
         "atr_14": _q_atr_14,
@@ -1485,6 +1528,27 @@ def oracle_sql() -> dict[str, str]:
         FROM candles
         WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        """,
+        "pivot_volume": CANDLES_CTE
+        + "SELECT exchange, date_trunc('day', start) AS day,\n"
+        + ",\n".join(
+            f"""          CAST(sum(CASE WHEN symbol = '{s}'
+            THEN CAST(round(volume, 6) AS DECIMAL(28,6)) END) AS DOUBLE)
+            AS "{s}\"""" for s in _SYMBOLS
+        )
+        + """
+        FROM candles GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "volume_rollup_sets": CANDLES_CTE
+        + """
+        SELECT coalesce(exchange, 'ALL') AS exchange,
+               coalesce(symbol, 'ALL') AS symbol,
+               CAST(sum(CAST(round(volume, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 AS total_volume,
+               CAST(count(*) AS BIGINT) AS n_candles
+        FROM candles
+        GROUP BY ROLLUP(exchange, symbol)
+        ORDER BY 1, 2
         """,
         "bollinger_20": CANDLES_CTE
         + """
