@@ -79,15 +79,19 @@ def connected_components(
             )
             .localCheckpoint(eager=True)  # keeps the iterative plan O(1)-deep
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        # Iteration 0 always changes labels when any edge exists —
+        # skip its convergence probe (one fewer job per call).
+        if i > 0:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
     return labels
 
 
