@@ -488,6 +488,24 @@ def _q_doc_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as doc_dup_clusters, computed by the alternating
+    large-star/small-star contraction instead of label propagation —
+    both converge to min-reachable-id, so they share ONE oracle."""
+    docs = XD.documents_neardup(spark, sf_dir)
+    pairs = XD.minhash_lsh_pairs(docs)
+    labels = XC.connected_components_star(pairs)
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation pipeline as ONE declarative plan:
     near-dup clusters → keep best doc per cluster → quality filter →
@@ -548,6 +566,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": _q_doc_minhash_lsh,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_dup_clusters": _q_doc_dup_clusters,
+        "doc_dup_clusters_star": _q_doc_dup_clusters_star,
         "doc_dedup_keep_best": _q_doc_dedup_keep_best,
         "corpus_curated": _q_corpus_curated,
         # --- training-pipeline curation ops ---
@@ -949,6 +968,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM verified WHERE jaccard >= 0.5
         """,
         "doc_dup_clusters": _CLUSTER_CTES
+        + """
+        SELECT doc_id, cluster_id FROM clusters_all ORDER BY doc_id
+        """,
+        # star contraction converges to the same min-reachable-id
+        # fixpoint — deliberately the IDENTICAL oracle
+        "doc_dup_clusters_star": _CLUSTER_CTES
         + """
         SELECT doc_id, cluster_id FROM clusters_all ORDER BY doc_id
         """,
