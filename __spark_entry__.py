@@ -555,6 +555,12 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": XH.q5_region_revenue,
         "tpch_q6": XH.q6_forecast_revenue,
         "tpch_q10": XH.q10_returned_items,
+        "tpch_q4": XH.q4_priority_check,
+        "tpch_q12": XH.q12_late_shipments,
+        "tpch_q14": XH.q14_promo_effect,
+        "tpch_q18": XH.q18_large_orders,
+        "tpch_q19": XH.q19_disjunctive_revenue,
+        "tpch_q22": XH.q22_idle_customers,
         "events_json": XH.events_json_extract,
         # --- text analysis (documents) ---
         "doc_token_stats": XT.token_stats,
@@ -880,6 +886,82 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
         GROUP BY 1, 2, 3, 4
         ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q4": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q12": """
+        SELECT l_linestatus,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q14": """
+        WITH s AS (
+          SELECT
+            CAST(sum(CASE WHEN p_type = 'PROMO'
+              THEN CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+                   AS DECIMAL(18,4))
+              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+            CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00')
+        SELECT promo_revenue, total_revenue,
+               round(100.0 * promo_revenue / total_revenue, 6)
+                 AS promo_share_pct
+        FROM s
+        """,
+        "tpch_q18": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               sum_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY sum_qty DESC, o_orderkey LIMIT 100
+        """,
+        "tpch_q19": """
+        SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "tpch_q22": """
+        WITH seg AS (
+          SELECT * FROM customer
+          WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')),
+        avg_bal AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS avg_bal
+          FROM seg WHERE c_acctbal > 0.0)
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM seg, avg_bal
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = seg.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY 1 ORDER BY 1
         """,
         "events_json": """
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

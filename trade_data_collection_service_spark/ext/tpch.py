@@ -155,6 +155,166 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (no l_commitdate in the driver schema): count
+    orders per priority in one quarter that have at least one returned
+    lineitem.  The EXISTS correlated subquery decorrelates to a LEFT
+    SEMI join — orders never duplicate no matter how many lineitems
+    match, and Spark plans it as a shuffled semi hash join (the
+    lineitem side is filtered before the exchange)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 essence (no l_shipmode column): for lineitems shipped
+    more than 90 days after the order date, count high-priority vs
+    low-priority orders per linestatus.  Join + conditional aggregation
+    (CASE folded into two sums in one pass)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 adapted: share of one month's revenue from PROMO
+    parts.  part is a broadcast dimension; the ratio is derived from
+    two decimal-exact sums (order-independent in both engines)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    joined = l.join(broadcast(p), l["l_partkey"] == p["p_partkey"])
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 adapted: top-100 largest orders by total quantity
+    (threshold 150).  The HAVING subquery becomes a pre-aggregation of
+    lineitem on orderkey — map-side partial sums collapse the 60k-row
+    fact before the join — then orders/customer attach via joins
+    (customer broadcast).  Quantities are integer-valued doubles, so
+    the sums are exact."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("sum_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted: revenue from an OR-of-ANDs over brand, size,
+    and quantity bands.  One broadcast equi-join on partkey with the
+    disjunction evaluated post-join; Catalyst extracts the common
+    partkey conjunct so the join stays equi (no nested loop)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        l.join(broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (no c_phone; every customer in this dataset
+    has orders, so "no orders at all" is degenerate): per market
+    segment, customers with above-average positive balance who never
+    placed an URGENT order.  The scalar AVG subquery broadcasts as a
+    1-row crossJoin (no collect); NOT EXISTS decorrelates to a LEFT
+    ANTI join on custkey with the urgency filter pushed below the
+    join.  The average is derived from a decimal-exact sum so the `>`
+    cut is bit-identical across engines."""
+    segs = ("BUILDING", "AUTOMOBILE", "MACHINERY")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment").isin(*segs))
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (SURVEY.md §2.8 note): parse
     the k field, aggregate per event_type."""
