@@ -470,6 +470,21 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.sessionize(events_df(spark, sf_dir))
 
 
+def _q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + event-time interval join (click→purchase within 4h).
+
+    Same logical plan the stream-stream join uses
+    (streaming/interval_join.py) — SMJ on user_id, range predicate
+    post-join; the streaming twin's parity is pytest-proven."""
+    from trade_data_collection_service_spark.streaming.interval_join import (
+        batch_attribution,
+    )
+
+    return batch_attribution(spark, sf_dir).orderBy(
+        "user_id", "click_id", "purchase_id"
+    )
+
+
 def _q_events_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.candles import events_df
     from trade_data_collection_service_spark.functions.sketch import hll_distinct
@@ -581,6 +596,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_topk": _q_doc_vocab_topk,
         "doc_pii_scrub": _q_doc_pii_scrub,
         "event_sessions": _q_event_sessions,
+        "event_attribution": _q_event_attribution,
         "events_hll_daily": _q_events_hll_daily,
         "doc_reservoir": _q_doc_reservoir,
         "emb_quantized_topk": XS.quantized_topk,
@@ -1168,6 +1184,16 @@ def oracle_sql() -> dict[str, str]:
                                '<EMAIL>', 'g'),
                 '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5
         FROM docs ORDER BY doc_id
+        """,
+        "event_attribution": """
+        SELECT a.user_id, a.event_id AS click_id, a.ts AS click_ts,
+               b.event_id AS purchase_id, b.ts AS purchase_ts,
+               b.value AS purchase_value
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+        ORDER BY 1, 2, 4
         """,
         "event_sessions": """
         WITH flags AS (
