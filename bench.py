@@ -92,6 +92,11 @@ def headline_queries():
         "event_sessions",
         "bollinger_20",
         "emb_quantized_topk",
+        # round-2 wave 3: decorrelation anchors + interval join
+        "tpch_q4",
+        "tpch_q18",
+        "tpch_q19",
+        "event_attribution",
     ):
         if name in q:
             out[name] = q[name]
