@@ -470,6 +470,14 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.sessionize(events_df(spark, sf_dir))
 
 
+def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XP.decontaminate(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XP.pack_sequences(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-key + event-time interval join (click→purchase within 4h).
 
@@ -597,6 +605,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": _q_doc_pii_scrub,
         "event_sessions": _q_event_sessions,
         "event_attribution": _q_event_attribution,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_pack_sequences": _q_doc_pack_sequences,
         "events_hll_daily": _q_events_hll_daily,
         "doc_reservoir": _q_doc_reservoir,
         "emb_quantized_topk": XS.quantized_topk,
@@ -1184,6 +1194,48 @@ def oracle_sql() -> dict[str, str]:
                                '<EMAIL>', 'g'),
                 '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5
         FROM docs ORDER BY doc_id
+        """,
+        "doc_decontaminate": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + ", "
+        + _SHINGLES_CTE
+        + """,
+        tagged AS (
+          SELECT doc_id, shingles,
+                 substr(md5('bench-v1|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   AS hp
+          FROM sh),
+        bench AS (
+          SELECT DISTINCT unnest(shingles) AS s FROM tagged
+          WHERE hp < '08'),
+        train AS (
+          SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+                 unnest(shingles) AS s
+          FROM tagged WHERE hp >= '08')
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_hit_shingles,
+               n_shingles,
+               round(count(*) * 1.0 / n_shingles, 6) AS hit_ratio
+        FROM train t JOIN bench b ON t.s = b.s
+        GROUP BY 1, 3 ORDER BY 1
+        """,
+        "doc_pack_sequences": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """,
+        t AS (
+          SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+                 md5('pack-v1|' || CAST(doc_id AS VARCHAR)) AS order_key
+          FROM toks),
+        packed AS (
+          SELECT doc_id, substr(order_key, 1, 2) AS pack_group, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY substr(order_key, 1, 2) ORDER BY order_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_offset
+          FROM t)
+        SELECT doc_id, pack_group, n_tokens, start_offset,
+               CAST(floor(start_offset / 512) AS BIGINT) AS bin_id
+        FROM packed ORDER BY doc_id
         """,
         "event_attribution": """
         SELECT a.user_id, a.event_id AS click_id, a.ts AS click_ts,

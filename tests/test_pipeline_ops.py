@@ -78,3 +78,34 @@ def test_quantized_topk_tracks_exact(spark, sf_dir):
         (r["q_id"], r["vec_id"]) for r in quant.collect() if r["rank"] == 1
     ]
     assert q1 and all(p in e3 for p in q1)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.ext.pipeline import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(docs, budget=512).collect()
+    assert len(packed) == docs.count()  # every doc assigned exactly once
+    by_group = {}
+    for r in packed:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    for rows in by_group.values():
+        rows.sort(key=lambda r: r["start_offset"])
+        run = 0
+        for r in rows:
+            assert r["start_offset"] == run  # offsets are gap-free
+            assert r["bin_id"] == r["start_offset"] // 512
+            run += r["n_tokens"]
+
+
+def test_decontaminate_flags_planted_duplicates(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.pipeline import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = decontaminate(docs).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 < r["n_hit_shingles"] <= r["n_shingles"]
+        assert 0.0 < r["hit_ratio"] <= 1.0

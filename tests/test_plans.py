@@ -106,3 +106,27 @@ def test_quantized_topk_broadcasts_queries(spark, sf_dir):
 
     plan = _plan(quantized_topk(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.pipeline import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(decontaminate(docs))
+    assert "BroadcastHashJoin" in plan  # corpus never shuffles on shingle
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_sort_is_partition_local(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.pipeline import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    # the packing window sorts within pack_group partitions only —
+    # "Sort [...], false" is the non-global flag; the sole global sort
+    # is the presentation orderBy(doc_id).
+    import re
+
+    globals_ = re.findall(r"Sort \[[^\]]*\], (true|false)", plan)
+    assert globals_.count("false") >= 1
+    assert globals_.count("true") <= 1

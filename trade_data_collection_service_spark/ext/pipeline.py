@@ -186,3 +186,94 @@ def reservoir_per_group(
         .select(group_col, id_col, "rk")
         .orderBy(group_col, "rk")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    k: int = 3,
+    salt: str = "bench-v1",
+    threshold: str = "08",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any k-word
+    shingle with the (held-out) benchmark set.
+
+    The benchmark membership is a deterministic salted-hash cut
+    (prefix < threshold ⇒ ~3% of docs), standing in for a real eval
+    suite.  Scale shape: the benchmark's distinct shingle set is
+    SMALL (eval suites are thousands of docs, not billions) and
+    BROADCASTS; the training corpus explodes its shingles once and
+    hits the broadcast hash set — a map-side join, so the corpus
+    itself never shuffles on shingle text.  The only shuffle is the
+    per-doc hit-count groupBy on doc_id.  This is the standard
+    13-gram-overlap decontamination from LLM-training practice
+    (GPT-3/PaLM-style), restated as two DataFrame joins.
+    """
+    from trade_data_collection_service_spark.ext.text import shingles_col
+
+    t = with_tokens(docs).withColumn("shingles", shingles_col(k=k))
+    is_bench = _hash_prefix(F.col("doc_id").cast("string"), salt) < threshold
+    bench_shingles = (
+        t.filter(is_bench).select(F.explode("shingles").alias("s")).distinct()
+    )
+    train = t.filter(~is_bench).select(
+        "doc_id",
+        F.size("shingles").cast("long").alias("n_shingles"),
+        F.explode("shingles").alias("s"),
+    )
+    return (
+        train.join(F.broadcast(bench_shingles), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_shingles"))
+        .select(
+            "doc_id",
+            "n_hit_shingles",
+            "n_shingles",
+            F.round(F.col("n_hit_shingles") / F.col("n_shingles"), 6).alias(
+                "hit_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 512, salt: str = "pack-v1"
+) -> DataFrame:
+    """Deterministic sequence packing: assign each doc a (pack_group,
+    bin_id, start_offset) so docs concatenate into ~budget-token
+    training sequences.
+
+    Packing is inherently order-dependent, so the order is pinned to
+    md5(salt|doc_id) — reproducible across runs, engines, and cluster
+    layouts.  Scale shape: the hash prefix splits the corpus into 256
+    independent packing streams, so the running-token-offset window
+    sorts WITHIN partitions (a partitioned window, never a global
+    sort); each stream packs greedily by cumulative token count, and
+    a doc's bin is the bin containing its start offset.  At 100 TB
+    you'd raise the group count (4 hex chars → 65k streams) to keep
+    per-stream sort volumes flat — the plan shape is unchanged.
+    """
+    t = with_tokens(docs).select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    key = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
+    g = t.withColumn("order_key", key).withColumn(
+        "pack_group", F.substring("order_key", 1, 2)
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("order_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        g.withColumn("start_offset", offset)
+        .select(
+            "doc_id",
+            "pack_group",
+            "n_tokens",
+            "start_offset",
+            F.floor(F.col("start_offset") / budget).cast("long").alias("bin_id"),
+        )
+        .orderBy("doc_id")
+    )
