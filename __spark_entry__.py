@@ -172,6 +172,12 @@ def _q_listing_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.listing_diff(candles_from_events(spark, sf_dir), "2024-01-30 23:00:00")
 
 
+def _q_listing_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.listing_stable(
+        candles_from_events(spark, sf_dir), "2024-01-30 23:00:00"
+    )
+
+
 def _q_gap_missing_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
     return (
@@ -634,6 +640,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readme_window": _q_readme_window,
         "freshness": _q_freshness,
         "listing_diff": _q_listing_diff,
+        "listing_stable": _q_listing_stable,
         "gap_filled": _q_gap_filled,
         "gap_filled_ffill": _q_gap_filled_ffill,
         "sma_20": _q_sma_20,
@@ -1655,6 +1662,15 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT exchange, symbol, 'delisted' AS change
         FROM (SELECT * FROM known EXCEPT SELECT * FROM current_set)
+        """,
+        "listing_stable": CANDLES_CTE
+        + """
+        SELECT exchange, symbol FROM candles
+        WHERE start < TIMESTAMP '2024-01-30 23:00:00'
+        INTERSECT
+        SELECT exchange, symbol FROM candles
+        WHERE start >= TIMESTAMP '2024-01-30 23:00:00'
+        ORDER BY 1, 2
         """,
         "gap_filled": CANDLES_CTE
         + """

@@ -149,6 +149,20 @@ def listing_diff(candles: DataFrame, split_ts) -> DataFrame:
     return added.unionByName(delisted).orderBy("exchange", "symbol", "change")
 
 
+def listing_stable(candles: DataFrame, split_ts) -> DataFrame:
+    """§2.7 completion (with exceptAll/union in listing_diff): the
+    symbol universe present on BOTH sides of the split — INTERSECT.
+    Spark plans intersect as an aggregate + left-semi join, so the
+    distinct sets never materialize a cross product."""
+    before = candles.filter(
+        F.col("start") < F.lit(split_ts).cast("timestamp")
+    ).select("exchange", "symbol")
+    after = candles.filter(
+        F.col("start") >= F.lit(split_ts).cast("timestamp")
+    ).select("exchange", "symbol")
+    return before.intersect(after).orderBy("exchange", "symbol")
+
+
 def freshness(candles: DataFrame, threshold_minutes: int = 2) -> DataFrame:
     """T5 (data_quality_check.py:111-141): newest stop per symbol, lag
     vs the table's max stop (the deterministic stand-in for now()),
