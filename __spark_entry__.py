@@ -172,6 +172,16 @@ def _q_listing_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.listing_diff(candles_from_events(spark, sf_dir), "2024-01-30 23:00:00")
 
 
+def _q_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.functions.sketch import (
+        histogram_quantiles,
+    )
+
+    return histogram_quantiles(
+        candles_from_events(spark, sf_dir), ["symbol"], "close"
+    )
+
+
 def _q_listing_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.listing_stable(
         candles_from_events(spark, sf_dir), "2024-01-30 23:00:00"
@@ -641,6 +651,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness": _q_freshness,
         "listing_diff": _q_listing_diff,
         "listing_stable": _q_listing_stable,
+        "price_quantile_sketch": _q_price_quantile_sketch,
         "gap_filled": _q_gap_filled,
         "gap_filled_ffill": _q_gap_filled_ffill,
         "sma_20": _q_sma_20,
@@ -1662,6 +1673,39 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT exchange, symbol, 'delisted' AS change
         FROM (SELECT * FROM known EXCEPT SELECT * FROM current_set)
+        """,
+        "price_quantile_sketch": CANDLES_CTE
+        + """
+        , rng AS (
+            SELECT symbol, min(close) AS vmin, max(close) AS vmax,
+                   CAST(count(close) AS BIGINT) AS n
+            FROM candles GROUP BY symbol),
+        b AS (
+            SELECT c.symbol, vmin, vmax, n,
+              CAST(CASE WHEN vmax = vmin THEN 0
+                   ELSE least(CAST(floor((close - vmin) / (vmax - vmin)
+                                   * 1024) AS BIGINT), 1023)
+                   END AS BIGINT) AS bin
+            FROM candles c JOIN rng ON c.symbol = rng.symbol),
+        bc AS (
+            SELECT symbol, vmin, vmax, n, bin,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY 1, 2, 3, 4, 5),
+        cum AS (
+            SELECT *, sum(cnt) OVER (PARTITION BY symbol ORDER BY bin)
+                   AS cum FROM bc),
+        hit AS (
+            SELECT symbol, vmin, vmax, n,
+              min(CASE WHEN cum >= 0.5  * n THEN bin END) AS b50,
+              min(CASE WHEN cum >= 0.95 * n THEN bin END) AS b95,
+              min(CASE WHEN cum >= 0.99 * n THEN bin END) AS b99
+            FROM cum GROUP BY 1, 2, 3, 4)
+        SELECT symbol,
+          round(vmin + (b50 + 1) * (vmax - vmin) / 1024.0, 6) AS p50_est,
+          round(vmin + (b95 + 1) * (vmax - vmin) / 1024.0, 6) AS p95_est,
+          round(vmin + (b99 + 1) * (vmax - vmin) / 1024.0, 6) AS p99_est,
+          n
+        FROM hit ORDER BY symbol
         """,
         "listing_stable": CANDLES_CTE
         + """

@@ -43,3 +43,68 @@ def test_hll_merge_is_register_max(spark):
     m = {r["hll_idx"]: r["reg"] for r in merged.collect()}
     d = {r["hll_idx"]: r["reg"] for r in direct.collect()}
     assert m == d and len(d) <= M
+
+
+def test_histogram_quantiles_error_bound(spark, sf_dir):
+    """Sketch estimate must sit within one bin width of the exact
+    discrete quantile."""
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.candles import candles_from_events
+    from trade_data_collection_service_spark.functions.sketch import (
+        histogram_quantiles,
+    )
+
+    c = candles_from_events(spark, sf_dir)
+    est = {
+        r["symbol"]: r
+        for r in histogram_quantiles(c, ["symbol"], "close").collect()
+    }
+    # the sketch's contract is the DISCRETE quantile (first value with
+    # cume_dist >= q, i.e. what cum-count >= q*n selects) -- interpolated
+    # R-7 percentiles can sit a full value-gap away near outliers.
+    exact = {
+        r["symbol"]: r
+        for r in c.groupBy("symbol")
+        .agg(
+            F.expr("percentile_disc(0.5)  WITHIN GROUP (ORDER BY close)").alias("p50"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY close)").alias("p95"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY close)").alias("p99"),
+            F.min("close").alias("vmin"),
+            F.max("close").alias("vmax"),
+        )
+        .collect()
+    }
+    assert est.keys() == exact.keys() and len(est) > 0
+    for sym, e in exact.items():
+        width = (e["vmax"] - e["vmin"]) / 1024
+        for q in ("p50", "p95", "p99"):
+            assert abs(est[sym][f"{q}_est"] - e[q]) <= width + 1e-9, (
+                sym,
+                q,
+                est[sym][f"{q}_est"],
+                e[q],
+                width,
+            )
+
+
+def test_histogram_sketch_merges_across_shards(spark, sf_dir):
+    """Computing the sketch over the full table equals computing it
+    over the union of two disjoint time shards — bin counts add, so
+    partial sketches merge without value re-scans (given shared
+    [min,max]; here the halves' union IS the full value set)."""
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.candles import candles_from_events
+    from trade_data_collection_service_spark.functions.sketch import (
+        histogram_quantiles,
+    )
+
+    c = candles_from_events(spark, sf_dir)
+    cut = "2024-01-15 00:00:00"
+    halves = c.filter(F.col("start") < cut).unionByName(
+        c.filter(F.col("start") >= cut)
+    )
+    full = histogram_quantiles(c, ["symbol"], "close").collect()
+    merged = histogram_quantiles(halves, ["symbol"], "close").collect()
+    assert [r.asDict() for r in full] == [r.asDict() for r in merged]

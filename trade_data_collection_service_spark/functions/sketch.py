@@ -29,7 +29,7 @@ days/shards without re-scanning values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 M = 64
@@ -79,3 +79,83 @@ def hll_distinct(
     return folded.select(
         *group_cols, F.round(est, 4).alias("hll_estimate")
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bins: int = 1024,
+) -> DataFrame:
+    """Single-pass mergeable histogram quantile sketch — the scale
+    path for percentiles.
+
+    Exact percentiles (`price_percentiles`) need the group's values
+    sorted; at 100 TB that is a full shuffle+sort of the fact table.
+    This sketch needs ONE pass: per group, values hash into ``bins``
+    equal-width buckets over the group's [min, max] range, map-side
+    combine collapses each partition to ≤bins counters, and the
+    quantile is read off the cumulative histogram with error
+    ≤ range/bins.  Bucket counts ADD, so partial sketches merge
+    across shards/days without re-scanning values (same mergeability
+    contract as the HLL above).
+
+    Everything is deterministic closed-form double arithmetic
+    (identical IEEE expressions both engines — oracle-checkable,
+    unlike t-digest/GK whose state depends on merge order).
+    Two narrow jobs: a (group → min/max/count) pre-agg that
+    broadcasts back, then the binned count.
+    """
+    v = F.col(value_col)
+    rng = df.groupBy(*group_cols).agg(
+        F.min(v).alias("_vmin"),
+        F.max(v).alias("_vmax"),
+        F.count(v).cast("long").alias("_n"),
+    )
+    binned = (
+        df.join(F.broadcast(rng), group_cols)
+        .withColumn(
+            "_bin",
+            F.when(F.col("_vmax") == F.col("_vmin"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor(
+                        (v - F.col("_vmin"))
+                        / (F.col("_vmax") - F.col("_vmin"))
+                        * bins
+                    ),
+                    F.lit(bins - 1),
+                )
+            ).cast("long"),
+        )
+        .groupBy(*group_cols, "_vmin", "_vmax", "_n", "_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = binned.withColumn("_cum", F.sum("_c").over(w))
+    # per quantile: the upper edge of the first bin whose cumulative
+    # count reaches q*n  (edge = vmin + (bin+1) * (vmax-vmin) / bins)
+    aggs = []
+    for q in qs:
+        hit_bin = F.min(
+            F.when(F.col("_cum") >= F.lit(q) * F.col("_n"), F.col("_bin"))
+        )
+        aggs.append(hit_bin.alias(f"_b{int(q * 100)}"))
+    est = cum.groupBy(*group_cols, "_vmin", "_vmax", "_n").agg(*aggs)
+    edge_cols = [
+        F.round(
+            F.col("_vmin")
+            + (F.col(f"_b{int(q * 100)}") + F.lit(1))
+            * (F.col("_vmax") - F.col("_vmin"))
+            / F.lit(float(bins)),
+            6,
+        ).alias(f"p{int(q * 100)}_est")
+        for q in qs
+    ]
+    return est.select(
+        *group_cols, *edge_cols, F.col("_n").alias("n")
+    ).orderBy(*group_cols)
