@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trade_data_collection_service_spark.candles import (
@@ -293,6 +293,81 @@ def _q_volume_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candles",
         )
         .orderBy("exchange", "symbol")
+    )
+
+
+def _q_volume_cube_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completes the grouping-sets surface next to ROLLUP: all
+    four grains of (symbol, month) — (s,m), (s), (m), () — in one
+    Expand+aggregate pass (one shuffle)."""
+    c = candles_from_events(spark, sf_dir)
+    vol = F.round("volume", 6).cast("decimal(28,6)")
+    month = F.date_format(F.date_trunc("month", "start"), "yyyy-MM")
+    return (
+        c.withColumn("month", month)
+        .cube("symbol", "month")
+        .agg(
+            F.sum(vol).cast("double").alias("total_volume"),
+            F.count(F.lit(1)).alias("n_candles"),
+        )
+        .select(
+            F.coalesce("symbol", F.lit("ALL")).alias("symbol"),
+            F.coalesce("month", F.lit("ALL")).alias("month"),
+            "total_volume",
+            "n_candles",
+        )
+        .orderBy("symbol", "month")
+    )
+
+
+def _q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-max drawdown per symbol: the deepest close-vs-peak drop.
+    The running peak is a rows-unbounded-preceding MAX window (exact —
+    max has no float-fold ambiguity, unlike sums), the per-row
+    drawdown ratio is closed-form double arithmetic, and the final
+    MIN aggregation is again order-safe."""
+    c = candles_from_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("exchange", "symbol")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("close").over(w)
+    dd = F.col("close") / peak - F.lit(1.0)
+    return (
+        c.withColumn("dd", dd)
+        .groupBy("exchange", "symbol")
+        .agg(
+            F.round(F.min("dd"), 6).alias("max_drawdown"),
+            F.round(F.max("close"), 6).alias("peak_close"),
+        )
+        .orderBy("exchange", "symbol")
+    )
+
+
+def _q_top_volume_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 volume candles per symbol — rank-per-group via
+    row_number over a per-symbol window; rows beyond rank 5 are
+    dropped before leaving the exchange (WindowGroupLimit), so the
+    full history never sorts globally.  Ranking is on ROUNDED volume
+    with a start-time tiebreak (floats are never ranked raw)."""
+    c = candles_from_events(spark, sf_dir)
+    volr = F.round("volume", 6)
+    w = Window.partitionBy("exchange", "symbol").orderBy(
+        volr.desc(), F.col("start").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "exchange",
+            "symbol",
+            "rk",
+            volr.alias("volume"),
+            "start",
+            F.round("close", 6).alias("close"),
+        )
+        .orderBy("exchange", "symbol", "rk")
     )
 
 
@@ -658,6 +733,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap_daily": _q_vwap_daily,
         "pivot_volume": _q_pivot_volume,
         "volume_rollup_sets": _q_volume_rollup_sets,
+        "volume_cube_sets": _q_volume_cube_sets,
+        "max_drawdown": _q_max_drawdown,
+        "top_volume_per_symbol": _q_top_volume_per_symbol,
         "bollinger_20": _q_bollinger_20,
         "daily_volatility": _q_daily_volatility,
         "atr_14": _q_atr_14,
@@ -1794,6 +1872,44 @@ def oracle_sql() -> dict[str, str]:
         FROM candles
         GROUP BY ROLLUP(exchange, symbol)
         ORDER BY 1, 2
+        """,
+        "volume_cube_sets": CANDLES_CTE
+        + """
+        SELECT coalesce(symbol, 'ALL') AS symbol,
+               coalesce(strftime(date_trunc('month', start), '%Y-%m'), 'ALL')
+                 AS month,
+               CAST(sum(CAST(round(volume, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 AS total_volume,
+               CAST(count(*) AS BIGINT) AS n_candles
+        FROM candles
+        GROUP BY CUBE(symbol, date_trunc('month', start))
+        ORDER BY 1, 2
+        """,
+        "max_drawdown": CANDLES_CTE
+        + """
+        , dd AS (
+          SELECT exchange, symbol, close,
+                 close / max(close) OVER (
+                   PARTITION BY exchange, symbol ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0
+                   AS dd
+          FROM candles)
+        SELECT exchange, symbol,
+               round(min(dd), 6) AS max_drawdown,
+               round(max(close), 6) AS peak_close
+        FROM dd GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_volume_per_symbol": CANDLES_CTE
+        + """
+        , rk AS (
+          SELECT exchange, symbol,
+                 CAST(row_number() OVER (
+                   PARTITION BY exchange, symbol
+                   ORDER BY round(volume, 6) DESC, start ASC) AS BIGINT)
+                   AS rk,
+                 round(volume, 6) AS volume, start, round(close, 6) AS close
+          FROM candles)
+        SELECT * FROM rk WHERE rk <= 5 ORDER BY exchange, symbol, rk
         """,
         "bollinger_20": CANDLES_CTE
         + """

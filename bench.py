@@ -97,6 +97,12 @@ def headline_queries():
         "tpch_q18",
         "tpch_q19",
         "event_attribution",
+        # round-2 wave 4: curation + sketch + analytics breadth
+        "doc_decontaminate",
+        "doc_pack_sequences",
+        "price_quantile_sketch",
+        "max_drawdown",
+        "top_volume_per_symbol",
     ):
         if name in q:
             out[name] = q[name]
