@@ -444,6 +444,36 @@ def _q_asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_price_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Forward AS-OF: the first candle at or after each event — events
+    # in the final minute of a series have no following candle and
+    # keep nulls (both sides are LEFT: DuckDB `ASOF LEFT JOIN`).
+    from trade_data_collection_service_spark.candles import events_df
+    from trade_data_collection_service_spark.operators.asof import asof_join
+
+    ev = events_df(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_type") < "m", F.lit("EXCH_A"))
+        .otherwise(F.lit("EXCH_B"))
+        .alias("exchange"),
+        F.concat(F.lit("SYM"), (F.col("user_id") % 8).cast("string")).alias("symbol"),
+        "ts",
+    )
+    c = candles_from_events(spark, sf_dir)
+    out = asof_join(
+        ev,
+        c,
+        ["exchange", "symbol"],
+        "ts",
+        "start",
+        ["start", "close"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "exchange", "symbol", "asof_start", "asof_close"
+    )
+
+
 def _q_repair_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # T7 end-to-end: corrupt a 15m rollup window (drop even days,
     # double volume on the rest), repair it from raw, return the
@@ -743,6 +773,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_window": _q_repair_window,
         "watchdog_cycle": _q_watchdog_cycle,
         "asof_price": _q_asof_price,
+        "asof_price_forward": _q_asof_price_forward,
         "price_bands": _q_price_bands,
         "gap_missing_count": _q_gap_missing_count,
         "gap_islands": _q_gap_islands,
@@ -2023,6 +2054,22 @@ def oracle_sql() -> dict[str, str]:
         FROM ev e ASOF JOIN candles c
           ON e.exchange = c.exchange AND e.symbol = c.symbol
          AND e.ts >= c.start
+        """,
+        "asof_price_forward": CANDLES_CTE
+        + """
+        , ev AS (
+          SELECT event_id,
+                 CASE WHEN event_type < 'm' THEN 'EXCH_A'
+                      ELSE 'EXCH_B' END AS exchange,
+                 'SYM' || CAST(user_id % 8 AS VARCHAR) AS symbol,
+                 ts
+          FROM events
+        )
+        SELECT e.event_id, e.exchange, e.symbol,
+               c.start AS asof_start, c.close AS asof_close
+        FROM ev e ASOF LEFT JOIN candles c
+          ON e.exchange = c.exchange AND e.symbol = c.symbol
+         AND e.ts <= c.start
         """,
         "repair_window": CANDLES_CTE
         + f"""

@@ -60,3 +60,60 @@ def test_asof_duplicate_right_timestamps_deterministic(spark):
         # default: payload itself is the tiebreaker -> largest price
         r2 = asof_join(left, right.repartition(3), ["sym"], "ts", "ts", ["price"]).collect()
         assert [x["asof_price"] for x in r2] == [99.0]
+
+
+def test_asof_forward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            ("S", datetime(2024, 1, 1, 0, 0, 30), 1),   # next bar is 0:01
+            ("S", datetime(2024, 1, 1, 0, 1, 0), 2),    # exactly at bar 2 -> inclusive
+            ("S", datetime(2024, 1, 1, 0, 5, 0), 3),    # after last bar -> null
+            ("S", datetime(2023, 12, 31, 0, 0, 0), 4),  # before any bar -> first bar
+            ("T", datetime(2024, 1, 1, 0, 0, 45), 5),   # other key, no bars -> null
+        ],
+        ["symbol", "ts", "event_id"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("S", datetime(2024, 1, 1, 0, 0), 10.0),
+            ("S", datetime(2024, 1, 1, 0, 1), 11.0),
+            ("S", datetime(2024, 1, 1, 0, 2), 12.0),
+        ],
+        ["symbol", "start", "close"],
+    )
+    out = {
+        r["event_id"]: r["asof_close"]
+        for r in asof_join(
+            left, right, ["symbol"], "ts", "start", ["close"],
+            direction="forward",
+        ).collect()
+    }
+    assert out == {1: 11.0, 2: 11.0, 3: None, 4: 10.0, 5: None}
+
+
+def test_asof_forward_duplicate_right_timestamps_deterministic(spark):
+    """Forward mirror of the tiebreak rule: equal right timestamps →
+    the SMALLEST right_order value wins, stable across partitionings."""
+    left = spark.createDataFrame(
+        [("S", datetime(2024, 1, 1, 0, 0, 30), 1)], ["symbol", "ts", "event_id"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("S", datetime(2024, 1, 1, 0, 1), 99.0, 2),
+            ("S", datetime(2024, 1, 1, 0, 1), 11.0, 1),
+            ("S", datetime(2024, 1, 1, 0, 1), 55.0, 3),
+        ],
+        ["symbol", "start", "close", "version"],
+    )
+    for n_parts in (1, 3, 7):
+        out = asof_join(
+            left.repartition(n_parts),
+            right.repartition(n_parts),
+            ["symbol"],
+            "ts",
+            "start",
+            ["close"],
+            right_order=["version"],
+            direction="forward",
+        ).collect()
+        assert [r["asof_close"] for r in out] == [11.0]

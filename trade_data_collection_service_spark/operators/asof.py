@@ -39,6 +39,7 @@ def asof_join(
     payload: list[str],
     prefix: str = "asof_",
     right_order: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left rows + ``{prefix}{payload}`` columns from the latest right
     row with ``right_ts <= left_ts`` on the same key (nulls when no
@@ -46,11 +47,19 @@ def asof_join(
 
     ``right_order``: deterministic tiebreaker among right rows sharing
     the same (key, right_ts) — e.g. a version/receipt column; the
-    LARGEST value wins.  Defaults to the payload columns themselves,
-    so the winning payload is always a total-order choice and results
-    are stable across runs/partitionings (ADVICE r1: ``orderBy(__t,
-    __side)`` alone is not a total order under duplicate right
-    timestamps)."""
+    LARGEST value wins for backward, the SMALLEST for forward.
+    Defaults to the payload columns themselves, so the winning payload
+    is always a total-order choice and results are stable across
+    runs/partitionings (ADVICE r1: ``orderBy(__t, __side)`` alone is
+    not a total order under duplicate right timestamps).
+
+    ``direction``: ``"backward"`` (default — latest right row at or
+    before the left timestamp) or ``"forward"`` (earliest right row at
+    or after it; DuckDB twin: ``ASOF LEFT JOIN ... ON l.ts <= r.ts``).
+    Same single shuffle+sort either way — only the carry window's
+    frame and the equal-timestamp side order flip."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_types = dict(left.dtypes)
     right_types = dict(right.dtypes)
     order_cols = right_order if right_order is not None else payload
@@ -73,25 +82,32 @@ def asof_join(
         ],
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
-    # right rows sort before left rows at equal __t → inclusive match;
-    # equal right timestamps totally ordered by the tiebreaker
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(
-            "__t",
-            "__side",
-            *[F.col(f"__o_{i}") for i in range(len(order_cols))],
+    # Backward: right rows (side 0) sort before left rows at equal
+    # __t → inclusive match, carry the LAST right payload from the
+    # preceding frame.  Forward: mirror image — left rows first at
+    # equal __t (side desc), take the FIRST right payload from the
+    # following frame.  Equal right timestamps are totally ordered by
+    # the tiebreaker either way.
+    tiebreaks = [F.col(f"__o_{i}") for i in range(len(order_cols))]
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__t", "__side", *tiebreaks)
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+        carry = lambda col: F.last(col, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__t", F.col("__side").desc(), *tiebreaks)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carry = lambda col: F.first(col, ignorenulls=True).over(w)  # noqa: E731
     unioned = tagged_r.unionByName(tagged_l, allowMissingColumns=False)
     carried = unioned.select(
         *keys,
         "__side",
         *[F.col(f"__l_{c}").alias(c) for c in left.columns if c not in keys],
-        *[
-            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(f"{prefix}{p}")
-            for p in payload
-        ],
+        *[carry(f"__p_{p}").alias(f"{prefix}{p}") for p in payload],
     )
     return carried.filter(F.col("__side") == 1).drop("__side")
