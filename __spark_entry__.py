@@ -444,6 +444,12 @@ def _q_asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.resample import volume_bars
+
+    return volume_bars(candles_from_events(spark, sf_dir), 500.0)
+
+
 def _q_asof_price_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Forward AS-OF: the first candle at or after each event — events
     # in the final minute of a series have no following candle and
@@ -774,6 +780,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watchdog_cycle": _q_watchdog_cycle,
         "asof_price": _q_asof_price,
         "asof_price_forward": _q_asof_price_forward,
+        "volume_bars": _q_volume_bars,
         "price_bands": _q_price_bands,
         "gap_missing_count": _q_gap_missing_count,
         "gap_islands": _q_gap_islands,
@@ -2054,6 +2061,29 @@ def oracle_sql() -> dict[str, str]:
         FROM ev e ASOF JOIN candles c
           ON e.exchange = c.exchange AND e.symbol = c.symbol
          AND e.ts >= c.start
+        """,
+        "volume_bars": CANDLES_CTE
+        + """
+        , cum AS (
+          SELECT exchange, symbol, start, open, high, low, close,
+                 CAST(round(volume, 6) AS DECIMAL(28,6)) AS vol_dec,
+                 CAST(coalesce(sum(CAST(round(volume, 6) AS DECIMAL(28,6)))
+                   OVER (PARTITION BY exchange, symbol ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS DECIMAL(28,6))) AS DOUBLE) AS cum_prev
+          FROM candles),
+        b AS (
+          SELECT *, CAST(floor(cum_prev / 500.0) AS BIGINT) AS bar_id
+          FROM cum)
+        SELECT exchange, symbol, bar_id,
+               min(start) AS bar_start,
+               round(arg_min(open, start), 6) AS open,
+               round(max(high), 6) AS high,
+               round(min(low), 6) AS low,
+               round(arg_max(close, start), 6) AS close,
+               CAST(sum(vol_dec) AS DOUBLE) AS volume,
+               CAST(count(*) AS BIGINT) AS n_candles
+        FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "asof_price_forward": CANDLES_CTE
         + """

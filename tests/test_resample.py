@@ -46,3 +46,39 @@ def test_rollup_tf_grammar(spark):
         rollup_tf(df, "30s")
     with pytest.raises(ValueError):
         rollup_tf(df, "bogus")
+
+
+def test_volume_bars_partition_totals(spark, sf_dir):
+    """Bars partition each symbol's candles: ids contiguous from 0,
+    volumes add up to the symbol total, bar_start strictly increases."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.candles import candles_from_events
+    from trade_data_collection_service_spark.operators.resample import volume_bars
+
+    c = candles_from_events(spark, sf_dir)
+    bars = volume_bars(c, 500.0).collect()
+    by_key = defaultdict(list)
+    for r in bars:
+        by_key[(r["exchange"], r["symbol"])].append(r)
+    totals = {
+        (r["exchange"], r["symbol"]): (r["tv"], r["n"])
+        for r in c.groupBy("exchange", "symbol")
+        .agg(
+            F.sum(F.round("volume", 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("tv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert by_key.keys() == totals.keys()
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r["bar_id"])
+        assert [r["bar_id"] for r in rows] == list(range(len(rows)))
+        assert abs(sum(r["volume"] for r in rows) - totals[k][0]) < 1e-6
+        assert sum(r["n_candles"] for r in rows) == totals[k][1]
+        starts = [r["bar_start"] for r in rows]
+        assert starts == sorted(starts)

@@ -57,3 +57,59 @@ def rollup_tf(candles: DataFrame, timeframe: str) -> DataFrame:
     if seconds % 60 != 0:
         raise ValueError(f"sub-minute rollups unsupported: {timeframe!r}")
     return rollup_raw(candles, seconds // 60)
+
+
+def volume_bars(candles: DataFrame, bar_volume: float = 500.0) -> DataFrame:
+    """Event-driven resampling: OHLCV bars that each hold ~``bar_volume``
+    of traded volume instead of a fixed time span (the "volume bars"
+    of the market-microstructure literature — activity-clock bars
+    sample more when the market moves).
+
+    A candle belongs to the bar containing its cumulative-volume START
+    offset — the same start-offset rule as sequence packing
+    (ext/pipeline.py), applied per (exchange, symbol).  The running
+    volume is summed in DECIMAL(28,6): a double window fold would be
+    engine/order-dependent (gotcha: DuckDB evaluates frame sums with
+    segment trees), decimal is exact in both.  One shuffle+sort per
+    key (the partitioned window), then a plain groupBy on the bar id;
+    open/close are min/max-of-struct picks on the unique start
+    ordinal — no second window, no UDF.
+    """
+    vol_dec = F.round("volume", 6).cast("decimal(28,6)")
+    w = (
+        Window.partitionBy(*KEYS)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(
+        F.sum(vol_dec).over(w), F.lit(0).cast("decimal(28,6)")
+    ).cast("double")
+    bar = candles.withColumn(
+        "bar_id", F.floor(cum_prev / F.lit(bar_volume)).cast("long")
+    )
+    first_pick = F.min(F.struct(F.col("start").alias("s"), F.col("open").alias("v")))
+    last_pick = F.max(F.struct(F.col("start").alias("s"), F.col("close").alias("v")))
+    return (
+        bar.groupBy(*KEYS, "bar_id")
+        .agg(
+            F.min("start").alias("bar_start"),
+            first_pick.alias("_f"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            last_pick.alias("_l"),
+            F.sum(vol_dec).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_candles"),
+        )
+        .select(
+            *KEYS,
+            "bar_id",
+            "bar_start",
+            F.round(F.col("_f.v"), 6).alias("open"),
+            F.round("high", 6).alias("high"),
+            F.round("low", 6).alias("low"),
+            F.round(F.col("_l.v"), 6).alias("close"),
+            "volume",
+            "n_candles",
+        )
+        .orderBy(*KEYS, "bar_id")
+    )
