@@ -444,6 +444,14 @@ def _q_asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.ext.text import quality_of
+
+    return XP.importance_sample(
+        quality_of(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    )
+
+
 def _q_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.operators.resample import volume_bars
 
@@ -733,6 +741,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "event_attribution": _q_event_attribution,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_importance_sample": _q_doc_importance_sample,
         "doc_pack_sequences": _q_doc_pack_sequences,
         "events_hll_daily": _q_events_hll_daily,
         "doc_reservoir": _q_doc_reservoir,
@@ -1328,6 +1337,30 @@ def oracle_sql() -> dict[str, str]:
                                '<EMAIL>', 'g'),
                 '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5
         FROM docs ORDER BY doc_id
+        """,
+        "doc_importance_sample": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """,
+        q AS (
+          SELECT doc_id,
+            round(0.5 * (len(list_distinct(tokens)) / len(tokens))
+              + 0.3 * (1.0 - (len(list_filter(tokens, t -> t IN ('the','a')))
+                              / len(tokens)))
+              + 0.2 * (CASE WHEN len(tokens) >= 10 AND len(tokens) <= 10000
+                       THEN 1.0 ELSE 0.0 END), 6) AS quality_score
+          FROM toks),
+        drawn AS (
+          SELECT doc_id, quality_score,
+            list_sum(list_transform(range(1, 9),
+              i -> (strpos('0123456789abcdef',
+                     substr(md5('imp-v1|' || CAST(doc_id AS VARCHAR)),
+                            CAST(i AS INTEGER), 1)) - 1)
+                   * (16.0 ** (8 - i)))) / 4294967296.0 AS u
+          FROM q)
+        SELECT doc_id, quality_score AS keep_prob, round(u, 6) AS u
+        FROM drawn
+        WHERE u < least(greatest(quality_score, 0.0), 1.0)
+        ORDER BY doc_id
         """,
         "doc_decontaminate": "WITH "
         + _TOKS_CTE.format(src="documents")

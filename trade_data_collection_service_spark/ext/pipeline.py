@@ -277,3 +277,39 @@ def pack_sequences(
         )
         .orderBy("doc_id")
     )
+
+
+def importance_sample(
+    scored_docs: DataFrame,
+    prob_col: str = "quality_score",
+    salt: str = "imp-v1",
+) -> DataFrame:
+    """Quality-weighted (importance) sampling: keep each doc with
+    probability = clamp(prob_col, 0, 1) — higher-quality docs survive
+    more often, the standard soft quality filter between a hard
+    threshold and keep-everything.
+
+    Deterministic like every sampler here: the "uniform" draw is the
+    first 32 md5 bits of the salted doc id scaled to [0,1) — exact
+    integer-valued double arithmetic, so the SAME docs are kept on any
+    engine, run, or partitioning.  Map-only: fuses into the scan,
+    zero shuffle."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    p = F.least(F.greatest(F.col(prob_col), F.lit(0.0)), F.lit(1.0))
+    return (
+        scored_docs.withColumn("u", F.round(u, 6))
+        .filter(u < p)
+        .select("doc_id", F.col(prob_col).alias("keep_prob"), "u")
+        .orderBy("doc_id")
+    )
