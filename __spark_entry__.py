@@ -719,6 +719,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": XH.q18_large_orders,
         "tpch_q19": XH.q19_disjunctive_revenue,
         "tpch_q22": XH.q22_idle_customers,
+        "tpch_q7": XH.q7_nation_volume,
         "events_json": XH.events_json_extract,
         # --- text analysis (documents) ---
         "doc_token_stats": XT.token_stats,
@@ -1065,6 +1066,21 @@ def oracle_sql() -> dict[str, str]:
                       WHERE l.l_orderkey = o.o_orderkey
                         AND l.l_returnflag = 'R')
         GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q7": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "tpch_q12": """
         SELECT l_linestatus,

@@ -315,6 +315,47 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 adapted: shipping volume between two nations per ship
+    year, both directions.  Five joins, but only ONE shuffles — the
+    orders⋈lineitem fact join on orderkey; supplier, customer, and
+    both nation dims broadcast, and the two-nation disjunction is
+    applied after the cheap broadcast lookups (Catalyst pushes the
+    single-nation residuals into each dim scan where it can)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    revenue = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(broadcast(sn), s["s_nationkey"] == sn["s_nkey"])
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(broadcast(cn), c["c_nationkey"] == cn["c_nkey"])
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (SURVEY.md §2.8 note): parse
     the k field, aggregate per event_type."""
