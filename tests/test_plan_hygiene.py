@@ -1,0 +1,65 @@
+"""Full-surface plan hygiene: every queries() entry is planned and
+scanned for the anti-patterns this engine bans (docs/ARCHITECTURE.md):
+
+- BatchEvalPython (row-at-a-time Python UDF) — banned everywhere;
+- ArrowEvalPython / mapInPandas — allowed only where Python is the
+  point (multimodal feature extraction);
+- BroadcastNestedLoopJoin / CartesianProduct — allowed only where a
+  nested loop against a tiny broadcast side IS the chosen plan
+  (range-join classification against a constant band dim; brute-force
+  cosine where the query set broadcasts by design).
+
+A new query that silently ships a slow join or a Python UDF fails
+here, not in review.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# queries whose DataFrame construction runs real jobs (iterative
+# fixpoints, repair writes, k-means fits) — planned like the rest but
+# listed so a future skip decision is explicit; at sf0.001 they cost
+# seconds.
+NESTED_LOOP_OK = {
+    "price_bands",  # broadcast nested-loop vs a 4-row constant band dim
+    "emb_cosine_topk",  # corpus × broadcast(query set): exact baseline
+    "emb_quantized_topk",  # same shape, int8 corpus
+    "emb_ivf_topk",  # probe×bucket candidate pairing vs broadcast probes
+    "emb_ivf_trained_topk",
+    "emb_neardup",  # bucket-local pairing joins on bucket equi-key, but
+    # the per-bucket pair condition (vec_a < vec_b) is non-equi
+    # 1-row broadcast scalar subqueries (crossJoin(broadcast(agg)) — the
+    # no-collect scalar idiom, VERDICT r1 item 7) plan as a Cross BNLJ
+    # with a single-row build side:
+    "freshness",
+    "readme_window",
+    "tpch_q22",
+}
+ARROW_OK = {"multimodal_features", "multimodal_frames"}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_plan_has_no_banned_operators(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in ARROW_OK:
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{name}: unexpected Python stage"
+        )
+    if name not in NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join"
+        )
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
