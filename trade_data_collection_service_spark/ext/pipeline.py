@@ -213,17 +213,29 @@ def decontaminate(
     t = with_tokens(docs).withColumn("shingles", shingles_col(k=k))
     is_bench = _hash_prefix(F.col("doc_id").cast("string"), salt) < threshold
     bench_shingles = (
-        t.filter(is_bench).select(F.explode("shingles").alias("s")).distinct()
+        t.filter(is_bench)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
+    # ONE shingle construction per train doc: explode first, LEFT-join
+    # the broadcast benchmark set to tag hits, and take totals + hit
+    # counts in a single aggregation.  (Computing size(shingles) next
+    # to explode(shingles) re-evaluates the array expression per row —
+    # the CollapseProject trap; measured 7.1 s → 6.7 s at sf0.1: the
+    # explode + 1M broadcast probes dominate, construction was the
+    # smaller term, but one pass is strictly less work either way.)
     train = t.filter(~is_bench).select(
-        "doc_id",
-        F.size("shingles").cast("long").alias("n_shingles"),
-        F.explode("shingles").alias("s"),
+        "doc_id", F.explode("shingles").alias("s")
     )
     return (
-        train.join(F.broadcast(bench_shingles), "s")
-        .groupBy("doc_id", "n_shingles")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_shingles"))
+        train.join(F.broadcast(bench_shingles), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count("_hit").cast("long").alias("n_hit_shingles"),
+        )
+        .filter(F.col("n_hit_shingles") > 0)
         .select(
             "doc_id",
             "n_hit_shingles",
