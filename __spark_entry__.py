@@ -720,6 +720,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": XH.q19_disjunctive_revenue,
         "tpch_q22": XH.q22_idle_customers,
         "tpch_q7": XH.q7_nation_volume,
+        "tpch_q2": XH.q2_min_cost_supplier,
         "events_json": XH.events_json_extract,
         # --- text analysis (documents) ---
         "doc_token_stats": XT.token_stats,
@@ -1066,6 +1067,15 @@ def oracle_sql() -> dict[str, str]:
                       WHERE l.l_orderkey = o.o_orderkey
                         AND l.l_returnflag = 'R')
         GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q2": """
+        SELECT n_name, s_suppkey, s_name,
+               round(s_acctbal, 2) AS s_acctbal
+        FROM supplier s
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY n_name, s_suppkey
         """,
         "tpch_q7": """
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -356,6 +356,32 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's core shape (no partsupp table in the driver schema):
+    suppliers whose account balance is the MINIMUM within their
+    nation — a correlated scalar subquery (`WHERE s_acctbal = (SELECT
+    min ... WHERE same nation)`) decorrelated into a per-nation
+    aggregate joined back on the group key.  The agg output is one
+    row per nation, so the join-back side broadcasts; equality on the
+    min is safe (the min IS one of the column's values, no arithmetic
+    drift)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    mins = s.groupBy("s_nationkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        s.join(broadcast(mins), "s_nationkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select(
+            "n_name",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (SURVEY.md §2.8 note): parse
     the k field, aggregate per event_type."""
