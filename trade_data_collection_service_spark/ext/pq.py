@@ -1,0 +1,173 @@
+"""Product quantization (PQ) ANN: compress vectors to m sub-space
+codes and search with asymmetric look-up-table distances.
+
+Completes the ANN ladder (ext/similarity.py): brute force (exact) →
+IVF (prune the corpus) → int8 (4× scan density) → PQ (codes are
+m bytes per vector — 64-dim float32 → 4 bytes is 64×, the regime
+where 100 TB of embeddings fits hot storage).  Jégou et al., "Product
+Quantization for Nearest Neighbor Search" (TPAMI 2011).
+
+Spark-first shapes, no UDFs anywhere:
+- **Train**: each of the m sub-spaces runs Lloyd's iterations on the
+  SLICED vectors, reusing ext/kmeans.assign/update (deterministic
+  init = first-k by vec_id, rounded-distance argmin, per-iteration
+  localCheckpoint).  Sub-space loops are independent; the union of
+  their k×(dim/m) codebooks is tiny and broadcasts everywhere below.
+- **Encode**: per sub-space, slice → broadcast-join codebook → argmin
+  (rounded distance, centroid-id tiebreak).  Output is LONG format
+  (vec_id, subspace, code) — at rest you'd pivot to m byte columns,
+  but long keeps the search join a plain equi-join.
+- **Search (asymmetric)**: the query is NOT quantized — a per-query
+  LUT of (subspace, code) → sub-distance is computed against the
+  codebook (q × m × k rows, broadcast), the encoded corpus equi-joins
+  it on (subspace, code), and one groupBy(q, vec) SUMS the m
+  sub-distances (map-side combinable).  The corpus contributes only
+  its codes to the shuffle — never vectors.
+
+Approximation contract: PQ distance is a lossy estimate; the pytest
+gate checks recall@k against exact L2 top-k and determinism across
+partitionings (rounded-distance ranks with id tiebreaks throughout,
+the repo-wide float-ranking rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from trade_data_collection_service_spark.ext.kmeans import _sqdist, assign, update
+from trade_data_collection_service_spark.ext.similarity import vectors
+
+
+def _subslice(col, j: int, sub_dim: int):
+    return F.slice(col, j * sub_dim + 1, sub_dim)
+
+
+def train_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 4,
+    k: int = 16,
+    max_iters: int = 4,
+) -> DataFrame:
+    """(subspace, cluster, centroid) codebooks — m independent Lloyd's
+    fits on the vector slices.  Deterministic: first-k init by vec_id,
+    rounded-distance assignment, centroid means rounded to 6."""
+    v = vectors(spark, sf_dir).select("vec_id", "emb").localCheckpoint(eager=True)
+    dim = len(v.select("emb").first()["emb"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    books = []
+    for j in range(m):
+        sub = v.select("vec_id", _subslice(F.col("emb"), j, sub_dim).alias("emb"))
+        centroids = (
+            sub.orderBy("vec_id")
+            .limit(k)
+            .select(
+                F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
+                F.col("emb").alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iters):
+            new = update(assign(sub, centroids), round_to=6).localCheckpoint(
+                eager=True
+            )
+            centroids = new
+        books.append(centroids.select(F.lit(j).alias("subspace"), "cluster", "centroid"))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out.localCheckpoint(eager=True)
+
+
+def pq_encode(spark: SparkSession, sf_dir: str, codebooks: DataFrame, m: int = 4) -> DataFrame:
+    """(vec_id, subspace, code): nearest codebook centroid per vector
+    slice — the m-byte compressed corpus, long format."""
+    v = vectors(spark, sf_dir).select("vec_id", "emb")
+    dim = len(v.select("emb").first()["emb"])
+    sub_dim = dim // m
+    sliced = v.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        _subslice(F.col("emb"), j, sub_dim).alias("sub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.subspace", "s.sub")
+    cb = codebooks.select(
+        F.col("subspace").alias("cb_sub"), "cluster", "centroid"
+    )
+    scored = sliced.join(
+        broadcast(cb), sliced["subspace"] == cb["cb_sub"]
+    ).withColumn("d", _sqdist(F.col("sub"), F.col("centroid")))
+    w = Window.partitionBy("vec_id", "subspace").orderBy(
+        F.round("d", 6).asc(), F.col("cluster").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "subspace", F.col("cluster").alias("code"))
+    )
+
+
+def pq_search(
+    spark: SparkSession,
+    sf_dir: str,
+    codebooks: DataFrame,
+    encoded: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    m: int = 4,
+) -> DataFrame:
+    """Asymmetric PQ top-k: per-query LUT against the codebooks
+    (broadcast), equi-join on (subspace, code), sum sub-distances.
+    Returns (q_id, vec_id, approx_d, rank)."""
+    v = vectors(spark, sf_dir).select("vec_id", "emb")
+    dim = len(v.select("emb").first()["emb"])
+    sub_dim = dim // m
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    q_sliced = q.select(
+        "q_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        _subslice(F.col("q_emb"), j, sub_dim).alias("qsub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("q_id", "s.subspace", "s.qsub")
+    lut = (
+        q_sliced.join(broadcast(codebooks), "subspace")
+        .withColumn("sub_d", F.round(_sqdist(F.col("qsub"), F.col("centroid")), 6))
+        .select("q_id", "subspace", F.col("cluster").alias("code"), "sub_d")
+    )
+    joined = encoded.join(broadcast(lut), ["subspace", "code"]).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    dist = joined.groupBy("q_id", "vec_id").agg(
+        F.round(F.sum("sub_d"), 6).alias("approx_d"),
+        F.count(F.lit(1)).alias("_m"),
+    )
+    # every corpus vector must contribute exactly m sub-distances
+    dist = dist.filter(F.col("_m") == m).drop("_m")
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_d").asc(), F.col("vec_id").asc())
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
