@@ -141,8 +141,15 @@ def sessionize(
     session_end, n_events, total_value)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
+    # unix_micros rejects TIMESTAMP_NTZ (parquet naive timestamps are
+    # inferred as NTZ under Spark 4's inferTimestampNTZ default); cast
+    # to TIMESTAMP first — sessions are pinned UTC, so the reinterpret
+    # is lossless and cancels in the difference anyway.
+    ts = F.col("ts")
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        ts = ts.cast("timestamp")
     new_session = (
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        (F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w)))
         > F.lit(gap_us)
     ).cast("int")
     sess = events.withColumn(

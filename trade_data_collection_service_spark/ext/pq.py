@@ -127,16 +127,21 @@ def pq_search(
     n_queries: int = 5,
     k: int = 3,
     m: int = 4,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric PQ top-k: per-query LUT against the codebooks
     (broadcast), equi-join on (subspace, code), sum sub-distances.
-    Returns (q_id, vec_id, approx_d, rank)."""
+    Returns (q_id, vec_id, approx_d, rank).
+
+    ``queries`` (q_id, q_emb) overrides the default query set (the
+    first ``n_queries`` corpus vectors) — the planted-neighbor recall
+    gate and external probe sets use this."""
     v = vectors(spark, sf_dir).select("vec_id", "emb")
     dim = len(v.select("emb").first()["emb"])
     sub_dim = dim // m
-    q = v.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
-    )
+    q = queries if queries is not None else v.filter(
+        F.col("vec_id") < n_queries
+    ).select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
     q_sliced = q.select(
         "q_id",
         F.explode(
