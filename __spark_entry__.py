@@ -706,8 +706,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is load-bearing: the round driver oracle-checks the
+    # first 50 entries only, so the front of this dict is reserved for
+    # queries with the weakest (or no) prior CORRECTNESS evidence —
+    # never-checked entries first, then code-changed-since-last-check,
+    # then entries whose last green row is oldest.  Entries re-greened
+    # most recently (r03: TPC-H, doc_*, emb_*, multimodal) sit at the
+    # back.  Rotate per round as evidence ages.
     return {
-        # --- general relational surface / bench anchors ---
+        # --- never oracle-checked before r4 (VERDICT r2 missing #1) ---
+        "listing_stable": _q_listing_stable,
+        "price_quantile_sketch": _q_price_quantile_sketch,
+        "pivot_volume": _q_pivot_volume,
+        "volume_rollup_sets": _q_volume_rollup_sets,
+        "volume_cube_sets": _q_volume_cube_sets,
+        "max_drawdown": _q_max_drawdown,
+        "top_volume_per_symbol": _q_top_volume_per_symbol,
+        "bollinger_20": _q_bollinger_20,
+        "daily_volatility": _q_daily_volatility,
+        "atr_14": _q_atr_14,
+        "watchdog_cycle": _q_watchdog_cycle,
+        "asof_price_forward": _q_asof_price_forward,
+        "volume_bars": _q_volume_bars,
+        # --- failed r03 (fixed) / code changed since last green row ---
+        "event_sessions": _q_event_sessions,
+        "asof_price": _q_asof_price,
+        "repair_window": _q_repair_window,
+        # --- last green row is r01 ---
+        "minmax_window": _q_minmax_window,
+        "count_distinct_window": _q_count_distinct_window,
+        "latest_per_symbol": _q_latest_per_symbol,
+        "distinct_pairs": _q_distinct_pairs,
+        "recent_topn": _q_recent_topn,
+        "symbol_filter": _q_symbol_filter,
+        "readme_window": _q_readme_window,
+        "freshness": _q_freshness,
+        "listing_diff": _q_listing_diff,
+        "gap_filled": _q_gap_filled,
+        "gap_filled_ffill": _q_gap_filled_ffill,
+        "sma_20": _q_sma_20,
+        "vwap_daily": _q_vwap_daily,
+        "price_percentiles": _q_price_percentiles,
+        "price_bands": _q_price_bands,
+        "gap_missing_count": _q_gap_missing_count,
+        "gap_islands": _q_gap_islands,
+        "backfill_plan": _q_backfill_plan,
+        "validate_quarantine": _q_validate_quarantine,
+        # --- new in r4 ---
+        # (new queries get added here, inside the 50-slot window)
+        # --- re-greened r03: candle/rollup core ---
+        "candles_1m": _q_candles_1m,
+        "dedup_latest": _q_dedup_latest,
+        "rollup_5m": _q_rollup_5m,
+        "cascade_15m": _q_cascade_15m,
+        "earliest_per_symbol": _q_earliest_per_symbol,
+        # --- re-greened r03: dedup ladder (documents) ---
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_minhash_lsh": _q_doc_minhash_lsh,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "doc_dup_clusters": _q_doc_dup_clusters,
+        "doc_dup_clusters_star": _q_doc_dup_clusters_star,
+        "doc_dedup_keep_best": _q_doc_dedup_keep_best,
+        "corpus_curated": _q_corpus_curated,
+        # --- re-greened r03: similarity search (embeddings) ---
+        "emb_cosine_topk": XS.brute_force_topk,
+        "emb_ivf_topk": XS.ivf_topk,
+        "emb_ivf_trained_topk": XS.ivf_trained_topk,
+        "emb_neardup": XS.embedding_neardup_pairs,
+        "emb_quantized_topk": XS.quantized_topk,
+        # --- re-greened r03: curation / events ---
+        "doc_sample_stratified": _q_doc_sample_stratified,
+        "doc_train_split": _q_doc_train_split,
+        "doc_vocab_topk": _q_doc_vocab_topk,
+        "doc_pii_scrub": _q_doc_pii_scrub,
+        "event_attribution": _q_event_attribution,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_importance_sample": _q_doc_importance_sample,
+        "doc_pack_sequences": _q_doc_pack_sequences,
+        "events_hll_daily": _q_events_hll_daily,
+        "doc_reservoir": _q_doc_reservoir,
+        "doc_simhash": _q_doc_simhash,
+        "doc_simhash_pairs": _q_doc_simhash_pairs,
+        # --- re-greened r03: text analysis (documents) ---
+        "doc_token_stats": XT.token_stats,
+        "doc_lang_id": XT.lang_id,
+        "doc_quality": XT.quality_score,
+        "doc_fingerprint": XT.fingerprint,
+        # --- re-greened r03: multimodal plumbing ---
+        "multimodal_features": media_features,
+        "multimodal_frames": media_frame_sample,
+        # --- re-greened r03: TPC-H anchors (stablest evidence) ---
         "tpch_q1": XH.q1_pricing_summary,
         "tpch_q3": XH.q3_shipping_priority,
         "tpch_q5": XH.q5_region_revenue,
@@ -722,81 +810,6 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": XH.q7_nation_volume,
         "tpch_q2": XH.q2_min_cost_supplier,
         "events_json": XH.events_json_extract,
-        # --- text analysis (documents) ---
-        "doc_token_stats": XT.token_stats,
-        "doc_lang_id": XT.lang_id,
-        "doc_quality": XT.quality_score,
-        "doc_fingerprint": XT.fingerprint,
-        # --- dedup ladder (documents) ---
-        "doc_dedup_exact": _q_doc_dedup_exact,
-        "doc_minhash_lsh": _q_doc_minhash_lsh,
-        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
-        "doc_dup_clusters": _q_doc_dup_clusters,
-        "doc_dup_clusters_star": _q_doc_dup_clusters_star,
-        "doc_dedup_keep_best": _q_doc_dedup_keep_best,
-        "corpus_curated": _q_corpus_curated,
-        # --- training-pipeline curation ops ---
-        "doc_sample_stratified": _q_doc_sample_stratified,
-        "doc_train_split": _q_doc_train_split,
-        "doc_vocab_topk": _q_doc_vocab_topk,
-        "doc_pii_scrub": _q_doc_pii_scrub,
-        "event_sessions": _q_event_sessions,
-        "event_attribution": _q_event_attribution,
-        "doc_decontaminate": _q_doc_decontaminate,
-        "doc_importance_sample": _q_doc_importance_sample,
-        "doc_pack_sequences": _q_doc_pack_sequences,
-        "events_hll_daily": _q_events_hll_daily,
-        "doc_reservoir": _q_doc_reservoir,
-        "emb_quantized_topk": XS.quantized_topk,
-        "doc_simhash": _q_doc_simhash,
-        "doc_simhash_pairs": _q_doc_simhash_pairs,
-        # --- similarity search (embeddings) ---
-        "emb_cosine_topk": XS.brute_force_topk,
-        "emb_ivf_topk": XS.ivf_topk,
-        "emb_ivf_trained_topk": XS.ivf_trained_topk,
-        "emb_neardup": XS.embedding_neardup_pairs,
-        # --- multimodal plumbing ---
-        "multimodal_features": media_features,
-        "multimodal_frames": media_frame_sample,
-        "candles_1m": _q_candles_1m,
-        "dedup_latest": _q_dedup_latest,
-        "rollup_5m": _q_rollup_5m,
-        "cascade_15m": _q_cascade_15m,
-        "earliest_per_symbol": _q_earliest_per_symbol,
-        "minmax_window": _q_minmax_window,
-        "count_distinct_window": _q_count_distinct_window,
-        "latest_per_symbol": _q_latest_per_symbol,
-        "distinct_pairs": _q_distinct_pairs,
-        "recent_topn": _q_recent_topn,
-        "symbol_filter": _q_symbol_filter,
-        "readme_window": _q_readme_window,
-        "freshness": _q_freshness,
-        "listing_diff": _q_listing_diff,
-        "listing_stable": _q_listing_stable,
-        "price_quantile_sketch": _q_price_quantile_sketch,
-        "gap_filled": _q_gap_filled,
-        "gap_filled_ffill": _q_gap_filled_ffill,
-        "sma_20": _q_sma_20,
-        "vwap_daily": _q_vwap_daily,
-        "pivot_volume": _q_pivot_volume,
-        "volume_rollup_sets": _q_volume_rollup_sets,
-        "volume_cube_sets": _q_volume_cube_sets,
-        "max_drawdown": _q_max_drawdown,
-        "top_volume_per_symbol": _q_top_volume_per_symbol,
-        "bollinger_20": _q_bollinger_20,
-        "daily_volatility": _q_daily_volatility,
-        "atr_14": _q_atr_14,
-        "price_percentiles": _q_price_percentiles,
-        "repair_window": _q_repair_window,
-        "watchdog_cycle": _q_watchdog_cycle,
-        "asof_price": _q_asof_price,
-        "asof_price_forward": _q_asof_price_forward,
-        "volume_bars": _q_volume_bars,
-        "price_bands": _q_price_bands,
-        "gap_missing_count": _q_gap_missing_count,
-        "gap_islands": _q_gap_islands,
-        "backfill_plan": _q_backfill_plan,
-        "validate_quarantine": _q_validate_quarantine,
     }
 
 
