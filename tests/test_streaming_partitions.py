@@ -128,3 +128,176 @@ def test_only_touched_month_partitions_rewritten(spark, dirs):
         assert stored.count() == expected[m].count()
         assert stored.exceptAll(expected[m]).count() == 0
         assert expected[m].exceptAll(stored).count() == 0
+
+
+def _assert_converged(spark, raw_path, dirs):
+    expected = cascade(dedup_latest(spark.read.parquet(raw_path)), LEVELS)
+    paths = rollup_paths(dirs)
+    for m in LEVELS:
+        stored = read_rollup_level(spark, paths[m])
+        assert stored.exceptAll(expected[m]).count() == 0
+        assert expected[m].exceptAll(stored).count() == 0
+        assert not table_exists(spark, paths[m] + ".stage")
+
+
+def test_multi_month_batch_touches_only_its_months(spark):
+    """A batch spanning Jan+Mar rewrites Jan and Mar partitions in
+    every level and leaves Feb byte-identical (VERDICT r2 next-round
+    #6: multi-month partition-I/O assertion)."""
+    dirs = tempfile.mkdtemp(prefix="stream_multimonth_")
+    try:
+        raw_path = os.path.join(dirs, "candles_raw")
+        months = {
+            1: dt.datetime(2024, 1, 5, 8, 0, tzinfo=UTC),
+            2: dt.datetime(2024, 2, 14, 11, 0, tzinfo=UTC),
+            3: dt.datetime(2024, 3, 21, 16, 0, tzinfo=UTC),
+        }
+        batch1 = spark.createDataFrame(
+            [
+                _candle("BTC-USDT", t0 + dt.timedelta(minutes=i), 100.0 + i)
+                for t0 in months.values()
+                for i in range(20)
+            ],
+            CANDLE_SCHEMA,
+        )
+        batch1.write.mode("append").parquet(raw_path)
+        upsert_rollup_levels(spark, raw_path, batch1, dirs, LEVELS)
+        paths = rollup_paths(dirs)
+        before = {m: _snapshot(paths[m]) for m in LEVELS}
+
+        # batch 2: one late Jan revision + one new Mar candle; Feb idle
+        batch2 = spark.createDataFrame(
+            [
+                _candle("BTC-USDT", months[1], 555.0, version=3),
+                _candle(
+                    "BTC-USDT", months[3] + dt.timedelta(minutes=90), 777.0
+                ),
+            ],
+            CANDLE_SCHEMA,
+        )
+        batch2.write.mode("append").parquet(raw_path)
+        upsert_rollup_levels(spark, raw_path, batch2, dirs, LEVELS)
+
+        for m in LEVELS:
+            after = _snapshot(paths[m])
+            for mm, changed in (("202401", True), ("202402", False), ("202403", True)):
+                b = {k: v for k, v in before[m].items() if f"month={mm}" in k}
+                a = {k: v for k, v in after.items() if f"month={mm}" in k}
+                if changed:
+                    assert a != b, f"level {m}: month {mm} should be rewritten"
+                else:
+                    assert a == b, f"level {m}: idle month {mm} was rewritten"
+        _assert_converged(spark, raw_path, dirs)
+    finally:
+        shutil.rmtree(dirs, ignore_errors=True)
+
+
+def test_replay_after_crash_between_stage_and_publish(spark, monkeypatch):
+    """Kill the publish after the stage write completes; the replayed
+    batch must roll the stage forward and converge (the bounded-crash
+    claim in pipeline.upsert_rollup_levels, now crash-tested)."""
+    import trade_data_collection_service_spark.streaming.pipeline as P
+
+    dirs = tempfile.mkdtemp(prefix="stream_crash_")
+    try:
+        raw_path = os.path.join(dirs, "candles_raw")
+        jan = dt.datetime(2024, 1, 10, 12, 0, tzinfo=UTC)
+        feb = dt.datetime(2024, 2, 20, 9, 30, tzinfo=UTC)
+        batch1 = spark.createDataFrame(
+            [
+                _candle("BTC-USDT", t0 + dt.timedelta(minutes=i), 100.0 + i)
+                for t0 in (jan, feb)
+                for i in range(20)
+            ],
+            CANDLE_SCHEMA,
+        )
+        batch1.write.mode("append").parquet(raw_path)
+        upsert_rollup_levels(spark, raw_path, batch1, dirs, LEVELS)
+
+        batch2 = spark.createDataFrame(
+            [_candle("BTC-USDT", feb + dt.timedelta(minutes=3), 999.0, version=5)],
+            CANDLE_SCHEMA,
+        )
+        batch2.write.mode("append").parquet(raw_path)
+
+        real_publish = P._publish_stage
+
+        def crash_publish(spark_, stage, path):
+            raise RuntimeError("injected crash: publish never ran")
+
+        monkeypatch.setattr(P, "_publish_stage", crash_publish)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            upsert_rollup_levels(spark, raw_path, batch2, dirs, LEVELS)
+        # crash state: level-1m stage is fully written, live untouched
+        paths = rollup_paths(dirs)
+        assert table_exists(spark, paths[LEVELS[0]] + ".stage/_SUCCESS")
+
+        monkeypatch.setattr(P, "_publish_stage", real_publish)
+        upsert_rollup_levels(spark, raw_path, batch2, dirs, LEVELS)
+        _assert_converged(spark, raw_path, dirs)
+    finally:
+        shutil.rmtree(dirs, ignore_errors=True)
+
+
+def test_replay_after_crash_mid_publish_commit(spark, monkeypatch):
+    """Worst case: the crash interrupts the publish job-commit itself,
+    leaving a touched month partially deleted in the live table while
+    the completed stage still exists.  Replay must restore the month
+    from the stage WAL (kept untouched buckets live only there) and
+    converge."""
+    import trade_data_collection_service_spark.streaming.pipeline as P
+
+    dirs = tempfile.mkdtemp(prefix="stream_crash_mid_")
+    try:
+        raw_path = os.path.join(dirs, "candles_raw")
+        feb = dt.datetime(2024, 2, 20, 9, 30, tzinfo=UTC)
+        # two symbols: ETH rows are the "untouched buckets" that a
+        # damaged live table would lose without the stage roll-forward
+        batch1 = spark.createDataFrame(
+            [
+                _candle(sym, feb + dt.timedelta(minutes=i), p + i)
+                for sym, p in (("BTC-USDT", 100.0), ("ETH-USDT", 50.0))
+                for i in range(20)
+            ],
+            CANDLE_SCHEMA,
+        )
+        batch1.write.mode("append").parquet(raw_path)
+        upsert_rollup_levels(spark, raw_path, batch1, dirs, LEVELS)
+
+        batch2 = spark.createDataFrame(
+            [_candle("BTC-USDT", feb + dt.timedelta(minutes=2), 888.0, version=4)],
+            CANDLE_SCHEMA,
+        )
+        batch2.write.mode("append").parquet(raw_path)
+
+        real_publish = P._publish_stage
+
+        def crash_publish(spark_, stage, path):
+            raise RuntimeError("injected crash")
+
+        monkeypatch.setattr(P, "_publish_stage", crash_publish)
+        with pytest.raises(RuntimeError):
+            upsert_rollup_levels(spark, raw_path, batch2, dirs, LEVELS)
+        monkeypatch.setattr(P, "_publish_stage", real_publish)
+
+        # simulate the partial job-commit: delete every ETH-containing
+        # data file from the touched month of the live 1m table (the
+        # dynamic overwrite deletes old files before the move completes)
+        level_dir = rollup_paths(dirs)[LEVELS[0]]
+        month_dir = os.path.join(level_dir, "month=202402")
+        victims = [
+            os.path.join(month_dir, f)
+            for f in os.listdir(month_dir)
+            if f.endswith(".parquet")
+        ]
+        assert victims, "expected parquet files in touched month"
+        for v in victims:
+            os.remove(v)
+
+        upsert_rollup_levels(spark, raw_path, batch2, dirs, LEVELS)
+        _assert_converged(spark, raw_path, dirs)
+        # the untouched ETH buckets survived via the stage roll-forward
+        stored = read_rollup_level(spark, rollup_paths(dirs)[LEVELS[0]])
+        assert stored.filter("symbol = 'ETH-USDT'").count() == 20
+    finally:
+        shutil.rmtree(dirs, ignore_errors=True)

@@ -80,6 +80,59 @@ def _rm(spark: SparkSession, path: str) -> None:
         fs.delete(hpath, True)
 
 
+def _publish_stage(spark: SparkSession, stage: str, path: str) -> None:
+    """Publish a fully-staged level table into the live path, rewriting
+    only the month partitions present in the stage (dynamic partition
+    overwrite).  Isolated as a function so crash tests can inject a
+    failure at the stage/publish boundary.
+
+    The overwrite mode is a per-write OPTION, not a session conf:
+    mutating ``spark.sql.sources.partitionOverwriteMode`` globally
+    leaks dynamic-overwrite semantics into every later write in the
+    session (and under dynamic mode the committer skips the _SUCCESS
+    marker the stage WAL relies on)."""
+    (
+        spark.read.parquet(stage)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("month")
+        .parquet(path)
+    )
+
+
+def _recover_stage(spark: SparkSession, stage: str, path: str) -> None:
+    """Roll the publish WAL forward on replay after a crash.
+
+    The stage directory is the write-ahead record of the publish: it
+    holds the COMPLETE contents of every touched month partition
+    (kept untouched buckets + recomputed ones) and is only deleted
+    after a successful publish.  On entry, three crash states are
+    possible:
+
+    - no stage dir: the previous batch finished (or never staged) —
+      nothing to do;
+    - stage dir WITHOUT ``_SUCCESS``: crash mid-staging; the live
+      table was never touched, so discard the partial stage and let
+      the replayed batch restage from scratch;
+    - stage dir WITH ``_SUCCESS``: crash between stage completion and
+      publish completion.  The live table's touched months may be
+      partially written (a dynamic-overwrite job commit is not atomic
+      on plain parquet), and the kept-untouched-bucket rows for those
+      months exist ONLY in the stage — so republish the stage first,
+      restoring the invariant that the live table is whole, then
+      delete it.  The replayed batch then recomputes the same months
+      idempotently.
+
+    Without this roll-forward, replay-after-mid-publish-crash could
+    lose untouched buckets in touched months: the replay's keep-set is
+    read from the (damaged) live table."""
+    if not table_exists(spark, stage):
+        return
+    if table_exists(spark, stage + "/_SUCCESS"):
+        _publish_stage(spark, stage, path)
+    _rm(spark, stage)
+
+
 def read_rollup_level(spark: SparkSession, path: str) -> DataFrame:
     """Read a rollup level table, hiding the physical ``month``
     partition column (layout detail, not part of the rollup schema)."""
@@ -148,6 +201,9 @@ def upsert_rollup_levels(
     source = None  # level below's full (fresh) table
     for i, m in enumerate(minutes):
         path = paths[m]
+        # Replay safety: finish (or discard) any interrupted publish
+        # from a crashed previous run before reading the live table.
+        _recover_stage(spark, path + ".stage", path)
         # Coarsen the touched-bucket set to this level's grid.
         prev_touched = touched
         touched = (
@@ -203,16 +259,14 @@ def upsert_rollup_levels(
             .repartition("month")
             .sortWithinPartitions("exchange", "symbol", "candle_start")
             .write.mode("overwrite")
+            # static full-dir overwrite: the stage is rebuilt whole,
+            # and the static committer writes the _SUCCESS marker that
+            # _recover_stage uses as the staged-complete WAL record
+            .option("partitionOverwriteMode", "static")
             .partitionBy("month")
             .parquet(stage)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            spark.read.parquet(stage)
-            .write.mode("overwrite")
-            .partitionBy("month")
-            .parquet(path)
-        )
+        _publish_stage(spark, stage, path)
         _rm(spark, stage)
         # `touched` is materialized by the writes above; the finer
         # level's cache is no longer referenced.
