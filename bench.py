@@ -103,6 +103,9 @@ def headline_queries():
         "price_quantile_sketch",
         "max_drawdown",
         "top_volume_per_symbol",
+        # round-4 additions
+        "emb_pq_topk",
+        "volume_bars",
     ):
         if name in q:
             out[name] = q[name]

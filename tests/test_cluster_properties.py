@@ -144,3 +144,29 @@ def test_star_components_match_union_find(spark, edges):
         for r in connected_components_star(pairs).collect()
     }
     assert got == _union_find(edges)
+
+
+def test_star_converges_on_path_longer_than_propagation_budget(spark):
+    """The log-round claim, demonstrated (VERDICT r2 next-round #8):
+    a planted path graph of diameter 120 — more than 2x the
+    propagation variant's default 25-iteration budget, where
+    hash-to-min could only push the min label 25 hops — must still
+    fully converge under large/small-star contraction within its
+    default 30 rounds (expected rounds ~ log2(120) ~ 7)."""
+    from trade_data_collection_service_spark.ext.cluster import (
+        connected_components_star,
+    )
+
+    n = 121  # nodes 0..120, edges i—(i+1): diameter 120
+    edges = [(i, i + 1) for i in range(n - 1)]
+    # adversarial edge order: interleave from both ends
+    edges = [
+        edges[i // 2] if i % 2 == 0 else edges[-(i // 2) - 1]
+        for i in range(len(edges))
+    ]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}

@@ -117,3 +117,20 @@ def test_minhash_lsh_default_cap_is_noop_on_fixture(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_minhash_lsh_salted_join_is_equivalent(spark, sf_dir):
+    """The salt_bands hardening flag must not change results: the
+    salted candidate self-join (skew spread across 4 buckets per band
+    key) yields exactly the same verified pair set as the plain join."""
+    docs = documents_neardup(spark, sf_dir)
+    plain = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    salted = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, salt_bands=4).collect()
+    }
+    assert plain == salted
+    assert plain  # non-vacuous: the fixture has planted near-dups
