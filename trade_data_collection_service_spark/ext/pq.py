@@ -8,11 +8,13 @@ where 100 TB of embeddings fits hot storage).  Jégou et al., "Product
 Quantization for Nearest Neighbor Search" (TPAMI 2011).
 
 Spark-first shapes, no UDFs anywhere:
-- **Train**: each of the m sub-spaces runs Lloyd's iterations on the
-  SLICED vectors, reusing ext/kmeans.assign/update (deterministic
-  init = first-k by vec_id, rounded-distance argmin, per-iteration
-  localCheckpoint).  Sub-space loops are independent; the union of
-  their k×(dim/m) codebooks is tiny and broadcasts everywhere below.
+- **Train**: all m sub-space Lloyd's fits run as ONE grouped chain
+  over the sliced corpus (vec_id, subspace, sub-vector) — the same
+  deterministic discipline as ext/kmeans (first-k init by vec_id,
+  rounded-distance argmin, means rounded to 6) with a (subspace, ...)
+  prefix on every key, so one assignment job + one update shuffle per
+  iteration covers every subspace.  The union of the m k×(dim/m)
+  codebooks is tiny and broadcasts everywhere below.
 - **Encode**: per sub-space, slice → broadcast-join codebook → argmin
   (rounded distance, centroid-id tiebreak).  Output is LONG format
   (vec_id, subspace, code) — at rest you'd pivot to m byte columns,
@@ -36,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from trade_data_collection_service_spark.ext.kmeans import _sqdist, assign, update
+from trade_data_collection_service_spark.ext.kmeans import _sqdist
 from trade_data_collection_service_spark.ext.similarity import vectors
 
 
@@ -51,36 +53,82 @@ def train_codebooks(
     k: int = 16,
     max_iters: int = 4,
 ) -> DataFrame:
-    """(subspace, cluster, centroid) codebooks — m independent Lloyd's
-    fits on the vector slices.  Deterministic: first-k init by vec_id,
-    rounded-distance assignment, centroid means rounded to 6."""
-    v = vectors(spark, sf_dir).select("vec_id", "emb").localCheckpoint(eager=True)
+    """(subspace, cluster, centroid) codebooks — the m sub-space
+    Lloyd's fits batched into ONE chained computation.  Deterministic:
+    first-k init by vec_id, rounded-distance assignment with
+    lowest-cluster tiebreak, centroid means rounded to 6 — identical
+    math to m independent ext/kmeans fits (the DuckDB oracle unrolls
+    them independently and matches).
+
+    Scale shape: the sliced corpus (vec_id, subspace, sub-vector) is
+    materialized once; each iteration is one assignment pass (corpus ⋈
+    broadcast codebooks, argmin per (subspace, vec_id)) and one update
+    shuffle of (subspace, cluster, dim) partial means — m× fewer job
+    barriers than looping the subspaces in the driver, and the update
+    shuffle is m·k·sub_dim = k·dim rows regardless of corpus size."""
+    v = vectors(spark, sf_dir).select("vec_id", "emb")
     dim = len(v.select("emb").first()["emb"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
-    books = []
-    for j in range(m):
-        sub = v.select("vec_id", _subslice(F.col("emb"), j, sub_dim).alias("emb"))
+    sliced = (
+        v.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("subspace"),
+                            _subslice(F.col("emb"), j, sub_dim).alias("emb"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", "s.subspace", "s.emb")
+        .localCheckpoint(eager=True)
+    )
+    w_init = Window.partitionBy("subspace").orderBy("vec_id")
+    centroids = (
+        sliced.withColumn("__r", F.row_number().over(w_init))
+        .filter(F.col("__r") <= k)
+        .select(
+            "subspace", F.col("__r").alias("cluster"), F.col("emb").alias("centroid")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        c = centroids.select(
+            "subspace", F.col("cluster").alias("c_id"), F.col("centroid").alias("c_emb")
+        )
+        scored = sliced.join(broadcast(c), "subspace").withColumn(
+            "d", _sqdist(F.col("emb"), F.col("c_emb"))
+        )
+        w = Window.partitionBy("subspace", "vec_id").orderBy(
+            F.round("d", 6).asc(), F.col("c_id").asc()
+        )
+        assigned = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("subspace", "vec_id", "emb", F.col("c_id").alias("cluster"))
+        )
+        exploded = assigned.select(
+            "subspace", "cluster", F.posexplode("emb").alias("pos", "x")
+        )
         centroids = (
-            sub.orderBy("vec_id")
-            .limit(k)
+            exploded.groupBy("subspace", "cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mu"))
+            .groupBy("subspace", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
             .select(
-                F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
-                F.col("emb").alias("centroid"),
+                "subspace",
+                "cluster",
+                F.transform("pm", lambda s: s["mu"]).alias("centroid"),
             )
             .localCheckpoint(eager=True)
         )
-        for _ in range(max_iters):
-            new = update(assign(sub, centroids), round_to=6).localCheckpoint(
-                eager=True
-            )
-            centroids = new
-        books.append(centroids.select(F.lit(j).alias("subspace"), "cluster", "centroid"))
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    return out.localCheckpoint(eager=True)
+    return centroids
 
 
 def pq_encode(spark: SparkSession, sf_dir: str, codebooks: DataFrame, m: int = 4) -> DataFrame:
