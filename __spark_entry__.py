@@ -692,6 +692,16 @@ def _q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.simhash_near_pairs(XD.documents_neardup(spark, sf_dir))
 
 
+def _q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XT.bm25_topk(spark, sf_dir)
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XP.chunk_documents(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def _q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, end to end: per-subspace Lloyd's
     codebooks (m=4 x 16 codes, 2 iterations), long-format encode, and
@@ -769,6 +779,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_quarantine": _q_validate_quarantine,
         # --- new in r4 ---
         "emb_pq_topk": _q_emb_pq_topk,
+        "doc_bm25_topk": _q_doc_bm25_topk,
+        "doc_chunks": _q_doc_chunks,
         # --- re-greened r03: candle/rollup core ---
         "candles_1m": _q_candles_1m,
         "dedup_latest": _q_dedup_latest,
@@ -1443,6 +1455,63 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY token
         ORDER BY n_occurrences DESC, token
         LIMIT 50
+        """,
+        "doc_bm25_topk": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , dl AS (
+          SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM toks
+        ), tok AS (
+          SELECT doc_id, unnest(tokens) AS term FROM toks
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM tok WHERE term IN ('fast', 'data', 'stream')
+          GROUP BY doc_id, term
+        ), dft AS (
+          SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tf GROUP BY term
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 round(avg(dl), 6) AS avgdl
+          FROM dl
+        ), scored AS (
+          SELECT tf.doc_id,
+                 round(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                 ), 6) AS bm25
+          FROM tf
+          JOIN dl USING (doc_id)
+          JOIN dft USING (term), stats
+          GROUP BY tf.doc_id
+        ), ranked AS (
+          SELECT doc_id, bm25,
+                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                   AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT * FROM ranked WHERE rank <= 10 ORDER BY rank
+        """,
+        "doc_chunks": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , starts AS (
+          SELECT doc_id, tokens,
+                 unnest(generate_series(1, len(tokens), 48)) AS s
+          FROM toks
+        ), chunks AS (
+          SELECT doc_id, s, list_slice(tokens, s, s + 63) AS chunk
+          FROM starts
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s)
+                 AS BIGINT) AS chunk_id,
+               CAST(s AS BIGINT) AS start_token,
+               CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(chunk, ' ')) AS chunk_md5
+        FROM chunks
+        ORDER BY doc_id, chunk_id
         """,
         "doc_pii_scrub": r"""
         WITH docs AS (

@@ -54,3 +54,42 @@ def test_multimodal_arrow_plumbing(spark, sf_dir):
         n = len(d["text"].encode("utf-8"))
         assert f["n_bytes"] == n
         assert abs(f["fake_feature"] - round((n % 256) / 255.0, 6)) < 1e-9
+
+
+def test_bm25_topk_ranking_properties(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.text import bm25_topk
+
+    rows = bm25_topk(spark, sf_dir, k=10).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # determinism across partitionings of nothing-in-particular: rerun
+    again = bm25_topk(spark, sf_dir, k=10).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in rows] == [
+        (r["doc_id"], r["bm25"]) for r in again
+    ]
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from trade_data_collection_service_spark.ext.pipeline import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(150))  # 150 tokens
+    docs = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts at 1, 49, 97, 145 (stride 48), last chunk short
+    starts = [r["start_token"] for r in by_doc[1]]
+    assert starts == [1, 49, 97, 145]
+    sizes = [r["n_chunk_tokens"] for r in by_doc[1]]
+    assert sizes == [64, 64, 54, 6]
+    # consecutive chunks overlap by 16 tokens (64 - 48)
+    assert all(starts[i + 1] == starts[i] + 48 for i in range(len(starts) - 1))
+    # full coverage: last chunk reaches token 150
+    assert starts[-1] + sizes[-1] - 1 == 150
+    # short doc yields exactly one chunk of its full length
+    assert [(r["start_token"], r["n_chunk_tokens"]) for r in by_doc[2]] == [(1, 2)]
+    # chunk ids are 1..n per doc
+    assert [r["chunk_id"] for r in by_doc[1]] == [1, 2, 3, 4]

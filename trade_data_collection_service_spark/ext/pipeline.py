@@ -332,3 +332,45 @@ def importance_sample(
         .select("doc_id", F.col(prob_col).alias("keep_prob"), "u")
         .orderBy("doc_id")
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    standard pre-training/RAG preparation step (pack_sequences'
+    complement: that op concatenates short docs, this one splits long
+    ones).
+
+    Chunks start every ``chunk_tokens - overlap`` tokens and carry
+    ``chunk_tokens`` tokens (the final chunk may be shorter); every
+    document yields at least one chunk.  Map-only: sequence + slice +
+    posexplode inside codegen, a 1-to-N fan-out with no shuffle, so it
+    scales with scan bandwidth.  Results carry the chunk digest, not
+    the text (compare digests, not documents).
+
+    Output: (doc_id, chunk_id, start_token, n_chunk_tokens, chunk_md5).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    t = with_tokens(docs)
+    chunks = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens"), F.lit(stride)),
+                lambda s: F.struct(
+                    s.alias("start_token"),
+                    F.slice("tokens", s, chunk_tokens).alias("chunk"),
+                ),
+            )
+        ).alias("pos", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("chunk_id"),
+        F.col("c.start_token").cast("long").alias("start_token"),
+        F.size("c.chunk").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", "c.chunk")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")

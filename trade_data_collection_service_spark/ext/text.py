@@ -141,3 +141,67 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalized).alias("fp_md5"),
         F.array_min(F.transform(sh, F.md5)).alias("fp_min_shingle"),
     )
+
+
+# BM25 retrieval constants (Robertson/Spärck Jones defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Demonstration query over the synthetic corpus vocabulary.
+BM25_QUERY = ("fast", "data", "stream")
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k retrieval over ``documents`` — the classic sparse
+    retrieval scorer a training-data pipeline uses for eval-set mining
+    and targeted corpus pulls.
+
+    Scale shape: the corpus explodes tokens once and filters to the
+    (tiny, broadcastable) query vocabulary IMMEDIATELY, so only
+    posting-list rows (doc_id, term) survive into the shuffle; term
+    document-frequencies and the (n_docs, avgdl) scalar pair are
+    broadcast back — no corpus-sized state anywhere past the first
+    projection.  Scoring is one groupBy(doc_id) sum.  The final rank
+    sorts only scored docs (those containing >= 1 query term).
+
+    Determinism: scores rounded to 6, rank ties broken by doc_id —
+    the DuckDB twin ranks identically."""
+    from pyspark.sql import Window
+
+    docs = with_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+    terms = docs.select(
+        "doc_id", F.explode("tokens").alias("term")
+    ).filter(F.col("term").isin(*query))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+    w_term = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    ) * (
+        F.col("tf") * (BM25_K1 + 1.0)
+    ) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", w_term)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+    )
+    rank_w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("rank")
+    )
