@@ -702,6 +702,12 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition — trained coarse quantizer prunes to nprobe
+    buckets, PQ LUT scores codes inside them (ext/pq.ivf_pq_topk)."""
+    return XQ.ivf_pq_topk(spark, sf_dir)
+
+
 def _q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, end to end: per-subspace Lloyd's
     codebooks (m=4 x 16 codes, 2 iterations), long-format encode, and
@@ -779,6 +785,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_quarantine": _q_validate_quarantine,
         # --- new in r4 ---
         "emb_pq_topk": _q_emb_pq_topk,
+        "emb_ivf_pq_topk": _q_emb_ivf_pq_topk,
         "doc_bm25_topk": _q_doc_bm25_topk,
         "doc_chunks": _q_doc_chunks,
         # --- re-greened r03: candle/rollup core ---
@@ -1877,6 +1884,72 @@ def oracle_sql() -> dict[str, str]:
             ON e.subspace = l.subspace AND e.code = l.code
           WHERE e.vec_id <> l.q_id
           GROUP BY q_id, vec_id
+          HAVING count(*) = 4
+        ), ranked AS (
+          SELECT q_id, vec_id, approx_d,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY approx_d ASC, vec_id ASC) AS BIGINT) AS rank
+          FROM dists
+        )
+        SELECT * FROM ranked WHERE rank <= 10
+        """,
+        "emb_ivf_pq_topk": _VEC_CTE
+        + _kmeans_ctes(k=8, iters=2, dim=64)
+        + _pq_ctes(m=4, k=16, iters=2, dim=64)
+        + f"""
+        , tc AS (
+          SELECT cluster AS c_id, centroid AS c_emb,
+                 sqrt(list_sum(list_transform(centroid, x -> x * x)))
+                   AS c_nrm
+          FROM c2
+        ), asg AS (
+          SELECT vec_id,
+                 c_id,
+                 {_COS.format(a="emb", b="c_emb", na="nrm", nb="c_nrm")}
+                   AS c_sim
+          FROM n, tc
+        ), bucketed AS (
+          SELECT vec_id, c_id AS bucket
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS r
+                FROM asg)
+          WHERE r = 1
+        ), qv AS (
+          SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+          FROM n WHERE vec_id >= 100 AND vec_id < 103
+        ), qasg AS (
+          SELECT q_id, c_id,
+                 {_COS.format(a="q_emb", b="c_emb", na="q_nrm", nb="c_nrm")}
+                   AS c_sim
+          FROM qv, tc
+        ), probes AS (
+          SELECT q_id, c_id AS q_bucket
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY q_id ORDER BY c_sim DESC, c_id) AS r
+                FROM qasg)
+          WHERE r <= 2
+        ), cand AS (
+          SELECT p.q_id, b.vec_id
+          FROM probes p JOIN bucketed b ON b.bucket = p.q_bucket
+          WHERE b.vec_id <> p.q_id
+        ), qsliced AS (
+          SELECT q_id, 0 AS subspace, q_emb[1:16] AS qsub FROM qv
+          UNION ALL SELECT q_id, 1, q_emb[17:32] FROM qv
+          UNION ALL SELECT q_id, 2, q_emb[33:48] FROM qv
+          UNION ALL SELECT q_id, 3, q_emb[49:64] FROM qv
+        ), lut AS (
+          SELECT q_id, b.subspace, b.cluster AS code,
+                 round(list_sum(list_transform(list_zip(s.qsub, b.centroid),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sub_d
+          FROM qsliced s JOIN books b ON s.subspace = b.subspace
+        ), dists AS (
+          SELECT c.q_id, c.vec_id, round(sum(l.sub_d), 6) AS approx_d
+          FROM cand c
+          JOIN enc e ON e.vec_id = c.vec_id
+          JOIN lut l
+            ON l.q_id = c.q_id AND l.subspace = e.subspace
+           AND l.code = e.code
+          GROUP BY c.q_id, c.vec_id
           HAVING count(*) = 4
         ), ranked AS (
           SELECT q_id, vec_id, approx_d,

@@ -105,6 +105,9 @@ def headline_queries():
         "top_volume_per_symbol",
         # round-4 additions
         "emb_pq_topk",
+        "emb_ivf_pq_topk",
+        "doc_bm25_topk",
+        "doc_chunks",
         "volume_bars",
     ):
         if name in q:

@@ -111,3 +111,55 @@ def test_pq_search_deterministic_across_partitionings(spark, sf_dir, pq_parts):
     assert {key(r): (r["vec_id"], r["approx_d"]) for r in a} == {
         key(r): (r["vec_id"], r["approx_d"]) for r in b
     }
+
+
+def test_ivf_pq_candidates_come_only_from_probed_buckets(spark, sf_dir):
+    """IVF-PQ's result set must be a subset of the probed buckets'
+    members (pruning is real), and within that candidate set its
+    ranking must agree with full-corpus PQ ranking restricted to the
+    same candidates (the LUT scoring is the same math)."""
+    from trade_data_collection_service_spark.ext.kmeans import fit
+    from trade_data_collection_service_spark.ext.pq import ivf_pq_topk
+    from trade_data_collection_service_spark.ext.similarity import (
+        _norm,
+        assign_buckets,
+        probe_buckets,
+        vectors,
+    )
+
+    got = ivf_pq_topk(spark, sf_dir, n_queries=2, k=5, nprobe=2).collect()
+    assert got, "ivf_pq_topk returned no rows"
+
+    cents, _ = fit(spark, sf_dir, k=8, max_iters=2, round_to=6)
+    centroids = cents.select(
+        F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
+    ).withColumn("nrm", _norm("emb"))
+    v = vectors(spark, sf_dir)
+    bucket_of = {
+        r["vec_id"]: r["bucket"]
+        for r in assign_buckets(v, centroids).select("vec_id", "bucket").collect()
+    }
+    probed = {}
+    for r in (
+        probe_buckets(
+            v.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 102)),
+            centroids,
+            2,
+        )
+        .select("vec_id", "probe_bucket")
+        .collect()
+    ):
+        probed.setdefault(r["vec_id"], set()).add(r["probe_bucket"])
+    for r in got:
+        assert bucket_of[r["vec_id"]] in probed[r["q_id"]], (
+            f"vec {r['vec_id']} outside probed buckets of q {r['q_id']}"
+        )
+    # ranks are 1..k contiguous per query, distances non-decreasing
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        ds = [r["approx_d"] for r in rows]
+        assert ds == sorted(ds)

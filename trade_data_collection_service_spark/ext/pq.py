@@ -224,3 +224,104 @@ def pq_search(
         .filter(F.col("rank") <= k)
         .orderBy("q_id", "rank")
     )
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_coarse: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+    n_queries: int = 3,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ: the ANN ladder's capstone and the canonical 100 TB
+    deployment shape — a trained coarse quantizer prunes the corpus to
+    ``nprobe`` buckets per query, and PQ codes (m bytes/vector) are
+    scored with the asymmetric LUT inside only those buckets.
+
+    Plan shape: candidate (q_id, vec_id) pairs come from a broadcast
+    probe→bucket equi-join (at rest the bucketed code table is stored
+    partitionBy(bucket), so this is partition pruning — the
+    write_ivf_index pattern in ext/similarity); codes join the
+    broadcast candidates BEFORE the LUT join, so the scored row count
+    is O(candidates·m), never O(corpus·m).  No residual encoding (the
+    FAISS refinement that re-centers each vector on its coarse
+    centroid before PQ): codebooks train on raw vectors so the DuckDB
+    twin stays the composition of the two existing CTE generators;
+    plumbing, pruning, and storage layout are identical either way.
+
+    Returns (q_id, vec_id, approx_d, rank)."""
+    from trade_data_collection_service_spark.ext.kmeans import fit
+    from trade_data_collection_service_spark.ext.similarity import (
+        _norm,
+        assign_buckets,
+        probe_buckets,
+        vectors as svectors,
+    )
+
+    cents, _ = fit(spark, sf_dir, k=n_coarse, max_iters=coarse_iters, round_to=6)
+    centroids = cents.select(
+        F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
+    ).withColumn("nrm", _norm("emb"))
+    v = svectors(spark, sf_dir)
+    bucketed = assign_buckets(v, centroids).select("vec_id", "bucket")
+
+    books = train_codebooks(spark, sf_dir, m=m, k=k_codes, max_iters=pq_iters)
+    encoded = pq_encode(spark, sf_dir, books, m=m)
+
+    queries = v.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)
+    )
+    probes = probe_buckets(queries, centroids, nprobe).select(
+        F.col("vec_id").alias("q_id"), F.col("probe_bucket").alias("q_bucket")
+    )
+    cand = (
+        bucketed.join(
+            broadcast(probes), F.col("bucket") == F.col("q_bucket")
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+
+    dim = len(v.select("emb").first()["emb"])
+    sub_dim = dim // m
+    q_sliced = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        _subslice(F.col("emb"), j, sub_dim).alias("qsub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("q_id", "s.subspace", "s.qsub")
+    lut = (
+        q_sliced.join(broadcast(books), "subspace")
+        .withColumn("sub_d", F.round(_sqdist(F.col("qsub"), F.col("centroid")), 6))
+        .select("q_id", "subspace", F.col("cluster").alias("code"), "sub_d")
+    )
+    dist = (
+        encoded.join(broadcast(cand), "vec_id")
+        .join(broadcast(lut), ["q_id", "subspace", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(F.sum("sub_d"), 6).alias("approx_d"),
+            F.count(F.lit(1)).alias("_m"),
+        )
+        .filter(F.col("_m") == m)
+        .drop("_m")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_d").asc(), F.col("vec_id").asc())
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
