@@ -702,6 +702,43 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_PROBES = ("fast", "data", "stream", "the", "a")
+
+
+def _q_doc_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream + point estimates for a
+    probe vocabulary, joined with exact counts (the count-min
+    guarantee est >= exact is thus oracle-visible row by row)."""
+    from trade_data_collection_service_spark.functions.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    docs = XT.with_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    toks = docs.select(F.explode("tokens").alias("token"))
+    sk = cms_sketch(toks, "token")
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], ["token"])
+    est = cms_estimate(sk, probes, "token")
+    exact = (
+        toks.filter(F.col("token").isin(*CMS_PROBES))
+        .groupBy(F.col("token").alias("probe"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, "probe", "left")
+        .select(
+            "probe",
+            "est_count",
+            F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
+        )
+        .orderBy("probe")
+    )
+
+
+def _q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XP.event_anomaly(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition — trained coarse quantizer prunes to nprobe
     buckets, PQ LUT scores codes inside them (ext/pq.ivf_pq_topk)."""
@@ -788,6 +825,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_pq_topk": _q_emb_ivf_pq_topk,
         "doc_bm25_topk": _q_doc_bm25_topk,
         "doc_chunks": _q_doc_chunks,
+        "doc_token_cms": _q_doc_token_cms,
+        "event_anomaly": _q_event_anomaly,
         # --- re-greened r03: candle/rollup core ---
         "candles_1m": _q_candles_1m,
         "dedup_latest": _q_dedup_latest,
@@ -1462,6 +1501,73 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY token
         ORDER BY n_occurrences DESC, token
         LIMIT 50
+        """,
+        "doc_token_cms": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , tok AS (
+          SELECT unnest(tokens) AS token FROM toks
+        ), cells AS (
+          SELECT d AS row,
+            CAST(list_sum(list_transform(range(1, 9),
+              i -> (strpos('0123456789abcdef',
+                     substr(md5('cms-v1|' || CAST(d AS VARCHAR) || '|'
+                                || token),
+                            CAST(i AS INTEGER), 1)) - 1)
+                   * (16.0 ** (8 - i)))) AS BIGINT) & 63 AS col
+          FROM tok, range(0, 4) t(d)
+        ), sk AS (
+          SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+          FROM cells GROUP BY row, col
+        ), probes(probe) AS (
+          VALUES ('fast'), ('data'), ('stream'), ('the'), ('a')
+        ), pcells AS (
+          SELECT probe, d AS row,
+            CAST(list_sum(list_transform(range(1, 9),
+              i -> (strpos('0123456789abcdef',
+                     substr(md5('cms-v1|' || CAST(d AS VARCHAR) || '|'
+                                || probe),
+                            CAST(i AS INTEGER), 1)) - 1)
+                   * (16.0 ** (8 - i)))) AS BIGINT) & 63 AS col
+          FROM probes, range(0, 4) t(d)
+        ), est AS (
+          SELECT probe,
+                 CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+          FROM pcells LEFT JOIN sk USING (row, col)
+          GROUP BY probe
+        ), exact AS (
+          SELECT token AS probe, CAST(count(*) AS BIGINT) AS exact_count
+          FROM tok WHERE token IN ('fast', 'data', 'stream', 'the', 'a')
+          GROUP BY token
+        )
+        SELECT probe, est_count,
+               CAST(coalesce(exact_count, 0) AS BIGINT) AS exact_count
+        FROM est LEFT JOIN exact USING (probe)
+        ORDER BY probe
+        """,
+        "event_anomaly": """
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY event_type, day
+        ), stats AS (
+          SELECT event_type, day, n_events,
+                 round(avg(n_events) OVER w, 6) AS base_mean,
+                 round(stddev_samp(n_events) OVER w, 6) AS base_std
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, day, n_events, base_mean, base_std,
+               CASE WHEN base_std > 0
+                    THEN round((n_events - base_mean) / base_std, 6)
+               END AS z,
+               coalesce(CASE WHEN base_std > 0
+                             THEN round((n_events - base_mean) / base_std, 6)
+                                  > 2.5
+                        END, FALSE) AS is_anomaly
+        FROM stats
+        ORDER BY event_type, day
         """,
         "doc_bm25_topk": "WITH "
         + _TOKS_CTE.format(src="documents")

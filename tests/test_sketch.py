@@ -108,3 +108,39 @@ def test_histogram_sketch_merges_across_shards(spark, sf_dir):
     full = histogram_quantiles(c, ["symbol"], "close").collect()
     merged = histogram_quantiles(halves, ["symbol"], "close").collect()
     assert [r.asDict() for r in full] == [r.asDict() for r in merged]
+
+
+def test_cms_overestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.functions.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    words_a = [("x",)] * 5 + [("y",)] * 3 + [("z",)] * 1
+    words_b = [("x",)] * 2 + [("w",)] * 4
+    a = spark.createDataFrame(words_a, ["token"])
+    b = spark.createDataFrame(words_b, ["token"])
+    both = a.unionAll(b)
+
+    sk_all = cms_sketch(both, "token")
+    probes = spark.createDataFrame([("x",), ("y",), ("z",), ("w",), ("q",)], ["token"])
+    est = {
+        r["probe"]: r["est_count"]
+        for r in cms_estimate(sk_all, probes, "token").collect()
+    }
+    true = {"x": 7, "y": 3, "z": 1, "w": 4, "q": 0}
+    for t, n in true.items():
+        assert est[t] >= n, (t, est[t], n)
+
+    # mergeability: cell-wise SUM of two partial sketches == sketch of union
+    merged = (
+        cms_sketch(a, "token")
+        .unionAll(cms_sketch(b, "token"))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    lhs = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
+    rhs = {(r["row"], r["col"]): r["cnt"] for r in sk_all.collect()}
+    assert lhs == rhs

@@ -374,3 +374,38 @@ def chunk_documents(
         F.size("c.chunk").cast("long").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", "c.chunk")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+def event_anomaly(events: DataFrame, z_threshold: float = 2.5) -> DataFrame:
+    """Windowed volume-anomaly detection: per (event_type, day) counts
+    scored against the trailing 7-day baseline (mean/std over rows
+    -7..-1), the standard data-quality tripwire on an ingest pipeline.
+
+    One shuffle for the daily aggregate (map-side combined), one for
+    the per-type window; the window state is 7 rows per event_type —
+    nothing scales with event volume past the first groupBy.  Mean and
+    std are rounded before the z-score so the flag is engine-portable;
+    days without enough history (std undefined or zero) are never
+    flagged."""
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.withColumn(
+        "base_mean", F.round(F.avg("n_events").over(w), 6)
+    ).withColumn("base_std", F.round(F.stddev_samp("n_events").over(w), 6))
+    z = F.when(
+        F.col("base_std") > 0,
+        F.round((F.col("n_events") - F.col("base_mean")) / F.col("base_std"), 6),
+    )
+    return (
+        scored.withColumn("z", z)
+        .withColumn(
+            "is_anomaly", F.coalesce(F.col("z") > z_threshold, F.lit(False))
+        )
+        .orderBy("event_type", "day")
+    )

@@ -159,3 +159,74 @@ def histogram_quantiles(
     return est.select(
         *group_cols, *edge_cols, F.col("_n").alias("n")
     ).orderBy(*group_cols)
+
+
+# --- Count-min sketch -------------------------------------------------------
+
+CMS_WIDTH = 64
+CMS_DEPTH = 4
+
+
+def cms_cells(value: Column, salt: str = "cms-v1") -> Column:
+    """Array of (row, col) cells a value increments — one md5-derived
+    column per sketch row, same engine-portable derivation discipline
+    as the HLL registers (DuckDB computes the identical cells)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"),
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit(f"{salt}|{d}|"), value.cast("string"))
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .bitwiseAND(F.lit(CMS_WIDTH - 1))
+                .alias("col"),
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame, value_col: str, salt: str = "cms-v1"
+) -> DataFrame:
+    """Build the count-min table: (row, col, cnt).  One groupBy with
+    map-side partial counts; at most depth×width = 256 rows survive
+    the shuffle regardless of input size, and two sketches merge by
+    summing cells — the mergeability that lets per-shard/per-day
+    sketches roll up without rescanning (same telemetry contract as
+    ``hll_distinct`` and the histogram quantile sketch)."""
+    cells = df.select(
+        F.explode(cms_cells(F.col(value_col), salt)).alias("c")
+    ).select("c.row", "c.col")
+    return cells.groupBy("row", "col").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, value_col: str, salt: str = "cms-v1"
+) -> DataFrame:
+    """Point-frequency estimates for probe values: min over the
+    sketch rows of the probed cells (the count-min guarantee:
+    estimate >= true count, with overestimate bounded by collisions).
+    The sketch is tiny (<= depth×width rows) and broadcasts."""
+    from pyspark.sql.functions import broadcast
+
+    cells = probes.select(
+        F.col(value_col).alias("probe"),
+        F.explode(cms_cells(F.col(value_col), salt)).alias("c"),
+    ).select("probe", "c.row", "c.col")
+    return (
+        cells.join(broadcast(sketch), ["row", "col"], "left")
+        .groupBy("probe")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_count"))
+    )
