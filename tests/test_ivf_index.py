@@ -59,3 +59,49 @@ def test_indexed_search_prunes_partitions(ivf_index):
     # …and actually read fewer partition directories than exist.
     n_parts = spark.read.parquet(path).select("bucket").distinct().count()
     assert n_parts >= 2  # index genuinely partitioned
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.pq import write_ivfpq_index
+
+    tmp = tempfile.mkdtemp(prefix="ivfpq_index_")
+    path = f"{tmp}/index"
+    centroids, books = write_ivfpq_index(spark, sf_dir, path)
+    yield spark, sf_dir, path, centroids, books
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ivfpq_indexed_search_matches_inline(ivfpq_index):
+    from trade_data_collection_service_spark.ext.pq import (
+        ivf_pq_topk,
+        ivfpq_search_indexed,
+    )
+
+    spark, sf_dir, path, centroids, books = ivfpq_index
+    got = ivfpq_search_indexed(
+        spark, path, centroids, books, _queries(spark, sf_dir), k=10, nprobe=2
+    ).collect()
+    want = ivf_pq_topk(spark, sf_dir, k=10, nprobe=2).collect()
+    key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+    assert {key(r): (r["vec_id"], r["approx_d"]) for r in got} == {
+        key(r): (r["vec_id"], r["approx_d"]) for r in want
+    }
+    assert got, "no results"
+
+
+def test_ivfpq_indexed_search_prunes_partitions(ivfpq_index):
+    from trade_data_collection_service_spark.ext.pq import ivfpq_search_indexed
+
+    spark, sf_dir, path, centroids, books = ivfpq_index
+    df = ivfpq_search_indexed(
+        spark, path, centroids, books, _queries(spark, sf_dir), k=10, nprobe=2
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:2000]
+    n_parts = spark.read.parquet(path).select("bucket").distinct().count()
+    assert n_parts >= 2

@@ -325,3 +325,148 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .orderBy("q_id", "rank")
     )
+
+
+def write_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    n_coarse: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the IVF-PQ index at rest: PQ codes pivoted to one
+    row per vector, joined with the coarse bucket assignment, written
+    ``partitionBy(bucket)``.  Returns (coarse centroids, codebooks) —
+    the only state a searcher needs besides the path.
+
+    This is the storage form the 100 TB story rests on: the index is
+    m code bytes + one bucket key per vector (the vectors themselves
+    stay in cold storage), each coarse bucket is a partition
+    directory, and a query reads ONLY its nprobe directories —
+    partition pruning is plan-asserted in tests/test_ivf_index.py."""
+    from trade_data_collection_service_spark.ext.kmeans import fit
+    from trade_data_collection_service_spark.ext.similarity import (
+        _norm,
+        assign_buckets,
+        vectors as svectors,
+    )
+
+    cents, _ = fit(spark, sf_dir, k=n_coarse, max_iters=coarse_iters, round_to=6)
+    centroids = cents.select(
+        F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
+    ).withColumn("nrm", _norm("emb"))
+    bucketed = assign_buckets(svectors(spark, sf_dir), centroids).select(
+        "vec_id", "bucket"
+    )
+    books = train_codebooks(spark, sf_dir, m=m, k=k_codes, max_iters=pq_iters)
+    codes_wide = (
+        pq_encode(spark, sf_dir, books, m=m)
+        .groupBy("vec_id")
+        .pivot("subspace", list(range(m)))
+        .agg(F.first("code"))
+        .select(
+            "vec_id", *[F.col(str(j)).alias(f"code{j}") for j in range(m)]
+        )
+    )
+    (
+        codes_wide.join(bucketed, "vec_id")
+        .repartition("bucket")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return centroids, books
+
+
+def ivfpq_search_indexed(
+    spark: SparkSession,
+    path: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    m: int = 4,
+) -> DataFrame:
+    """Search a stored IVF-PQ index: probe-bucket the queries against
+    the broadcast coarse centroids, read ONLY the probed bucket
+    partitions (`bucket IN (…)` prunes at the parquet partition
+    level), un-pivot the m code columns, and score with the
+    asymmetric LUT.  Scanned bytes ∝ (nprobe/n_coarse) × (m bytes +
+    key per vector) — the double pruning (partitions × compression)
+    that makes exabyte-class ANN a few-seconds scan."""
+    from trade_data_collection_service_spark.ext.similarity import probe_buckets
+
+    probes = probe_buckets(queries, centroids, nprobe).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("probe_bucket").alias("q_bucket"),
+    )
+    probe_ids = [
+        r["q_bucket"] for r in probes.select("q_bucket").distinct().collect()
+    ]
+    index = spark.read.parquet(path).filter(F.col("bucket").isin(probe_ids))
+    cand = (
+        index.join(
+            broadcast(probes.select("q_id", "q_bucket")),
+            F.col("bucket") == F.col("q_bucket"),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("subspace"),
+                            F.col(f"code{j}").alias("code"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("q_id", "vec_id", "c.subspace", "c.code")
+    )
+    dim = len(queries.select("emb").first()["emb"])
+    sub_dim = dim // m
+    q_sliced = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        _subslice(F.col("emb"), j, sub_dim).alias("qsub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("q_id", "s.subspace", "s.qsub")
+    lut = (
+        q_sliced.join(broadcast(codebooks), "subspace")
+        .withColumn("sub_d", F.round(_sqdist(F.col("qsub"), F.col("centroid")), 6))
+        .select("q_id", "subspace", F.col("cluster").alias("code"), "sub_d")
+    )
+    dist = (
+        cand.join(broadcast(lut), ["q_id", "subspace", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(F.sum("sub_d"), 6).alias("approx_d"),
+            F.count(F.lit(1)).alias("_m"),
+        )
+        .filter(F.col("_m") == m)
+        .drop("_m")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_d").asc(), F.col("vec_id").asc())
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
