@@ -827,6 +827,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "doc_token_cms": _q_doc_token_cms,
         "event_anomaly": _q_event_anomaly,
+        "tpch_q17": XH.q17_small_quantity_revenue,
+        "tpch_q21": XH.q21_waiting_suppliers,
         # --- re-greened r03: candle/rollup core ---
         "candles_1m": _q_candles_1m,
         "dedup_latest": _q_dedup_latest,
@@ -1501,6 +1503,35 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY token
         ORDER BY n_occurrences DESC, token
         LIMIT 50
+        """,
+        "tpch_q17": """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p_brand = 'Brand#1' AND p_size < 15
+          AND l_quantity < (
+            SELECT round(0.2 * avg(l2.l_quantity), 6)
+            FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+          )
+        """,
+        "tpch_q21": """
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
         """,
         "doc_token_cms": "WITH "
         + _TOKS_CTE.format(src="documents")

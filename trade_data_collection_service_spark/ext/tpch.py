@@ -401,3 +401,68 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 adapted (no p_container in the driver schema — the
+    part filter is brand + size): revenue from small-quantity orders
+    of selected parts.  The correlated scalar subquery (per-part 20%%
+    of average quantity) decorrelates to one per-part aggregate
+    broadcast-joined back onto the same filtered fact — the classic
+    two-pass rewrite; the selected-part dimension broadcasts so the
+    fact scans once and never shuffles on partkey."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem")
+    lp = l.join(
+        broadcast(p), l["l_partkey"] == p["p_partkey"]
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thr = lp.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_thr")
+    )
+    return (
+        lp.join(broadcast(thr), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (no commit/receipt dates — "late" is proxied
+    by l_returnflag = 'R'): suppliers whose returned lineitem was the
+    ONLY returned item in a multi-supplier order.  Keeps Q21's whole
+    decorrelation structure: EXISTS → left-semi join (another supplier
+    in the order), NOT EXISTS → left-anti join (no OTHER supplier's
+    returned item), then a broadcast dim join + top-10."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = l.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    cand = l1.join(
+        l2,
+        (l1["l_orderkey"] == l2["o2"]) & (l1["l_suppkey"] != l2["s2"]),
+        "left_semi",
+    ).join(
+        l3,
+        (l1["l_orderkey"] == l3["o3"]) & (l1["l_suppkey"] != l3["s3"]),
+        "left_anti",
+    )
+    return (
+        cand.join(broadcast(s), cand["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
