@@ -108,6 +108,10 @@ def headline_queries():
         "emb_ivf_pq_topk",
         "doc_bm25_topk",
         "doc_chunks",
+        "doc_token_cms",
+        "event_anomaly",
+        "tpch_q17",
+        "tpch_q21",
         "volume_bars",
     ):
         if name in q:

@@ -255,7 +255,6 @@ def ivf_pq_topk(
     plumbing, pruning, and storage layout are identical either way.
 
     Returns (q_id, vec_id, approx_d, rank)."""
-    from trade_data_collection_service_spark.ext.kmeans import fit
     from trade_data_collection_service_spark.ext.similarity import (
         _norm,
         assign_buckets,
@@ -263,8 +262,14 @@ def ivf_pq_topk(
         vectors as svectors,
     )
 
-    cents, _ = fit(spark, sf_dir, k=n_coarse, max_iters=coarse_iters, round_to=6)
-    centroids = cents.select(
+    # coarse quantizer: train_codebooks(m=1) IS full-dim Lloyd's with
+    # the exact discipline of kmeans.fit (first-k init by vec_id,
+    # rounded argmin, means rounded to 6 — the oracle's _kmeans_ctes),
+    # minus fit's per-iteration inertia collects the search never uses
+    coarse = train_codebooks(
+        spark, sf_dir, m=1, k=n_coarse, max_iters=coarse_iters
+    )
+    centroids = coarse.select(
         F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
     ).withColumn("nrm", _norm("emb"))
     v = svectors(spark, sf_dir)
@@ -347,15 +352,16 @@ def write_ivfpq_index(
     stay in cold storage), each coarse bucket is a partition
     directory, and a query reads ONLY its nprobe directories —
     partition pruning is plan-asserted in tests/test_ivf_index.py."""
-    from trade_data_collection_service_spark.ext.kmeans import fit
     from trade_data_collection_service_spark.ext.similarity import (
         _norm,
         assign_buckets,
         vectors as svectors,
     )
 
-    cents, _ = fit(spark, sf_dir, k=n_coarse, max_iters=coarse_iters, round_to=6)
-    centroids = cents.select(
+    coarse = train_codebooks(
+        spark, sf_dir, m=1, k=n_coarse, max_iters=coarse_iters
+    )
+    centroids = coarse.select(
         F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
     ).withColumn("nrm", _norm("emb"))
     bucketed = assign_buckets(svectors(spark, sf_dir), centroids).select(
