@@ -829,6 +829,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomaly": _q_event_anomaly,
         "tpch_q17": XH.q17_small_quantity_revenue,
         "tpch_q21": XH.q21_waiting_suppliers,
+        "tpch_q8": XH.q8_market_share,
+        "tpch_q13": XH.q13_customer_distribution,
+        "tpch_q15": XH.q15_top_supplier,
         # --- re-greened r03: candle/rollup core ---
         "candles_1m": _q_candles_1m,
         "dedup_latest": _q_dedup_latest,
@@ -1503,6 +1506,57 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY token
         ORDER BY n_occurrences DESC, token
         LIMIT 50
+        """,
+        "tpch_q8": """
+        WITH base AS (
+          SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+                   AS DECIMAL(18,4)) AS vol,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        SELECT o_year,
+               round(
+                 CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+        FROM base
+        GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q13": """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15": """
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+                   AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON supplier_no = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
         """,
         "tpch_q17": """
         SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))

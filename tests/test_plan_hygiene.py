@@ -39,6 +39,7 @@ NESTED_LOOP_OK = {
     "freshness",
     "readme_window",
     "tpch_q22",
+    "tpch_q15",  # 1-row max-revenue broadcast scalar
     "doc_bm25_topk",  # 1-row (n_docs, avgdl) broadcast scalar pair
 }
 ARROW_OK = {"multimodal_features", "multimodal_frames"}

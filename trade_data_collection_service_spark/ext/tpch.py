@@ -466,3 +466,101 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's market share of a part-type's
+    volume sold into one region, per order year.  The fact joins the
+    filtered part dim FIRST (the strongest selectivity), then five
+    broadcast dims; share = two conditional decimal sums divided after
+    the cast to double (the q1/q5 money discipline)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    base = (
+        l.join(broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(broadcast(n1), c["c_nationkey"] == n1["n_nationkey"])
+        .join(broadcast(r), n1["n_regionkey"] == r["r_regionkey"])
+        .join(broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(broadcast(n2), s["s_nationkey"] == F.col("supp_nationkey"))
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(zero)
+            )
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("nation_volume") / F.col("total_volume"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 adapted (no o_comment filter in the driver schema):
+    distribution of customers by order count, INCLUDING zero-order
+    customers — the left outer join + double aggregation that the
+    original exists to test."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    counts = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarter revenue.  The
+    view + scalar MAX subquery decorrelates to one revenue aggregate
+    reused on both sides: the 1-row max broadcasts back over it (the
+    repo's no-collect scalar idiom), so the fact scans once."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
