@@ -112,6 +112,7 @@ def headline_queries():
         "event_anomaly",
         "tpch_q17",
         "tpch_q21",
+        "tpch_q8",
         "volume_bars",
     ):
         if name in q:
