@@ -745,6 +745,13 @@ def _q_emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XQ.ivf_pq_topk(spark, sf_dir)
 
 
+def _q_emb_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — residual-encoding IVF-PQ, the exact FAISS form
+    (ext/pq.ivfadc_topk): PQ codebooks train on x − coarse_centroid,
+    query LUTs are per probed bucket."""
+    return XQ.ivfadc_topk(spark, sf_dir)
+
+
 def _q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, end to end: per-subspace Lloyd's
     codebooks (m=4 x 16 codes, 2 iterations), long-format encode, and
@@ -823,6 +830,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 ---
         "emb_pq_topk": _q_emb_pq_topk,
         "emb_ivf_pq_topk": _q_emb_ivf_pq_topk,
+        "emb_ivfadc_topk": _q_emb_ivfadc_topk,
         "doc_bm25_topk": _q_doc_bm25_topk,
         "doc_chunks": _q_doc_chunks,
         "doc_token_cms": _q_doc_token_cms,
@@ -1082,7 +1090,9 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     return "".join(parts)
 
 
-def _pq_ctes(m: int = 4, k: int = 16, iters: int = 2, dim: int = 64) -> str:
+def _pq_ctes(
+    m: int = 4, k: int = 16, iters: int = 2, dim: int = 64, src: str = "n"
+) -> str:
     """Unrolled per-subspace Lloyd's + PQ encode as chained CTEs — the
     DuckDB twin of ext/pq.train_codebooks + pq_encode: each of the m
     sub-slices runs _kmeans_ctes-style iterations (first-k init by
@@ -1090,7 +1100,8 @@ def _pq_ctes(m: int = 4, k: int = 16, iters: int = 2, dim: int = 64) -> str:
     tiebreak, per-dim means rounded to 6), then every vector slice is
     assigned its nearest codebook centroid.  Produces CTEs ``books``
     (subspace, cluster, centroid) and ``enc`` (vec_id, subspace,
-    code)."""
+    code).  ``src`` names the (vec_id, emb) CTE to train/encode on —
+    ``n`` for raw vectors, a residual CTE for the IVFADC twin."""
     sub_dim = dim // m
     parts = []
     for j in range(m):
@@ -1098,7 +1109,7 @@ def _pq_ctes(m: int = 4, k: int = 16, iters: int = 2, dim: int = 64) -> str:
         parts.append(
             f"""
         , sv{j} AS (
-          SELECT vec_id, emb[{lo}:{hi}] AS emb FROM n
+          SELECT vec_id, emb[{lo}:{hi}] AS emb FROM {src}
         ), s{j}c0 AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster,
                  emb AS centroid
@@ -2140,6 +2151,90 @@ def oracle_sql() -> dict[str, str]:
           JOIN lut l
             ON l.q_id = c.q_id AND l.subspace = e.subspace
            AND l.code = e.code
+          GROUP BY c.q_id, c.vec_id
+          HAVING count(*) = 4
+        ), ranked AS (
+          SELECT q_id, vec_id, approx_d,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY approx_d ASC, vec_id ASC) AS BIGINT) AS rank
+          FROM dists
+        )
+        SELECT * FROM ranked WHERE rank <= 10
+        """,
+        "emb_ivfadc_topk": _VEC_CTE
+        + _kmeans_ctes(k=8, iters=2, dim=64)
+        + f"""
+        , tc AS (
+          SELECT cluster AS c_id, centroid AS c_emb,
+                 sqrt(list_sum(list_transform(centroid, x -> x * x)))
+                   AS c_nrm
+          FROM c2
+        ), asg AS (
+          SELECT vec_id, c_id,
+                 {_COS.format(a="emb", b="c_emb", na="nrm", nb="c_nrm")}
+                   AS c_sim
+          FROM n, tc
+        ), bucketed AS (
+          SELECT vec_id, c_id AS bucket
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS r
+                FROM asg)
+          WHERE r = 1
+        ), cb AS (
+          SELECT cluster AS bucket, centroid AS bc_emb FROM c2
+        ), rn AS (
+          SELECT b.vec_id, b.bucket,
+                 list_transform(list_zip(n.emb, cb.bc_emb),
+                   p -> p[1] - p[2]) AS emb
+          FROM bucketed b
+          JOIN n USING (vec_id)
+          JOIN cb USING (bucket)
+        )"""
+        + _pq_ctes(m=4, k=16, iters=2, dim=64, src="rn")
+        + f"""
+        , qv AS (
+          SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+          FROM n WHERE vec_id >= 100 AND vec_id < 103
+        ), qasg AS (
+          SELECT q_id, c_id,
+                 {_COS.format(a="q_emb", b="c_emb", na="q_nrm", nb="c_nrm")}
+                   AS c_sim
+          FROM qv, tc
+        ), probes AS (
+          SELECT q_id, c_id AS q_bucket
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY q_id ORDER BY c_sim DESC, c_id) AS r
+                FROM qasg)
+          WHERE r <= 2
+        ), qres AS (
+          SELECT p.q_id, p.q_bucket,
+                 list_transform(list_zip(q.q_emb, cb.bc_emb),
+                   t -> t[1] - t[2]) AS qres_emb
+          FROM probes p
+          JOIN qv q USING (q_id)
+          JOIN cb ON cb.bucket = p.q_bucket
+        ), qsliced AS (
+          SELECT q_id, q_bucket, 0 AS subspace, qres_emb[1:16] AS qsub
+          FROM qres
+          UNION ALL SELECT q_id, q_bucket, 1, qres_emb[17:32] FROM qres
+          UNION ALL SELECT q_id, q_bucket, 2, qres_emb[33:48] FROM qres
+          UNION ALL SELECT q_id, q_bucket, 3, qres_emb[49:64] FROM qres
+        ), lut AS (
+          SELECT q_id, q_bucket, b.subspace, b.cluster AS code,
+                 round(list_sum(list_transform(list_zip(s.qsub, b.centroid),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sub_d
+          FROM qsliced s JOIN books b ON s.subspace = b.subspace
+        ), cand AS (
+          SELECT p.q_id, p.q_bucket, b.vec_id
+          FROM probes p JOIN bucketed b ON b.bucket = p.q_bucket
+          WHERE b.vec_id <> p.q_id
+        ), dists AS (
+          SELECT c.q_id, c.vec_id, round(sum(l.sub_d), 6) AS approx_d
+          FROM cand c
+          JOIN enc e ON e.vec_id = c.vec_id
+          JOIN lut l
+            ON l.q_id = c.q_id AND l.q_bucket = c.q_bucket
+           AND l.subspace = e.subspace AND l.code = e.code
           GROUP BY c.q_id, c.vec_id
           HAVING count(*) = 4
         ), ranked AS (

@@ -106,6 +106,7 @@ def headline_queries():
         # round-4 additions
         "emb_pq_topk",
         "emb_ivf_pq_topk",
+        "emb_ivfadc_topk",
         "doc_bm25_topk",
         "doc_chunks",
         "doc_token_cms",

@@ -31,6 +31,7 @@ NESTED_LOOP_OK = {
     "emb_ivf_topk",  # probe×bucket candidate pairing vs broadcast probes
     "emb_ivf_trained_topk",
     "emb_ivf_pq_topk",  # coarse-quantizer assignment: corpus × broadcast centroids
+    "emb_ivfadc_topk",  # same coarse-assignment shape, residual variant
     "emb_neardup",  # bucket-local pairing joins on bucket equi-key, but
     # the per-bucket pair condition (vec_a < vec_b) is non-equi
     # 1-row broadcast scalar subqueries (crossJoin(broadcast(agg)) — the

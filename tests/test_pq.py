@@ -163,3 +163,59 @@ def test_ivf_pq_candidates_come_only_from_probed_buckets(spark, sf_dir):
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         ds = [r["approx_d"] for r in rows]
         assert ds == sorted(ds)
+
+
+def test_ivfadc_encodes_residuals_and_ranks_validly(spark, sf_dir):
+    """IVFADC must (a) return valid contiguous rankings over the same
+    probed candidate universe as the residual-free variant — the
+    coarse quantizer is shared — and (b) actually encode residuals:
+    its codebooks describe the within-bucket distribution, so their
+    centroids must differ from raw-vector codebooks."""
+    from trade_data_collection_service_spark.ext.pq import (
+        ivf_pq_topk,
+        ivfadc_topk,
+        train_codebooks,
+    )
+    from trade_data_collection_service_spark.ext.similarity import (
+        _norm,
+        assign_buckets,
+        vectors,
+    )
+
+    adc = ivfadc_topk(spark, sf_dir, n_queries=2, k=5, nprobe=2).collect()
+    flat = ivf_pq_topk(spark, sf_dir, n_queries=2, k=5, nprobe=2).collect()
+    assert adc and flat
+    by_q = {}
+    for r in adc:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        ds = [r["approx_d"] for r in rows]
+        assert ds == sorted(ds)
+    # candidate universes agree (same coarse quantizer, same probes)
+    assert {r["q_id"] for r in adc} == {r["q_id"] for r in flat}
+
+    # residual codebooks differ from raw codebooks
+    raw_books = {
+        (r["subspace"], r["cluster"]): tuple(r["centroid"])
+        for r in train_codebooks(spark, sf_dir, m=4, k=16, max_iters=2).collect()
+    }
+    coarse = train_codebooks(spark, sf_dir, m=1, k=8, max_iters=2)
+    centroids = coarse.select(
+        F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
+    ).withColumn("nrm", _norm("emb"))
+    bucketed = assign_buckets(vectors(spark, sf_dir), centroids)
+    cb = coarse.select(
+        F.col("cluster").alias("bucket"), F.col("centroid").alias("c_emb")
+    )
+    residuals = bucketed.join(F.broadcast(cb), "bucket").select(
+        "vec_id", F.zip_with("emb", "c_emb", lambda x, y: x - y).alias("emb")
+    )
+    res_books = {
+        (r["subspace"], r["cluster"]): tuple(r["centroid"])
+        for r in train_codebooks(
+            spark, sf_dir, m=4, k=16, max_iters=2, source=residuals
+        ).collect()
+    }
+    assert raw_books != res_books

@@ -52,6 +52,7 @@ def train_codebooks(
     m: int = 4,
     k: int = 16,
     max_iters: int = 4,
+    source: DataFrame | None = None,
 ) -> DataFrame:
     """(subspace, cluster, centroid) codebooks — the m sub-space
     Lloyd's fits batched into ONE chained computation.  Deterministic:
@@ -65,8 +66,16 @@ def train_codebooks(
     broadcast codebooks, argmin per (subspace, vec_id)) and one update
     shuffle of (subspace, cluster, dim) partial means — m× fewer job
     barriers than looping the subspaces in the driver, and the update
-    shuffle is m·k·sub_dim = k·dim rows regardless of corpus size."""
-    v = vectors(spark, sf_dir).select("vec_id", "emb")
+    shuffle is m·k·sub_dim = k·dim rows regardless of corpus size.
+
+    ``source`` overrides the training set (a (vec_id, emb) frame) —
+    the residual-encoding IVFADC path trains on x − coarse_centroid
+    instead of raw vectors."""
+    v = (
+        source.select("vec_id", "emb")
+        if source is not None
+        else vectors(spark, sf_dir).select("vec_id", "emb")
+    )
     dim = len(v.select("emb").first()["emb"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -131,10 +140,21 @@ def train_codebooks(
     return centroids
 
 
-def pq_encode(spark: SparkSession, sf_dir: str, codebooks: DataFrame, m: int = 4) -> DataFrame:
+def pq_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    codebooks: DataFrame,
+    m: int = 4,
+    source: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, subspace, code): nearest codebook centroid per vector
-    slice — the m-byte compressed corpus, long format."""
-    v = vectors(spark, sf_dir).select("vec_id", "emb")
+    slice — the m-byte compressed corpus, long format.  ``source``
+    overrides the encoded set (residual-encoding path)."""
+    v = (
+        source.select("vec_id", "emb")
+        if source is not None
+        else vectors(spark, sf_dir).select("vec_id", "emb")
+    )
     dim = len(v.select("emb").first()["emb"])
     sub_dim = dim // m
     sliced = v.select(
@@ -462,6 +482,135 @@ def ivfpq_search_indexed(
     )
     dist = (
         cand.join(broadcast(lut), ["q_id", "subspace", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(F.sum("sub_d"), 6).alias("approx_d"),
+            F.count(F.lit(1)).alias("_m"),
+        )
+        .filter(F.col("_m") == m)
+        .drop("_m")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_d").asc(), F.col("vec_id").asc())
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
+def ivfadc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_coarse: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+    n_queries: int = 3,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVFADC — IVF with RESIDUAL product quantization, the exact
+    FAISS IVF-PQ form (Jégou et al. §5): codes quantize the residual
+    x − coarse_centroid(x), which concentrates the codebooks on the
+    within-bucket distribution and is what recall at scale comes from;
+    ``ivf_pq_topk`` is the residual-free ablation kept for comparison.
+
+    Asymmetric distance: ||q − c − code_centroid||² per probed bucket,
+    so the query LUT is per (query, probe bucket) — the query residual
+    q − c changes with each probed centroid.  LUT size is
+    n_queries × nprobe × m × k_codes (broadcast); candidate codes join
+    it on (q_bucket, subspace, code) after the broadcast probe→bucket
+    pruning join, so scored rows stay O(candidates·m).
+
+    Determinism: residuals are exact double subtractions of rounded-6
+    centroids from exact cast doubles — bit-equal across engines; all
+    ranking on rounded distances with id tiebreaks as everywhere."""
+    from trade_data_collection_service_spark.ext.similarity import (
+        _norm,
+        assign_buckets,
+        probe_buckets,
+        vectors as svectors,
+    )
+
+    coarse = train_codebooks(
+        spark, sf_dir, m=1, k=n_coarse, max_iters=coarse_iters
+    )
+    centroids = coarse.select(
+        F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
+    ).withColumn("nrm", _norm("emb"))
+    v = svectors(spark, sf_dir)
+    bucketed = assign_buckets(v, centroids).select("vec_id", "emb", "bucket")
+    c_by_bucket = coarse.select(
+        F.col("cluster").alias("bucket"), F.col("centroid").alias("c_emb")
+    )
+    residuals = (
+        bucketed.join(broadcast(c_by_bucket), "bucket")
+        .select(
+            "vec_id",
+            "bucket",
+            F.zip_with("emb", "c_emb", lambda x, y: x - y).alias("emb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    books = train_codebooks(
+        spark, sf_dir, m=m, k=k_codes, max_iters=pq_iters,
+        source=residuals,
+    )
+    encoded = pq_encode(spark, sf_dir, books, m=m, source=residuals)
+
+    queries = v.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)
+    )
+    probes = probe_buckets(queries, centroids, nprobe).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("probe_bucket").alias("q_bucket"),
+    )
+    qres = probes.join(
+        broadcast(c_by_bucket.withColumnRenamed("bucket", "q_bucket")),
+        "q_bucket",
+    ).select(
+        "q_id",
+        "q_bucket",
+        F.zip_with("q_emb", "c_emb", lambda x, y: x - y).alias("qres_emb"),
+    )
+    dim = len(v.select("emb").first()["emb"])
+    sub_dim = dim // m
+    q_sliced = qres.select(
+        "q_id",
+        "q_bucket",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        _subslice(F.col("qres_emb"), j, sub_dim).alias("qsub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("q_id", "q_bucket", "s.subspace", "s.qsub")
+    lut = (
+        q_sliced.join(broadcast(books), "subspace")
+        .withColumn("sub_d", F.round(_sqdist(F.col("qsub"), F.col("centroid")), 6))
+        .select(
+            "q_id", "q_bucket", "subspace", F.col("cluster").alias("code"), "sub_d"
+        )
+    )
+    cand = (
+        bucketed.select("vec_id", "bucket")
+        .join(
+            broadcast(probes.select("q_id", "q_bucket")),
+            F.col("bucket") == F.col("q_bucket"),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_bucket", "vec_id")
+    )
+    dist = (
+        encoded.join(broadcast(cand), "vec_id")
+        .join(broadcast(lut), ["q_id", "q_bucket", "subspace", "code"])
         .groupBy("q_id", "vec_id")
         .agg(
             F.round(F.sum("sub_d"), 6).alias("approx_d"),
