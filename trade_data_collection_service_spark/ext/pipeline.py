@@ -376,20 +376,21 @@ def chunk_documents(
     ).orderBy("doc_id", "chunk_id")
 
 
-def event_anomaly(events: DataFrame, z_threshold: float = 2.5) -> DataFrame:
-    """Windowed volume-anomaly detection: per (event_type, day) counts
-    scored against the trailing 7-day baseline (mean/std over rows
-    -7..-1), the standard data-quality tripwire on an ingest pipeline.
-
-    One shuffle for the daily aggregate (map-side combined), one for
-    the per-type window; the window state is 7 rows per event_type —
-    nothing scales with event volume past the first groupBy.  Mean and
-    std are rounded before the z-score so the flag is engine-portable;
-    days without enough history (std undefined or zero) are never
-    flagged."""
-    daily = events.groupBy(
+def daily_event_counts(events: DataFrame) -> DataFrame:
+    """Per (event_type, day) counts — the tiny state table the anomaly
+    scorer reads (O(types × days) rows regardless of event volume;
+    map-side combined)."""
+    return events.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def anomaly_scores(daily: DataFrame, z_threshold: float = 2.5) -> DataFrame:
+    """Score daily counts against the trailing 7-day baseline
+    (mean/std over rows -7..-1).  Window state is 7 rows per
+    event_type; mean and std are rounded before the z-score so the
+    flag is engine-portable; days without enough history (std
+    undefined or zero) are never flagged."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -409,3 +410,13 @@ def event_anomaly(events: DataFrame, z_threshold: float = 2.5) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def event_anomaly(events: DataFrame, z_threshold: float = 2.5) -> DataFrame:
+    """Windowed volume-anomaly detection: per (event_type, day) counts
+    scored against the trailing 7-day baseline — the standard
+    data-quality tripwire on an ingest pipeline.  Composition of
+    ``daily_event_counts`` + ``anomaly_scores``; the streaming twin
+    (streaming/anomaly.py) maintains the counts table incrementally
+    and reads scores off it with the identical scorer."""
+    return anomaly_scores(daily_event_counts(events), z_threshold)
