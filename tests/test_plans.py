@@ -89,6 +89,17 @@ def test_reservoir_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.text import bm25_topk
+
+    plan = _plan(bm25_topk(spark, sf_dir, k=10))
+    # The top-k over scored docs must plan as TakeOrderedAndProject
+    # (per-partition heaps), never an unpartitioned rank window over
+    # every doc containing >= 1 query term.  The only Window allowed
+    # is the rank attach AFTER the k-row limit.
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_hll_register_agg_is_partial(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -165,8 +165,11 @@ def bm25_topk(
     posting-list rows (doc_id, term) survive into the shuffle; term
     document-frequencies and the (n_docs, avgdl) scalar pair are
     broadcast back — no corpus-sized state anywhere past the first
-    projection.  Scoring is one groupBy(doc_id) sum.  The final rank
-    sorts only scored docs (those containing >= 1 query term).
+    projection.  Scoring is one groupBy(doc_id) sum.  The top-k is
+    taken with orderBy().limit(k) — Catalyst plans that as
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver),
+    so scored docs never concentrate on one partition; the rank column
+    is attached AFTER the limit, over exactly k rows.
 
     Determinism: scores rounded to 6, rank ties broken by doc_id —
     the DuckDB twin ranks identically."""
@@ -199,9 +202,10 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.round(F.sum("w"), 6).alias("bm25"))
     )
+    topk = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
+    # Rank over the k-row result only — bounded state, never corpus-sized.
     rank_w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .orderBy("rank")
     )
