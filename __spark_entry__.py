@@ -1052,6 +1052,13 @@ _COS = (
     " / ({na} * {nb}), 6)"
 )
 
+# squared-L2, rounded to 6 — the coarse assign/probe metric of the
+# IVF-PQ family (ext/pq.assign_buckets_l2), matching the PQ sub-distances
+_L2D = (
+    "round(list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+)
+
 
 def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """Unrolled Lloyd's k-means as chained CTEs — the DuckDB twin of
@@ -2107,13 +2114,13 @@ def oracle_sql() -> dict[str, str]:
         ), asg AS (
           SELECT vec_id,
                  c_id,
-                 {_COS.format(a="emb", b="c_emb", na="nrm", nb="c_nrm")}
-                   AS c_sim
+                 {_L2D.format(a="emb", b="c_emb")}
+                   AS c_d
           FROM n, tc
         ), bucketed AS (
           SELECT vec_id, c_id AS bucket
           FROM (SELECT *, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS r
+                  PARTITION BY vec_id ORDER BY c_d ASC, c_id) AS r
                 FROM asg)
           WHERE r = 1
         ), qv AS (
@@ -2121,13 +2128,13 @@ def oracle_sql() -> dict[str, str]:
           FROM n WHERE vec_id >= 100 AND vec_id < 103
         ), qasg AS (
           SELECT q_id, c_id,
-                 {_COS.format(a="q_emb", b="c_emb", na="q_nrm", nb="c_nrm")}
-                   AS c_sim
+                 {_L2D.format(a="q_emb", b="c_emb")}
+                   AS c_d
           FROM qv, tc
         ), probes AS (
           SELECT q_id, c_id AS q_bucket
           FROM (SELECT *, row_number() OVER (
-                  PARTITION BY q_id ORDER BY c_sim DESC, c_id) AS r
+                  PARTITION BY q_id ORDER BY c_d ASC, c_id) AS r
                 FROM qasg)
           WHERE r <= 2
         ), cand AS (
@@ -2171,13 +2178,13 @@ def oracle_sql() -> dict[str, str]:
           FROM c2
         ), asg AS (
           SELECT vec_id, c_id,
-                 {_COS.format(a="emb", b="c_emb", na="nrm", nb="c_nrm")}
-                   AS c_sim
+                 {_L2D.format(a="emb", b="c_emb")}
+                   AS c_d
           FROM n, tc
         ), bucketed AS (
           SELECT vec_id, c_id AS bucket
           FROM (SELECT *, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS r
+                  PARTITION BY vec_id ORDER BY c_d ASC, c_id) AS r
                 FROM asg)
           WHERE r = 1
         ), cb AS (
@@ -2197,13 +2204,13 @@ def oracle_sql() -> dict[str, str]:
           FROM n WHERE vec_id >= 100 AND vec_id < 103
         ), qasg AS (
           SELECT q_id, c_id,
-                 {_COS.format(a="q_emb", b="c_emb", na="q_nrm", nb="c_nrm")}
-                   AS c_sim
+                 {_L2D.format(a="q_emb", b="c_emb")}
+                   AS c_d
           FROM qv, tc
         ), probes AS (
           SELECT q_id, c_id AS q_bucket
           FROM (SELECT *, row_number() OVER (
-                  PARTITION BY q_id ORDER BY c_sim DESC, c_id) AS r
+                  PARTITION BY q_id ORDER BY c_d ASC, c_id) AS r
                 FROM qasg)
           WHERE r <= 2
         ), qres AS (

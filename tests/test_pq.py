@@ -119,13 +119,12 @@ def test_ivf_pq_candidates_come_only_from_probed_buckets(spark, sf_dir):
     ranking must agree with full-corpus PQ ranking restricted to the
     same candidates (the LUT scoring is the same math)."""
     from trade_data_collection_service_spark.ext.kmeans import fit
-    from trade_data_collection_service_spark.ext.pq import ivf_pq_topk
-    from trade_data_collection_service_spark.ext.similarity import (
-        _norm,
-        assign_buckets,
-        probe_buckets,
-        vectors,
+    from trade_data_collection_service_spark.ext.pq import (
+        assign_buckets_l2,
+        ivf_pq_topk,
+        probe_buckets_l2,
     )
+    from trade_data_collection_service_spark.ext.similarity import vectors
 
     got = ivf_pq_topk(spark, sf_dir, n_queries=2, k=5, nprobe=2).collect()
     assert got, "ivf_pq_topk returned no rows"
@@ -133,15 +132,15 @@ def test_ivf_pq_candidates_come_only_from_probed_buckets(spark, sf_dir):
     cents, _ = fit(spark, sf_dir, k=8, max_iters=2, round_to=6)
     centroids = cents.select(
         F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
-    ).withColumn("nrm", _norm("emb"))
+    )
     v = vectors(spark, sf_dir)
     bucket_of = {
         r["vec_id"]: r["bucket"]
-        for r in assign_buckets(v, centroids).select("vec_id", "bucket").collect()
+        for r in assign_buckets_l2(v, centroids).select("vec_id", "bucket").collect()
     }
     probed = {}
     for r in (
-        probe_buckets(
+        probe_buckets_l2(
             v.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 102)),
             centroids,
             2,
@@ -172,15 +171,12 @@ def test_ivfadc_encodes_residuals_and_ranks_validly(spark, sf_dir):
     its codebooks describe the within-bucket distribution, so their
     centroids must differ from raw-vector codebooks."""
     from trade_data_collection_service_spark.ext.pq import (
+        assign_buckets_l2,
         ivf_pq_topk,
         ivfadc_topk,
         train_codebooks,
     )
-    from trade_data_collection_service_spark.ext.similarity import (
-        _norm,
-        assign_buckets,
-        vectors,
-    )
+    from trade_data_collection_service_spark.ext.similarity import vectors
 
     adc = ivfadc_topk(spark, sf_dir, n_queries=2, k=5, nprobe=2).collect()
     flat = ivf_pq_topk(spark, sf_dir, n_queries=2, k=5, nprobe=2).collect()
@@ -204,8 +200,8 @@ def test_ivfadc_encodes_residuals_and_ranks_validly(spark, sf_dir):
     coarse = train_codebooks(spark, sf_dir, m=1, k=8, max_iters=2)
     centroids = coarse.select(
         F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
-    ).withColumn("nrm", _norm("emb"))
-    bucketed = assign_buckets(vectors(spark, sf_dir), centroids)
+    )
+    bucketed = assign_buckets_l2(vectors(spark, sf_dir), centroids)
     cb = coarse.select(
         F.col("cluster").alias("bucket"), F.col("centroid").alias("c_emb")
     )

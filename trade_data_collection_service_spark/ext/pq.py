@@ -46,6 +46,45 @@ def _subslice(col, j: int, sub_dim: int):
     return F.slice(col, j * sub_dim + 1, sub_dim)
 
 
+def assign_buckets_l2(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Coarse quantization by squared-L2 — one metric end to end for
+    the IVF-PQ family (PQ sub-distances are L2, so the coarse
+    assign/probe must be too; the cosine assign_buckets in
+    ext/similarity serves the cosine IVF ladder).  Same determinism
+    discipline as ext/kmeans.assign: rounded-6 distance argmin, ties
+    to the lowest centroid id.  ``centroids`` is (vec_id, emb)."""
+    c = centroids.select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb")
+    )
+    scored = v.join(broadcast(c)).withColumn(
+        "c_d", F.round(_sqdist(F.col("emb"), F.col("c_emb")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_d").asc(), F.col("c_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "emb", F.col("c_id").alias("bucket"))
+    )
+
+
+def probe_buckets_l2(v: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+    """Top-``nprobe`` nearest centroids per query by squared-L2
+    (rounded-6 rank, lowest-id tiebreak) — the probe half of
+    assign_buckets_l2."""
+    c = centroids.select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb")
+    )
+    scored = v.join(broadcast(c)).withColumn(
+        "c_d", F.round(_sqdist(F.col("emb"), F.col("c_emb")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_d").asc(), F.col("c_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .select("vec_id", "emb", F.col("c_id").alias("probe_bucket"))
+    )
+
+
 def train_codebooks(
     spark: SparkSession,
     sf_dir: str,
@@ -98,13 +137,21 @@ def train_codebooks(
         .select("vec_id", "s.subspace", "s.emb")
         .localCheckpoint(eager=True)
     )
-    w_init = Window.partitionBy("subspace").orderBy("vec_id")
-    centroids = (
-        sliced.withColumn("__r", F.row_number().over(w_init))
-        .filter(F.col("__r") <= k)
-        .select(
-            "subspace", F.col("__r").alias("cluster"), F.col("emb").alias("centroid")
+    # O(k) init: every subspace slices the SAME vec_id set, so the
+    # per-subspace "first k rows by vec_id" is one shared mapping — the
+    # k lowest vec_ids (a TakeOrdered job, never a corpus-wide window
+    # sort), numbered 1..k over the k-row result only.
+    init_map = (
+        v.select("vec_id")
+        .orderBy("vec_id")
+        .limit(k)
+        .withColumn(
+            "cluster", F.row_number().over(Window.orderBy("vec_id"))
         )
+    )
+    centroids = (
+        sliced.join(broadcast(init_map), "vec_id")
+        .select("subspace", "cluster", F.col("emb").alias("centroid"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
@@ -263,22 +310,24 @@ def ivf_pq_topk(
     ``nprobe`` buckets per query, and PQ codes (m bytes/vector) are
     scored with the asymmetric LUT inside only those buckets.
 
-    Plan shape: candidate (q_id, vec_id) pairs come from a broadcast
-    probe→bucket equi-join (at rest the bucketed code table is stored
-    partitionBy(bucket), so this is partition pruning — the
-    write_ivf_index pattern in ext/similarity); codes join the
-    broadcast candidates BEFORE the LUT join, so the scored row count
-    is O(candidates·m), never O(corpus·m).  No residual encoding (the
-    FAISS refinement that re-centers each vector on its coarse
-    centroid before PQ): codebooks train on raw vectors so the DuckDB
-    twin stays the composition of the two existing CTE generators;
-    plumbing, pruning, and storage layout are identical either way.
+    Plan shape: the corpus NEVER meets a corpus-sized broadcast — the
+    code table equi-joins the bucket assignment on vec_id (a plain
+    distributed join; at rest the two are stored together
+    partitionBy(bucket), so this join disappears into the
+    write_ivfpq_index layout and becomes partition pruning), then the
+    tiny (queries × nprobe) probe set broadcasts onto the bucket key
+    to fan codes out per query; the scored row count past that point
+    is O(candidates·m), never O(corpus·m).  One metric end to end:
+    coarse assign/probe is squared-L2 (assign_buckets_l2), matching
+    the L2 PQ sub-distances.  No residual encoding (the FAISS
+    refinement that re-centers each vector on its coarse centroid
+    before PQ — see ivfadc_topk): codebooks train on raw vectors so
+    the DuckDB twin stays the composition of the two existing CTE
+    generators; plumbing, pruning, and storage layout are identical
+    either way.
 
     Returns (q_id, vec_id, approx_d, rank)."""
     from trade_data_collection_service_spark.ext.similarity import (
-        _norm,
-        assign_buckets,
-        probe_buckets,
         vectors as svectors,
     )
 
@@ -291,9 +340,9 @@ def ivf_pq_topk(
     )
     centroids = coarse.select(
         F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
-    ).withColumn("nrm", _norm("emb"))
+    )
     v = svectors(spark, sf_dir)
-    bucketed = assign_buckets(v, centroids).select("vec_id", "bucket")
+    bucketed = assign_buckets_l2(v, centroids).select("vec_id", "bucket")
 
     books = train_codebooks(spark, sf_dir, m=m, k=k_codes, max_iters=pq_iters)
     encoded = pq_encode(spark, sf_dir, books, m=m)
@@ -301,15 +350,8 @@ def ivf_pq_topk(
     queries = v.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)
     )
-    probes = probe_buckets(queries, centroids, nprobe).select(
+    probes = probe_buckets_l2(queries, centroids, nprobe).select(
         F.col("vec_id").alias("q_id"), F.col("probe_bucket").alias("q_bucket")
-    )
-    cand = (
-        bucketed.join(
-            broadcast(probes), F.col("bucket") == F.col("q_bucket")
-        )
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
     )
 
     dim = len(v.select("emb").first()["emb"])
@@ -334,7 +376,9 @@ def ivf_pq_topk(
         .select("q_id", "subspace", F.col("cluster").alias("code"), "sub_d")
     )
     dist = (
-        encoded.join(broadcast(cand), "vec_id")
+        encoded.join(bucketed, "vec_id")
+        .join(broadcast(probes), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
         .join(broadcast(lut), ["q_id", "subspace", "code"])
         .groupBy("q_id", "vec_id")
         .agg(
@@ -373,8 +417,6 @@ def write_ivfpq_index(
     directory, and a query reads ONLY its nprobe directories —
     partition pruning is plan-asserted in tests/test_ivf_index.py."""
     from trade_data_collection_service_spark.ext.similarity import (
-        _norm,
-        assign_buckets,
         vectors as svectors,
     )
 
@@ -383,8 +425,8 @@ def write_ivfpq_index(
     )
     centroids = coarse.select(
         F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
-    ).withColumn("nrm", _norm("emb"))
-    bucketed = assign_buckets(svectors(spark, sf_dir), centroids).select(
+    )
+    bucketed = assign_buckets_l2(svectors(spark, sf_dir), centroids).select(
         "vec_id", "bucket"
     )
     books = train_codebooks(spark, sf_dir, m=m, k=k_codes, max_iters=pq_iters)
@@ -425,9 +467,7 @@ def ivfpq_search_indexed(
     asymmetric LUT.  Scanned bytes ∝ (nprobe/n_coarse) × (m bytes +
     key per vector) — the double pruning (partitions × compression)
     that makes exabyte-class ANN a few-seconds scan."""
-    from trade_data_collection_service_spark.ext.similarity import probe_buckets
-
-    probes = probe_buckets(queries, centroids, nprobe).select(
+    probes = probe_buckets_l2(queries, centroids, nprobe).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
         F.col("probe_bucket").alias("q_bucket"),
@@ -518,18 +558,20 @@ def ivfadc_topk(
 
     Asymmetric distance: ||q − c − code_centroid||² per probed bucket,
     so the query LUT is per (query, probe bucket) — the query residual
-    q − c changes with each probed centroid.  LUT size is
-    n_queries × nprobe × m × k_codes (broadcast); candidate codes join
-    it on (q_bucket, subspace, code) after the broadcast probe→bucket
-    pruning join, so scored rows stay O(candidates·m).
+    q − c changes with each probed centroid.  One metric end to end:
+    coarse assign/probe is squared-L2 (assign_buckets_l2), like the PQ
+    sub-distances — the FAISS discipline.  LUT size is
+    n_queries × nprobe × m × k_codes (broadcast); the code table
+    equi-joins the bucket assignment on vec_id (distributed, never a
+    corpus-sized broadcast — at rest the two live together
+    partitionBy(bucket)), the broadcast probe set prunes on the bucket
+    key, and candidate codes join the LUT on (q_bucket, subspace,
+    code), so scored rows stay O(candidates·m).
 
     Determinism: residuals are exact double subtractions of rounded-6
     centroids from exact cast doubles — bit-equal across engines; all
     ranking on rounded distances with id tiebreaks as everywhere."""
     from trade_data_collection_service_spark.ext.similarity import (
-        _norm,
-        assign_buckets,
-        probe_buckets,
         vectors as svectors,
     )
 
@@ -538,9 +580,9 @@ def ivfadc_topk(
     )
     centroids = coarse.select(
         F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
-    ).withColumn("nrm", _norm("emb"))
+    )
     v = svectors(spark, sf_dir)
-    bucketed = assign_buckets(v, centroids).select("vec_id", "emb", "bucket")
+    bucketed = assign_buckets_l2(v, centroids).select("vec_id", "emb", "bucket")
     c_by_bucket = coarse.select(
         F.col("cluster").alias("bucket"), F.col("centroid").alias("c_emb")
     )
@@ -562,7 +604,7 @@ def ivfadc_topk(
     queries = v.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)
     )
-    probes = probe_buckets(queries, centroids, nprobe).select(
+    probes = probe_buckets_l2(queries, centroids, nprobe).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
         F.col("probe_bucket").alias("q_bucket"),
@@ -599,17 +641,13 @@ def ivfadc_topk(
             "q_id", "q_bucket", "subspace", F.col("cluster").alias("code"), "sub_d"
         )
     )
-    cand = (
-        bucketed.select("vec_id", "bucket")
+    dist = (
+        encoded.join(bucketed.select("vec_id", "bucket"), "vec_id")
         .join(
             broadcast(probes.select("q_id", "q_bucket")),
             F.col("bucket") == F.col("q_bucket"),
         )
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "q_bucket", "vec_id")
-    )
-    dist = (
-        encoded.join(broadcast(cand), "vec_id")
         .join(broadcast(lut), ["q_id", "q_bucket", "subspace", "code"])
         .groupBy("q_id", "vec_id")
         .agg(
