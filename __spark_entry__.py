@@ -752,6 +752,28 @@ def _q_emb_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XQ.ivfadc_topk(spark, sf_dir)
 
 
+def _q_emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored IVF-PQ index, written then searched — the 100 TB
+    deployment shape itself under the oracle: write_ivfpq_index
+    materializes m code bytes + bucket per vector partitionBy(bucket),
+    ivfpq_search_indexed reads ONLY the probed bucket partitions
+    (plan-asserted in tests/test_ivf_index.py) and scores with the
+    asymmetric LUT.  Results are identical to the inline ivf_pq_topk
+    composition, so the DuckDB twin is the same SQL."""
+    import tempfile
+
+    from trade_data_collection_service_spark.ext.similarity import vectors
+
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_q_") + "/index"
+    centroids, books = XQ.write_ivfpq_index(spark, sf_dir, path)
+    qs = vectors(spark, sf_dir).filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 103)
+    )
+    return XQ.ivfpq_search_indexed(
+        spark, path, centroids, books, qs, k=10, nprobe=2
+    )
+
+
 def _q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, end to end: per-subspace Lloyd's
     codebooks (m=4 x 16 codes, 2 iterations), long-format encode, and
@@ -831,6 +853,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_topk": _q_emb_pq_topk,
         "emb_ivf_pq_topk": _q_emb_ivf_pq_topk,
         "emb_ivfadc_topk": _q_emb_ivfadc_topk,
+        "emb_ivfpq_indexed_topk": _q_emb_ivfpq_indexed_topk,
         "doc_bm25_topk": _q_doc_bm25_topk,
         "doc_chunks": _q_doc_chunks,
         "doc_token_cms": _q_doc_token_cms,
@@ -1173,7 +1196,7 @@ def _pq_ctes(
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         # --- general relational surface ---
         "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
@@ -2828,3 +2851,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM candles_invalid WHERE NOT ({_VALID_COND})
         """,
     }
+    # Stored-index IVF-PQ search returns exactly the inline
+    # composition's results (parity pytest in tests/test_ivf_index),
+    # so its oracle IS the inline twin.
+    sql["emb_ivfpq_indexed_topk"] = sql["emb_ivf_pq_topk"]
+    return sql
