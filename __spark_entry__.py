@@ -1672,10 +1672,24 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY probe
         """,
         "event_anomaly": """
-        WITH daily AS (
+        WITH daily0 AS (
           SELECT event_type, date_trunc('day', ts) AS day,
                  CAST(count(*) AS BIGINT) AS n_events
           FROM events GROUP BY event_type, day
+        ), span AS (
+          SELECT event_type, min(day) AS d0, max(day) AS d1
+          FROM daily0 GROUP BY event_type
+        ), grid AS (
+          SELECT event_type,
+                 unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+          FROM span
+        ), daily AS (
+          -- densified: absent (event_type, day) cells become 0 rows so
+          -- outage days score (large negative z) instead of vanishing
+          SELECT g.event_type, g.day,
+                 CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
+          FROM grid g LEFT JOIN daily0 d
+            ON d.event_type = g.event_type AND d.day = g.day
         ), stats AS (
           SELECT event_type, day, n_events,
                  round(avg(n_events) OVER w, 6) AS base_mean,
@@ -1689,8 +1703,8 @@ def oracle_sql() -> dict[str, str]:
                     THEN round((n_events - base_mean) / base_std, 6)
                END AS z,
                coalesce(CASE WHEN base_std > 0
-                             THEN round((n_events - base_mean) / base_std, 6)
-                                  > 2.5
+                             THEN abs(round((n_events - base_mean)
+                                  / base_std, 6)) > 2.5
                         END, FALSE) AS is_anomaly
         FROM stats
         ORDER BY event_type, day

@@ -72,3 +72,47 @@ def test_stream_counts_score_equals_batch(spark, dirs):
     got = _rows_key(anomaly_from_counts(spark, counts))
     assert got == want
     assert got, "no anomaly rows scored"
+
+
+def test_replay_after_crash_mid_counts_publish(spark, dirs, monkeypatch):
+    """Worst case for the counts WAL: the crash interrupts the live
+    overwrite itself, wiping the stored table while the completed
+    stage still exists.  The replayed batch must republish the stage
+    on entry (ADVICE r4: without it the left_anti against the damaged
+    table permanently drops untouched cells) and converge to the
+    batch scorer."""
+    import trade_data_collection_service_spark.streaming.anomaly as A
+    from trade_data_collection_service_spark.streaming.anomaly import (
+        upsert_daily_counts,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = os.path.join(dirs, "crash_src")
+    counts = os.path.join(dirs, "crash_counts")
+
+    s1 = events.filter(F.col("event_id") % 2 == 0)
+    s1.coalesce(1).write.mode("append").parquet(src)
+    upsert_daily_counts(spark, src, s1, counts)
+
+    s2 = events.filter(F.col("event_id") % 2 == 1)
+    s2.coalesce(1).write.mode("append").parquet(src)
+
+    real_publish = A._publish_counts_stage
+
+    def crash_publish(spark_, stage, path):
+        shutil.rmtree(path, ignore_errors=True)  # live destroyed mid-overwrite
+        raise RuntimeError("injected crash: counts publish died")
+
+    monkeypatch.setattr(A, "_publish_counts_stage", crash_publish)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        upsert_daily_counts(spark, src, s2, counts)
+    # crash state: complete stage WAL exists, live table gone
+    assert os.path.exists(counts + ".stage/_SUCCESS")
+    assert not os.path.exists(os.path.join(counts, "_SUCCESS"))
+
+    monkeypatch.setattr(A, "_publish_counts_stage", real_publish)
+    upsert_daily_counts(spark, src, s2, counts)  # the checkpoint replay
+    want = _rows_key(event_anomaly(spark.read.parquet(src)))
+    got = _rows_key(anomaly_from_counts(spark, counts))
+    assert got == want
+    assert got, "no anomaly rows scored after crash replay"

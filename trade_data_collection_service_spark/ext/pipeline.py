@@ -385,18 +385,47 @@ def daily_event_counts(events: DataFrame) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def densify_daily_counts(daily: DataFrame) -> DataFrame:
+    """Fill each event_type's day grid (min..max day) with zero-count
+    rows for absent days.  A total ingest outage emits NO rows into
+    the counts table — the primary signal the reference watchdog
+    detects via resampled missing dates (data_quality_check.py:248-250)
+    — so the scorer must see those days as n_events=0, not skip them.
+    The grid is O(types × days) rows: the per-type span aggregate is a
+    tiny two-scalar groupBy and the sequence explode is map-side."""
+    grid = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    return grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
 def anomaly_scores(daily: DataFrame, z_threshold: float = 2.5) -> DataFrame:
     """Score daily counts against the trailing 7-day baseline
-    (mean/std over rows -7..-1).  Window state is 7 rows per
-    event_type; mean and std are rounded before the z-score so the
-    flag is engine-portable; days without enough history (std
-    undefined or zero) are never flagged."""
+    (mean/std over rows -7..-1).  The counts are densified first
+    (``densify_daily_counts``), so 7 preceding ROWS is exactly 7
+    preceding CALENDAR days and an outage day scores as n_events=0 —
+    a large NEGATIVE z.  Flags on |z| > threshold: spikes and drops
+    are both anomalies.  Window state is 7 rows per event_type; mean
+    and std are rounded before the z-score so the flag is
+    engine-portable; days without enough history (std undefined or
+    zero) are never flagged."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
         .rowsBetween(-7, -1)
     )
-    scored = daily.withColumn(
+    scored = densify_daily_counts(daily).withColumn(
         "base_mean", F.round(F.avg("n_events").over(w), 6)
     ).withColumn("base_std", F.round(F.stddev_samp("n_events").over(w), 6))
     z = F.when(
@@ -406,7 +435,8 @@ def anomaly_scores(daily: DataFrame, z_threshold: float = 2.5) -> DataFrame:
     return (
         scored.withColumn("z", z)
         .withColumn(
-            "is_anomaly", F.coalesce(F.col("z") > z_threshold, F.lit(False))
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False)),
         )
         .orderBy("event_type", "day")
     )

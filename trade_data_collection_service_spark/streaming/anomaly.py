@@ -31,7 +31,38 @@ from trade_data_collection_service_spark.ext.pipeline import (
     anomaly_scores,
     daily_event_counts,
 )
-from trade_data_collection_service_spark.streaming.pipeline import table_exists
+from trade_data_collection_service_spark.streaming.pipeline import (
+    _rm,
+    table_exists,
+)
+
+
+def _publish_counts_stage(spark: SparkSession, stage: str, counts_path: str) -> None:
+    """Overwrite the live counts table from a fully-staged copy.
+    Isolated so crash tests can inject a failure at the boundary."""
+    spark.read.parquet(stage).write.mode("overwrite").parquet(counts_path)
+
+
+def _recover_counts_stage(spark: SparkSession, counts_path: str) -> None:
+    """Roll the counts-publish WAL forward on batch entry — the
+    streaming/pipeline._recover_stage discipline applied to the
+    (unpartitioned) counts table.  A crash during the live overwrite
+    leaves counts_path partially written; without recovery the next
+    batch's left_anti against the damaged stored table would
+    permanently drop untouched (event_type, day) cells.  States:
+
+    - no stage dir: previous batch finished — nothing to do;
+    - stage WITHOUT ``_SUCCESS``: crash mid-staging, live untouched —
+      discard the partial stage;
+    - stage WITH ``_SUCCESS``: crash between stage completion and live
+      overwrite — republish the stage (the complete post-batch table)
+      before anyone reads stored counts, then delete it."""
+    stage = counts_path + ".stage"
+    if not table_exists(spark, stage):
+        return
+    if table_exists(spark, stage + "/_SUCCESS"):
+        _publish_counts_stage(spark, stage, counts_path)
+    _rm(spark, stage)
 
 
 def upsert_daily_counts(
@@ -44,6 +75,7 @@ def upsert_daily_counts(
     micro-batch from the raw table and splice them into the stored
     counts (keep untouched cells).  Recompute-not-increment keeps the
     upsert idempotent under replays."""
+    _recover_counts_stage(spark, counts_path)
     touched = (
         batch_df.select(
             "event_type", F.date_trunc("day", F.col("ts")).alias("day")
@@ -73,11 +105,15 @@ def upsert_daily_counts(
     else:
         out = recomputed
     # The counts table is tiny (types × days); a staged whole-table
-    # swap is simpler than partition surgery and still atomic-enough:
-    # stage, then overwrite the live path from the stage.
+    # swap is simpler than partition surgery.  The stage is the WAL:
+    # its _SUCCESS marker records "staging complete", it's republished
+    # on entry if a crash interrupted the live overwrite, and it's
+    # deleted only AFTER the live overwrite succeeds — so checkpoint
+    # replays converge even through mid-publish crashes.
     stage = counts_path + ".stage"
     out.coalesce(1).write.mode("overwrite").parquet(stage)
-    spark.read.parquet(stage).write.mode("overwrite").parquet(counts_path)
+    _publish_counts_stage(spark, stage, counts_path)
+    _rm(spark, stage)
 
 
 def start_event_anomaly_stream(
