@@ -134,3 +134,25 @@ def test_minhash_lsh_salted_join_is_equivalent(spark, sf_dir):
     }
     assert plain == salted
     assert plain  # non-vacuous: the fixture has planted near-dups
+
+
+def test_minhash_lsh_scratch_path_is_equivalent(spark, sf_dir, tmp_path):
+    """The scratch_path durable boundary (the 100 TB form of the
+    shingle-table materialization) must not change results, and must
+    actually write the exploded shingle table to the scratch
+    location."""
+    docs = documents_neardup(spark, sf_dir)
+    scratch = str(tmp_path / "shingle_scratch")
+    plain = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    scratched = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, scratch_path=scratch).collect()
+    }
+    assert plain == scratched
+    assert plain  # non-vacuous
+    ex = spark.read.parquet(scratch)
+    assert set(ex.columns) == {"doc_id", "sh"}
+    assert ex.count() > 0

@@ -146,6 +146,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     salt_bands: int | None = None,
+    scratch_path: str | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact Jaccard verification.
 
@@ -175,14 +176,22 @@ def minhash_lsh_pairs(
     partitions), pass a salt factor to spread the candidate self-join
     across ``salt_bands`` buckets per key via functions.skew.
     salted_join.  Output is identical (property-tested); cost is one
-    extra replicated pass over the small (doc_id, band) triples."""
-    # Materialized boundary, not cache() (VERDICT r2 'What's wrong'
-    # #2): the (doc_id, shingle) table is the job's biggest
-    # intermediate at corpus scale.  localCheckpoint truncates lineage
-    # and stores with MEMORY_AND_DISK spill, so executors are not
-    # required to hold it resident; at full 100 TB scale this boundary
-    # becomes a scratch-parquet write (the cluster.py:48 pattern).
-    ex = exploded_shingles(docs).localCheckpoint(eager=False)
+    extra replicated pass over the small (doc_id, band) triples.
+
+    ``scratch_path``: the (doc_id, shingle) table is the job's biggest
+    intermediate and is read TWICE (signatures + exact-Jaccard verify).
+    By default it's a localCheckpoint boundary (lineage truncated,
+    MEMORY_AND_DISK spill) — fine up to what executor storage holds.
+    At full 100 TB scale pass a durable scratch location instead: the
+    table is written to parquet once and both readers scan it from
+    shared storage, so executor loss can't force a recompute and the
+    intermediate never pins executor disk (the cluster.py:48 pattern).
+    Output is identical either way (equality-tested)."""
+    if scratch_path:
+        exploded_shingles(docs).write.mode("overwrite").parquet(scratch_path)
+        ex = docs.sparkSession.read.parquet(scratch_path)
+    else:
+        ex = exploded_shingles(docs).localCheckpoint(eager=False)
     sig = minhash_signatures(docs, ex=ex)
     bands = sig.select(
         "doc_id",
