@@ -121,6 +121,106 @@ def headline_queries():
     return out
 
 
+def skew_join_queries():
+    """Planted-skew shuffle-join pair (VERDICT r4 next-round #7): the
+    same join + aggregate over lineitem with a key where ~10% of rows
+    share one value, plain vs functions.skew.salted_join.  Both sides
+    carry a merge hint so the measurement is the shuffle-join shape
+    (broadcast would hide the skew).  Identical one-row result; the
+    timing delta IS the salting claim as a number."""
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.functions.skew import salted_join
+
+    RIGHT_MULT = 20  # rows per key on the replicated side
+
+    def _frames(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        left = li.withColumn(
+            "k",
+            F.when(F.col("l_orderkey") % 10 == 0, F.lit(0)).otherwise(
+                F.pmod(F.hash("l_orderkey"), F.lit(5000)) + 1
+            ),
+        )
+        right = (
+            spark.range(5001)
+            .select(
+                F.col("id").cast("int").alias("k"),
+                F.explode(
+                    F.array(*[F.lit(i) for i in range(RIGHT_MULT)])
+                ).alias("m"),
+            )
+            .hint("merge")
+        )
+        return left, right
+
+    def _agg(joined):
+        return joined.groupBy().agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("m")), 2).alias("s")
+        )
+
+    def plain(spark, sf_dir):
+        left, right = _frames(spark, sf_dir)
+        return _agg(left.join(right, "k"))
+
+    def salted(spark, sf_dir):
+        left, right = _frames(spark, sf_dir)
+        return _agg(salted_join(left, right, ["k"], salt=8))
+
+    return {"skew_join_plain": plain, "skew_join_salted": salted}
+
+
+def run_streaming(spark, sf_dir: str):
+    """Streaming-mode throughput (VERDICT r4 next-round #5): replay the
+    candle set (with duplicate versions) through start_candle_stream as
+    4 micro-batches, full 5-level rollup maintenance per batch, and
+    report delivered candles / wall second."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.candles import (
+        candles_with_duplicates,
+    )
+    from trade_data_collection_service_spark.schema import CANDLE_SCHEMA
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        start_candle_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        candles = candles_with_duplicates(spark, sf_dir).select(
+            *[f.name for f in CANDLE_SCHEMA.fields]
+        )
+        n_delivered = candles.count()
+        for b in range(4):
+            part = candles.filter(
+                (
+                    (F.unix_timestamp("receipt_timestamp") / 3).cast("long")
+                    + F.col("trades")
+                )
+                % 4
+                == b
+            )
+            part.coalesce(1).write.mode("append").parquet(src)
+        t0 = time.perf_counter()
+        q = start_candle_stream(
+            spark, src, out, ckpt, available_now=True,
+            minutes=[1, 5, 15, 60, 1440],
+        )
+        q.awaitTermination(600)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception())[:500])
+        wall = time.perf_counter() - t0
+        return round(n_delivered / wall, 1), round(wall, 4)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_one(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
@@ -135,7 +235,8 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
-    for name, fn in headline_queries().items():
+    suite = {**headline_queries(), **skew_join_queries()}
+    for name, fn in suite.items():
         try:
             # warm once (file listing, code paths), measure second run
             run_one(spark, fn, sf_dir)
@@ -144,6 +245,12 @@ def main() -> None:
             print(f"bench {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t > 0), 4)
+    streaming_cps = streaming_wall = None
+    if os.environ.get("SPARK_GRAFT_SKIP_STREAMING") != "1":
+        try:
+            streaming_cps, streaming_wall = run_streaming(spark, sf_dir)
+        except Exception as e:  # pragma: no cover
+            print(f"bench streaming failed: {e}", file=sys.stderr)
     # Throughput anchor vs BASELINE.md: the reference's backfill path
     # tops out at ~4-6k candles/s (load_history.py:33,427); ours is
     # candles derived+aggregated per second in the candles_1m stage.
@@ -165,6 +272,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "candles_per_sec": throughput,
+                "streaming_candles_per_sec": streaming_cps,
+                "streaming_wall_sec": streaming_wall,
             }
         )
     )
