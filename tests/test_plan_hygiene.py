@@ -32,6 +32,9 @@ NESTED_LOOP_OK = {
     "emb_ivf_trained_topk",
     "emb_ivf_pq_topk",  # coarse-quantizer assignment: corpus × broadcast centroids
     "emb_ivfadc_topk",  # same coarse-assignment shape, residual variant
+    "emb_ivfpq_indexed_topk",  # probe_buckets_l2: queries × broadcast
+    # coarse centroids (k_coarse rows) — the candidate scoring itself
+    # joins equi on (bucket) and (q_id, subspace, code)
     "emb_neardup",  # bucket-local pairing joins on bucket equi-key, but
     # the per-bucket pair condition (vec_a < vec_b) is non-equi
     # 1-row broadcast scalar subqueries (crossJoin(broadcast(agg)) — the
