@@ -807,8 +807,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries only, so the front of this dict is reserved for
     # the weakest evidence — entries whose code changed since their
     # last green row, brand-new entries, then entries whose last green
-    # row is oldest (r3).  Exactly two r3-vintage entries (tpch_q2,
-    # tpch_q6 — byte-stable scan/agg anchors, multiple past greens)
+    # row is oldest (r3).  Six r3-vintage entries (tpch_q2, tpch_q6,
+    # candles_1m, dedup_latest, rollup_5m, tpch_q1-class byte-stable
+    # scan/agg anchors with multiple past greens and unchanged code)
     # overflow the window this round; rotate them forward in r6.
     return {
         # --- r5 front window: changed-since-last-check first ---
@@ -819,6 +820,11 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_pq_topk": _q_emb_ivf_pq_topk,
         "emb_ivfadc_topk": _q_emb_ivfadc_topk,
         "event_anomaly": _q_event_anomaly,
+        # --- new in r5: the last four TPC-H anchors (full 22 now) ---
+        "tpch_q9": XH.q9_product_profit,
+        "tpch_q11": XH.q11_important_stock,
+        "tpch_q16": XH.q16_supplier_count,
+        "tpch_q20": XH.q20_excess_suppliers,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -1567,6 +1573,72 @@ def oracle_sql() -> dict[str, str]:
                  / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
         FROM base
         GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q9": """
+        SELECT n_name AS nation,
+               CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+               CAST(sum(
+                 CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+                   AS DECIMAL(18,4))
+                 - CAST(round(p_retailprice * 0.1 * l_quantity, 4)
+                   AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, CAST(date_part('year', o_orderdate) AS INTEGER)
+        ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11": """
+        WITH pv AS (
+          SELECT l_partkey,
+                 sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+                   AS DECIMAL(18,4))) AS value_dec
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          WHERE n_name = 'NATION_7'
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+        FROM pv
+        WHERE CAST(value_dec AS DOUBLE) >
+          (SELECT 3.0 * (CAST(sum(value_dec) AS DOUBLE) / count(*)) FROM pv)
+        ORDER BY value DESC, l_partkey
+        """,
+        "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#3'
+          AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q20": """
+        WITH shipped AS (
+          SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty96
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+        ), tot AS (
+          SELECT l_partkey, sum(qty96) AS qty_all FROM shipped
+          GROUP BY l_partkey
+        )
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM shipped JOIN tot USING (l_partkey)
+            WHERE qty96 > 0.5 * qty_all)
+        ORDER BY s_name
         """,
         "tpch_q13": """
         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

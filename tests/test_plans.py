@@ -141,3 +141,20 @@ def test_pack_sequences_sort_is_partition_local(spark, sf_dir):
     globals_ = re.findall(r"Sort \[[^\]]*\], (true|false)", plan)
     assert globals_.count("false") >= 1
     assert globals_.count("true") <= 1
+
+
+def test_q9_broadcasts_all_dims_single_fact_shuffle(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.tpch import q9_product_profit
+
+    plan = _plan(q9_product_profit(spark, sf_dir))
+    # part/supplier/nation are broadcast; only lineitem⋈orders shuffles
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the pre-filtered part name predicate reaches the part scan
+    assert "p_name" in plan.split("PushedFilters", 1)[1][:4000]
+
+
+def test_q16_anti_join_is_broadcast(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.tpch import q16_supplier_count
+
+    plan = _plan(q16_supplier_count(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -564,3 +564,135 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (driver schema has no partsupp, so supply cost
+    is proxied by 10% of p_retailprice per unit): profit per (supplier
+    nation, order year) over parts whose name contains 'gear'.  Keeps
+    Q9's structure — the five-way join with part pre-filtered and all
+    dimensions broadcast, fact tables shuffling once on l_orderkey —
+    with the money sums decimal-exact."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)") - F.round(
+        F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity"), 4
+    ).cast("decimal(18,4)")
+    return (
+        l.join(broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp: "stock value" is proxied by
+    lineitem revenue per part for one nation's suppliers): parts whose
+    value exceeds 3x the mean part value — Q11's GROUP BY + HAVING
+    scalar-subquery shape, with the threshold decorrelated into a
+    1-row broadcast (the repo's no-collect scalar idiom, same as Q15)
+    so the per-part aggregate is computed once and scanned once."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    value = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    pv = (
+        l.join(broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("value_dec"))
+    )
+    thresh = pv.agg(
+        (
+            F.lit(3.0) * (F.sum("value_dec").cast("double") / F.count(F.lit(1)))
+        ).alias("thresh")
+    )
+    return (
+        pv.crossJoin(broadcast(thresh))
+        .filter(F.col("value_dec").cast("double") > F.col("thresh"))
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("value")
+        )
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (no partsupp: the part-supplier relation is
+    the distinct (l_partkey, l_suppkey) pairs of lineitem; the
+    customer-complaints NOT IN is proxied by negative s_acctbal):
+    distinct supplier count per (brand, type, size) for a filtered
+    part family.  Keeps Q16's anti-join + count-distinct structure;
+    the excluded-supplier set broadcasts."""
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(broadcast(bad), l["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp availqty: a supplier "holds
+    excess stock" of a part when it shipped more than half of that
+    part's total 1996 volume): suppliers in NATION_3 dominating a
+    'red%' part.  Keeps Q20's nested-semi-join ladder — part-name
+    pre-filter broadcast into the fact scan, the correlated half-of-
+    total threshold decorrelated into a per-part aggregate equi-join,
+    and the final supplier list resolved with a left-semi join."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    shipped = (
+        l.join(broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty96"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty96").alias("qty_all")
+    )
+    dominating = (
+        shipped.join(tot, shipped["l_partkey"] == tot["t_partkey"])
+        .filter(F.col("qty96") > F.lit(0.5) * F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            dominating, s["s_suppkey"] == dominating["l_suppkey"], "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
