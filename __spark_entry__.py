@@ -606,6 +606,16 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.sessionize(events_df(spark, sf_dir))
 
 
+def _q_event_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.candles import events_df
+
+    return XP.sessionize_native(events_df(spark, sf_dir))
+
+
+def _q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XP.heavy_hitters(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.decontaminate(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -825,6 +835,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": XH.q11_important_stock,
         "tpch_q16": XH.q16_supplier_count,
         "tpch_q20": XH.q20_excess_suppliers,
+        # --- new in r5: builtin session windows + exact heavy hitters ---
+        "event_sessions_native": _q_event_sessions_native,
+        "doc_heavy_hitters": _q_doc_heavy_hitters,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -1948,6 +1961,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(round(value, 2) AS DECIMAL(18,4))) AS DOUBLE)
                  AS total_value
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "event_sessions_native": """
+        WITH flags AS (
+          SELECT user_id, ts, event_id, value,
+            CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                 WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS nf
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, sum(nf) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS sid
+          FROM flags
+        )
+        SELECT user_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value, 2) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_value
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+        """,
+        "doc_heavy_hitters": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , bg AS (
+          SELECT unnest(list_transform(range(1, len(tokens)),
+                   i -> tokens[i] || ' ' || tokens[i+1])) AS phrase
+          FROM toks
+        ), counts AS (
+          SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM bg GROUP BY phrase
+        ), tot AS (
+          SELECT CAST(sum(n_occurrences) AS BIGINT) AS n_total FROM counts
+        )
+        SELECT phrase, n_occurrences,
+               round(CAST(n_occurrences AS DOUBLE) / n_total, 8)
+                 AS frequency
+        FROM counts, tot
+        WHERE n_occurrences >= CAST(0.001 * n_total AS DOUBLE)
+        ORDER BY n_occurrences DESC, phrase
         """,
         "events_hll_daily": f"""
         WITH ev AS (

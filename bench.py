@@ -115,6 +115,9 @@ def headline_queries():
         "tpch_q21",
         "tpch_q8",
         "volume_bars",
+        # round-5 additions: deepest new join tree + stored-index ANN
+        "tpch_q9",
+        "emb_ivfpq_indexed_topk",
     ):
         if name in q:
             out[name] = q[name]

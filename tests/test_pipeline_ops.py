@@ -63,6 +63,51 @@ def test_sessionize_gap_splits(spark):
     assert got[(7, 2)]["session_start"] == t0 + dt.timedelta(minutes=50)
 
 
+def test_sessionize_native_matches_lag_form(spark):
+    # away from the exact-gap boundary the builtin session_window and
+    # the lag/sum islands form must agree session-for-session
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, 1.0),
+        (2, t0 + dt.timedelta(minutes=10), 7, 2.0),
+        (3, t0 + dt.timedelta(minutes=50), 7, 3.0),  # 40min gap -> new
+        (4, t0, 8, 5.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    lag_form = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in XP.sessionize(ev, gap_minutes=30).collect()
+    }
+    native = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in XP.sessionize_native(ev, gap_minutes=30).collect()
+    }
+    assert native == lag_form
+
+
+def test_sessionize_native_boundary_merges_exact_gap(spark):
+    # an event EXACTLY gap after the previous one merges into the same
+    # session under session_window (only strictly-greater gaps split) —
+    # the same boundary the lag-based > form has, so the two forms stay
+    # session-for-session identical even at the boundary
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, t0, 7, 1.0), (2, t0 + dt.timedelta(minutes=30), 7, 2.0)]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    assert XP.sessionize_native(ev, gap_minutes=30).count() == 1
+    assert XP.sessionize(ev, gap_minutes=30).count() == 1
+
+
+def test_heavy_hitters_exact_on_known_corpus(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x y")], ["doc_id", "text"]
+    )
+    # bigrams: "a b" x3, "b a" x1, "b c" x1, "x y" x1  (total 6)
+    out = {r["phrase"]: r for r in XP.heavy_hitters(docs, phi=0.5).collect()}
+    assert set(out) == {"a b"}
+    assert out["a b"]["n_occurrences"] == 3
+    assert abs(out["a b"]["frequency"] - 0.5) < 1e-9
+
+
 def test_quantized_topk_tracks_exact(spark, sf_dir):
     from trade_data_collection_service_spark.ext.similarity import (
         brute_force_topk,

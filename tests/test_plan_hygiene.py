@@ -45,6 +45,7 @@ NESTED_LOOP_OK = {
     "tpch_q22",
     "tpch_q15",  # 1-row max-revenue broadcast scalar
     "tpch_q11",  # 1-row 3x-mean threshold broadcast scalar
+    "doc_heavy_hitters",  # 1-row total-count broadcast scalar
     "doc_bm25_topk",  # 1-row (n_docs, avgdl) broadcast scalar pair
 }
 ARROW_OK = {"multimodal_features", "multimodal_frames"}

@@ -172,6 +172,97 @@ def sessionize(
     )
 
 
+def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessionization via Spark's built-in ``session_window``
+    — the merging-session-windows aggregation operator, the same one
+    Structured Streaming uses for streaming sessionization, so this is
+    the engine's streaming-ready twin of :func:`sessionize` (which
+    builds sessions with an analytic lag/sum window instead).
+
+    Boundary semantics match ``sessionize`` exactly: Spark merges an
+    event landing exactly ``gap`` after the previous one into the same
+    session (window end ``last+gap`` is inclusive for the merge test),
+    i.e. only a strictly-greater gap starts a new session — verified
+    by tests/test_pipeline_ops.py, so the two forms are
+    session-for-session identical and share the islands oracle.
+
+    One shuffle on (user_id, merged window); no analytic pass, no
+    per-user sort — at 100 TB this is strictly cheaper than the
+    lag/sum form because the partial aggregation merges windows
+    map-side before the exchange.
+
+    Output: (user_id, session_start, session_end, n_events,
+    total_value), one row per session, ordered for the oracle."""
+    ts = F.col("ts")
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    return (
+        events.withColumn("ts_c", ts)
+        .groupBy(
+            "user_id", F.session_window("ts_c", f"{gap_minutes} minutes")
+        )
+        .agg(
+            F.min("ts_c").alias("session_start"),
+            F.max("ts_c").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def heavy_hitters(docs: DataFrame, phi: float = 0.001) -> DataFrame:
+    """Exact corpus-relative heavy hitters over bigram phrases: every
+    consecutive word pair whose occurrence count is >= ``phi`` x the
+    total bigram count, with its corpus frequency.  The classic
+    streaming problem (Misra-Gries / SpaceSaving approximate it) is
+    EXACT here in two aggregates: Spark's map-side partial aggregation
+    is already the per-partition candidate compaction those sketches
+    hand-roll, so one phrase-count shuffle + a 1-row broadcast total
+    (the repo's no-collect scalar idiom) gives the exact answer with
+    sketch-like shuffle volume — (phrase, partial_count) pairs cross
+    the wire, never document text.
+
+    Unlike ``vocab_topk`` (fixed k) the output adapts to the corpus:
+    a phrase qualifies by its share, so the result is scale-invariant
+    under corpus growth with stable phrase distribution — the
+    boilerplate/template-phrase detector of a curation pipeline."""
+    t = F.col("tokens")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = with_tokens(docs).select(F.explode(bigrams).alias("phrase"))
+    counts = tok.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    total = counts.agg(F.sum("n_occurrences").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_occurrences")
+            >= (F.lit(phi) * F.col("n_total")).cast("double")
+        )
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences").cast("double") / F.col("n_total"), 8
+            ).alias("frequency"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "phrase")
+    )
+
+
 def reservoir_per_group(
     df: DataFrame,
     group_col: str,
