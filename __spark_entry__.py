@@ -616,6 +616,10 @@ def _q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.heavy_hitters(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XT.repetition(spark, sf_dir)
+
+
 def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.decontaminate(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -838,6 +842,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5: builtin session windows + exact heavy hitters ---
         "event_sessions_native": _q_event_sessions_native,
         "doc_heavy_hitters": _q_doc_heavy_hitters,
+        "doc_repetition": _q_doc_repetition,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -1983,6 +1988,38 @@ def oracle_sql() -> dict[str, str]:
                  AS total_value
         FROM sess GROUP BY user_id, sid
         ORDER BY user_id, session_start
+        """,
+        "doc_repetition": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , bgl AS (
+          SELECT doc_id,
+            CASE WHEN len(tokens) >= 2
+              THEN list_transform(range(1, len(tokens)),
+                     i -> tokens[i] || ' ' || tokens[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+          FROM toks
+        ), occ AS (
+          SELECT doc_id, unnest(bg) AS phrase FROM bgl
+        ), cnt AS (
+          SELECT doc_id, phrase, count(*) AS c FROM occ GROUP BY 1, 2
+        ), top AS (
+          SELECT doc_id, max(c) AS topc FROM cnt GROUP BY 1
+        )
+        SELECT b.doc_id,
+          CAST(len(bg) AS BIGINT) AS n_bigrams,
+          CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+          CASE WHEN len(bg) > 0
+            THEN round((len(bg) - len(list_distinct(bg)))
+                       / CAST(len(bg) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_bigram_frac,
+          CASE WHEN len(bg) > 0
+            THEN round(topc / CAST(len(bg) AS DOUBLE), 6)
+            ELSE 0.0 END AS top_bigram_frac,
+          (len(bg) > 0 AND
+           round(topc / CAST(len(bg) AS DOUBLE), 6) > 0.2) AS flagged
+        FROM bgl b LEFT JOIN top USING (doc_id)
+        ORDER BY doc_id
         """,
         "doc_heavy_hitters": "WITH "
         + _TOKS_CTE.format(src="documents")

@@ -93,3 +93,20 @@ def test_chunk_documents_covers_every_token_with_overlap(spark):
     assert [(r["start_token"], r["n_chunk_tokens"]) for r in by_doc[2]] == [(1, 2)]
     # chunk ids are 1..n per doc
     assert [r["chunk_id"] for r in by_doc[1]] == [1, 2, 3, 4]
+
+
+def test_repetition_flags_planted_boilerplate(spark):
+    from trade_data_collection_service_spark.ext.text import repetition_of
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now " * 10),            # one bigram dominates
+            (2, "a b c d e f g h i j"),      # all bigrams distinct
+            (3, "x"),                         # too short: zero bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_of(docs).collect()}
+    assert out[1]["flagged"] and out[1]["top_bigram_frac"] > 0.4
+    assert out[2]["dup_bigram_frac"] == 0.0 and not out[2]["flagged"]
+    assert out[3]["n_bigrams"] == 0 and not out[3]["flagged"]

@@ -209,3 +209,63 @@ def bm25_topk(
         topk.withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .orderBy("rank")
     )
+
+
+def repetition_of(raw_docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    §A1.1 "repetition" filters, arXiv:2112.11446): per doc, the
+    fraction of duplicate bigrams and the share of the single most
+    frequent bigram.  Template/boilerplate pages score high and get
+    flagged.
+
+    Deliberately ZERO-shuffle: the per-doc bigram histogram is
+    computed with array higher-order functions (transform over the
+    distinct bigrams counting matches), so the whole operator is one
+    map-side projection — no explode, no groupBy.  Per-doc cost is
+    O(distinct x total) on arrays of ~document length; at 100 TB this
+    beats the explode+groupBy form, which would shuffle one row per
+    bigram occurrence.
+    """
+    docs = with_tokens(raw_docs)
+    t = F.col("tokens")
+    bg = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = docs.withColumn("bg", bg).withColumn(
+        "n_bigrams", F.size("bg").cast("long")
+    )
+    distinct_bg = F.array_distinct("bg")
+    top_count = F.array_max(
+        F.transform(
+            distinct_bg,
+            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+        )
+    )
+    n = F.col("n_bigrams")
+    dup_frac = F.when(
+        n > 0,
+        F.round((n - F.size(distinct_bg)).cast("double") / n, 6),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        n > 0, F.round(top_count.cast("double") / n, 6)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        "n_bigrams",
+        F.size(distinct_bg).cast("long").alias("n_distinct_bigrams"),
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_bigram_frac"),
+        ((n > 0) & (top_frac > 0.2)).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-surface wrapper for :func:`repetition_of` over the
+    documents table."""
+    return repetition_of(spark.read.parquet(f"{sf_dir}/documents.parquet"))
