@@ -620,6 +620,18 @@ def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XT.repetition(spark, sf_dir)
 
 
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.candles import events_df
+
+    return XP.window_funnel(events_df(spark, sf_dir))
+
+
+def _q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.candles import events_df
+
+    return XP.retention_matrix(events_df(spark, sf_dir))
+
+
 def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.decontaminate(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -843,6 +855,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions_native": _q_event_sessions_native,
         "doc_heavy_hitters": _q_doc_heavy_hitters,
         "doc_repetition": _q_doc_repetition,
+        "event_funnel": _q_event_funnel,
+        "event_retention": _q_event_retention,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -1988,6 +2002,53 @@ def oracle_sql() -> dict[str, str]:
                  AS total_value
         FROM sess GROUP BY user_id, sid
         ORDER BY user_id, session_start
+        """,
+        "event_funnel": """
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ep FROM events
+        ), w1 AS (
+          SELECT user_id, event_type, ep,
+            max(CASE WHEN event_type = 'view' THEN ep END) OVER win
+              AS best1
+          FROM ev
+          WINDOW win AS (PARTITION BY user_id ORDER BY ep
+            RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        ), w2 AS (
+          SELECT *, CASE WHEN event_type = 'click'
+                          AND best1 IS NOT NULL
+                          AND best1 >= ep - 1800000000
+                     THEN best1 END AS anchor2
+          FROM w1
+        ), w3 AS (
+          SELECT *, max(anchor2) OVER win AS best2
+          FROM w2
+          WINDOW win AS (PARTITION BY user_id ORDER BY ep
+            RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id,
+          CAST(max(greatest(
+            CASE WHEN event_type = 'view' THEN 1 ELSE 0 END,
+            CASE WHEN anchor2 IS NOT NULL THEN 2 ELSE 0 END,
+            CASE WHEN event_type = 'purchase' AND best2 IS NOT NULL
+                  AND best2 >= ep - 1800000000 THEN 3 ELSE 0 END
+          )) AS INTEGER) AS funnel_level
+        FROM w3 GROUP BY user_id ORDER BY user_id
+        """,
+        "event_retention": """
+        WITH ev AS (
+          SELECT user_id, date_trunc('day', ts) AS day FROM events
+        ), firsts AS (
+          SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
+        ), active AS (
+          SELECT DISTINCT user_id, day FROM ev
+        )
+        SELECT cohort_day,
+               CAST(date_diff('day', cohort_day, day) AS INTEGER)
+                 AS day_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM active JOIN firsts USING (user_id)
+        GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset
         """,
         "doc_repetition": "WITH "
         + _TOKS_CTE.format(src="documents")

@@ -154,3 +154,60 @@ def test_decontaminate_flags_planted_duplicates(spark, sf_dir):
     for r in out:
         assert 0 < r["n_hit_shingles"] <= r["n_shingles"]
         assert 0.0 < r["hit_ratio"] <= 1.0
+
+
+def test_window_funnel_chain_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: full in-order chain inside the window -> 3
+        (1, t0, 1, "view"),
+        (2, t0 + 5 * m, 1, "click"),
+        (3, t0 + 10 * m, 1, "purchase"),
+        # user 2: purchase BEFORE click -> order violated -> 2
+        (4, t0, 2, "view"),
+        (5, t0 + 2 * m, 2, "purchase"),
+        (6, t0 + 4 * m, 2, "click"),
+        # user 3: chain in order but purchase 40min after the view
+        # anchor (> 30min window) -> 2
+        (7, t0, 3, "view"),
+        (8, t0 + 5 * m, 3, "click"),
+        (9, t0 + 40 * m, 3, "purchase"),
+        # user 4: click only, never a view -> 0
+        (10, t0, 4, "click"),
+        # user 5: a LATER view re-anchors the window, so the distant
+        # purchase still completes the funnel -> 3
+        (11, t0, 5, "view"),
+        (12, t0 + 35 * m, 5, "view"),
+        (13, t0 + 40 * m, 5, "click"),
+        (14, t0 + 50 * m, 5, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {
+        r["user_id"]: r["funnel_level"]
+        for r in XP.window_funnel(
+            ev, steps=("view", "click", "purchase"), window_minutes=30
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 2, 4: 0, 5: 3}
+
+
+def test_retention_matrix_offsets(spark):
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        (1, d(1), 7, "view", 0.0),   # cohort 01-01
+        (2, d(1, 5), 7, "view", 0.0),  # same day, one active-day row
+        (3, d(3), 7, "view", 0.0),   # offset 2
+        (4, d(2), 8, "view", 0.0),   # cohort 01-02
+        (5, d(3), 8, "view", 0.0),   # offset 1
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {
+        (r["cohort_day"].day, r["day_offset"]): r["n_users"]
+        for r in XP.retention_matrix(ev).collect()
+    }
+    assert got == {(1, 0): 1, (1, 2): 1, (2, 0): 1, (2, 1): 1}

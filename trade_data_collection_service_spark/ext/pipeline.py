@@ -541,3 +541,102 @@ def event_anomaly(events: DataFrame, z_threshold: float = 2.5) -> DataFrame:
     (streaming/anomaly.py) maintains the counts table incrementally
     and reads scores off it with the identical scorer."""
     return anomaly_scores(daily_event_counts(events), z_threshold)
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_minutes: int = 30,
+) -> DataFrame:
+    """ClickHouse ``windowFunnel`` analog (the reference stack's
+    engine ships it as a native aggregate): per user, the deepest
+    funnel level k such that events of type ``steps[0..k-1]`` occur in
+    order within ``window_minutes`` of the FIRST step's event.
+
+    Chain semantics: non-strict order (equal timestamps allowed,
+    ties resolved by event time only), window anchored at the level-1
+    event — ``ts_k - ts_1 <= window`` for every accepted chain.
+
+    Implementation is pure window algebra, no explode and no
+    self-joins: one shuffle on user_id, then k-1 conditional
+    range-window passes over the SAME sort order (Catalyst reuses the
+    sort).  Each row of type steps[j] carries the best (latest)
+    level-1 anchor of any accepted steps[j-1] row in the trailing
+    window; a chain is accepted when that anchor is still within
+    ``window`` of the current row.  Carrying the ANCHOR time (not the
+    previous step's time) is what pins the whole chain to the level-1
+    event, matching windowFunnel.
+
+    At 100 TB: state is per-user sorted ranges — the same shape as
+    sessionization; no candidate blowup because each row carries one
+    anchor, not a set."""
+    w_us = window_minutes * 60 * 1_000_000
+    ts = F.col("ts")
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    ev = events.withColumn("ep", F.unix_micros(ts))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-w_us, Window.currentRow)
+    )
+    # anchor[j] (per row): latest level-1 time starting an accepted
+    # j-step chain whose step-j row is in the trailing window.
+    accepted_anchor = F.when(
+        F.col("event_type") == steps[0], F.col("ep")
+    )  # level 1: a row anchors itself
+    levels = [
+        F.max(F.when(F.col("event_type") == steps[0], F.lit(1)).otherwise(0))
+    ]
+    for j, step in enumerate(steps[1:], start=2):
+        best_prev = F.max(accepted_anchor).over(w)
+        row_ok = (
+            (F.col("event_type") == step)
+            & best_prev.isNotNull()
+            & (best_prev >= F.col("ep") - F.lit(w_us))
+        )
+        accepted_anchor = F.when(row_ok, best_prev)
+        levels.append(F.max(F.when(row_ok, F.lit(j)).otherwise(0)))
+    flagged = ev.select("user_id", *[
+        lv.over(Window.partitionBy("user_id")).alias(f"_l{i}")
+        for i, lv in enumerate(levels)
+    ])
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.greatest(*[F.max(f"_l{i}") for i in range(len(levels))])
+            .cast("int")
+            .alias("funnel_level")
+        )
+        .orderBy("user_id")
+    )
+
+
+def retention_matrix(events: DataFrame) -> DataFrame:
+    """Cohort retention (the ClickHouse ``retention`` aggregate
+    generalized to the standard cohort matrix): users are cohorted by
+    the day of their first event; for every (cohort_day, day_offset)
+    the count of cohort users active that day.
+
+    Two aggregations + one equi-join on user_id — the join key is the
+    same as the aggregation key, so at scale the per-user firsts
+    co-partition with the per-user activity (no broadcast needed, no
+    skew: one row per user on each side)."""
+    ts = F.col("ts")
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    # day as a truncated TIMESTAMP, not DATE — the repo's convention
+    # (event_anomaly does the same): DATE round-trips differently
+    # through pandas in the two engines.
+    ev = events.withColumn("day", F.date_trunc("day", ts))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.select("user_id", "day").distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
