@@ -585,8 +585,8 @@ def window_funnel(
     accepted_anchor = F.when(
         F.col("event_type") == steps[0], F.col("ep")
     )  # level 1: a row anchors itself
-    levels = [
-        F.max(F.when(F.col("event_type") == steps[0], F.lit(1)).otherwise(0))
+    row_levels = [
+        F.when(F.col("event_type") == steps[0], F.lit(1)).otherwise(0)
     ]
     for j, step in enumerate(steps[1:], start=2):
         best_prev = F.max(accepted_anchor).over(w)
@@ -596,18 +596,16 @@ def window_funnel(
             & (best_prev >= F.col("ep") - F.lit(w_us))
         )
         accepted_anchor = F.when(row_ok, best_prev)
-        levels.append(F.max(F.when(row_ok, F.lit(j)).otherwise(0)))
-    flagged = ev.select("user_id", *[
-        lv.over(Window.partitionBy("user_id")).alias(f"_l{i}")
-        for i, lv in enumerate(levels)
-    ])
+        row_levels.append(F.when(row_ok, F.lit(j)).otherwise(0))
+    # per-row level, then a plain aggregate — the k-1 range windows
+    # share ONE sort/exchange and the groupBy reuses its partitioning
+    # (plan: 1 data exchange + 1 presentation sort, any k)
+    flagged = ev.select(
+        "user_id", F.greatest(*row_levels).alias("_lvl")
+    )
     return (
         flagged.groupBy("user_id")
-        .agg(
-            F.greatest(*[F.max(f"_l{i}") for i in range(len(levels))])
-            .cast("int")
-            .alias("funnel_level")
-        )
+        .agg(F.max("_lvl").cast("int").alias("funnel_level"))
         .orderBy("user_id")
     )
 
