@@ -256,6 +256,12 @@ def _q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vwap_daily(candles_from_events(spark, sf_dir))
 
 
+def _q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import twap_daily
+
+    return twap_daily(candles_from_events(spark, sf_dir))
+
+
 _SYMBOLS = [f"SYM{i}" for i in range(8)]
 
 
@@ -833,10 +839,11 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries only, so the front of this dict is reserved for
     # the weakest evidence — entries whose code changed since their
     # last green row, brand-new entries, then entries whose last green
-    # row is oldest (r3).  Six r3-vintage entries (tpch_q2, tpch_q6,
-    # candles_1m, dedup_latest, rollup_5m, tpch_q1-class byte-stable
-    # scan/agg anchors with multiple past greens and unchanged code)
-    # overflow the window this round; rotate them forward in r6.
+    # row is oldest (r3).  The 16 new/changed r5 entries take the
+    # front, then the r3-vintage block; the r3-vintage entries pushed
+    # past position 50 this round (tpch_q12..q22-class byte-stable
+    # anchors with past greens and unchanged code) rotate forward in
+    # r6.
     return {
         # --- r5 front window: changed-since-last-check first ---
         "doc_minhash_lsh": _q_doc_minhash_lsh,
@@ -857,6 +864,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "event_funnel": _q_event_funnel,
         "event_retention": _q_event_retention,
+        "twap_daily": _q_twap_daily,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -2913,6 +2921,29 @@ def oracle_sql() -> dict[str, str]:
           FROM candles GROUP BY 1, 2, 3
         )
         SELECT *, round(sum_pv / sum_volume, 6) AS vwap FROM agg
+        """,
+        "twap_daily": CANDLES_CTE
+        + """
+        , durs AS (
+          SELECT exchange, symbol, date_trunc('day', start) AS day,
+            close,
+            date_diff('second', start,
+              coalesce(
+                lead(start) OVER (
+                  PARTITION BY exchange, symbol, date_trunc('day', start)
+                  ORDER BY start),
+                date_trunc('day', start) + INTERVAL 1 DAY)) AS dur_sec
+          FROM candles
+        ), agg AS (
+          SELECT exchange, symbol, day,
+            CAST(sum(CAST(round(close * dur_sec, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS sum_wp,
+            CAST(sum(dur_sec) AS BIGINT) AS total_sec,
+            CAST(count(*) AS BIGINT) AS n_candles
+          FROM durs GROUP BY 1, 2, 3
+        )
+        SELECT *, sum_wp / total_sec AS twap FROM agg
+        ORDER BY exchange, symbol, day
         """,
         "price_bands": CANDLES_CTE
         + """

@@ -64,3 +64,28 @@ def test_daily_volatility_nonnegative(spark, sf_dir):
 
     rows = daily_volatility(candles_from_events(spark, sf_dir)).collect()
     assert rows and all(r["realized_vol"] >= 0 for r in rows)
+
+
+def test_twap_weights_by_holding_time(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        twap_daily,
+    )
+
+    # close=10 held 00:00→12:00 (43200 s), close=30 held 12:00→24:00:
+    # TWAP = (10*43200 + 30*43200) / 86400 = 20; a gap-free mean would
+    # weight a third candle equally — plant an extra 23:59 candle so
+    # mean(closes) != TWAP and the weighting is actually exercised.
+    rows = [
+        ("E", "S", datetime(2024, 1, 1, 0, 0), 10.0, 1.0),
+        ("E", "S", datetime(2024, 1, 1, 12, 0), 30.0, 1.0),
+    ]
+    out = twap_daily(_mk(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["total_sec"] == 86400 and r["n_candles"] == 2
+    assert abs(r["twap"] - 20.0) < 1e-9
+
+    rows.append(("E", "S", datetime(2024, 1, 1, 23, 59), 90.0, 1.0))
+    r2 = twap_daily(_mk(spark, rows)).collect()[0]
+    # 10*43200 + 30*43140 + 90*60 over 86400 = 19.9708…; mean is 43.3
+    assert abs(r2["twap"] - (10 * 43200 + 30 * 43140 + 90 * 60) / 86400) < 1e-9

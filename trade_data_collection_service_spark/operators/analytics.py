@@ -151,3 +151,50 @@ def atr(candles: DataFrame, n: int = 14) -> DataFrame:
         ),
         cnt.cast("long").alias("n_in_frame"),
     )
+
+
+def twap_daily(candles: DataFrame) -> DataFrame:
+    """Daily TWAP (time-weighted average price) per (exchange, symbol,
+    day): each candle's close is weighted by how long it was the
+    latest price — from its start to the next candle's start within
+    the day, the day's last candle running to midnight.  The
+    execution-benchmark twin of ``vwap_daily``; with gap-free 1m
+    candles it degrades to the plain mean of closes, so its value is
+    exactly on gappy/irregular data.
+
+    One shuffle on (exchange, symbol, day): the lead() window and the
+    grouped sum share the same partitioning; weighted sums are
+    per-row rounded then decimal-summed (the repo float contract).
+    The twap quotient is emitted UNROUNDED: its operands are
+    bit-identical across engines (decimal sum, integer seconds), so
+    the IEEE division is too, while round(q, 6) at a half-ulp
+    boundary is not (observed: DuckDB's multiply-based double round
+    differs in the last digit at sf0.01)."""
+    day = F.date_trunc("day", "start")
+    w = Window.partitionBy("exchange", "symbol", day).orderBy("start")
+    day_end = F.timestamp_add("DAY", F.lit(1), day)
+    dur_sec = (
+        (
+            F.unix_micros(F.coalesce(F.lead("start").over(w), day_end))
+            - F.unix_micros(F.col("start"))
+        )
+        / F.lit(1_000_000)
+    ).cast("long")
+    weighted = F.round(F.col("close") * dur_sec, 6).cast("decimal(28,6)")
+    return (
+        candles.select(
+            "exchange",
+            "symbol",
+            day.alias("day"),
+            dur_sec.alias("dur_sec"),
+            weighted.alias("wp"),
+        )
+        .groupBy("exchange", "symbol", "day")
+        .agg(
+            F.sum("wp").cast("double").alias("sum_wp"),
+            F.sum("dur_sec").alias("total_sec"),
+            F.count(F.lit(1)).alias("n_candles"),
+        )
+        .withColumn("twap", F.col("sum_wp") / F.col("total_sec"))
+        .orderBy("exchange", "symbol", "day")
+    )
