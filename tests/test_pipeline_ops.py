@@ -211,3 +211,68 @@ def test_retention_matrix_offsets(spark):
         for r in XP.retention_matrix(ev).collect()
     }
     assert got == {(1, 0): 1, (1, 2): 1, (2, 0): 1, (2, 1): 1}
+
+
+def _brute_funnel(events, steps, window_us):
+    # reference implementation: for each user scan every candidate
+    # anchor; deepest chain within window of the anchor, steps in
+    # non-strict time order
+    best = {}
+    by_user = {}
+    for eid, ep, uid, et in events:
+        by_user.setdefault(uid, []).append((ep, eid, et))
+    for uid, evs in by_user.items():
+        evs.sort()
+        lvl = 0
+        for i, (t0, _, et0) in enumerate(evs):
+            if et0 != steps[0]:
+                continue
+            reached, t_prev = 1, t0
+            for step in steps[1:]:
+                nxt = None
+                for ep, _, et in evs:
+                    if et == step and t_prev <= ep <= t0 + window_us:
+                        nxt = ep
+                        break
+                if nxt is None:
+                    break
+                reached, t_prev = reached + 1, nxt
+            lvl = max(lvl, reached)
+        best[uid] = lvl
+    return best
+
+
+def test_window_funnel_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(42)
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    eid = 0
+    for uid in range(30):
+        for _ in range(rng.randint(1, 25)):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    t0 + dt.timedelta(seconds=rng.randint(0, 7200)),
+                    uid,
+                    rng.choice(types),
+                )
+            )
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {
+        r["user_id"]: r["funnel_level"]
+        for r in XP.window_funnel(
+            ev, steps=("view", "click", "purchase"), window_minutes=30
+        ).collect()
+    }
+    want = _brute_funnel(
+        [(e, int(ts.timestamp() * 1e6), u, et) for e, ts, u, et in rows],
+        ("view", "click", "purchase"),
+        30 * 60 * 1_000_000,
+    )
+    assert got == want

@@ -158,3 +158,13 @@ def test_q16_anti_join_is_broadcast(spark, sf_dir):
 
     plan = _plan(q16_supplier_count(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_funnel_windows_share_one_sort(spark, sf_dir):
+    from trade_data_collection_service_spark.candles import events_df
+    from trade_data_collection_service_spark.ext.pipeline import window_funnel
+
+    plan = _plan(window_funnel(events_df(spark, sf_dir)))
+    # one data exchange (user_id) + one presentation sort exchange;
+    # the k-1 range windows and the aggregate reuse the same sort
+    assert _exchanges(plan) == 2, plan
