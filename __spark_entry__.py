@@ -865,6 +865,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _q_event_funnel,
         "event_retention": _q_event_retention,
         "twap_daily": _q_twap_daily,
+        "emb_semdedup": XS.semdedup,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -2515,6 +2516,45 @@ def oracle_sql() -> dict[str, str]:
           FROM dists
         )
         SELECT * FROM ranked WHERE rank <= 10
+        """,
+        "emb_semdedup": _VEC_CTE
+        + _kmeans_ctes(k=8, iters=2, dim=64)
+        + f"""
+        , tc AS (
+          SELECT cluster AS c_id, centroid AS c_emb,
+                 sqrt(list_sum(list_transform(centroid, x -> x * x)))
+                   AS c_nrm
+          FROM c2
+        ), pl AS (
+          SELECT vec_id + 1000000 AS vec_id, label, emb, nrm
+          FROM n WHERE vec_id % 50 = 0
+        ), corpus AS (
+          SELECT vec_id, emb, nrm FROM n
+          UNION ALL SELECT vec_id, emb, nrm FROM pl
+        ), asg AS (
+          SELECT vec_id, emb, nrm, c_id,
+                 {_COS.format(a="emb", b="c_emb", na="nrm", nb="c_nrm")}
+                   AS c_sim
+          FROM corpus, tc
+        ), bucketed AS (
+          SELECT vec_id, emb, nrm, c_id AS bucket
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS r
+                FROM asg)
+          WHERE r = 1
+        ), pairs AS (
+          SELECT b.vec_id AS vec_b,
+                 {_COS.format(a="a.emb", b="b.emb", na="a.nrm", nb="b.nrm")}
+                   AS sim
+          FROM bucketed a JOIN bucketed b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), dropped AS (
+          SELECT DISTINCT vec_b AS vec_id FROM pairs WHERE sim >= 0.95
+        )
+        SELECT b.vec_id, CAST(b.bucket AS INTEGER) AS cluster,
+               (d.vec_id IS NULL) AS kept
+        FROM bucketed b LEFT JOIN dropped d USING (vec_id)
+        ORDER BY b.vec_id
         """,
         "emb_neardup": _VEC_CTE
         + f"""

@@ -126,3 +126,17 @@ def test_ivf_trained_topk_uses_trained_centroids(spark, sf_dir):
     assert all(len(b) == 1 for b in by_q.values())
     # trained cluster ids are 1..8, not raw vec_ids
     assert all(1 <= r["bucket"] <= 8 for r in rows)
+
+
+def test_semdedup_drops_planted_copies(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.similarity import semdedup
+
+    rows = {r["vec_id"]: r for r in semdedup(spark, sf_dir).collect()}
+    planted = [v for v in rows if v >= 1000000]
+    assert planted, "fixture plants copies of every 50th vector"
+    # every planted exact copy (cos=1.0) must be dropped, and its
+    # original (lower id, same cluster) kept
+    for v in planted:
+        assert rows[v]["kept"] is False
+        assert rows[v - 1000000]["kept"] is True
+        assert rows[v]["cluster"] == rows[v - 1000000]["cluster"]

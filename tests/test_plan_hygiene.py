@@ -32,6 +32,8 @@ NESTED_LOOP_OK = {
     "emb_ivf_trained_topk",
     "emb_ivf_pq_topk",  # coarse-quantizer assignment: corpus × broadcast centroids
     "emb_ivfadc_topk",  # same coarse-assignment shape, residual variant
+    "emb_semdedup",  # coarse assignment: corpus × broadcast trained
+    # centroids (k rows); the dedup pair join itself is equi on cluster
     "emb_ivfpq_indexed_topk",  # probe_buckets_l2: queries × broadcast
     # coarse centroids (k_coarse rows) — the candidate scoring itself
     # joins equi on (bucket) and (q_id, subspace, code)

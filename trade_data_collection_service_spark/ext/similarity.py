@@ -437,3 +437,79 @@ def ivf_search_indexed(
         .select("q_id", "bucket", "vec_id", "sim", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means bucketing + within-cluster cosine.
+    Vectors land in their max-cosine cluster of a trained quantizer
+    (the same ``kmeans.fit`` coarse quantizer the IVF family uses);
+    within each cluster every pair above ``threshold`` marks the
+    higher ``vec_id`` as a duplicate — keep-lowest-id is the
+    deterministic stand-in for the paper's keep-farthest-from-
+    centroid.  Planted duplicates (copies of every 50th vector, the
+    FIXTURES.md injection pattern) guarantee positives.
+
+    Output: (vec_id, cluster, kept) for the whole corpus.
+
+    Scale shape: the pair join is an EQUI-join on the cluster id, so
+    candidate pairs are O(n²/k) not O(n²) — the paper's own
+    complexity argument — and k grows with the corpus to keep cluster
+    sizes bounded.  Training cost is the usual one-assignment-pass +
+    k×dim-row update per Lloyd iteration."""
+    from trade_data_collection_service_spark.ext.kmeans import fit
+
+    cents, _ = fit(spark, sf_dir, k=n_clusters, max_iters=iters, round_to=6)
+    centroids = cents.select(
+        F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
+    ).withColumn("nrm", _norm("emb"))
+    v = vectors(spark, sf_dir)
+    planted = v.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    corpus = v.unionByName(planted)
+    bucketed = assign_buckets(corpus, centroids)
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("bucket").alias("bucket_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn(
+            "sim",
+            F.round(
+                _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        bucketed.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("bucket").cast("int").alias("cluster"),
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
