@@ -262,6 +262,14 @@ def _q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return twap_daily(candles_from_events(spark, sf_dir))
 
 
+def _q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import (
+        candle_patterns,
+    )
+
+    return candle_patterns(candles_from_events(spark, sf_dir))
+
+
 _SYMBOLS = [f"SYM{i}" for i in range(8)]
 
 
@@ -866,6 +874,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_retention": _q_event_retention,
         "twap_daily": _q_twap_daily,
         "emb_semdedup": XS.semdedup,
+        "candle_patterns": _q_candle_patterns,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -2961,6 +2970,32 @@ def oracle_sql() -> dict[str, str]:
           FROM candles GROUP BY 1, 2, 3
         )
         SELECT *, round(sum_pv / sum_volume, 6) AS vwap FROM agg
+        """,
+        "candle_patterns": CANDLES_CTE
+        + """
+        , flags AS (
+          SELECT exchange, symbol, start,
+            (abs(close - open) <= 0.1 * (high - low)) AS doji,
+            ((least(open, close) - low)
+               >= 2.0 * abs(close - open)
+             AND (high - greatest(open, close))
+               <= abs(close - open)) AS hammer,
+            coalesce(
+              (lag(close) OVER w - lag(open) OVER w) < 0
+              AND (close - open) > 0
+              AND open <= lag(close) OVER w
+              AND close >= lag(open) OVER w, FALSE) AS bullish_engulfing,
+            coalesce(
+              (lag(close) OVER w - lag(open) OVER w) > 0
+              AND (close - open) < 0
+              AND open >= lag(close) OVER w
+              AND close <= lag(open) OVER w, FALSE) AS bearish_engulfing
+          FROM candles
+          WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start)
+        )
+        SELECT * FROM flags
+        WHERE doji OR hammer OR bullish_engulfing OR bearish_engulfing
+        ORDER BY exchange, symbol, start
         """,
         "twap_daily": CANDLES_CTE
         + """

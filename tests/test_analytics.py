@@ -89,3 +89,27 @@ def test_twap_weights_by_holding_time(spark):
     r2 = twap_daily(_mk(spark, rows)).collect()[0]
     # 10*43200 + 30*43140 + 90*60 over 86400 = 19.9708…; mean is 43.3
     assert abs(r2["twap"] - (10 * 43200 + 30 * 43140 + 90 * 60) / 86400) < 1e-9
+
+
+def test_candle_patterns_hand_built(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        candle_patterns,
+    )
+
+    rows = [
+        # exchange, symbol, start, open, high, low, close, volume
+        ("E", "S", datetime(2024, 1, 1, 0, 0), 10.0, 11.0, 9.0, 10.05, 1.0),
+        # doji: body .05 <= .1*range(2)
+        ("E", "S", datetime(2024, 1, 1, 0, 1), 10.0, 10.1, 8.0, 9.9, 1.0),
+        # hammer: lower wick 1.9 >= 2*.1, upper wick .1 <= .1
+        ("E", "S", datetime(2024, 1, 1, 0, 2), 9.8, 10.6, 9.7, 10.5, 1.0),
+        # bullish engulfing of the prior red candle (10.0 -> 9.9)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["exchange", "symbol", "start", "open", "high", "low", "close", "volume"],
+    )
+    got = {r["start"].minute: r for r in candle_patterns(df).collect()}
+    assert got[0]["doji"] and not got[0]["bullish_engulfing"]
+    assert got[1]["hammer"]
+    assert got[2]["bullish_engulfing"] and not got[2]["bearish_engulfing"]

@@ -198,3 +198,56 @@ def twap_daily(candles: DataFrame) -> DataFrame:
         .withColumn("twap", F.col("sum_wp") / F.col("total_sec"))
         .orderBy("exchange", "symbol", "day")
     )
+
+
+def candle_patterns(candles: DataFrame) -> DataFrame:
+    """Classic candlestick pattern flags per candle — doji, hammer,
+    bullish/bearish engulfing — the signal-generation layer a candle
+    consumer builds on the OHLCV read path.
+
+    Pure row arithmetic + one lag() per (exchange, symbol): every
+    comparison runs on raw doubles derived identically in both
+    engines (no aggregation, no rounding needed), so the oracle
+    matches bit-for-bit.  Only flagged candles are returned.
+
+    Definitions (deterministic, body = close-open, range = high-low):
+    doji: |body| <= 0.1*range; hammer: lower wick >= 2|body| and
+    upper wick <= |body|; engulfing: opposite-sign previous body and
+    the current body spans it."""
+    w = Window.partitionBy("exchange", "symbol").orderBy("start")
+    body = F.col("close") - F.col("open")
+    rng = F.col("high") - F.col("low")
+    upper = F.col("high") - F.greatest("open", "close")
+    lower = F.least("open", "close") - F.col("low")
+    p_open = F.lag("open").over(w)
+    p_close = F.lag("close").over(w)
+    p_body = p_close - p_open
+    doji = F.abs(body) <= F.lit(0.1) * rng
+    hammer = (lower >= F.lit(2.0) * F.abs(body)) & (upper <= F.abs(body))
+    bull_engulf = (
+        (p_body < 0)
+        & (body > 0)
+        & (F.col("open") <= p_close)
+        & (F.col("close") >= p_open)
+    )
+    bear_engulf = (
+        (p_body > 0)
+        & (body < 0)
+        & (F.col("open") >= p_close)
+        & (F.col("close") <= p_open)
+    )
+    flagged = candles.select(
+        "exchange",
+        "symbol",
+        "start",
+        doji.alias("doji"),
+        hammer.alias("hammer"),
+        F.coalesce(bull_engulf, F.lit(False)).alias("bullish_engulfing"),
+        F.coalesce(bear_engulf, F.lit(False)).alias("bearish_engulfing"),
+    )
+    return flagged.filter(
+        F.col("doji")
+        | F.col("hammer")
+        | F.col("bullish_engulfing")
+        | F.col("bearish_engulfing")
+    ).orderBy("exchange", "symbol", "start")
