@@ -262,6 +262,24 @@ def _q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return twap_daily(candles_from_events(spark, sf_dir))
 
 
+def _q_doc_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup against a STORED corpus index: the stored
+    2/3 of the planted near-dup corpus is indexed to parquet
+    (shingle postings + LSH band triples + counts), then the
+    incoming 1/3 is deduped against it without re-shingling the
+    stored side.  The oracle recomputes the same split symbolically;
+    batch-parity vs minhash_lsh_pairs is additionally pytest-proven
+    (tests/test_ext_dedup.py)."""
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="neardup_idx_q_") + "/idx"
+    corpus = XD.documents_neardup(spark, sf_dir)
+    XD.write_neardup_index(corpus.filter(F.col("doc_id") % 3 != 0), idx)
+    return XD.incremental_neardup_pairs(
+        corpus.filter(F.col("doc_id") % 3 == 0), idx
+    )
+
+
 def _q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.operators.analytics import (
         candle_patterns,
@@ -875,6 +893,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_daily": _q_twap_daily,
         "emb_semdedup": XS.semdedup,
         "candle_patterns": _q_candle_patterns,
+        "doc_incremental_neardup": _q_doc_incremental_neardup,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -1492,6 +1511,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_copies
         FROM toks
         GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_incremental_neardup": XD.DOCS_NEARDUP_CTE
+        + _LSH_CTES
+        + """
+        , sbands AS (
+          SELECT * FROM bands WHERE doc_id % 3 <> 0
+        ), nbands AS (
+          SELECT * FROM bands WHERE doc_id % 3 = 0
+        ), scap AS (
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_key)
+                   AS nb_bucket
+            FROM sbands
+          ) WHERE nb_bucket <= 1000
+        ), icand AS (
+          SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS stored_id
+          FROM nbands n JOIN scap s
+            ON n.band_id = s.band_id AND n.band_key = s.band_key
+        ), iverified AS (
+          SELECT c.new_id, c.stored_id,
+                 round(len(list_intersect(sa.shingles, sb.shingles))
+                   / len(list_distinct(list_concat(sa.shingles,
+                                                   sb.shingles))),
+                   6) AS jaccard
+          FROM icand c
+          JOIN sh sa ON sa.doc_id = c.new_id
+          JOIN sh sb ON sb.doc_id = c.stored_id
+        )
+        SELECT * FROM iverified WHERE jaccard >= 0.5
+        ORDER BY new_id, stored_id
         """,
         "doc_minhash_lsh": XD.DOCS_NEARDUP_CTE
         + _LSH_CTES

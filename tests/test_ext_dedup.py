@@ -156,3 +156,34 @@ def test_minhash_lsh_scratch_path_is_equivalent(spark, sf_dir, tmp_path):
     ex = spark.read.parquet(scratch)
     assert set(ex.columns) == {"doc_id", "sh"}
     assert ex.count() > 0
+
+
+def test_incremental_neardup_matches_batch_cross_pairs(spark, sf_dir, tmp_path):
+    from trade_data_collection_service_spark.ext.dedup import (
+        documents_neardup,
+        incremental_neardup_pairs,
+        minhash_lsh_pairs,
+        write_neardup_index,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = documents_neardup(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 != 0)
+    incoming = corpus.filter(F.col("doc_id") % 3 == 0)
+
+    write_neardup_index(stored, str(tmp_path / "idx"))
+    inc = incremental_neardup_pairs(incoming, str(tmp_path / "idx"))
+    got = {
+        (r["new_id"], r["stored_id"], r["jaccard"]) for r in inc.collect()
+    }
+
+    batch = minhash_lsh_pairs(corpus).collect()
+    stored_ids = {r["doc_id"] for r in stored.select("doc_id").collect()}
+    want = set()
+    for r in batch:
+        a, b = r["doc_a"], r["doc_b"]
+        if (a in stored_ids) != (b in stored_ids):  # cross pairs only
+            new_id, stored_id = (b, a) if a in stored_ids else (a, b)
+            want.add((new_id, stored_id, r["jaccard"]))
+    assert want, "fixture must produce cross near-dup pairs"
+    assert got == want

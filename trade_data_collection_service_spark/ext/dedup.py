@@ -385,3 +385,123 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def write_neardup_index(docs: DataFrame, path: str) -> None:
+    """Persist the near-dup index of a curated corpus — everything
+    :func:`incremental_neardup_pairs` needs to dedup future batches
+    against it WITHOUT touching the corpus text again:
+
+    - ``{path}/shingles``: the exploded (doc_id, sh) digest table
+      (the exact-Jaccard verify side),
+    - ``{path}/bands``: (doc_id, band_id, band_key) LSH triples
+      (the candidate-generation side),
+    - ``{path}/counts``: per-doc shingle counts.
+
+    At rest this is O(corpus shingle digests) — no text, no arrays —
+    and each piece is exactly the intermediate the batch job already
+    computes, so index maintenance after a batch merge is an append
+    of the new batch's rows to the three tables."""
+    ex = exploded_shingles(docs)
+    ex.write.mode("overwrite").parquet(f"{path}/shingles")
+    ex_r = docs.sparkSession.read.parquet(f"{path}/shingles")
+    sig = minhash_signatures(docs, ex=ex_r)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.col(f"band{b}").alias("band_key"),
+                )
+                for b in range(NUM_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    bands.write.mode("overwrite").parquet(f"{path}/bands")
+    sig.select("doc_id", "n_sh").write.mode("overwrite").parquet(
+        f"{path}/counts"
+    )
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Dedup an incoming batch against a STORED corpus index (the
+    ingestion-time operation every curation pipeline needs): compute
+    signatures for the new docs only, LSH-join their band keys
+    against the stored band table, and verify exact Jaccard by
+    joining new shingles to the stored shingle postings of candidate
+    pairs.  The stored corpus is never re-shingled, re-hashed, or
+    re-paired — per batch the cost is O(batch shingles + candidate
+    pairs), independent of corpus size except for the (pruned,
+    digest-only) stored-side joins.
+
+    ``max_bucket`` drops stored band buckets above the cap (the batch
+    job's viral-boilerplate guard, applied to the stored side where
+    the blowup lives).  Returns (new_id, stored_id, jaccard) for
+    verified cross pairs; batch-parity is pytest-proven against
+    ``minhash_lsh_pairs`` on the combined corpus."""
+    spark = new_docs.sparkSession
+    ex_new = exploded_shingles(new_docs).localCheckpoint(eager=False)
+    sig_new = minhash_signatures(new_docs, ex=ex_new)
+    bands_new = sig_new.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.col(f"band{b}").alias("band_key"),
+                )
+                for b in range(NUM_BANDS)
+            ])
+        ).alias("band"),
+    ).select(
+        F.col("doc_id").alias("new_id"), "band.band_id", "band.band_key"
+    )
+    stored_bands = spark.read.parquet(f"{path}/bands")
+    small = (
+        stored_bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+        .filter(F.col("n_bucket") <= max_bucket)
+        .select("band_id", "band_key")
+    )
+    stored_bands = stored_bands.join(
+        small, ["band_id", "band_key"], "left_semi"
+    ).select(F.col("doc_id").alias("stored_id"), "band_id", "band_key")
+    cand = (
+        bands_new.join(stored_bands, ["band_id", "band_key"])
+        .select("new_id", "stored_id")
+        .distinct()
+    )
+    stored_sh = spark.read.parquet(f"{path}/shingles").select(
+        F.col("doc_id").alias("stored_id"), "sh"
+    )
+    inter = (
+        cand.join(
+            ex_new.select(F.col("doc_id").alias("new_id"), "sh"), "new_id"
+        )
+        .join(stored_sh, ["stored_id", "sh"])
+        .groupBy("new_id", "stored_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    stored_counts = spark.read.parquet(f"{path}/counts").select(
+        F.col("doc_id").alias("stored_id"), F.col("n_sh").alias("nb")
+    )
+    new_counts = sig_new.select(
+        F.col("doc_id").alias("new_id"), F.col("n_sh").alias("na")
+    )
+    jaccard = F.round(
+        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(new_counts, "new_id")
+        .join(stored_counts, "stored_id")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "stored_id", "jaccard")
+        .orderBy("new_id", "stored_id")
+    )
