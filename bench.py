@@ -115,9 +115,12 @@ def headline_queries():
         "tpch_q21",
         "tpch_q8",
         "volume_bars",
-        # round-5 additions: deepest new join tree + stored-index ANN
+        # round-5 additions: deepest new join tree + stored-index ANN,
+        # window-algebra funnel, ingestion-time incremental dedup
         "tpch_q9",
         "emb_ivfpq_indexed_topk",
+        "event_funnel",
+        "doc_incremental_neardup",
     ):
         if name in q:
             out[name] = q[name]
