@@ -187,3 +187,41 @@ def test_incremental_neardup_matches_batch_cross_pairs(spark, sf_dir, tmp_path):
             want.add((new_id, stored_id, r["jaccard"]))
     assert want, "fixture must produce cross near-dup pairs"
     assert got == want
+
+
+def test_append_to_index_equals_rebuild(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_neardup_index,
+        documents_neardup,
+        incremental_neardup_pairs,
+        write_neardup_index,
+    )
+
+    corpus = documents_neardup(spark, sf_dir)
+    first = corpus.filter(F.col("doc_id") % 3 == 1)
+    second = corpus.filter(F.col("doc_id") % 3 == 2)
+    probe = corpus.filter(F.col("doc_id") % 3 == 0)
+
+    # grown index: write first, append second
+    write_neardup_index(first, str(tmp_path / "grown"))
+    append_to_neardup_index(second, str(tmp_path / "grown"))
+    # rebuilt index: write first+second at once
+    write_neardup_index(
+        first.unionByName(second), str(tmp_path / "rebuilt")
+    )
+
+    grown = {
+        tuple(r)
+        for r in incremental_neardup_pairs(
+            probe, str(tmp_path / "grown")
+        ).collect()
+    }
+    rebuilt = {
+        tuple(r)
+        for r in incremental_neardup_pairs(
+            probe, str(tmp_path / "rebuilt")
+        ).collect()
+    }
+    assert grown and grown == rebuilt

@@ -505,3 +505,36 @@ def incremental_neardup_pairs(
         .select("new_id", "stored_id", "jaccard")
         .orderBy("new_id", "stored_id")
     )
+
+
+def append_to_neardup_index(new_docs: DataFrame, path: str) -> None:
+    """Index maintenance after an accepted batch merge: append the new
+    docs' shingle postings, band triples, and counts to the stored
+    index — the O(batch) operation that keeps
+    :func:`incremental_neardup_pairs` valid as the corpus grows.
+    Equivalence with rebuilding the index from scratch on the combined
+    corpus is pytest-proven (tests/test_ext_dedup.py).
+
+    Append-only parquet writes: safe to replay (the near-dup join is
+    set-semantics on (doc_id, band/shingle) — duplicates from a
+    replayed append only duplicate candidates, which ``distinct()``
+    collapses), matching the engine's idempotent-sink discipline."""
+    ex = exploded_shingles(new_docs)
+    ex.write.mode("append").parquet(f"{path}/shingles")
+    sig = minhash_signatures(new_docs, ex=ex.localCheckpoint(eager=False))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.col(f"band{b}").alias("band_key"),
+                )
+                for b in range(NUM_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    bands.write.mode("append").parquet(f"{path}/bands")
+    sig.select("doc_id", "n_sh").write.mode("append").parquet(
+        f"{path}/counts"
+    )
