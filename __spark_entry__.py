@@ -288,6 +288,44 @@ def _q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candle_patterns(candles_from_events(spark, sf_dir))
 
 
+def _q_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import rsi
+
+    return rsi(candles_from_events(spark, sf_dir), 14)
+
+
+def _q_stochastic_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import (
+        stochastic,
+    )
+
+    return stochastic(candles_from_events(spark, sf_dir), 14, 3)
+
+
+def _q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import obv
+
+    return obv(candles_from_events(spark, sf_dir))
+
+
+def _q_returns_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import (
+        returns_corr,
+    )
+
+    return returns_corr(candles_from_events(spark, sf_dir))
+
+
+def _q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XP.rolling_active_users(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), 7
+    )
+
+
+def _q_doc_chunk_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XP.chunk_dupes(XD.documents_neardup(spark, sf_dir), 32)
+
+
 _SYMBOLS = [f"SYM{i}" for i in range(8)]
 
 
@@ -894,6 +932,13 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": XS.semdedup,
         "candle_patterns": _q_candle_patterns,
         "doc_incremental_neardup": _q_doc_incremental_neardup,
+        # --- new in r5 wave 3: indicator + engagement + chunk ops ---
+        "rsi_14": _q_rsi_14,
+        "stochastic_14": _q_stochastic_14,
+        "obv": _q_obv,
+        "returns_corr": _q_returns_corr,
+        "rolling_active_users": _q_rolling_active_users,
+        "doc_chunk_dupes": _q_doc_chunk_dupes,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -1511,6 +1556,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_copies
         FROM toks
         GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_chunk_dupes": XD.DOCS_NEARDUP_CTE
+        + ", "
+        + _TOKS_CTE.format(src="docs")
+        + """
+        , starts AS (
+          SELECT doc_id, tokens,
+                 unnest(generate_series(1, len(tokens), 32)) AS s
+          FROM toks
+        ), chunks AS (
+          SELECT doc_id, list_slice(tokens, s, s + 31) AS chunk
+          FROM starts
+        ), fullc AS (
+          SELECT doc_id, md5(array_to_string(chunk, ' ')) AS chunk_md5
+          FROM chunks WHERE len(chunk) = 32
+        )
+        SELECT chunk_md5,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               min(doc_id) AS first_doc
+        FROM fullc GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        ORDER BY chunk_md5
         """,
         "doc_incremental_neardup": XD.DOCS_NEARDUP_CTE
         + _LSH_CTES
@@ -3068,6 +3135,126 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT *, sum_wp / total_sec AS twap FROM agg
         ORDER BY exchange, symbol, day
+        """,
+        "rsi_14": CANDLES_CTE
+        + """
+        , moves AS (
+          SELECT exchange, symbol, start,
+            CASE WHEN lag(close) OVER w IS NULL THEN NULL
+              ELSE CAST(round(greatest(close - lag(close) OVER w, 0), 6)
+                        AS DECIMAL(18,6)) END AS g,
+            CASE WHEN lag(close) OVER w IS NULL THEN NULL
+              ELSE CAST(round(greatest(lag(close) OVER w - close, 0), 6)
+                        AS DECIMAL(18,6)) END AS l
+          FROM candles
+          WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start)
+        ), frames AS (
+          SELECT exchange, symbol, start,
+            sum(g) OVER wf AS sg, sum(l) OVER wf AS sl,
+            count(g) OVER wf AS n_moves
+          FROM moves
+          WINDOW wf AS (PARTITION BY exchange, symbol ORDER BY start
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT exchange, symbol, start,
+          CASE WHEN n_moves = 0 THEN NULL
+               WHEN sg = 0 AND sl = 0 THEN 50.0
+               WHEN sl = 0 THEN 100.0
+               ELSE 100.0 - 100.0 / (1.0 + CAST(sg AS DOUBLE)
+                                           / CAST(sl AS DOUBLE)) END
+            AS rsi_14,
+          CAST(n_moves AS BIGINT) AS n_moves
+        FROM frames
+        """,
+        "stochastic_14": CANDLES_CTE
+        + """
+        , frames AS (
+          SELECT exchange, symbol, start,
+            CAST(round(
+              CASE WHEN max(high) OVER wn = min(low) OVER wn THEN 50.0
+                ELSE 100.0 * (close - min(low) OVER wn)
+                     / (max(high) OVER wn - min(low) OVER wn) END, 6)
+              AS DECIMAL(18,6)) AS k_dec
+          FROM candles
+          WINDOW wn AS (PARTITION BY exchange, symbol ORDER BY start
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT exchange, symbol, start,
+          CAST(k_dec AS DOUBLE) AS pct_k,
+          CAST(sum(k_dec) OVER wd AS DOUBLE) / count(k_dec) OVER wd
+            AS pct_d
+        FROM frames
+        WINDOW wd AS (PARTITION BY exchange, symbol ORDER BY start
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "obv": CANDLES_CTE
+        + """
+        , steps AS (
+          SELECT exchange, symbol, start,
+            CASE WHEN lag(close) OVER w IS NULL
+                   OR close = lag(close) OVER w
+                 THEN CAST(0 AS DECIMAL(28,6))
+                 WHEN close > lag(close) OVER w
+                 THEN CAST(round(volume, 6) AS DECIMAL(28,6))
+                 ELSE -CAST(round(volume, 6) AS DECIMAL(28,6)) END AS step
+          FROM candles
+          WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start)
+        )
+        SELECT exchange, symbol, start,
+          CAST(sum(step) OVER (PARTITION BY exchange, symbol ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS obv
+        FROM steps
+        """,
+        "returns_corr": CANDLES_CTE
+        + """
+        , rets AS (
+          SELECT exchange, symbol, start,
+            CAST(round(close / lag(close) OVER w - 1.0, 10)
+                 AS DECIMAL(18,10)) AS ret
+          FROM candles
+          WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start)
+          QUALIFY lag(close) OVER w > 0 AND close > 0
+              AND abs(close / lag(close) OVER w - 1.0) <= 10.0
+        ), pairs AS (
+          SELECT a.exchange, a.symbol AS symbol_a, b.symbol AS symbol_b,
+                 a.ret AS x, b.ret AS y
+          FROM rets a JOIN rets b
+            ON a.exchange = b.exchange AND a.start = b.start
+           AND a.symbol < b.symbol
+        ), agg AS (
+          SELECT exchange, symbol_a, symbol_b,
+            CAST(count(*) AS BIGINT) AS n_obs,
+            CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+            CAST(sum(x * x) AS DOUBLE) AS sxx,
+            CAST(sum(y * y) AS DOUBLE) AS syy,
+            CAST(sum(x * y) AS DOUBLE) AS sxy
+          FROM pairs GROUP BY 1, 2, 3
+        )
+        SELECT exchange, symbol_a, symbol_b, n_obs,
+          CASE WHEN n_obs >= 2
+                AND CAST(n_obs AS DOUBLE) * sxx - sx * sx > 0
+                AND CAST(n_obs AS DOUBLE) * syy - sy * sy > 0
+               THEN (CAST(n_obs AS DOUBLE) * sxy - sx * sy)
+                    / (sqrt(CAST(n_obs AS DOUBLE) * sxx - sx * sx)
+                       * sqrt(CAST(n_obs AS DOUBLE) * syy - sy * sy))
+          END AS ret_corr
+        FROM agg ORDER BY exchange, symbol_a, symbol_b
+        """,
+        "rolling_active_users": """
+        WITH days AS (
+          SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+        ), contrib AS (
+          SELECT date_trunc('day', e.ts) + g.x * INTERVAL 1 DAY AS day,
+                 e.user_id
+          FROM events e CROSS JOIN generate_series(0, 6) AS g(x)
+        )
+        SELECT c.day,
+               CAST(count(DISTINCT c.user_id) AS BIGINT)
+                 AS active_users_7d
+        FROM contrib c
+        WHERE c.day IN (SELECT day FROM days)
+        GROUP BY 1 ORDER BY 1
         """,
         "price_bands": CANDLES_CTE
         + """

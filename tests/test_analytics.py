@@ -113,3 +113,94 @@ def test_candle_patterns_hand_built(spark):
     assert got[0]["doji"] and not got[0]["bullish_engulfing"]
     assert got[1]["hammer"]
     assert got[2]["bullish_engulfing"] and not got[2]["bearish_engulfing"]
+
+
+def test_rsi_hand_computed(spark):
+    from trade_data_collection_service_spark.operators.analytics import rsi
+
+    # closes 10, 12, 11, 11: moves = +2, -1, 0
+    rows = [
+        ("E", "S", datetime(2024, 1, 1, 0, m), float(c), 1.0)
+        for m, c in enumerate([10, 12, 11, 11])
+    ]
+    out = {r["start"].minute: r for r in rsi(_mk(spark, rows), 14).collect()}
+    assert out[0]["rsi_14"] is None and out[0]["n_moves"] == 0
+    assert out[1]["rsi_14"] == 100.0  # one gain, no loss
+    # gains 2, losses 1 -> rs=2 -> rsi = 100 - 100/3
+    assert abs(out[2]["rsi_14"] - (100.0 - 100.0 / 3.0)) < 1e-9
+    assert out[3]["rsi_14"] == out[2]["rsi_14"]  # flat move keeps sums
+    assert out[3]["n_moves"] == 3
+
+
+def test_rsi_flat_series_is_50(spark):
+    from trade_data_collection_service_spark.operators.analytics import rsi
+
+    rows = [
+        ("E", "S", datetime(2024, 1, 1, 0, m), 5.0, 1.0) for m in range(4)
+    ]
+    out = rsi(_mk(spark, rows), 14).collect()
+    assert all(r["rsi_14"] == 50.0 for r in out if r["n_moves"] > 0)
+
+
+def test_stochastic_bounds_and_degenerate(spark, sf_dir):
+    from trade_data_collection_service_spark.candles import candles_from_events
+    from trade_data_collection_service_spark.operators.analytics import stochastic
+
+    rows = stochastic(candles_from_events(spark, sf_dir), 14, 3).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r["pct_k"] <= 100.0 + 1e-6
+        assert -1e-6 <= r["pct_d"] <= 100.0 + 1e-6
+
+
+def test_obv_hand_computed(spark):
+    from trade_data_collection_service_spark.operators.analytics import obv
+
+    # closes 10, 12, 12, 9 with volumes 1, 2, 3, 4:
+    # steps 0, +2, 0, -4 -> obv 0, 2, 2, -2
+    rows = [
+        ("E", "S", datetime(2024, 1, 1, 0, m), float(c), float(v))
+        for m, (c, v) in enumerate([(10, 1), (12, 2), (12, 3), (9, 4)])
+    ]
+    out = {r["start"].minute: r["obv"] for r in obv(_mk(spark, rows)).collect()}
+    assert out == {0: 0.0, 1: 2.0, 2: 2.0, 3: -2.0}
+
+
+def test_returns_corr_perfectly_correlated_pair(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        returns_corr,
+    )
+
+    # A and B move in lockstep (corr=1); C moves inversely to A
+    # with proportional (not equal) returns -> corr=-1.
+    rows = []
+    closes = [10.0, 11.0, 9.0, 12.0, 8.0]
+    for m, c in enumerate(closes):
+        t = datetime(2024, 1, 1, 0, m)
+        rows.append(("E", "A", t, c, 1.0))
+        rows.append(("E", "B", t, 2 * c, 1.0))
+        rows.append(("E", "C", t, 100.0 / c, 1.0))
+    out = {
+        (r["symbol_a"], r["symbol_b"]): r
+        for r in returns_corr(_mk(spark, rows)).collect()
+    }
+    assert abs(out[("A", "B")]["ret_corr"] - 1.0) < 1e-9
+    assert out[("A", "B")]["n_obs"] == 4
+    # 1/x returns are not exactly -x returns, but monotone inverse:
+    # strongly negative
+    assert out[("A", "C")]["ret_corr"] < -0.95
+
+
+def test_returns_corr_drops_nonpositive_prices(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        returns_corr,
+    )
+
+    rows = [
+        ("E", "A", datetime(2024, 1, 1, 0, 0), 0.0, 1.0),
+        ("E", "A", datetime(2024, 1, 1, 0, 1), 5.0, 1.0),
+        ("E", "B", datetime(2024, 1, 1, 0, 0), 3.0, 1.0),
+        ("E", "B", datetime(2024, 1, 1, 0, 1), 4.0, 1.0),
+    ]
+    # A's only return has prev=0 -> excluded -> no aligned pair rows
+    assert returns_corr(_mk(spark, rows)).collect() == []

@@ -276,3 +276,43 @@ def test_window_funnel_matches_bruteforce_random(spark):
         30 * 60 * 1_000_000,
     )
     assert got == want
+
+
+def test_rolling_active_users_hand_built(spark):
+    from datetime import datetime
+
+    from trade_data_collection_service_spark.ext.pipeline import (
+        rolling_active_users,
+    )
+
+    # users: u1 active day 1, u2 active days 1 and 3; day 2 has no
+    # events so it must NOT be reported even though the trailing
+    # window would cover it.
+    rows = [
+        (1, datetime(2024, 1, 1, 10), 1, "a", 1.0),
+        (2, datetime(2024, 1, 1, 11), 2, "a", 1.0),
+        (3, datetime(2024, 1, 3, 10), 2, "b", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = {
+        r["day"].day: r["active_users_7d"]
+        for r in rolling_active_users(ev, 7).collect()
+    }
+    assert out == {1: 2, 3: 2}  # day 3 sees u1+u2 in trailing window
+
+
+def test_chunk_dupes_finds_planted_exact_dup(spark):
+    from trade_data_collection_service_spark.ext.pipeline import chunk_dupes
+
+    base = " ".join(f"w{i}" for i in range(70))
+    other = " ".join(f"x{i}" for i in range(70))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], ["doc_id", "text"]
+    )
+    out = chunk_dupes(docs, 32).collect()
+    # docs 1 and 2 share both full 32-token chunks; doc 3 shares none
+    assert len(out) == 2
+    for r in out:
+        assert r["n_docs"] == 2 and r["first_doc"] == 1

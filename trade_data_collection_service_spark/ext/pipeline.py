@@ -638,3 +638,71 @@ def retention_matrix(events: DataFrame) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing-N-day distinct active users per day (rolling DAU/WAU) —
+    the engagement twin of daily_event_counts, and a window no SQL
+    engine can express as a frame spec (COUNT(DISTINCT) has no
+    windowed form): instead each event is fanned out to the
+    ``window_days`` report-days it is visible in via a map-side
+    ``sequence``+``explode`` (bounded 1-to-N, no shuffle), then ONE
+    exact count-distinct per report-day.
+
+    Report days are restricted to days that actually saw events (the
+    trailing fan-out would otherwise invent up to N−1 empty days past
+    the data's end); the day list is an aggregate-sized dimension, so
+    the semi-join broadcasts.
+
+    Scale shape: fan-out is linear (window_days × events) and
+    map-only; the count-distinct shuffles (day, user) pairs once,
+    partially deduplicated map-side.  No window over an unpartitioned
+    day axis anywhere."""
+    ts = F.col("ts")
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    day = F.date_trunc("day", ts)
+    contrib = events.select(
+        F.explode(
+            F.sequence(
+                day,
+                F.timestamp_add("DAY", F.lit(window_days - 1), day),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    real_days = events.select(day.alias("day")).distinct()
+    return (
+        contrib.join(F.broadcast(real_days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias(f"active_users_{window_days}d"))
+        .orderBy("day")
+    )
+
+
+def chunk_dupes(docs: DataFrame, chunk_tokens: int = 32) -> DataFrame:
+    """Cross-document duplicated chunks — boilerplate detection at
+    sub-document granularity (the practical stand-in for suffix-array
+    substring dedup): documents are cut into aligned fixed-size token
+    chunks (``chunk_documents`` with zero overlap), trailing partial
+    chunks are dropped (unequal lengths never compare equal), and a
+    digest groupBy reports every chunk text shared by more than one
+    document.
+
+    Scale shape: the only shuffle carries (chunk_md5, doc_id) pairs —
+    digests, never text — partially aggregated map-side; identical to
+    the exact_dedup shape but at chunk grain (dedup.py:74)."""
+    full = chunk_documents(docs, chunk_tokens, 0).filter(
+        F.col("n_chunk_tokens") == chunk_tokens
+    )
+    return (
+        full.groupBy("chunk_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("chunk_md5")
+    )

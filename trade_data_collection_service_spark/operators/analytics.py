@@ -251,3 +251,206 @@ def candle_patterns(candles: DataFrame) -> DataFrame:
         | F.col("bullish_engulfing")
         | F.col("bearish_engulfing")
     ).orderBy("exchange", "symbol", "start")
+
+
+def rsi(candles: DataFrame, n: int = 14) -> DataFrame:
+    """Relative Strength Index (Cutler's SMA form) over close-to-close
+    moves: gain = max(Δclose, 0), loss = max(−Δclose, 0) per candle;
+    RSI = 100 − 100/(1 + ΣgainN/ΣlossN) over the trailing N moves.
+
+    Cutler's SMA variant (not Wilder's recursive EMA) is chosen
+    deliberately: it is a pure frame-spec window — one shuffle on
+    (exchange, symbol), no sequential recursion — so it distributes,
+    while Wilder smoothing is an order-1 recurrence that cannot.
+    Gains/losses are per-row rounded then decimal-summed (the repo
+    float contract), so the RSI quotient's operands are bit-identical
+    across engines and the IEEE division is too (emitted unrounded,
+    the twap_daily precedent).
+
+    Edge conventions (mirrored verbatim in the oracle CASE): no moves
+    in frame (first candle) → NULL; all-flat frame (Σgain=Σloss=0) →
+    50; loss-free frame → 100."""
+    ws = Window.partitionBy("exchange", "symbol").orderBy("start")
+    diff = F.col("close") - F.lag("close").over(ws)
+    # first candle: explicit NULL (Spark's greatest SKIPS nulls, which
+    # would silently turn the missing move into a 0-gain/0-loss row;
+    # the oracle CASE mirrors this guard verbatim)
+    gain = F.when(
+        diff.isNotNull(),
+        F.round(F.greatest(diff, F.lit(0.0)), 6).cast("decimal(18,6)"),
+    )
+    loss = F.when(
+        diff.isNotNull(),
+        F.round(F.greatest(-diff, F.lit(0.0)), 6).cast("decimal(18,6)"),
+    )
+    base = candles.select(
+        "exchange", "symbol", "start", gain.alias("g"), loss.alias("l")
+    )
+    wf = (
+        Window.partitionBy("exchange", "symbol")
+        .orderBy("start")
+        .rowsBetween(-(n - 1), 0)
+    )
+    sg = F.sum("g").over(wf)
+    sl = F.sum("l").over(wf)
+    n_moves = F.count("g").over(wf)
+    rsi_val = (
+        F.when(n_moves == 0, F.lit(None).cast("double"))
+        .when((sg == 0) & (sl == 0), F.lit(50.0))
+        .when(sl == 0, F.lit(100.0))
+        .otherwise(
+            F.lit(100.0)
+            - F.lit(100.0)
+            / (F.lit(1.0) + sg.cast("double") / sl.cast("double"))
+        )
+    )
+    return base.select(
+        "exchange",
+        "symbol",
+        "start",
+        rsi_val.alias(f"rsi_{n}"),
+        n_moves.cast("long").alias("n_moves"),
+    )
+
+
+def stochastic(candles: DataFrame, n: int = 14, d: int = 3) -> DataFrame:
+    """Stochastic oscillator: %K = 100·(close − minN(low)) /
+    (maxN(high) − minN(low)) over the trailing N candles; %D = the
+    D-candle simple moving average of %K.
+
+    min/max picks are exact in any engine; %K is an IEEE quotient of
+    identical operands; %D re-enters the float-sum contract, so %K is
+    per-row rounded then decimal-averaged.  Degenerate frame
+    (max = min, a flat book) → %K = 50 by convention, mirrored in the
+    oracle.  One shuffle on (exchange, symbol); both frames reuse it."""
+    wn = (
+        Window.partitionBy("exchange", "symbol")
+        .orderBy("start")
+        .rowsBetween(-(n - 1), 0)
+    )
+    lo = F.min("low").over(wn)
+    hi = F.max("high").over(wn)
+    k = F.when(hi == lo, F.lit(50.0)).otherwise(
+        F.lit(100.0) * (F.col("close") - lo) / (hi - lo)
+    )
+    base = candles.select(
+        "exchange",
+        "symbol",
+        "start",
+        F.round(k, 6).cast("decimal(18,6)").alias("k_dec"),
+    )
+    wd = (
+        Window.partitionBy("exchange", "symbol")
+        .orderBy("start")
+        .rowsBetween(-(d - 1), 0)
+    )
+    return base.select(
+        "exchange",
+        "symbol",
+        "start",
+        F.col("k_dec").cast("double").alias("pct_k"),
+        (
+            F.sum("k_dec").over(wd).cast("double")
+            / F.count("k_dec").over(wd)
+        ).alias("pct_d"),
+    )
+
+
+def obv(candles: DataFrame) -> DataFrame:
+    """On-balance volume: running total of volume signed by the
+    close-to-close direction (up-candle adds volume, down-candle
+    subtracts, flat contributes nothing; the first candle contributes
+    nothing — the zero-baseline convention).
+
+    A cumulative decimal sum over the ordered candle stream — exact
+    in both engines regardless of accumulation order, so the running
+    total matches bit-for-bit.  One shuffle on (exchange, symbol)."""
+    ws = Window.partitionBy("exchange", "symbol").orderBy("start")
+    diff = F.col("close") - F.lag("close").over(ws)
+    vol = F.round("volume", 6).cast("decimal(28,6)")
+    step = (
+        F.when(diff.isNull() | (diff == 0), F.lit(0).cast("decimal(28,6)"))
+        .when(diff > 0, vol)
+        .otherwise(-vol)
+    )
+    wc = ws.rowsBetween(Window.unboundedPreceding, 0)
+    base = candles.select("exchange", "symbol", "start", step.alias("step"))
+    return base.select(
+        "exchange",
+        "symbol",
+        "start",
+        F.sum("step").over(wc).cast("double").alias("obv"),
+    )
+
+
+def returns_corr(candles: DataFrame, max_abs_return: float = 10.0) -> DataFrame:
+    """Pairwise Pearson correlation of per-candle simple returns
+    between every co-listed symbol pair on the same exchange — the
+    portfolio-construction primitive a candle store feeds.
+
+    Returns r = close/prev − 1 are computed per (exchange, symbol),
+    rounded to 10 dp and kept as decimals; candles with non-positive
+    prices or |r| > max_abs_return (garbage ticks) are excluded —
+    identically in the oracle.  Symbols are paired by an equi-join on
+    (exchange, start) (each side symbol-tagged, sym_a < sym_b), then
+    one groupBy per pair accumulates the five decimal-exact moment
+    sums (n, Σx, Σy, Σx², Σy², Σxy); the closed-form Pearson quotient
+    runs in doubles over those bit-identical operands, so it needs no
+    rounding.  Pairs with fewer than 2 aligned candles or zero
+    variance on either leg yield NULL.
+
+    Scale shape: the join shuffles both sides on (exchange, start) —
+    the candle table's natural time layout — and fans out only
+    S(S−1)/2 pairs per timestamp (S = co-listed symbols per exchange,
+    a dimension-sized constant, not data-sized); the pair aggregate is
+    map-side combined down to one row per pair."""
+    ws = Window.partitionBy("exchange", "symbol").orderBy("start")
+    prev = F.lag("close").over(ws)
+    r = F.col("close") / prev - F.lit(1.0)
+    rets = (
+        candles.select(
+            "exchange", "symbol", "start", prev.alias("prev"), "close",
+            r.alias("r"),
+        )
+        .filter(
+            (F.col("prev") > 0)
+            & (F.col("close") > 0)
+            & (F.abs("r") <= max_abs_return)
+        )
+        .select(
+            "exchange",
+            "symbol",
+            "start",
+            F.round("r", 10).cast("decimal(18,10)").alias("ret"),
+        )
+    )
+    a = rets.select(
+        "exchange", "start", F.col("symbol").alias("symbol_a"),
+        F.col("ret").alias("x"),
+    )
+    b = rets.select(
+        "exchange", "start", F.col("symbol").alias("symbol_b"),
+        F.col("ret").alias("y"),
+    )
+    pairs = a.join(b, ["exchange", "start"]).filter(
+        F.col("symbol_a") < F.col("symbol_b")
+    )
+    agg = pairs.groupBy("exchange", "symbol_a", "symbol_b").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n_obs").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (F.col("n_obs") >= 2) & (vx > 0) & (vy > 0),
+        cov / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return agg.select(
+        "exchange", "symbol_a", "symbol_b", "n_obs", corr.alias("ret_corr")
+    ).orderBy("exchange", "symbol_a", "symbol_b")
