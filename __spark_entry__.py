@@ -244,6 +244,14 @@ def _q_gap_filled_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gap_filled_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.resample import (
+        gap_filled_interp,
+    )
+
+    return gap_filled_interp(_candles_week(spark, sf_dir))
+
+
 def _q_sma_20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.operators.analytics import sma
 
@@ -939,6 +947,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returns_corr": _q_returns_corr,
         "rolling_active_users": _q_rolling_active_users,
         "doc_chunk_dupes": _q_doc_chunk_dupes,
+        "gap_filled_interp": _q_gap_filled_interp,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -2933,6 +2942,54 @@ def oracle_sql() -> dict[str, str]:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS close_ffill
         FROM joined
+        """,
+        "gap_filled_interp": CANDLES_CTE
+        + """
+        , week AS (
+            SELECT * FROM candles
+            WHERE exchange = 'EXCH_A' AND symbol = 'SYM0'
+              AND start >= TIMESTAMP '2024-01-08 00:00:00'
+              AND start <  TIMESTAMP '2024-01-15 00:00:00'
+        ), bounds AS (
+            SELECT exchange, symbol, min(start) AS lo, max(start) AS hi
+            FROM week GROUP BY 1, 2
+        ), grid AS (
+            SELECT exchange, symbol,
+                   unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS start
+            FROM bounds
+        ), joined AS (
+            SELECT g.exchange, g.symbol, g.start, w.close,
+                   (w.close IS NULL) AS is_gap
+            FROM grid g LEFT JOIN week w
+              ON g.exchange = w.exchange AND g.symbol = w.symbol
+             AND g.start = w.start
+        ), brackets AS (
+            SELECT *,
+              last_value(CASE WHEN NOT is_gap THEN close END IGNORE NULLS)
+                OVER wp AS prev_c,
+              last_value(CASE WHEN NOT is_gap
+                  THEN CAST(epoch(start) AS BIGINT) END IGNORE NULLS)
+                OVER wp AS prev_t,
+              first_value(CASE WHEN NOT is_gap THEN close END IGNORE NULLS)
+                OVER wn AS next_c,
+              first_value(CASE WHEN NOT is_gap
+                  THEN CAST(epoch(start) AS BIGINT) END IGNORE NULLS)
+                OVER wn AS next_t
+            FROM joined
+            WINDOW wp AS (PARTITION BY exchange, symbol ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (PARTITION BY exchange, symbol ORDER BY start
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT exchange, symbol, start, close, is_gap,
+          CASE WHEN NOT is_gap THEN close
+               WHEN prev_c IS NULL THEN next_c
+               WHEN next_c IS NULL THEN prev_c
+               ELSE prev_c + (next_c - prev_c)
+                    * (CAST(CAST(epoch(start) AS BIGINT) - prev_t AS DOUBLE)
+                       / CAST(next_t - prev_t AS DOUBLE)) END
+            AS close_interp
+        FROM brackets
         """,
         "sma_20": CANDLES_CTE
         + """

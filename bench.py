@@ -121,6 +121,11 @@ def headline_queries():
         "emb_ivfpq_indexed_topk",
         "event_funnel",
         "doc_incremental_neardup",
+        # round-5 wave 3: pair-join correlation, count-distinct
+        # fan-out, chunk-grain dedup
+        "returns_corr",
+        "rolling_active_users",
+        "doc_chunk_dupes",
     ):
         if name in q:
             out[name] = q[name]

@@ -82,3 +82,40 @@ def test_volume_bars_partition_totals(spark, sf_dir):
         assert sum(r["n_candles"] for r in rows) == totals[k][1]
         starts = [r["bar_start"] for r in rows]
         assert starts == sorted(starts)
+
+
+def test_interp_linear_between_brackets(spark):
+    from trade_data_collection_service_spark.operators.resample import (
+        gap_filled_interp,
+    )
+
+    df = _frame(spark, [(0, 10), (1, 11), (4, 14)])
+    out = {
+        r["start"].minute: r["close_interp"]
+        for r in gap_filled_interp(df).collect()
+    }
+    # minutes 2 and 3 interpolate linearly between 11 (@1) and 14 (@4)
+    assert out == {0: 10.0, 1: 11.0, 2: 12.0, 3: 13.0, 4: 14.0}
+
+
+def test_interp_edge_gaps_degrade_to_nearest(spark):
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.operators.resample import (
+        gap_filled_interp,
+    )
+
+    # grid spans observed bounds only, so edges are observed by
+    # construction; emulate a leading gap by filtering the first
+    # observation out after grid construction is NOT possible here —
+    # instead verify observed rows pass through untouched.
+    df = _frame(spark, [(0, 10), (3, 13)])
+    rows = gap_filled_interp(df).collect()
+    observed = [r for r in rows if not r["is_gap"]]
+    assert all(r["close_interp"] == r["close"] for r in observed)
+    assert (
+        gap_filled_interp(df)
+        .filter(F.col("close_interp").isNull())
+        .count()
+        == 0
+    )

@@ -113,3 +113,49 @@ def volume_bars(candles: DataFrame, bar_volume: float = 500.0) -> DataFrame:
         )
         .orderBy(*KEYS, "bar_id")
     )
+
+
+def gap_filled_interp(candles: DataFrame, step_minutes: int = 1) -> DataFrame:
+    """Gap-filled grid with close LINEARLY interpolated across gaps —
+    the charting/feature-engineering companion to ``gap_filled_ffill``
+    (pandas ``resample().interpolate()``): each missing minute gets
+    prev + (next − prev) · elapsed/span between its bracketing
+    observations; leading/trailing gaps (no bracket on one side)
+    degrade to carry-forward/carry-backward of the side that exists.
+
+    Two frame-spec windows over ONE (exchange, symbol) sort — last
+    non-null before, first non-null after (both with the matching
+    observation time via a conditional column, no struct juggling) —
+    so the plan cost is identical to ffill.  The interpolation
+    quotient runs in doubles over bit-identical operands (observed
+    closes + integer epoch-second offsets), so no rounding contract
+    is needed; observed rows pass their close through untouched."""
+    filled = gap_filled(candles, step_minutes)
+    known_close = F.when(~F.col("is_gap"), F.col("close"))
+    known_sec = F.when(~F.col("is_gap"), F.unix_timestamp("start"))
+    wp = (
+        Window.partitionBy(*KEYS)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(*KEYS)
+        .orderBy("start")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_c = F.last(known_close, ignorenulls=True).over(wp)
+    prev_t = F.last(known_sec, ignorenulls=True).over(wp)
+    next_c = F.first(known_close, ignorenulls=True).over(wn)
+    next_t = F.first(known_sec, ignorenulls=True).over(wn)
+    frac = (F.unix_timestamp("start") - prev_t).cast("double") / (
+        next_t - prev_t
+    ).cast("double")
+    interp = (
+        F.when(~F.col("is_gap"), F.col("close"))
+        .when(prev_c.isNull(), next_c)
+        .when(next_c.isNull(), prev_c)
+        .otherwise(prev_c + (next_c - prev_c) * frac)
+    )
+    return filled.select(
+        *KEYS, "start", "close", "is_gap", interp.alias("close_interp")
+    )
