@@ -334,6 +334,10 @@ def _q_doc_chunk_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.chunk_dupes(XD.documents_neardup(spark, sf_dir), 32)
 
 
+def _q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XT.tfidf_terms(spark, sf_dir, 5)
+
+
 _SYMBOLS = [f"SYM{i}" for i in range(8)]
 
 
@@ -948,6 +952,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": _q_rolling_active_users,
         "doc_chunk_dupes": _q_doc_chunk_dupes,
         "gap_filled_interp": _q_gap_filled_interp,
+        "doc_tfidf_terms": _q_doc_tfidf_terms,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -1565,6 +1570,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_copies
         FROM toks
         GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_tfidf_terms": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , terms AS (
+          SELECT doc_id, unnest(tokens) AS term FROM toks
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM terms GROUP BY 1, 2
+        ), dft AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), n AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        ), scored AS (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+            t.tf * CAST(round(ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0, 12)
+                        AS DECIMAL(18,12)) AS tfidf_dec
+          FROM tf t JOIN dft d USING (term) CROSS JOIN n
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY tfidf_dec DESC, term) AS rn
+          FROM scored
+        )
+        SELECT doc_id, term, tf, df,
+               CAST(tfidf_dec AS DOUBLE) AS tfidf,
+               CAST(rn AS BIGINT) AS rank
+        FROM ranked WHERE rn <= 5
+        ORDER BY doc_id, rank
         """,
         "doc_chunk_dupes": XD.DOCS_NEARDUP_CTE
         + ", "

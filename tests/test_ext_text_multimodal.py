@@ -110,3 +110,22 @@ def test_repetition_flags_planted_boilerplate(spark):
     assert out[1]["flagged"] and out[1]["top_bigram_frac"] > 0.4
     assert out[2]["dup_bigram_frac"] == 0.0 and not out[2]["flagged"]
     assert out[3]["n_bigrams"] == 0 and not out[3]["flagged"]
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark, tmp_path):
+    from trade_data_collection_service_spark.ext.text import tfidf_terms
+
+    # 9 docs of common filler, 1 doc with a unique term: the unique
+    # term must outrank the filler within its doc.
+    rows = [(i, "common words everywhere common words") for i in range(9)]
+    rows.append((9, "common words everywhere unicorn unicorn"))
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = tfidf_terms(spark, str(tmp_path), 2).collect()
+    top9 = [r for r in out if r["doc_id"] == 9 and r["rank"] == 1][0]
+    assert top9["term"] == "unicorn" and top9["tf"] == 2 and top9["df"] == 1
+    # ranks are dense 1..k per doc
+    for d in range(10):
+        ranks = sorted(r["rank"] for r in out if r["doc_id"] == d)
+        assert ranks == list(range(1, len(ranks) + 1))

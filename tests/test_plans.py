@@ -168,3 +168,13 @@ def test_funnel_windows_share_one_sort(spark, sf_dir):
     # one data exchange (user_id) + one presentation sort exchange;
     # the k-1 range windows and the aggregate reuse the same sort
     assert _exchanges(plan) == 2, plan
+
+
+def test_tfidf_terms_uses_window_group_limit(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.text import tfidf_terms
+
+    plan = _plan(tfidf_terms(spark, sf_dir, 5))
+    # per-doc top-k must push into WindowGroupLimit (k-heaps per
+    # partition key), never a global sort; df table joins broadcast
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan

@@ -269,3 +269,59 @@ def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-surface wrapper for :func:`repetition_of` over the
     documents table."""
     return repetition_of(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def tfidf_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document — keyword extraction, the
+    corpus-wide companion to BM25's query-side scoring (and the
+    feature a curation pipeline uses for topic tagging / domain
+    mixing).  Smooth-idf form (sklearn's default):
+    idf = ln((N + 1)/(df + 1)) + 1, tfidf = tf · idf.
+
+    Scale shape: tokens explode once, term frequencies aggregate on
+    (doc_id, term) — the shuffle carries one row per distinct
+    doc-term, map-side combined; document frequencies reduce that to
+    a vocabulary-sized table that joins back BROADCAST, and the
+    (N)-scalar rides a 1-row broadcast crossJoin.  The per-doc top-k
+    is a row_number partitioned BY DOC — Catalyst plans the rank
+    filter as WindowGroupLimit (per-partition k-heaps), so no global
+    sort and no single-partition window anywhere (the BM25 wart's
+    fix, applied from the start).
+
+    Determinism: idf is rounded to 12 dp and kept as DECIMAL, so
+    tf · idf products are exact in both engines (libm vs JVM ln can
+    differ in the last ulp) and the rank comparisons — decimal desc,
+    term asc — are total and engine-independent."""
+    from pyspark.sql import Window
+
+    docs = with_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    terms = docs.select("doc_id", F.explode("tokens").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0, 12
+    ).cast("decimal(18,12)")
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf_dec", F.col("tf") * idf)
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_dec").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.col("tfidf_dec").cast("double").alias("tfidf"),
+            "rank",
+        )
+        .orderBy("doc_id", "rank")
+    )
