@@ -338,6 +338,22 @@ def _q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XT.tfidf_terms(spark, sf_dir, 5)
 
 
+def _q_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming register-table reader: same
+    register algebra (streaming/actives.py), folded daily + trailing
+    7-day — the sketch-based companion to the exact
+    ``rolling_active_users``."""
+    from trade_data_collection_service_spark.candles import events_df
+    from trade_data_collection_service_spark.streaming.actives import (
+        daily_user_registers,
+        fold_active_users,
+    )
+
+    return fold_active_users(
+        daily_user_registers(events_df(spark, sf_dir)), 7
+    )
+
+
 _SYMBOLS = [f"SYM{i}" for i in range(8)]
 
 
@@ -953,6 +969,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_dupes": _q_doc_chunk_dupes,
         "gap_filled_interp": _q_gap_filled_interp,
         "doc_tfidf_terms": _q_doc_tfidf_terms,
+        "rolling_active_hll": _q_rolling_active_hll,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -2315,6 +2332,60 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT ex.day, ex.n_users_exact, round(est.e, 4) AS hll_estimate
         FROM ex JOIN est USING (day) ORDER BY day
+        """,
+        "rolling_active_hll": f"""
+        WITH ev AS (
+          SELECT date_trunc('day', ts) AS day, user_id FROM events
+        ), vals AS (
+          SELECT day, user_id,
+            CAST(list_sum(list_transform(range(1, 9),
+              i -> (strpos('0123456789abcdef',
+                     substr(md5('hll-v1|' || CAST(user_id AS VARCHAR)),
+                            CAST(i AS INTEGER), 1)) - 1)
+                   * (16.0 ** (8 - i)))) AS BIGINT) AS x
+          FROM ev
+        ), rr AS (
+          SELECT day, x & 63 AS hll_idx,
+                 CASE WHEN (x >> 6) = 0 THEN 27
+                      ELSE 27 - length(to_base(x >> 6, 2)) END AS rho
+          FROM vals
+        ), regs AS (
+          SELECT day, hll_idx, max(rho) AS reg FROM rr GROUP BY 1, 2
+        ), dfold AS (
+          SELECT day, count(*) AS n_regs, sum(2.0 ** (-reg)) AS sum_pow
+          FROM regs GROUP BY 1
+        ), dest AS (
+          SELECT day,
+            CASE WHEN {ALPHA * 64 * 64!r} / (sum_pow + (64 - n_regs))
+                      <= {2.5 * 64!r}
+                  AND n_regs < 64
+                 THEN 64.0 * ln(64.0 / (64 - n_regs))
+                 ELSE {ALPHA * 64 * 64!r} / (sum_pow + (64 - n_regs))
+            END AS e
+          FROM dfold
+        ), contrib AS (
+          SELECT r.day + g.x * INTERVAL 1 DAY AS day, r.hll_idx, r.reg
+          FROM regs r CROSS JOIN generate_series(0, 6) AS g(x)
+        ), rolled AS (
+          SELECT day, hll_idx, max(reg) AS reg FROM contrib
+          WHERE day IN (SELECT day FROM regs)
+          GROUP BY 1, 2
+        ), rfold AS (
+          SELECT day, count(*) AS n_regs, sum(2.0 ** (-reg)) AS sum_pow
+          FROM rolled GROUP BY 1
+        ), rest AS (
+          SELECT day,
+            CASE WHEN {ALPHA * 64 * 64!r} / (sum_pow + (64 - n_regs))
+                      <= {2.5 * 64!r}
+                  AND n_regs < 64
+                 THEN 64.0 * ln(64.0 / (64 - n_regs))
+                 ELSE {ALPHA * 64 * 64!r} / (sum_pow + (64 - n_regs))
+            END AS e
+          FROM rfold
+        )
+        SELECT d.day, round(d.e, 4) AS active_users_day,
+               round(r.e, 4) AS active_users_roll
+        FROM dest d JOIN rest r USING (day) ORDER BY day
         """,
         "doc_reservoir": """
         SELECT lang, doc_id, rk FROM (

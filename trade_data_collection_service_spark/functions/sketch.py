@@ -52,19 +52,12 @@ def hll_rho_cols(value: Column, salt: str = "hll-v1") -> tuple[Column, Column]:
     return idx.alias("hll_idx"), rho.cast("long").alias("hll_rho")
 
 
-def hll_distinct(
-    df: DataFrame,
-    group_cols: list[str],
-    value_col: str,
-    salt: str = "hll-v1",
-) -> DataFrame:
-    """Per-group HLL cardinality estimate: (group_cols…, hll_estimate)."""
-    idx, rho = hll_rho_cols(F.col(value_col), salt)
-    regs = (
-        df.select(*group_cols, idx, rho)
-        .groupBy(*group_cols, "hll_idx")
-        .agg(F.max("hll_rho").alias("reg"))
-    )
+def hll_fold(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold a (group_cols…, hll_idx, reg) register table into the
+    per-group cardinality estimate (group_cols…, hll_estimate) —
+    the finalize step, shared by the one-shot ``hll_distinct`` and
+    the streaming register-table reader (streaming/actives.py), so
+    stream-maintained and batch-computed estimates can never drift."""
     folded = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_regs"),
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("sum_pow"),
@@ -78,6 +71,36 @@ def hll_distinct(
     ).otherwise(raw)
     return folded.select(
         *group_cols, F.round(est, 4).alias("hll_estimate")
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    salt: str = "hll-v1",
+) -> DataFrame:
+    """Per-group HLL register table (group_cols…, hll_idx, reg) —
+    the MERGEABLE partial state: registers from any row split union +
+    max-combine to the registers of the whole (max is associative,
+    commutative, and idempotent, so duplicate delivery is free)."""
+    idx, rho = hll_rho_cols(F.col(value_col), salt)
+    return (
+        df.select(*group_cols, idx, rho)
+        .groupBy(*group_cols, "hll_idx")
+        .agg(F.max("hll_rho").alias("reg"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    salt: str = "hll-v1",
+) -> DataFrame:
+    """Per-group HLL cardinality estimate: (group_cols…, hll_estimate)."""
+    return hll_fold(
+        hll_registers(df, group_cols, value_col, salt), group_cols
     )
 
 
