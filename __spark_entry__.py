@@ -354,6 +354,13 @@ def _q_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of trained-IVF (nprobe=1) vs exact cosine ground
+    truth over the same 3 queries — ANN index-quality evaluation as
+    an oracle-checked operator (ext/similarity.ann_recall)."""
+    return XS.ann_recall(spark, sf_dir)
+
+
 _SYMBOLS = [f"SYM{i}" for i in range(8)]
 
 
@@ -970,6 +977,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_filled_interp": _q_gap_filled_interp,
         "doc_tfidf_terms": _q_doc_tfidf_terms,
         "rolling_active_hll": _q_rolling_active_hll,
+        "ann_recall": _q_ann_recall,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -1226,6 +1234,41 @@ _L2D = (
     "round(list_sum(list_transform(list_zip({a}, {b}),"
     " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
 )
+
+
+_IVF_TRAINED_RANKED = f"""
+        , tc AS (
+          SELECT cluster AS c_id, centroid AS c_emb,
+                 sqrt(list_sum(list_transform(centroid, x -> x * x)))
+                   AS c_nrm
+          FROM c2
+        ), asg AS (
+          SELECT vec_id, emb, nrm, c_id,
+                 {_COS.format(a="emb", b="c_emb", na="nrm", nb="c_nrm")} AS c_sim
+          FROM n, tc
+        ), bucketed AS (
+          SELECT vec_id, emb, nrm, c_id AS bucket
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS r
+                FROM asg)
+          WHERE r = 1
+        ), q AS (
+          SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm,
+                 bucket AS q_bucket
+          FROM bucketed WHERE vec_id >= 100 AND vec_id < 103
+        ), sims AS (
+          SELECT q_id, b.bucket, vec_id,
+                 {_COS.format(a="q_emb", b="emb", na="q_nrm", nb="nrm")} AS sim
+          FROM bucketed b, q
+          WHERE b.bucket = q.q_bucket AND b.vec_id <> q.q_id
+        ), ranked AS (
+          SELECT q_id, bucket, vec_id, sim,
+                 CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT)
+                   AS rank
+          FROM sims
+        )
+"""
 
 
 def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
@@ -2541,39 +2584,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_ivf_trained_topk": _VEC_CTE
         + _kmeans_ctes(k=8, iters=2, dim=64)
-        + f"""
-        , tc AS (
-          SELECT cluster AS c_id, centroid AS c_emb,
-                 sqrt(list_sum(list_transform(centroid, x -> x * x)))
-                   AS c_nrm
-          FROM c2
-        ), asg AS (
-          SELECT vec_id, emb, nrm, c_id,
-                 {_COS.format(a="emb", b="c_emb", na="nrm", nb="c_nrm")} AS c_sim
-          FROM n, tc
-        ), bucketed AS (
-          SELECT vec_id, emb, nrm, c_id AS bucket
-          FROM (SELECT *, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS r
-                FROM asg)
-          WHERE r = 1
-        ), q AS (
-          SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm,
-                 bucket AS q_bucket
-          FROM bucketed WHERE vec_id >= 100 AND vec_id < 103
-        ), sims AS (
-          SELECT q_id, b.bucket, vec_id,
-                 {_COS.format(a="q_emb", b="emb", na="q_nrm", nb="nrm")} AS sim
-          FROM bucketed b, q
-          WHERE b.bucket = q.q_bucket AND b.vec_id <> q.q_id
-        ), ranked AS (
-          SELECT q_id, bucket, vec_id, sim,
-                 CAST(row_number() OVER (
-                   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT)
-                   AS rank
-          FROM sims
-        )
+        + _IVF_TRAINED_RANKED
+        + """
         SELECT * FROM ranked WHERE rank <= 3
+        """,
+        "ann_recall": _VEC_CTE
+        + _kmeans_ctes(k=8, iters=2, dim=64)
+        + _IVF_TRAINED_RANKED
+        + f"""
+        , approx AS (
+          SELECT q_id, vec_id FROM ranked WHERE rank <= 3
+        ), esims AS (
+          SELECT q.q_id, v.vec_id,
+                 {_COS.format(a="q_emb", b="emb", na="q_nrm", nb="nrm")} AS sim
+          FROM n v, q
+          WHERE v.vec_id <> q.q_id
+        ), exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (
+                     PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+            FROM esims
+          ) WHERE rank <= 3
+        )
+        SELECT a.q_id,
+               CAST(sum(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_hits,
+               CAST(sum(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END)
+                    AS DOUBLE) / 3.0 AS recall_at_k
+        FROM approx a LEFT JOIN exact e
+          ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+        GROUP BY 1 ORDER BY 1
         """,
         "emb_pq_topk": _VEC_CTE
         + _pq_ctes(m=4, k=16, iters=2, dim=64)

@@ -140,3 +140,16 @@ def test_semdedup_drops_planted_copies(spark, sf_dir):
         assert rows[v]["kept"] is False
         assert rows[v - 1000000]["kept"] is True
         assert rows[v]["cluster"] == rows[v - 1000000]["cluster"]
+
+
+def test_ann_recall_bounds_and_exhaustive_probe(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.similarity import ann_recall
+
+    rows = ann_recall(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_hits"] == round(r["recall_at_k"] * 3)
+    # probing every bucket searches the whole corpus: recall == 1
+    full = ann_recall(spark, sf_dir, n_centroids=8, nprobe=8).collect()
+    assert all(r["recall_at_k"] == 1.0 for r in full)

@@ -513,3 +513,61 @@ def semdedup(
         )
         .orderBy("vec_id")
     )
+
+
+def ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_queries: int = 3,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Index-quality evaluation as a first-class operator: recall@k of
+    the trained-IVF search against the exact cosine ground truth over
+    the SAME query set — the number an ANN deployment tunes
+    n_centroids/nprobe against before committing a 100 TB index
+    layout.
+
+    Scale shape: the approximate side is the pruned IVF search
+    (bucketed corpus ⋈ broadcast probes); the exact side is
+    brute-force over the corpus, which is the COST OF EVALUATION, not
+    of serving — it runs over a sampled query set (n_queries), so the
+    ground-truth pass is one broadcast-join scan of the corpus per
+    evaluation, embarrassingly parallel, done offline.  Output is one
+    row per query: (q_id, n_hits, recall_at_k)."""
+    approx = ivf_trained_topk(
+        spark, sf_dir, n_centroids, iters, n_queries, k, nprobe
+    ).select("q_id", "vec_id")
+    v = vectors(spark, sf_dir)
+    q = v.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sims = v.join(broadcast(q), F.col("vec_id") != F.col("q_id")).withColumn(
+        "sim",
+        F.round(_dot("emb", "q_emb") / (F.col("nrm") * F.col("q_nrm")), 6),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    exact = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    marked = approx.join(exact, ["q_id", "vec_id"], "left")
+    return (
+        marked.groupBy("q_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "q_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(float(k))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("q_id")
+    )
