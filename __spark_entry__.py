@@ -938,11 +938,12 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries only, so the front of this dict is reserved for
     # the weakest evidence — entries whose code changed since their
     # last green row, brand-new entries, then entries whose last green
-    # row is oldest (r3).  The 16 new/changed r5 entries take the
-    # front, then the r3-vintage block; the r3-vintage entries pushed
-    # past position 50 this round (tpch_q12..q22-class byte-stable
-    # anchors with past greens and unchanged code) rotate forward in
-    # r6.
+    # row is oldest (r3).  r5 has 9 changed + 24 brand-new entries in
+    # the front, leaving ~17 window slots for the r3-vintage block;
+    # the r3-vintage entries pushed past position 50 rotate forward
+    # in r6.  The FULL surface was locally swept green this round —
+    # tools/check_oracle.py at sf0.01, every entry ok (the driver
+    # window is a budget cap, not the only evidence).
     return {
         # --- r5 front window: changed-since-last-check first ---
         "doc_minhash_lsh": _q_doc_minhash_lsh,
@@ -952,6 +953,11 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_pq_topk": _q_emb_ivf_pq_topk,
         "emb_ivfadc_topk": _q_emb_ivfadc_topk,
         "event_anomaly": _q_event_anomaly,
+        # changed late in r5: hll_distinct refactored into
+        # registers+fold; the trained-IVF oracle chain restructured
+        # into a shared constant (text-identical, re-prove anyway)
+        "events_hll_daily": _q_events_hll_daily,
+        "emb_ivf_trained_topk": XS.ivf_trained_topk,
         # --- new in r5: the last four TPC-H anchors (full 22 now) ---
         "tpch_q9": XH.q9_product_profit,
         "tpch_q11": XH.q11_important_stock,
@@ -1003,11 +1009,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "earliest_per_symbol": _q_earliest_per_symbol,
         "emb_cosine_topk": XS.brute_force_topk,
         "emb_ivf_topk": XS.ivf_topk,
-        "emb_ivf_trained_topk": XS.ivf_trained_topk,
         "emb_neardup": XS.embedding_neardup_pairs,
         "emb_quantized_topk": XS.quantized_topk,
         "event_attribution": _q_event_attribution,
-        "events_hll_daily": _q_events_hll_daily,
         "events_json": XH.events_json_extract,
         "multimodal_features": media_features,
         "multimodal_frames": media_frame_sample,
