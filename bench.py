@@ -168,9 +168,13 @@ def skew_join_queries():
         return left, right
 
     def _agg(joined):
-        return joined.groupBy().agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("m")), 2).alias("s")
+        # decimal-exact: a float sum is addition-order-dependent, so
+        # plain and salted partitionings could round differently —
+        # decimal summation makes "identical one-row result" literal
+        v = F.round(F.col("l_extendedprice") * F.col("m"), 2).cast(
+            "decimal(38,2)"
         )
+        return joined.groupBy().agg(F.sum(v).alias("s"))
 
     def plain(spark, sf_dir):
         left, right = _frames(spark, sf_dir)
