@@ -354,6 +354,10 @@ def _q_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XT.unigram_logprob(spark, sf_dir)
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@3 of trained-IVF (nprobe=1) vs exact cosine ground
     truth over the same 3 queries — ANN index-quality evaluation as
@@ -984,6 +988,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_terms": _q_doc_tfidf_terms,
         "rolling_active_hll": _q_rolling_active_hll,
         "ann_recall": _q_ann_recall,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -1634,6 +1639,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_copies
         FROM toks
         GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_unigram_logprob": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , terms AS (
+          SELECT doc_id, unnest(tokens) AS term FROM toks
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM terms GROUP BY 1, 2
+        ), vocab AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS n_term
+          FROM terms GROUP BY 1
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_total FROM terms
+        ), scored AS (
+          SELECT t.doc_id, t.tf,
+            t.tf * CAST(round(ln(CAST(v.n_term AS DOUBLE) / o.n_total), 12)
+                        AS DECIMAL(20,12)) AS wlp
+          FROM tf t JOIN vocab v USING (term) CROSS JOIN tot o
+        )
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
+        FROM scored GROUP BY 1 ORDER BY 1
         """,
         "doc_tfidf_terms": "WITH "
         + _TOKS_CTE.format(src="documents")

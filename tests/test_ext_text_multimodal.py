@@ -129,3 +129,17 @@ def test_tfidf_ranks_distinctive_terms_first(spark, tmp_path):
     for d in range(10):
         ranks = sorted(r["rank"] for r in out if r["doc_id"] == d)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark, tmp_path):
+    from trade_data_collection_service_spark.ext.text import unigram_logprob
+
+    rows = [(i, "common common common common") for i in range(8)]
+    rows.append((8, "rare1 rare2 rare3 rare4"))
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in unigram_logprob(spark, str(tmp_path)).collect()}
+    assert out[8]["avg_logprob"] < out[0]["avg_logprob"]
+    assert all(r["avg_logprob"] < 0 for r in out.values())
+    assert out[0]["n_tokens"] == 4

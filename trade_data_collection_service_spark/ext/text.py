@@ -325,3 +325,51 @@ def tfidf_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability under the
+    corpus's own unigram distribution — the cheapest language-model
+    quality signal (the KenLM-style perplexity filter's unigram
+    degenerate case): documents full of globally-rare tokens score
+    low, template/common-token documents score high.  Complements
+    ``quality_of`` (surface heuristics) and ``repetition_of``
+    (intra-doc structure) with a corpus-relative signal.
+
+    Scale shape: one token explode feeds BOTH the corpus unigram
+    table (vocabulary-sized, broadcast back) and the per-(doc, term)
+    frequencies; the scalar token total rides a 1-row broadcast
+    crossJoin; per-doc scoring is ONE groupBy over doc-term rows.
+
+    Determinism: each token's ln(count/total) is rounded to 12 dp
+    and decimal-weighted by its in-doc count, so the per-doc sum is
+    exact in both engines and the final divide-by-length runs over
+    bit-identical operands."""
+    docs = with_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    terms = docs.select("doc_id", F.explode("tokens").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    total = terms.agg(F.count(F.lit(1)).alias("n_total"))
+    lp = F.round(
+        F.log(F.col("n_term").cast("double") / F.col("n_total")), 12
+    ).cast("decimal(20,12)")
+    scored = (
+        tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("wlp", F.col("tf") * lp)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum("wlp").alias("sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("sum_lp").cast("double") / F.col("n_tokens")).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
