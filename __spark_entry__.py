@@ -324,6 +324,14 @@ def _q_returns_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return returns_corr(candles_from_events(spark, sf_dir))
 
 
+def _q_symbol_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import (
+        symbol_beta,
+    )
+
+    return symbol_beta(candles_from_events(spark, sf_dir))
+
+
 def _q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.rolling_active_users(
         spark.read.parquet(f"{sf_dir}/events.parquet"), 7
@@ -989,6 +997,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_hll": _q_rolling_active_hll,
         "ann_recall": _q_ann_recall,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "symbol_beta": _q_symbol_beta,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -3475,6 +3484,52 @@ def oracle_sql() -> dict[str, str]:
                        * sqrt(CAST(n_obs AS DOUBLE) * syy - sy * sy))
           END AS ret_corr
         FROM agg ORDER BY exchange, symbol_a, symbol_b
+        """,
+        "symbol_beta": CANDLES_CTE
+        + """
+        , rets AS (
+          SELECT exchange, symbol, start,
+            CAST(round(close / lag(close) OVER w - 1.0, 10)
+                 AS DECIMAL(18,10)) AS x
+          FROM candles
+          WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start)
+          QUALIFY lag(close) OVER w > 0 AND close > 0
+              AND abs(close / lag(close) OVER w - 1.0) <= 10.0
+        ), mkt AS (
+          SELECT exchange, start,
+                 CAST(sum(x) AS DOUBLE) / count(*) AS m
+          FROM rets GROUP BY 1, 2
+        ), pairs AS (
+          SELECT r.exchange, r.symbol, r.x,
+            CAST(round(m.m, 12) AS DECIMAL(20,12)) AS m_dec,
+            CAST(round(CAST(r.x AS DOUBLE) * m.m, 12)
+                 AS DECIMAL(24,12)) AS xm,
+            CAST(round(m.m * m.m, 12) AS DECIMAL(24,12)) AS mm
+          FROM rets r JOIN mkt m
+            ON r.exchange = m.exchange AND r.start = m.start
+        ), agg AS (
+          SELECT exchange, symbol,
+            CAST(count(*) AS BIGINT) AS n_obs,
+            CAST(sum(x) AS DOUBLE) AS sx,
+            CAST(sum(m_dec) AS DOUBLE) AS sm,
+            CAST(sum(xm) AS DOUBLE) AS sxm,
+            CAST(sum(mm) AS DOUBLE) AS smm
+          FROM pairs GROUP BY 1, 2
+        )
+        SELECT exchange, symbol, n_obs,
+          CASE WHEN n_obs >= 2
+                AND CAST(n_obs AS DOUBLE) * smm - sm * sm > 0
+               THEN (CAST(n_obs AS DOUBLE) * sxm - sx * sm)
+                    / (CAST(n_obs AS DOUBLE) * smm - sm * sm)
+          END AS beta,
+          CASE WHEN n_obs >= 2
+                AND CAST(n_obs AS DOUBLE) * smm - sm * sm > 0
+               THEN sx / CAST(n_obs AS DOUBLE)
+                    - ((CAST(n_obs AS DOUBLE) * sxm - sx * sm)
+                       / (CAST(n_obs AS DOUBLE) * smm - sm * sm))
+                      * (sm / CAST(n_obs AS DOUBLE))
+          END AS alpha
+        FROM agg ORDER BY exchange, symbol
         """,
         "rolling_active_users": """
         WITH days AS (

@@ -204,3 +204,46 @@ def test_returns_corr_drops_nonpositive_prices(spark):
     ]
     # A's only return has prev=0 -> excluded -> no aligned pair rows
     assert returns_corr(_mk(spark, rows)).collect() == []
+
+
+def test_symbol_beta_market_of_itself_is_one(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        symbol_beta,
+    )
+
+    # single listed symbol: market return == own return -> beta = 1,
+    # alpha = 0
+    closes = [10.0, 11.0, 9.5, 12.0, 11.0]
+    rows = [
+        ("E", "A", datetime(2024, 1, 1, 0, m), float(c), 1.0)
+        for m, c in enumerate(closes)
+    ]
+    out = symbol_beta(_mk(spark, rows)).collect()
+    assert len(out) == 1
+    assert abs(out[0]["beta"] - 1.0) < 1e-9
+    assert abs(out[0]["alpha"]) < 1e-12
+
+
+def test_symbol_beta_leveraged_clone(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        symbol_beta,
+    )
+
+    # B's returns are exactly 3x A's (price: product of (1+3r)).
+    closes_a = [100.0, 101.0, 99.0, 102.0, 100.0]
+    rets_a = [
+        closes_a[i + 1] / closes_a[i] - 1.0 for i in range(len(closes_a) - 1)
+    ]
+    closes_b = [100.0]
+    for r in rets_a:
+        closes_b.append(closes_b[-1] * (1.0 + 3.0 * r))
+    rows = []
+    for m, (ca, cb) in enumerate(zip(closes_a, closes_b)):
+        t = datetime(2024, 1, 1, 0, m)
+        rows.append(("E", "A", t, float(ca), 1.0))
+        rows.append(("E", "B", t, float(cb), 1.0))
+    out = {r["symbol"]: r for r in symbol_beta(_mk(spark, rows)).collect()}
+    # market m = (r + 3r)/2 = 2r -> beta_A = cov(r,2r)/var(2r) = 0.5,
+    # beta_B = cov(3r,2r)/var(2r) = 1.5
+    assert abs(out["A"]["beta"] - 0.5) < 1e-6
+    assert abs(out["B"]["beta"] - 1.5) < 1e-6

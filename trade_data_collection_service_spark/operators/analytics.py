@@ -454,3 +454,86 @@ def returns_corr(candles: DataFrame, max_abs_return: float = 10.0) -> DataFrame:
     return agg.select(
         "exchange", "symbol_a", "symbol_b", "n_obs", corr.alias("ret_corr")
     ).orderBy("exchange", "symbol_a", "symbol_b")
+
+
+def symbol_beta(candles: DataFrame, max_abs_return: float = 10.0) -> DataFrame:
+    """Per-symbol market beta (and alpha): the OLS slope of a
+    symbol's per-candle returns against the equal-weight market
+    return of its exchange — the systematic-risk figure a portfolio
+    layer computes from the candle store (returns_corr's regression
+    sibling).
+
+    Market return m_t = mean of co-listed symbol returns at t, from
+    an exact decimal sum divided by the symbol count (the quotient is
+    IEEE-identical cross-engine); each symbol's (x_t, m_t) pairs then
+    accumulate decimal moment sums — x exactly, m and the x·m / m²
+    products rounded to 12 dp pre-sum (a double sum would be
+    addition-order-dependent) — and beta/alpha close the OLS formula
+    in doubles over bit-identical operands.
+
+    Scale shape: returns window shuffles once on (exchange, symbol);
+    the market aggregate and the pair join both shuffle on
+    (exchange, start) — the table's time layout — and the final
+    per-symbol aggregate is map-side combined to one row per symbol.
+    Includes each symbol in its own market (standard index
+    convention); pairs with < 2 observations or a flat market yield
+    NULL."""
+    ws = Window.partitionBy("exchange", "symbol").orderBy("start")
+    prev = F.lag("close").over(ws)
+    r = F.col("close") / prev - F.lit(1.0)
+    rets = (
+        candles.select(
+            "exchange", "symbol", "start", prev.alias("prev"), "close",
+            r.alias("r"),
+        )
+        .filter(
+            (F.col("prev") > 0)
+            & (F.col("close") > 0)
+            & (F.abs("r") <= max_abs_return)
+        )
+        .select(
+            "exchange",
+            "symbol",
+            "start",
+            F.round("r", 10).cast("decimal(18,10)").alias("x"),
+        )
+    )
+    mkt = rets.groupBy("exchange", "start").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    pairs = rets.join(mkt, ["exchange", "start"]).select(
+        "exchange",
+        "symbol",
+        "x",
+        F.round("m", 12).cast("decimal(20,12)").alias("m_dec"),
+        F.round(F.col("x").cast("double") * F.col("m"), 12)
+        .cast("decimal(24,12)")
+        .alias("xm"),
+        F.round(F.col("m") * F.col("m"), 12)
+        .cast("decimal(24,12)")
+        .alias("mm"),
+    )
+    agg = pairs.groupBy("exchange", "symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("m_dec").cast("double").alias("sm"),
+        F.sum("xm").cast("double").alias("sxm"),
+        F.sum("mm").cast("double").alias("smm"),
+    )
+    n = F.col("n_obs").cast("double")
+    var_m = n * F.col("smm") - F.col("sm") * F.col("sm")
+    beta = F.when(
+        (F.col("n_obs") >= 2) & (var_m > 0),
+        (n * F.col("sxm") - F.col("sx") * F.col("sm")) / var_m,
+    )
+    alpha = F.when(
+        beta.isNotNull(),
+        F.col("sx") / n - beta * (F.col("sm") / n),
+    )
+    return agg.select(
+        "exchange",
+        "symbol",
+        "n_obs",
+        beta.alias("beta"),
+        alpha.alias("alpha"),
+    ).orderBy("exchange", "symbol")
