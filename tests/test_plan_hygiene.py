@@ -30,6 +30,10 @@ NESTED_LOOP_OK = {
     "emb_quantized_topk",  # same shape, int8 corpus
     "emb_ivf_topk",  # probe×bucket candidate pairing vs broadcast probes
     "emb_ivf_trained_topk",
+    "ann_recall",  # the exact ground-truth pass IS brute-force by
+    # design: corpus × broadcast(sampled query set), evaluation-only
+    "doc_unigram_logprob",  # 1-row total-token broadcast scalar
+    "doc_tfidf_terms",  # 1-row corpus-size broadcast scalar
     "emb_ivf_pq_topk",  # coarse-quantizer assignment: corpus × broadcast centroids
     "emb_ivfadc_topk",  # same coarse-assignment shape, residual variant
     "emb_semdedup",  # coarse assignment: corpus × broadcast trained
