@@ -391,19 +391,23 @@ def returns_corr(candles: DataFrame, max_abs_return: float = 10.0) -> DataFrame:
     Returns r = close/prev − 1 are computed per (exchange, symbol),
     rounded to 10 dp and kept as decimals; candles with non-positive
     prices or |r| > max_abs_return (garbage ticks) are excluded —
-    identically in the oracle.  Symbols are paired by an equi-join on
-    (exchange, start) (each side symbol-tagged, sym_a < sym_b), then
-    one groupBy per pair accumulates the five decimal-exact moment
-    sums (n, Σx, Σy, Σx², Σy², Σxy); the closed-form Pearson quotient
-    runs in doubles over those bit-identical operands, so it needs no
+    identically in the oracle.  Symbols are paired per timestamp via
+    ONE groupBy(exchange, start) that collects the S-sized
+    (symbol, ret) array and expands the S(S−1)/2 ordered pairs with a
+    map-side array comprehension (sym_a < sym_b) — NOT a self-join,
+    which would recompute the whole returns window subtree for each
+    side (Catalyst does not CSE across self-joins).  One groupBy per
+    pair then accumulates the five decimal-exact moment sums (n, Σx,
+    Σy, Σx², Σy², Σxy); the closed-form Pearson quotient runs in
+    doubles over those bit-identical operands, so it needs no
     rounding.  Pairs with fewer than 2 aligned candles or zero
     variance on either leg yield NULL.
 
-    Scale shape: the join shuffles both sides on (exchange, start) —
-    the candle table's natural time layout — and fans out only
-    S(S−1)/2 pairs per timestamp (S = co-listed symbols per exchange,
-    a dimension-sized constant, not data-sized); the pair aggregate is
-    map-side combined down to one row per pair."""
+    Scale shape: one window pass, one shuffle onto (exchange, start)
+    — the candle table's natural time layout — with arrays bounded by
+    S (co-listed symbols per exchange, a dimension-sized constant,
+    not data-sized); the pair aggregate is map-side combined down to
+    one row per pair."""
     ws = Window.partitionBy("exchange", "symbol").orderBy("start")
     prev = F.lag("close").over(ws)
     r = F.col("close") / prev - F.lit(1.0)
@@ -424,17 +428,36 @@ def returns_corr(candles: DataFrame, max_abs_return: float = 10.0) -> DataFrame:
             F.round("r", 10).cast("decimal(18,10)").alias("ret"),
         )
     )
-    a = rets.select(
-        "exchange", "start", F.col("symbol").alias("symbol_a"),
-        F.col("ret").alias("x"),
+    # Pair co-listed symbols per timestamp WITHOUT a self-join: a
+    # self-join would recompute the whole returns window subtree for
+    # each side (Catalyst does not CSE across self-joins — observed as
+    # two full window passes in the r5 plan audit).  Instead ONE
+    # groupBy(exchange, start) collects the S-sized (symbol, ret)
+    # array and a map-side array comprehension expands the
+    # S(S−1)/2 pairs — S is the dimension-sized co-listed symbol
+    # count, so the arrays are tiny and the expansion is codegen-side.
+    by_ts = rets.groupBy("exchange", "start").agg(
+        F.sort_array(
+            F.collect_list(F.struct("symbol", "ret"))
+        ).alias("ps")
     )
-    b = rets.select(
-        "exchange", "start", F.col("symbol").alias("symbol_b"),
-        F.col("ret").alias("y"),
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a: F.transform(
+                F.filter(F.col("ps"), lambda b: b["symbol"] > a["symbol"]),
+                lambda b: F.struct(
+                    a["symbol"].alias("symbol_a"),
+                    b["symbol"].alias("symbol_b"),
+                    a["ret"].alias("x"),
+                    b["ret"].alias("y"),
+                ),
+            ),
+        )
     )
-    pairs = a.join(b, ["exchange", "start"]).filter(
-        F.col("symbol_a") < F.col("symbol_b")
-    )
+    pairs = by_ts.select(
+        "exchange", F.explode(pair_arr).alias("p")
+    ).select("exchange", "p.*")
     agg = pairs.groupBy("exchange", "symbol_a", "symbol_b").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum("x").cast("double").alias("sx"),
@@ -472,8 +495,9 @@ def symbol_beta(candles: DataFrame, max_abs_return: float = 10.0) -> DataFrame:
     in doubles over bit-identical operands.
 
     Scale shape: returns window shuffles once on (exchange, symbol);
-    the market aggregate and the pair join both shuffle on
-    (exchange, start) — the table's time layout — and the final
+    the market mean is an unordered window over (exchange, start) —
+    each row sees its timestamp's market return with no join back, so
+    the returns subtree runs exactly once — and the final
     per-symbol aggregate is map-side combined to one row per symbol.
     Includes each symbol in its own market (standard index
     convention); pairs with < 2 observations or a flat market yield
@@ -498,20 +522,22 @@ def symbol_beta(candles: DataFrame, max_abs_return: float = 10.0) -> DataFrame:
             F.round("r", 10).cast("decimal(18,10)").alias("x"),
         )
     )
-    mkt = rets.groupBy("exchange", "start").agg(
-        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("m")
-    )
-    pairs = rets.join(mkt, ["exchange", "start"]).select(
+    # Market mean via an unordered window over (exchange, start) —
+    # every row sees its timestamp's market return WITHOUT a join
+    # back, so the returns subtree is computed exactly once (a
+    # groupBy + rejoin would replay the whole window pass for the
+    # second branch; Catalyst does not CSE across self-joins).
+    wm = Window.partitionBy("exchange", "start")
+    m = F.sum("x").over(wm).cast("double") / F.count(F.lit(1)).over(wm)
+    pairs = rets.select(
         "exchange",
         "symbol",
         "x",
-        F.round("m", 12).cast("decimal(20,12)").alias("m_dec"),
-        F.round(F.col("x").cast("double") * F.col("m"), 12)
+        F.round(m, 12).cast("decimal(20,12)").alias("m_dec"),
+        F.round(F.col("x").cast("double") * m, 12)
         .cast("decimal(24,12)")
         .alias("xm"),
-        F.round(F.col("m") * F.col("m"), 12)
-        .cast("decimal(24,12)")
-        .alias("mm"),
+        F.round(m * m, 12).cast("decimal(24,12)").alias("mm"),
     )
     agg = pairs.groupBy("exchange", "symbol").agg(
         F.count(F.lit(1)).alias("n_obs"),
