@@ -125,3 +125,79 @@ def test_cascade_equals_direct_property(spark, rows):
     c = dedup_latest(spark.createDataFrame(rows, COLS))
     levels = cascade(c, [1, 5, 15])
     assert _frames_equal(levels[15], rollup_raw(c, 15))
+
+
+# --- r5 wave-3 indicator properties: Spark vs a pure-Python oracle ---
+
+
+@st.composite
+def close_series(draw):
+    n = draw(st.integers(min_value=2, max_value=20))
+    return [
+        round(draw(st.floats(min_value=0.5, max_value=100.0)), 2)
+        for _ in range(n)
+    ]
+
+
+def _candle_df(spark, closes, volumes=None):
+    volumes = volumes or [1.0] * len(closes)
+    rows = [
+        ("E", "S", BASE + timedelta(minutes=m), float(c), float(v))
+        for m, (c, v) in enumerate(zip(closes, volumes))
+    ]
+    return spark.createDataFrame(
+        rows, ["exchange", "symbol", "start", "close", "volume"]
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(closes=close_series())
+def test_obv_matches_python_reference(spark, closes):
+    from trade_data_collection_service_spark.operators.analytics import obv
+
+    vols = [float(i + 1) for i in range(len(closes))]
+    got = [
+        r["obv"]
+        for r in obv(_candle_df(spark, closes, vols))
+        .orderBy("start")
+        .collect()
+    ]
+    ref, acc = [], 0.0
+    for i, c in enumerate(closes):
+        if i > 0 and c > closes[i - 1]:
+            acc += vols[i]
+        elif i > 0 and c < closes[i - 1]:
+            acc -= vols[i]
+        ref.append(acc)
+    assert got == ref
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(closes=close_series())
+def test_rsi_matches_python_reference(spark, closes):
+    from trade_data_collection_service_spark.operators.analytics import rsi
+
+    n = 5
+    got = [
+        r["rsi_5"]
+        for r in rsi(_candle_df(spark, closes), n).orderBy("start").collect()
+    ]
+    for i in range(len(closes)):
+        lo = max(1, i - n + 1)
+        gains = [
+            round(max(closes[j] - closes[j - 1], 0.0), 6)
+            for j in range(lo, i + 1)
+        ]
+        losses = [
+            round(max(closes[j - 1] - closes[j], 0.0), 6)
+            for j in range(lo, i + 1)
+        ]
+        sg, sl = round(sum(gains), 6), round(sum(losses), 6)
+        if not gains:
+            assert got[i] is None
+        elif sg == 0 and sl == 0:
+            assert got[i] == 50.0
+        elif sl == 0:
+            assert got[i] == 100.0
+        else:
+            assert abs(got[i] - (100.0 - 100.0 / (1.0 + sg / sl))) < 1e-9
