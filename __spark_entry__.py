@@ -324,6 +324,12 @@ def _q_returns_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return returns_corr(candles_from_events(spark, sf_dir))
 
 
+def _q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XP.mixture_weights(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def _q_symbol_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.operators.analytics import (
         symbol_beta,
@@ -998,6 +1004,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "symbol_beta": _q_symbol_beta,
+        "doc_source_mix": _q_doc_source_mix,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -1648,6 +1655,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_copies
         FROM toks
         GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_source_mix": """
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                 CAST(count(*) AS BIGINT) AS n_sources
+          FROM per
+        )
+        SELECT source, n_docs,
+               CAST(n_docs AS DOUBLE) / n_total AS share,
+               CAST(n_total AS DOUBLE) / (n_sources * n_docs) AS weight
+        FROM per CROSS JOIN tot ORDER BY source
         """,
         "doc_unigram_logprob": "WITH "
         + _TOKS_CTE.format(src="documents")

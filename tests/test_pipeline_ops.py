@@ -316,3 +316,25 @@ def test_chunk_dupes_finds_planted_exact_dup(spark):
     assert len(out) == 2
     for r in out:
         assert r["n_docs"] == 2 and r["first_doc"] == 1
+
+
+def test_mixture_weights_rebalance_to_uniform(spark):
+    from trade_data_collection_service_spark.ext.pipeline import (
+        mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b") for i in range(8)],
+        ["doc_id", "source"],
+    )
+    out = {r["source"]: r for r in mixture_weights(docs).collect()}
+    assert out["a"]["n_docs"] == 6 and out["b"]["n_docs"] == 2
+    assert abs(out["a"]["share"] - 0.75) < 1e-12
+    # expected volume preserved: sum n_s * w_s == n_total
+    total = sum(r["n_docs"] * r["weight"] for r in out.values())
+    assert abs(total - 8.0) < 1e-9
+    # weighted shares equalize: n_s * w_s identical across sources
+    assert abs(
+        out["a"]["n_docs"] * out["a"]["weight"]
+        - out["b"]["n_docs"] * out["b"]["weight"]
+    ) < 1e-12

@@ -33,6 +33,7 @@ NESTED_LOOP_OK = {
     "ann_recall",  # the exact ground-truth pass IS brute-force by
     # design: corpus × broadcast(sampled query set), evaluation-only
     "doc_unigram_logprob",  # 1-row total-token broadcast scalar
+    "doc_source_mix",  # 1-row (n_total, n_sources) broadcast scalar
     "doc_tfidf_terms",  # 1-row corpus-size broadcast scalar
     "emb_ivf_pq_topk",  # coarse-quantizer assignment: corpus × broadcast centroids
     "emb_ivfadc_topk",  # same coarse-assignment shape, residual variant

@@ -706,3 +706,41 @@ def chunk_dupes(docs: DataFrame, chunk_tokens: int = 32) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("chunk_md5")
     )
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Per-source sampling weights that rebalance the corpus to a
+    UNIFORM source mix — the domain-reweighting step a training-data
+    pipeline runs before sampling (compose with
+    ``importance_sample``: multiply each document's keep-probability
+    by its source's weight and the expected post-sampling mix is
+    uniform across sources).
+
+    weight_s = n_total / (n_sources · n_s): > 1 for under-represented
+    sources, < 1 for over-represented ones; Σ_s n_s·weight_s =
+    n_total, so total expected volume is preserved.
+
+    Scale shape: one map-side-combined groupBy(source) — the result
+    is dimension-sized — plus a 1-row broadcast scalar for the
+    totals.  All-integer inputs make every emitted double an exact
+    IEEE quotient in both engines."""
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias(
+                "share"
+            ),
+            (
+                F.col("n_total").cast("double")
+                / (F.col("n_sources") * F.col("n_docs"))
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
