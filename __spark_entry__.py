@@ -324,6 +324,14 @@ def _q_returns_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return returns_corr(candles_from_events(spark, sf_dir))
 
 
+def _q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import (
+        volume_profile,
+    )
+
+    return volume_profile(candles_from_events(spark, sf_dir), 5.0)
+
+
 def _q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.mixture_weights(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1005,6 +1013,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "symbol_beta": _q_symbol_beta,
         "doc_source_mix": _q_doc_source_mix,
+        "volume_profile": _q_volume_profile,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -3551,6 +3560,24 @@ def oracle_sql() -> dict[str, str]:
                       * (sm / CAST(n_obs AS DOUBLE))
           END AS alpha
         FROM agg ORDER BY exchange, symbol
+        """,
+        "volume_profile": CANDLES_CTE
+        + """
+        , per AS (
+          SELECT exchange, symbol,
+                 CAST(floor(close / 5.0) AS BIGINT) AS price_bucket,
+                 sum(CAST(round(volume, 6) AS DECIMAL(28,6))) AS vol_dec,
+                 CAST(count(*) AS BIGINT) AS n_candles
+          FROM candles GROUP BY 1, 2, 3
+        )
+        SELECT exchange, symbol, price_bucket,
+               price_bucket * 5.0 AS bucket_low,
+               CAST(vol_dec AS DOUBLE) AS bucket_volume,
+               n_candles,
+               CAST(vol_dec AS DOUBLE)
+                 / CAST(sum(vol_dec) OVER (PARTITION BY exchange, symbol)
+                        AS DOUBLE) AS volume_share
+        FROM per ORDER BY exchange, symbol, price_bucket
         """,
         "rolling_active_users": """
         WITH days AS (

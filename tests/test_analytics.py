@@ -247,3 +247,25 @@ def test_symbol_beta_leveraged_clone(spark):
     # beta_B = cov(3r,2r)/var(2r) = 1.5
     assert abs(out["A"]["beta"] - 0.5) < 1e-6
     assert abs(out["B"]["beta"] - 1.5) < 1e-6
+
+
+def test_volume_profile_shares_sum_to_one(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        volume_profile,
+    )
+
+    rows = [
+        ("E", "S", datetime(2024, 1, 1, 0, 0), 3.0, 10.0),   # bucket 0
+        ("E", "S", datetime(2024, 1, 1, 0, 1), 7.0, 30.0),   # bucket 1
+        ("E", "S", datetime(2024, 1, 1, 0, 2), 8.0, 10.0),   # bucket 1
+        ("E", "T", datetime(2024, 1, 1, 0, 0), 12.0, 5.0),   # bucket 2
+    ]
+    out = volume_profile(_mk(spark, rows), 5.0).collect()
+    s_rows = [r for r in out if r["symbol"] == "S"]
+    assert {r["price_bucket"]: r["bucket_volume"] for r in s_rows} == {
+        0: 10.0,
+        1: 40.0,
+    }
+    assert abs(sum(r["volume_share"] for r in s_rows) - 1.0) < 1e-12
+    t = [r for r in out if r["symbol"] == "T"][0]
+    assert t["volume_share"] == 1.0 and t["bucket_low"] == 10.0

@@ -563,3 +563,38 @@ def symbol_beta(candles: DataFrame, max_abs_return: float = 10.0) -> DataFrame:
         beta.alias("beta"),
         alpha.alias("alpha"),
     ).orderBy("exchange", "symbol")
+
+
+def volume_profile(candles: DataFrame, bucket_width: float = 5.0) -> DataFrame:
+    """Volume-at-price profile per (exchange, symbol): traded volume
+    histogrammed by price bucket — the support/resistance map a
+    charting client derives from the candle store (the per-symbol
+    refinement of the global price-band classification).
+
+    One map-side-combined groupBy onto (exchange, symbol, bucket);
+    each bucket's share of its symbol's total volume comes from an
+    unordered window over the (already tiny) per-symbol bucket rows —
+    no second scan, no scalar collect.  Volume sums stay decimal
+    until the final quotient, so the share is an IEEE division of
+    bit-identical operands in both engines."""
+    vol = F.round("volume", 6).cast("decimal(28,6)")
+    bucket = F.floor(F.col("close") / F.lit(bucket_width)).cast("long")
+    per = candles.groupBy(
+        "exchange", "symbol", bucket.alias("price_bucket")
+    ).agg(
+        F.sum(vol).alias("vol_dec"),
+        F.count(F.lit(1)).alias("n_candles"),
+    )
+    w = Window.partitionBy("exchange", "symbol")
+    total = F.sum("vol_dec").over(w)
+    return per.select(
+        "exchange",
+        "symbol",
+        "price_bucket",
+        (F.col("price_bucket") * F.lit(bucket_width)).alias("bucket_low"),
+        F.col("vol_dec").cast("double").alias("bucket_volume"),
+        "n_candles",
+        (F.col("vol_dec").cast("double") / total.cast("double")).alias(
+            "volume_share"
+        ),
+    ).orderBy("exchange", "symbol", "price_bucket")
