@@ -269,3 +269,29 @@ def test_volume_profile_shares_sum_to_one(spark):
     assert abs(sum(r["volume_share"] for r in s_rows) - 1.0) < 1e-12
     t = [r for r in out if r["symbol"] == "T"][0]
     assert t["volume_share"] == 1.0 and t["bucket_low"] == 10.0
+
+
+def test_stochastic_hand_computed(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        stochastic,
+    )
+
+    rows = [
+        # open, high, low, close
+        ("E", "S", datetime(2024, 1, 1, 0, 0), 10.0, 12.0, 8.0, 11.0, 1.0),
+        ("E", "S", datetime(2024, 1, 1, 0, 1), 11.0, 14.0, 10.0, 13.0, 1.0),
+        ("E", "S", datetime(2024, 1, 1, 0, 2), 13.0, 13.5, 9.0, 9.5, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["exchange", "symbol", "start", "open", "high", "low", "close", "volume"],
+    )
+    out = {r["start"].minute: r for r in stochastic(df, 2, 2).collect()}
+    # m0: lo=8, hi=12 -> K = 100*(11-8)/4 = 75
+    assert abs(out[0]["pct_k"] - 75.0) < 1e-6
+    # m1: frame {0,1}: lo=8, hi=14 -> K = 100*(13-8)/6
+    assert abs(out[1]["pct_k"] - 100.0 * 5 / 6) < 1e-4
+    # m2: frame {1,2}: lo=9, hi=14 -> K = 100*(9.5-9)/5 = 10
+    assert abs(out[2]["pct_k"] - 10.0) < 1e-6
+    # %D at m2 = mean of K(m1), K(m2)
+    assert abs(out[2]["pct_d"] - (out[1]["pct_k"] + 10.0) / 2) < 1e-4
