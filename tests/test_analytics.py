@@ -221,7 +221,7 @@ def test_symbol_beta_market_of_itself_is_one(spark):
     out = symbol_beta(_mk(spark, rows)).collect()
     assert len(out) == 1
     assert abs(out[0]["beta"] - 1.0) < 1e-9
-    assert abs(out[0]["alpha"]) < 1e-12
+    assert abs(out[0]["alpha"]) < 1e-9  # 12-dp product rounding noise
 
 
 def test_symbol_beta_leveraged_clone(spark):

@@ -522,22 +522,36 @@ def symbol_beta(candles: DataFrame, max_abs_return: float = 10.0) -> DataFrame:
             F.round("r", 10).cast("decimal(18,10)").alias("x"),
         )
     )
-    # Market mean via an unordered window over (exchange, start) —
-    # every row sees its timestamp's market return WITHOUT a join
-    # back, so the returns subtree is computed exactly once (a
-    # groupBy + rejoin would replay the whole window pass for the
-    # second branch; Catalyst does not CSE across self-joins).
-    wm = Window.partitionBy("exchange", "start")
-    m = F.sum("x").over(wm).cast("double") / F.count(F.lit(1)).over(wm)
-    pairs = rets.select(
-        "exchange",
-        "symbol",
-        "x",
-        F.round(m, 12).cast("decimal(20,12)").alias("m_dec"),
-        F.round(F.col("x").cast("double") * m, 12)
-        .cast("decimal(24,12)")
-        .alias("xm"),
-        F.round(m * m, 12).cast("decimal(24,12)").alias("mm"),
+    # Market mean WITHOUT a join back or a window: one hash aggregate
+    # onto (exchange, start) computes the exact decimal market sum
+    # AND collects the S-sized (symbol, x) array in the same pass
+    # (returns_corr's shape — a groupBy + rejoin would replay the
+    # whole returns subtree; an unordered-window variant and a
+    # per-array decimal fold both measured ~20 s at the ×64
+    # synthesized-volume rung vs ~11 s for this form).  Each element
+    # re-emerges via explode carrying its timestamp's market mean.
+    by_ts = rets.groupBy("exchange", "start").agg(
+        F.sort_array(F.collect_list(F.struct("symbol", "x"))).alias("ps"),
+        F.sum("x").alias("sum_x"),
+        F.count(F.lit(1)).alias("n_sym"),
+    )
+    m = F.col("sum_x").cast("double") / F.col("n_sym")
+    pairs = (
+        by_ts.select(
+            "exchange", m.alias("m"), F.explode("ps").alias("p")
+        )
+        .select(
+            "exchange",
+            F.col("p.symbol").alias("symbol"),
+            F.col("p.x").alias("x"),
+            F.round("m", 12).cast("decimal(20,12)").alias("m_dec"),
+            F.round(F.col("p.x").cast("double") * F.col("m"), 12)
+            .cast("decimal(24,12)")
+            .alias("xm"),
+            F.round(F.col("m") * F.col("m"), 12)
+            .cast("decimal(24,12)")
+            .alias("mm"),
+        )
     )
     agg = pairs.groupBy("exchange", "symbol").agg(
         F.count(F.lit(1)).alias("n_obs"),
