@@ -122,10 +122,15 @@ def headline_queries():
         "event_funnel",
         "doc_incremental_neardup",
         # round-5 wave 3: pair-join correlation, count-distinct
-        # fan-out, chunk-grain dedup
+        # fan-out, chunk-grain dedup, OLS beta, keyword extraction,
+        # register-table rolling actives, ANN recall eval
         "returns_corr",
         "rolling_active_users",
         "doc_chunk_dupes",
+        "symbol_beta",
+        "doc_tfidf_terms",
+        "rolling_active_hll",
+        "ann_recall",
     ):
         if name in q:
             out[name] = q[name]
