@@ -201,3 +201,84 @@ def test_rsi_matches_python_reference(spark, closes):
             assert got[i] == 100.0
         else:
             assert abs(got[i] - (100.0 - 100.0 / (1.0 + sg / sl))) < 1e-9
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(
+            st.floats(min_value=1.0, max_value=50.0),
+            st.floats(min_value=1.0, max_value=50.0),
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_returns_corr_matches_numpy(spark, data):
+    import numpy as np
+
+    from trade_data_collection_service_spark.operators.analytics import (
+        returns_corr,
+    )
+
+    closes_a = [round(a, 2) for a, _ in data]
+    closes_b = [round(b, 2) for _, b in data]
+    rows = []
+    for m, (ca, cb) in enumerate(zip(closes_a, closes_b)):
+        t = BASE + timedelta(minutes=m)
+        rows.append(("E", "A", t, ca, 1.0))
+        rows.append(("E", "B", t, cb, 1.0))
+    df = spark.createDataFrame(
+        rows, ["exchange", "symbol", "start", "close", "volume"]
+    )
+    out = returns_corr(df).collect()
+    ra = np.round(np.diff(closes_a) / np.array(closes_a[:-1]), 10)
+    rb = np.round(np.diff(closes_b) / np.array(closes_b[:-1]), 10)
+    # mirror the operator's garbage-tick filter: a |r| > 10 return is
+    # dropped on ITS side, which removes the aligned pair entirely
+    keep = (np.abs(ra) <= 10.0) & (np.abs(rb) <= 10.0)
+    ra, rb = ra[keep], rb[keep]
+    got = out[0]["ret_corr"] if out else None
+    if len(ra) < 2 or np.std(ra) < 1e-9 or np.std(rb) < 1e-9:
+        # near-degenerate variance: the double closed form may
+        # legitimately see <= 0 where numpy sees a tiny positive
+        if got is not None:
+            assert abs(got) <= 1.0 + 1e-9
+    else:
+        assert abs(got - float(np.corrcoef(ra, rb)[0, 1])) < 1e-6
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=13),  # day offset
+            st.integers(min_value=1, max_value=5),   # user id
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_rolling_active_users_matches_brute_force(spark, events):
+    from trade_data_collection_service_spark.ext.pipeline import (
+        rolling_active_users,
+    )
+
+    rows = [
+        (i, BASE + timedelta(days=d, hours=1), u, "x", 1.0)
+        for i, (d, u) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {
+        r["day"].day: r["active_users_7d"]
+        for r in rolling_active_users(df, 7).collect()
+    }
+    event_days = sorted({d for d, _ in events})
+    ref = {}
+    for d in event_days:
+        ref[d + 1] = len(
+            {u for dd, u in events if d - 6 <= dd <= d}
+        )  # BASE is Jan 1 -> .day == offset+1
+    assert got == ref
