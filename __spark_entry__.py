@@ -324,6 +324,22 @@ def _q_returns_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return returns_corr(candles_from_events(spark, sf_dir))
 
 
+def _q_exchange_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import (
+        exchange_spread,
+    )
+
+    return exchange_spread(candles_from_events(spark, sf_dir))
+
+
+def _q_intraday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import (
+        intraday_profile,
+    )
+
+    return intraday_profile(candles_from_events(spark, sf_dir))
+
+
 def _q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.operators.analytics import (
         volume_profile,
@@ -1014,6 +1030,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_beta": _q_symbol_beta,
         "doc_source_mix": _q_doc_source_mix,
         "volume_profile": _q_volume_profile,
+        "exchange_spread": _q_exchange_spread,
+        "intraday_profile": _q_intraday_profile,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -3560,6 +3578,56 @@ def oracle_sql() -> dict[str, str]:
                       * (sm / CAST(n_obs AS DOUBLE))
           END AS alpha
         FROM agg ORDER BY exchange, symbol
+        """,
+        "exchange_spread": CANDLES_CTE
+        + """
+        , per_minute AS (
+          SELECT symbol, start,
+            min(CASE WHEN exchange = 'EXCH_A' THEN close END) AS close_a,
+            min(CASE WHEN exchange = 'EXCH_B' THEN close END) AS close_b
+          FROM candles GROUP BY 1, 2
+        ), sp AS (
+          SELECT symbol,
+            CAST(round(close_a - close_b, 6) AS DECIMAL(18,6)) AS sp
+          FROM per_minute
+          WHERE close_a IS NOT NULL AND close_b IS NOT NULL
+        ), agg AS (
+          SELECT symbol, CAST(count(*) AS BIGINT) AS n_quotes,
+                 sum(sp) AS sum_sp, sum(abs(sp)) AS sum_abs,
+                 max(abs(sp)) AS max_abs
+          FROM sp GROUP BY 1
+        )
+        SELECT symbol, n_quotes,
+               CAST(sum_sp AS DOUBLE) / n_quotes AS mean_spread,
+               CAST(sum_abs AS DOUBLE) / n_quotes AS mean_abs_spread,
+               CAST(max_abs AS DOUBLE) AS max_abs_spread
+        FROM agg ORDER BY symbol
+        """,
+        "intraday_profile": CANDLES_CTE
+        + """
+        , base AS (
+          SELECT exchange, symbol,
+            CAST(hour(start) AS BIGINT) AS hour,
+            CAST(round(volume, 6) AS DECIMAL(28,6)) AS vol,
+            CASE WHEN lag(close) OVER w > 0 AND close > 0
+                 THEN CAST(round(abs(close / lag(close) OVER w - 1.0), 10)
+                           AS DECIMAL(18,10)) END AS aret
+          FROM candles
+          WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start)
+        ), agg AS (
+          SELECT exchange, symbol, hour,
+            CAST(count(*) AS BIGINT) AS n_candles,
+            sum(vol) AS sum_vol,
+            CAST(count(aret) AS BIGINT) AS n_rets,
+            sum(aret) AS sum_aret
+          FROM base GROUP BY 1, 2, 3
+        )
+        SELECT exchange, symbol, hour, n_candles,
+               CAST(sum_vol AS DOUBLE) / n_candles AS mean_volume,
+               CASE WHEN n_rets > 0
+                    THEN CAST(sum_aret AS DOUBLE) / n_rets END
+                 AS mean_abs_return
+        FROM agg ORDER BY exchange, symbol, hour
         """,
         "volume_profile": CANDLES_CTE
         + """

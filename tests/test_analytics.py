@@ -295,3 +295,43 @@ def test_stochastic_hand_computed(spark):
     assert abs(out[2]["pct_k"] - 10.0) < 1e-6
     # %D at m2 = mean of K(m1), K(m2)
     assert abs(out[2]["pct_d"] - (out[1]["pct_k"] + 10.0) / 2) < 1e-4
+
+
+def test_exchange_spread_hand_computed(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        exchange_spread,
+    )
+
+    t0, t1 = datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 1)
+    rows = [
+        ("EXCH_A", "S", t0, 10.0, 1.0),
+        ("EXCH_B", "S", t0, 9.0, 1.0),   # spread +1
+        ("EXCH_A", "S", t1, 10.0, 1.0),
+        ("EXCH_B", "S", t1, 13.0, 1.0),  # spread -3
+        ("EXCH_A", "T", t0, 5.0, 1.0),   # only one venue: dropped
+    ]
+    out = {r["symbol"]: r for r in exchange_spread(_mk(spark, rows)).collect()}
+    assert list(out) == ["S"]
+    s = out["S"]
+    assert s["n_quotes"] == 2
+    assert abs(s["mean_spread"] - (-1.0)) < 1e-12   # (1 + -3)/2
+    assert abs(s["mean_abs_spread"] - 2.0) < 1e-12  # (1 + 3)/2
+    assert s["max_abs_spread"] == 3.0
+
+
+def test_intraday_profile_hand_computed(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        intraday_profile,
+    )
+
+    rows = [
+        ("E", "S", datetime(2024, 1, 1, 0, 0), 10.0, 4.0),
+        ("E", "S", datetime(2024, 1, 1, 0, 30), 12.0, 6.0),  # ret .2
+        ("E", "S", datetime(2024, 1, 1, 1, 0), 6.0, 10.0),   # ret .5
+    ]
+    out = {r["hour"]: r for r in intraday_profile(_mk(spark, rows)).collect()}
+    assert out[0]["n_candles"] == 2 and out[0]["mean_volume"] == 5.0
+    # hour 0 has one defined return (first candle has no prev)
+    assert abs(out[0]["mean_abs_return"] - 0.2) < 1e-9
+    assert out[1]["mean_volume"] == 10.0
+    assert abs(out[1]["mean_abs_return"] - 0.5) < 1e-9

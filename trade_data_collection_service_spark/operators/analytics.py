@@ -612,3 +612,96 @@ def volume_profile(candles: DataFrame, bucket_width: float = 5.0) -> DataFrame:
             "volume_share"
         ),
     ).orderBy("exchange", "symbol", "price_bucket")
+
+
+def exchange_spread(candles: DataFrame) -> DataFrame:
+    """Cross-exchange spread per symbol: for every minute a symbol
+    trades on BOTH exchanges, the close-price gap EXCH_A − EXCH_B,
+    summarized per symbol — the arbitrage/venue-quality monitor a
+    multi-exchange candle store exists to answer.
+
+    No join: ONE groupBy(symbol, start) with conditional min
+    aggregates pivots the two venue closes side by side (a self-join
+    on (symbol, start) would scan and shuffle the table twice);
+    minutes quoted on only one venue drop out.  Per-symbol summary
+    sums are decimal-exact; the mean quotients divide bit-identical
+    operands.  Output: (symbol, n_quotes, mean_spread,
+    mean_abs_spread, max_abs_spread)."""
+    per_minute = (
+        candles.groupBy("symbol", "start")
+        .agg(
+            F.min(
+                F.when(F.col("exchange") == "EXCH_A", F.col("close"))
+            ).alias("close_a"),
+            F.min(
+                F.when(F.col("exchange") == "EXCH_B", F.col("close"))
+            ).alias("close_b"),
+        )
+        .filter(F.col("close_a").isNotNull() & F.col("close_b").isNotNull())
+    )
+    spread = F.round(F.col("close_a") - F.col("close_b"), 6).cast(
+        "decimal(18,6)"
+    )
+    agg = per_minute.select("symbol", spread.alias("sp")).groupBy(
+        "symbol"
+    ).agg(
+        F.count(F.lit(1)).alias("n_quotes"),
+        F.sum("sp").alias("sum_sp"),
+        F.sum(F.abs(F.col("sp"))).alias("sum_abs"),
+        F.max(F.abs(F.col("sp"))).alias("max_abs"),
+    )
+    return agg.select(
+        "symbol",
+        "n_quotes",
+        (F.col("sum_sp").cast("double") / F.col("n_quotes")).alias(
+            "mean_spread"
+        ),
+        (F.col("sum_abs").cast("double") / F.col("n_quotes")).alias(
+            "mean_abs_spread"
+        ),
+        F.col("max_abs").cast("double").alias("max_abs_spread"),
+    ).orderBy("symbol")
+
+
+def intraday_profile(candles: DataFrame) -> DataFrame:
+    """Intraday seasonality: mean volume and mean absolute 1-candle
+    return by hour-of-day per (exchange, symbol) — the
+    liquidity/volatility clock that schedules backfills and sizes
+    executions.
+
+    The return needs one lag window (the table's native
+    (exchange, symbol) sort); the profile is then a single
+    map-side-combined groupBy onto the 24-row-per-symbol hour grid.
+    Decimal sums; mean quotients over bit-identical operands."""
+    ws = Window.partitionBy("exchange", "symbol").orderBy("start")
+    prev = F.lag("close").over(ws)
+    aret = F.when(
+        (prev > 0) & (F.col("close") > 0),
+        F.abs(F.col("close") / prev - F.lit(1.0)),
+    )
+    base = candles.select(
+        "exchange",
+        "symbol",
+        F.hour("start").cast("long").alias("hour"),
+        F.round("volume", 6).cast("decimal(28,6)").alias("vol"),
+        F.round(aret, 10).cast("decimal(18,10)").alias("aret"),
+    )
+    agg = base.groupBy("exchange", "symbol", "hour").agg(
+        F.count(F.lit(1)).alias("n_candles"),
+        F.sum("vol").alias("sum_vol"),
+        F.count("aret").alias("n_rets"),
+        F.sum("aret").alias("sum_aret"),
+    )
+    return agg.select(
+        "exchange",
+        "symbol",
+        "hour",
+        "n_candles",
+        (F.col("sum_vol").cast("double") / F.col("n_candles")).alias(
+            "mean_volume"
+        ),
+        F.when(
+            F.col("n_rets") > 0,
+            F.col("sum_aret").cast("double") / F.col("n_rets"),
+        ).alias("mean_abs_return"),
+    ).orderBy("exchange", "symbol", "hour")
