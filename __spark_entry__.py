@@ -711,6 +711,10 @@ def _q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.minhash_lsh_pairs(XD.documents_neardup(spark, sf_dir))
 
 
+def _q_doc_neardup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XD.neardup_quality(spark, sf_dir)
+
+
 def _q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.ngram_jaccard_pairs(XD.documents_neardup(spark, sf_dir))
 
@@ -1032,6 +1036,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_profile": _q_volume_profile,
         "exchange_spread": _q_exchange_spread,
         "intraday_profile": _q_intraday_profile,
+        "doc_neardup_quality": _q_doc_neardup_quality,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -1805,6 +1810,34 @@ def oracle_sql() -> dict[str, str]:
         + _LSH_CTES
         + """
         SELECT * FROM verified WHERE jaccard >= 0.5
+        """,
+        "doc_neardup_quality": XD.DOCS_NEARDUP_CTE
+        + _LSH_CTES
+        + """
+        , found AS (
+          SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5
+        ), truth AS (
+          SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id, doc_id + 2000000
+          FROM documents WHERE doc_id % 25 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, doc_id + 2000000
+          FROM documents WHERE doc_id % 50 = 0
+        ), hit AS (
+          SELECT f.doc_a, f.doc_b FROM found f
+          WHERE EXISTS (SELECT 1 FROM truth t
+                        WHERE t.doc_a = f.doc_a AND t.doc_b = f.doc_b)
+        )
+        SELECT
+          CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+          CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+          CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+          CAST((SELECT count(*) FROM hit) AS DOUBLE)
+            / (SELECT count(*) FROM found) AS precision,
+          CAST((SELECT count(*) FROM hit) AS DOUBLE)
+            / (SELECT count(*) FROM truth) AS recall
         """,
         "doc_dup_clusters": _CLUSTER_CTES
         + """

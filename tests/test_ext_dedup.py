@@ -225,3 +225,18 @@ def test_append_to_index_equals_rebuild(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert grown and grown == rebuilt
+
+
+def test_neardup_quality_planted_truth(spark):
+    from trade_data_collection_service_spark.ext.dedup import neardup_quality
+
+    row = neardup_quality(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_hit"] <= min(row["n_found"], row["n_truth"])
+    # planted duplicates are recovered near-completely (sf0.001's
+    # shortest docs dilute one planted pair below the threshold;
+    # sf0.01 measures recall 1.0)
+    assert row["recall"] >= 0.95
+    # found pairs are exact-Jaccard-verified, so precision vs planted
+    # truth is a lower bound (organic near-dups exist) but must be
+    # well above chance
+    assert row["precision"] > 0.5

