@@ -614,6 +614,26 @@ def volume_profile(candles: DataFrame, bucket_width: float = 5.0) -> DataFrame:
     ).orderBy("exchange", "symbol", "price_bucket")
 
 
+def minute_spread(candles: DataFrame) -> DataFrame:
+    """(symbol, start, close_a, close_b) for minutes quoted on BOTH
+    venues — the conditional-aggregate pivot shared by the batch
+    summary (``exchange_spread``) and the streaming spread feed
+    (streaming/spread.py), so the two can never disagree on what a
+    spread observation is."""
+    return (
+        candles.groupBy("symbol", "start")
+        .agg(
+            F.min(
+                F.when(F.col("exchange") == "EXCH_A", F.col("close"))
+            ).alias("close_a"),
+            F.min(
+                F.when(F.col("exchange") == "EXCH_B", F.col("close"))
+            ).alias("close_b"),
+        )
+        .filter(F.col("close_a").isNotNull() & F.col("close_b").isNotNull())
+    )
+
+
 def exchange_spread(candles: DataFrame) -> DataFrame:
     """Cross-exchange spread per symbol: for every minute a symbol
     trades on BOTH exchanges, the close-price gap EXCH_A − EXCH_B,
@@ -627,18 +647,7 @@ def exchange_spread(candles: DataFrame) -> DataFrame:
     sums are decimal-exact; the mean quotients divide bit-identical
     operands.  Output: (symbol, n_quotes, mean_spread,
     mean_abs_spread, max_abs_spread)."""
-    per_minute = (
-        candles.groupBy("symbol", "start")
-        .agg(
-            F.min(
-                F.when(F.col("exchange") == "EXCH_A", F.col("close"))
-            ).alias("close_a"),
-            F.min(
-                F.when(F.col("exchange") == "EXCH_B", F.col("close"))
-            ).alias("close_b"),
-        )
-        .filter(F.col("close_a").isNotNull() & F.col("close_b").isNotNull())
-    )
+    per_minute = minute_spread(candles)
     spread = F.round(F.col("close_a") - F.col("close_b"), 6).cast(
         "decimal(18,6)"
     )
