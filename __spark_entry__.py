@@ -324,6 +324,23 @@ def _q_returns_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return returns_corr(candles_from_events(spark, sf_dir))
 
 
+def _q_minute_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute venue spread rows — the batch side of the streaming
+    spread feed (streaming/spread.py shares this exact pivot)."""
+    from trade_data_collection_service_spark.operators.analytics import (
+        minute_spread,
+    )
+
+    ms = minute_spread(candles_from_events(spark, sf_dir))
+    return ms.select(
+        "symbol",
+        "start",
+        "close_a",
+        "close_b",
+        F.round(F.col("close_a") - F.col("close_b"), 6).alias("spread"),
+    ).orderBy("symbol", "start")
+
+
 def _q_exchange_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.operators.analytics import (
         exchange_spread,
@@ -1037,6 +1054,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exchange_spread": _q_exchange_spread,
         "intraday_profile": _q_intraday_profile,
         "doc_neardup_quality": _q_doc_neardup_quality,
+        "minute_spread": _q_minute_spread,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -3611,6 +3629,20 @@ def oracle_sql() -> dict[str, str]:
                       * (sm / CAST(n_obs AS DOUBLE))
           END AS alpha
         FROM agg ORDER BY exchange, symbol
+        """,
+        "minute_spread": CANDLES_CTE
+        + """
+        , per_minute AS (
+          SELECT symbol, start,
+            min(CASE WHEN exchange = 'EXCH_A' THEN close END) AS close_a,
+            min(CASE WHEN exchange = 'EXCH_B' THEN close END) AS close_b
+          FROM candles GROUP BY 1, 2
+        )
+        SELECT symbol, start, close_a, close_b,
+               round(close_a - close_b, 6) AS spread
+        FROM per_minute
+        WHERE close_a IS NOT NULL AND close_b IS NOT NULL
+        ORDER BY symbol, start
         """,
         "exchange_spread": CANDLES_CTE
         + """
