@@ -794,6 +794,12 @@ def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.window_funnel(events_df(spark, sf_dir))
 
 
+def _q_event_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.candles import events_df
+
+    return XP.funnel_rates(events_df(spark, sf_dir))
+
+
 def _q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.candles import events_df
 
@@ -1055,6 +1061,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intraday_profile": _q_intraday_profile,
         "doc_neardup_quality": _q_doc_neardup_quality,
         "minute_spread": _q_minute_spread,
+        "event_funnel_rates": _q_event_funnel_rates,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -3901,4 +3908,27 @@ def oracle_sql() -> dict[str, str]:
     # composition's results (parity pytest in tests/test_ivf_index),
     # so its oracle IS the inline twin.
     sql["emb_ivfpq_indexed_topk"] = sql["emb_ivf_pq_topk"]
+    # funnel conversion summary wraps the funnel oracle verbatim so
+    # the two can never disagree on chain semantics
+    sql["event_funnel_rates"] = (
+        "WITH funnel AS ("
+        + sql["event_funnel"]
+        + """
+        ), fan AS (
+          SELECT unnest(generate_series(1, funnel_level)) AS level
+          FROM funnel WHERE funnel_level >= 1
+        ), reach AS (
+          SELECT level, CAST(count(*) AS BIGINT) AS n_users
+          FROM fan GROUP BY 1
+        )
+        SELECT CAST(level AS BIGINT) AS level, n_users,
+          CAST(n_users AS DOUBLE)
+            / first_value(n_users) OVER (ORDER BY level
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS conversion_from_start,
+          CAST(n_users AS DOUBLE) / lag(n_users) OVER (ORDER BY level)
+            AS step_conversion
+        FROM reach ORDER BY level
+        """
+    )
     return sql

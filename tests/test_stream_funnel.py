@@ -80,3 +80,32 @@ def test_stream_funnel_one_row_per_level(funnel_outputs):
         key = (r["user_id"], r["funnel_level"])
         assert key not in seen, "level re-emitted"
         seen.add(key)
+
+
+def test_funnel_rates_hand_built(spark):
+    import datetime as dt
+
+    from trade_data_collection_service_spark.ext.pipeline import funnel_rates
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def ev(i, u, typ, minute):
+        return (i, t0 + dt.timedelta(minutes=minute), u, typ, 1.0)
+
+    rows = [
+        ev(1, 1, "view", 0), ev(2, 1, "click", 1), ev(3, 1, "purchase", 2),
+        ev(4, 2, "view", 0), ev(5, 2, "click", 5),
+        ev(6, 3, "view", 0),
+        ev(7, 4, "click", 0),  # no view: level 0, excluded entirely
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = {r["level"]: r for r in funnel_rates(df).collect()}
+    assert [out[k]["n_users"] for k in (1, 2, 3)] == [3, 2, 1]
+    assert out[1]["conversion_from_start"] == 1.0
+    assert abs(out[2]["conversion_from_start"] - 2 / 3) < 1e-12
+    assert abs(out[3]["conversion_from_start"] - 1 / 3) < 1e-12
+    assert out[1]["step_conversion"] is None
+    assert abs(out[2]["step_conversion"] - 2 / 3) < 1e-12
+    assert out[3]["step_conversion"] == 0.5

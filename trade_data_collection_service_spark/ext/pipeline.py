@@ -744,3 +744,45 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def funnel_rates(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_minutes: int = 30,
+) -> DataFrame:
+    """Funnel conversion summary over ``window_funnel``: per level,
+    how many users reached AT LEAST that level, the conversion from
+    the funnel's top, and the step-over-step conversion — the numbers
+    a funnel dashboard actually renders.
+
+    Each user's deepest level fans out map-only to the 1..level rows
+    it witnesses (levels are the constant-sized step list), then one
+    count per level; the rate windows run over exactly
+    ``len(steps)`` rows, so the unpartitioned orderBy is bounded by
+    the funnel definition, not the data."""
+    f = window_funnel(events, steps, window_minutes)
+    reach = (
+        f.filter(F.col("funnel_level") >= 1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.col("funnel_level"))
+            ).alias("level")
+        )
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.orderBy("level").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return reach.select(
+        F.col("level").cast("long").alias("level"),
+        "n_users",
+        (
+            F.col("n_users").cast("double") / F.first("n_users").over(w)
+        ).alias("conversion_from_start"),
+        (
+            F.col("n_users").cast("double")
+            / F.lag("n_users").over(Window.orderBy("level"))
+        ).alias("step_conversion"),
+    ).orderBy("level")
