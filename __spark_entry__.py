@@ -365,6 +365,14 @@ def _q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return volume_profile(candles_from_events(spark, sf_dir), 5.0)
 
 
+def _q_rolling_beta_60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import (
+        rolling_beta,
+    )
+
+    return rolling_beta(candles_from_events(spark, sf_dir), 60)
+
+
 def _q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.mixture_weights(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1062,6 +1070,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_quality": _q_doc_neardup_quality,
         "minute_spread": _q_minute_spread,
         "event_funnel_rates": _q_event_funnel_rates,
+        "rolling_beta_60": _q_rolling_beta_60,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -3718,6 +3727,47 @@ def oracle_sql() -> dict[str, str]:
                  / CAST(sum(vol_dec) OVER (PARTITION BY exchange, symbol)
                         AS DOUBLE) AS volume_share
         FROM per ORDER BY exchange, symbol, price_bucket
+        """,
+        "rolling_beta_60": CANDLES_CTE
+        + """
+        , rets AS (
+          SELECT exchange, symbol, start,
+            CAST(round(close / lag(close) OVER w - 1.0, 10)
+                 AS DECIMAL(18,10)) AS x
+          FROM candles
+          WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start)
+          QUALIFY lag(close) OVER w > 0 AND close > 0
+              AND abs(close / lag(close) OVER w - 1.0) <= 10.0
+        ), mkt AS (
+          SELECT exchange, start,
+                 CAST(sum(x) AS DOUBLE) / count(*) AS m
+          FROM rets GROUP BY 1, 2
+        ), pairs AS (
+          SELECT r.exchange, r.symbol, r.start, r.x,
+            CAST(round(m.m, 12) AS DECIMAL(20,12)) AS m_dec,
+            CAST(round(CAST(r.x AS DOUBLE) * m.m, 12)
+                 AS DECIMAL(24,12)) AS xm,
+            CAST(round(m.m * m.m, 12) AS DECIMAL(24,12)) AS mm
+          FROM rets r JOIN mkt m
+            ON r.exchange = m.exchange AND r.start = m.start
+        ), frames AS (
+          SELECT exchange, symbol, start,
+            CAST(count(*) OVER wf AS BIGINT) AS n_in_frame,
+            CAST(sum(x) OVER wf AS DOUBLE) AS sx,
+            CAST(sum(m_dec) OVER wf AS DOUBLE) AS sm,
+            CAST(sum(xm) OVER wf AS DOUBLE) AS sxm,
+            CAST(sum(mm) OVER wf AS DOUBLE) AS smm
+          FROM pairs
+          WINDOW wf AS (PARTITION BY exchange, symbol ORDER BY start
+                        ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+        )
+        SELECT exchange, symbol, start, n_in_frame,
+          CASE WHEN n_in_frame >= 2
+                AND CAST(n_in_frame AS DOUBLE) * smm - sm * sm > 0
+               THEN (CAST(n_in_frame AS DOUBLE) * sxm - sx * sm)
+                    / (CAST(n_in_frame AS DOUBLE) * smm - sm * sm)
+          END AS beta_60
+        FROM frames
         """,
         "rolling_active_users": """
         WITH days AS (

@@ -335,3 +335,37 @@ def test_intraday_profile_hand_computed(spark):
     assert abs(out[0]["mean_abs_return"] - 0.2) < 1e-9
     assert out[1]["mean_volume"] == 10.0
     assert abs(out[1]["mean_abs_return"] - 0.5) < 1e-9
+
+
+def test_rolling_beta_converges_to_static(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        rolling_beta,
+        symbol_beta,
+    )
+
+    closes_a = [100.0, 101.0, 99.0, 102.0, 100.0, 103.0]
+    rets_a = [
+        closes_a[i + 1] / closes_a[i] - 1.0 for i in range(len(closes_a) - 1)
+    ]
+    closes_b = [100.0]
+    for r in rets_a:
+        closes_b.append(closes_b[-1] * (1.0 + 3.0 * r))
+    rows = []
+    for m, (ca, cb) in enumerate(zip(closes_a, closes_b)):
+        t = datetime(2024, 1, 1, 0, m)
+        rows.append(("E", "A", t, float(ca), 1.0))
+        rows.append(("E", "B", t, float(cb), 1.0))
+    df = _mk(spark, rows)
+    static = {
+        r["symbol"]: r["beta"] for r in symbol_beta(df).collect()
+    }
+    roll = rolling_beta(df, 60).collect()
+    # the last row's frame spans the whole history -> equals static
+    last = {
+        r["symbol"]: r
+        for r in roll
+        if r["start"] == datetime(2024, 1, 1, 0, 5)
+    }
+    for sym in ("A", "B"):
+        assert abs(last[sym][f"beta_60"] - static[sym]) < 1e-9
+        assert last[sym]["n_in_frame"] == 5

@@ -714,3 +714,81 @@ def intraday_profile(candles: DataFrame) -> DataFrame:
             F.col("sum_aret").cast("double") / F.col("n_rets"),
         ).alias("mean_abs_return"),
     ).orderBy("exchange", "symbol", "hour")
+
+
+def rolling_beta(candles: DataFrame, n: int = 60) -> DataFrame:
+    """Time-varying market beta: the OLS slope of a symbol's returns
+    on the equal-weight market return over the TRAILING ``n``
+    aligned observations — ``symbol_beta``'s frame-spec sibling
+    (risk drifts; a portfolio layer tracks it per candle, not once
+    per history).
+
+    Same single-pass shape as symbol_beta up to the per-pair rows
+    (one returns window, one (exchange, start) hash aggregate with
+    the decimal market sum computed alongside the collect_list),
+    then the five moment sums become decimal FRAME sums over the
+    trailing n rows per (exchange, symbol) — one more window on the
+    table's native sort.  The OLS quotient closes per row in doubles
+    over bit-identical operands; frames with < 2 observations or a
+    flat market emit NULL."""
+    ws = Window.partitionBy("exchange", "symbol").orderBy("start")
+    prev = F.lag("close").over(ws)
+    r = F.col("close") / prev - F.lit(1.0)
+    rets = (
+        candles.select(
+            "exchange", "symbol", "start", prev.alias("prev"), "close",
+            r.alias("r"),
+        )
+        .filter(
+            (F.col("prev") > 0)
+            & (F.col("close") > 0)
+            & (F.abs("r") <= 10.0)
+        )
+        .select(
+            "exchange",
+            "symbol",
+            "start",
+            F.round("r", 10).cast("decimal(18,10)").alias("x"),
+        )
+    )
+    by_ts = rets.groupBy("exchange", "start").agg(
+        F.sort_array(F.collect_list(F.struct("symbol", "x"))).alias("ps"),
+        F.sum("x").alias("sum_x"),
+        F.count(F.lit(1)).alias("n_sym"),
+    )
+    m = F.col("sum_x").cast("double") / F.col("n_sym")
+    pairs = by_ts.select(
+        "exchange", "start", m.alias("m"), F.explode("ps").alias("p")
+    ).select(
+        "exchange",
+        F.col("p.symbol").alias("symbol"),
+        "start",
+        F.col("p.x").alias("x"),
+        F.round("m", 12).cast("decimal(20,12)").alias("m_dec"),
+        F.round(F.col("p.x").cast("double") * F.col("m"), 12)
+        .cast("decimal(24,12)")
+        .alias("xm"),
+        F.round(F.col("m") * F.col("m"), 12)
+        .cast("decimal(24,12)")
+        .alias("mm"),
+    )
+    wf = (
+        Window.partitionBy("exchange", "symbol")
+        .orderBy("start")
+        .rowsBetween(-(n - 1), 0)
+    )
+    cnt = F.count(F.lit(1)).over(wf)
+    sx = F.sum("x").over(wf).cast("double")
+    sm = F.sum("m_dec").over(wf).cast("double")
+    sxm = F.sum("xm").over(wf).cast("double")
+    smm = F.sum("mm").over(wf).cast("double")
+    nn = cnt.cast("double")
+    var_m = nn * smm - sm * sm
+    beta = F.when((cnt >= 2) & (var_m > 0), (nn * sxm - sx * sm) / var_m)
+    return pairs.select(
+        "exchange",
+        "symbol",
+        "start",
+        cnt.cast("long").alias("n_in_frame"),
+        beta.alias(f"beta_{n}"),
+    )
