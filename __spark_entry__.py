@@ -365,6 +365,22 @@ def _q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return volume_profile(candles_from_events(spark, sf_dir), 5.0)
 
 
+def _q_rolling_sharpe_60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import (
+        rolling_sharpe,
+    )
+
+    return rolling_sharpe(candles_from_events(spark, sf_dir), 60)
+
+
+def _q_drawdown_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import (
+        drawdown_curve,
+    )
+
+    return drawdown_curve(candles_from_events(spark, sf_dir))
+
+
 def _q_rolling_beta_60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.operators.analytics import (
         rolling_beta,
@@ -1071,6 +1087,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minute_spread": _q_minute_spread,
         "event_funnel_rates": _q_event_funnel_rates,
         "rolling_beta_60": _q_rolling_beta_60,
+        "rolling_sharpe_60": _q_rolling_sharpe_60,
+        "drawdown_curve": _q_drawdown_curve,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -3727,6 +3745,48 @@ def oracle_sql() -> dict[str, str]:
                  / CAST(sum(vol_dec) OVER (PARTITION BY exchange, symbol)
                         AS DOUBLE) AS volume_share
         FROM per ORDER BY exchange, symbol, price_bucket
+        """,
+        "rolling_sharpe_60": CANDLES_CTE
+        + """
+        , rets AS (
+          SELECT exchange, symbol, start,
+            CAST(round(close / lag(close) OVER w - 1.0, 10)
+                 AS DECIMAL(18,10)) AS x,
+            CAST(round(round(close / lag(close) OVER w - 1.0, 10)
+                       * round(close / lag(close) OVER w - 1.0, 10), 14)
+                 AS DECIMAL(28,14)) AS x2
+          FROM candles
+          WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start)
+          QUALIFY lag(close) OVER w > 0 AND close > 0
+              AND abs(close / lag(close) OVER w - 1.0) <= 10.0
+        ), frames AS (
+          SELECT exchange, symbol, start,
+            CAST(count(*) OVER wf AS BIGINT) AS n_in_frame,
+            CAST(sum(x) OVER wf AS DOUBLE) AS sx,
+            CAST(sum(x2) OVER wf AS DOUBLE) AS sx2
+          FROM rets
+          WINDOW wf AS (PARTITION BY exchange, symbol ORDER BY start
+                        ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+        )
+        SELECT exchange, symbol, start, n_in_frame,
+          CASE WHEN n_in_frame >= 2
+                AND sx2 / n_in_frame
+                    - (sx / n_in_frame) * (sx / n_in_frame) > 0
+               THEN (sx / n_in_frame)
+                    / sqrt(sx2 / n_in_frame
+                           - (sx / n_in_frame) * (sx / n_in_frame))
+          END AS sharpe_60
+        FROM frames
+        """,
+        "drawdown_curve": CANDLES_CTE
+        + """
+        SELECT exchange, symbol, start, close,
+          max(close) OVER wc AS running_peak,
+          CASE WHEN max(close) OVER wc > 0
+               THEN close / max(close) OVER wc - 1.0 END AS drawdown
+        FROM candles
+        WINDOW wc AS (PARTITION BY exchange, symbol ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "rolling_beta_60": CANDLES_CTE
         + """

@@ -369,3 +369,38 @@ def test_rolling_beta_converges_to_static(spark):
     for sym in ("A", "B"):
         assert abs(last[sym][f"beta_60"] - static[sym]) < 1e-9
         assert last[sym]["n_in_frame"] == 5
+
+
+def test_rolling_sharpe_sign_tracks_trend(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        rolling_sharpe,
+    )
+
+    up = [100.0 * (1.02 ** i) + (i % 2) * 0.5 for i in range(10)]
+    down = [100.0 * (0.98 ** i) + (i % 2) * 0.5 for i in range(10)]
+    rows = []
+    for m, (u, d) in enumerate(zip(up, down)):
+        t = datetime(2024, 1, 1, 0, m)
+        rows.append(("E", "UP", t, float(u), 1.0))
+        rows.append(("E", "DN", t, float(d), 1.0))
+    out = rolling_sharpe(_mk(spark, rows), 60).collect()
+    last = {r["symbol"]: r for r in out if r["start"].minute == 9}
+    assert last["UP"]["sharpe_60"] > 0 > last["DN"]["sharpe_60"]
+    assert last["UP"]["n_in_frame"] == 9
+
+
+def test_drawdown_curve_hand_computed(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        drawdown_curve,
+    )
+
+    rows = [
+        ("E", "S", datetime(2024, 1, 1, 0, m), float(c), 1.0)
+        for m, c in enumerate([10.0, 12.0, 9.0, 12.0, 15.0])
+    ]
+    out = {r["start"].minute: r for r in drawdown_curve(_mk(spark, rows)).collect()}
+    assert out[0]["drawdown"] == 0.0
+    assert out[1]["drawdown"] == 0.0 and out[1]["running_peak"] == 12.0
+    assert abs(out[2]["drawdown"] - (9.0 / 12.0 - 1.0)) < 1e-12
+    assert out[3]["drawdown"] == 0.0
+    assert out[4]["running_peak"] == 15.0 and out[4]["drawdown"] == 0.0

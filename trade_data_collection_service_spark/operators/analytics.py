@@ -792,3 +792,86 @@ def rolling_beta(candles: DataFrame, n: int = 60) -> DataFrame:
         cnt.cast("long").alias("n_in_frame"),
         beta.alias(f"beta_{n}"),
     )
+
+
+def rolling_sharpe(candles: DataFrame, n: int = 60) -> DataFrame:
+    """Trailing-window Sharpe ratio of per-candle returns (risk-free
+    rate 0, no annualization — callers scale by √periods): mean/std
+    over the last ``n`` returns, the risk-adjusted companion to
+    ``rolling_beta``.
+
+    Decimal frame sums of x and x² (bollinger's variance contract at
+    return grain); population std; frames with < 2 returns or zero
+    variance emit NULL.  One returns window + one frame window on the
+    same (exchange, symbol) sort."""
+    ws = Window.partitionBy("exchange", "symbol").orderBy("start")
+    prev = F.lag("close").over(ws)
+    r = F.col("close") / prev - F.lit(1.0)
+    rets = (
+        candles.select(
+            "exchange", "symbol", "start", prev.alias("prev"), "close",
+            r.alias("r"),
+        )
+        .filter(
+            (F.col("prev") > 0)
+            & (F.col("close") > 0)
+            & (F.abs("r") <= 10.0)
+        )
+        .select(
+            "exchange",
+            "symbol",
+            "start",
+            F.round("r", 10).cast("decimal(18,10)").alias("x"),
+            # the daily_volatility r² contract: round the double
+            # product, then decimal — exact to sum in both engines
+            F.round(
+                F.round("r", 10) * F.round("r", 10), 14
+            ).cast("decimal(28,14)").alias("x2"),
+        )
+    )
+    wf = (
+        Window.partitionBy("exchange", "symbol")
+        .orderBy("start")
+        .rowsBetween(-(n - 1), 0)
+    )
+    cnt = F.count(F.lit(1)).over(wf)
+    sx = F.sum("x").over(wf).cast("double")
+    sx2 = F.sum("x2").over(wf).cast("double")
+    nn = cnt.cast("double")
+    var = sx2 / nn - (sx / nn) * (sx / nn)
+    sharpe = F.when(
+        (cnt >= 2) & (var > 0), (sx / nn) / F.sqrt(var)
+    )
+    return rets.select(
+        "exchange",
+        "symbol",
+        "start",
+        cnt.cast("long").alias("n_in_frame"),
+        sharpe.alias(f"sharpe_{n}"),
+    )
+
+
+def drawdown_curve(candles: DataFrame) -> DataFrame:
+    """Per-candle drawdown curve: the running peak close and the
+    current drawdown fraction close/peak − 1 — the live companion of
+    the scalar ``max_drawdown`` (whose minimum this curve attains).
+
+    A single unbounded-preceding max window on the native
+    (exchange, symbol) sort; the quotient divides raw doubles picked
+    exactly by max, so no rounding contract is needed.  Zero/negative
+    peaks (halted synthetic books) emit NULL."""
+    wc = (
+        Window.partitionBy("exchange", "symbol")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("close").over(wc)
+    dd = F.when(peak > 0, F.col("close") / peak - F.lit(1.0))
+    return candles.select(
+        "exchange",
+        "symbol",
+        "start",
+        "close",
+        peak.alias("running_peak"),
+        dd.alias("drawdown"),
+    )
