@@ -365,6 +365,14 @@ def _q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return volume_profile(candles_from_events(spark, sf_dir), 5.0)
 
 
+def _q_rolling_corr_60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import (
+        rolling_corr,
+    )
+
+    return rolling_corr(candles_from_events(spark, sf_dir), 60)
+
+
 def _q_rolling_sharpe_60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.operators.analytics import (
         rolling_sharpe,
@@ -1089,6 +1097,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_beta_60": _q_rolling_beta_60,
         "rolling_sharpe_60": _q_rolling_sharpe_60,
         "drawdown_curve": _q_drawdown_curve,
+        "rolling_corr_60": _q_rolling_corr_60,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -3745,6 +3754,45 @@ def oracle_sql() -> dict[str, str]:
                  / CAST(sum(vol_dec) OVER (PARTITION BY exchange, symbol)
                         AS DOUBLE) AS volume_share
         FROM per ORDER BY exchange, symbol, price_bucket
+        """,
+        "rolling_corr_60": CANDLES_CTE
+        + """
+        , rets AS (
+          SELECT exchange, symbol, start,
+            CAST(round(close / lag(close) OVER w - 1.0, 10)
+                 AS DECIMAL(18,10)) AS ret
+          FROM candles
+          WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start)
+          QUALIFY lag(close) OVER w > 0 AND close > 0
+              AND abs(close / lag(close) OVER w - 1.0) <= 10.0
+        ), pairs AS (
+          SELECT a.exchange, a.symbol AS symbol_a, b.symbol AS symbol_b,
+                 a.start, a.ret AS x, b.ret AS y
+          FROM rets a JOIN rets b
+            ON a.exchange = b.exchange AND a.start = b.start
+           AND a.symbol < b.symbol
+        ), frames AS (
+          SELECT exchange, symbol_a, symbol_b, start,
+            CAST(count(*) OVER wf AS BIGINT) AS n_in_frame,
+            CAST(sum(x) OVER wf AS DOUBLE) AS sx,
+            CAST(sum(y) OVER wf AS DOUBLE) AS sy,
+            CAST(sum(x * x) OVER wf AS DOUBLE) AS sxx,
+            CAST(sum(y * y) OVER wf AS DOUBLE) AS syy,
+            CAST(sum(x * y) OVER wf AS DOUBLE) AS sxy
+          FROM pairs
+          WINDOW wf AS (PARTITION BY exchange, symbol_a, symbol_b
+                        ORDER BY start
+                        ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+        )
+        SELECT exchange, symbol_a, symbol_b, start, n_in_frame,
+          CASE WHEN n_in_frame >= 2
+                AND CAST(n_in_frame AS DOUBLE) * sxx - sx * sx > 0
+                AND CAST(n_in_frame AS DOUBLE) * syy - sy * sy > 0
+               THEN (CAST(n_in_frame AS DOUBLE) * sxy - sx * sy)
+                    / (sqrt(CAST(n_in_frame AS DOUBLE) * sxx - sx * sx)
+                       * sqrt(CAST(n_in_frame AS DOUBLE) * syy - sy * sy))
+          END AS corr_60
+        FROM frames
         """,
         "rolling_sharpe_60": CANDLES_CTE
         + """

@@ -404,3 +404,28 @@ def test_drawdown_curve_hand_computed(spark):
     assert abs(out[2]["drawdown"] - (9.0 / 12.0 - 1.0)) < 1e-12
     assert out[3]["drawdown"] == 0.0
     assert out[4]["running_peak"] == 15.0 and out[4]["drawdown"] == 0.0
+
+
+def test_rolling_corr_converges_to_static(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        returns_corr,
+        rolling_corr,
+    )
+
+    closes = [10.0, 11.0, 9.0, 12.0, 8.0, 10.5]
+    rows = []
+    for m, c in enumerate(closes):
+        t = datetime(2024, 1, 1, 0, m)
+        rows.append(("E", "A", t, c, 1.0))
+        rows.append(("E", "B", t, 100.0 / c, 1.0))
+    df = _mk(spark, rows)
+    static = returns_corr(df).collect()[0]["ret_corr"]
+    roll = rolling_corr(df, 60).collect()
+    last = [r for r in roll if r["start"].minute == 5][0]
+    assert last["n_in_frame"] == 5
+    assert abs(last["corr_60"] - static) < 1e-9
+    # correlations bounded
+    assert all(
+        r["corr_60"] is None or -1.0 - 1e-9 <= r["corr_60"] <= 1.0 + 1e-9
+        for r in roll
+    )

@@ -875,3 +875,83 @@ def drawdown_curve(candles: DataFrame) -> DataFrame:
         peak.alias("running_peak"),
         dd.alias("drawdown"),
     )
+
+
+def rolling_corr(candles: DataFrame, n: int = 60) -> DataFrame:
+    """Trailing-window pairwise return correlation: ``returns_corr``
+    per (symbol_a, symbol_b) over the last ``n`` aligned
+    observations — correlations regime-shift, so the portfolio layer
+    tracks them per candle (the rolling_beta of the pair matrix).
+
+    Same single-pass pairing as returns_corr (one collect_list
+    aggregate + map-side comprehension — no self-join), keeping the
+    timestamp; the five moment sums become decimal FRAME sums per
+    pair on (exchange, symbol_a, symbol_b) — pair-partitioned, so no
+    unpartitioned window anywhere.  Frames with < 2 pairs or zero
+    variance on either leg emit NULL."""
+    ws = Window.partitionBy("exchange", "symbol").orderBy("start")
+    prev = F.lag("close").over(ws)
+    r = F.col("close") / prev - F.lit(1.0)
+    rets = (
+        candles.select(
+            "exchange", "symbol", "start", prev.alias("prev"), "close",
+            r.alias("r"),
+        )
+        .filter(
+            (F.col("prev") > 0)
+            & (F.col("close") > 0)
+            & (F.abs("r") <= 10.0)
+        )
+        .select(
+            "exchange",
+            "symbol",
+            "start",
+            F.round("r", 10).cast("decimal(18,10)").alias("ret"),
+        )
+    )
+    by_ts = rets.groupBy("exchange", "start").agg(
+        F.sort_array(F.collect_list(F.struct("symbol", "ret"))).alias("ps")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a: F.transform(
+                F.filter(F.col("ps"), lambda b: b["symbol"] > a["symbol"]),
+                lambda b: F.struct(
+                    a["symbol"].alias("symbol_a"),
+                    b["symbol"].alias("symbol_b"),
+                    a["ret"].alias("x"),
+                    b["ret"].alias("y"),
+                ),
+            ),
+        )
+    )
+    pairs = by_ts.select(
+        "exchange", "start", F.explode(pair_arr).alias("p")
+    ).select("exchange", "start", "p.*")
+    wf = (
+        Window.partitionBy("exchange", "symbol_a", "symbol_b")
+        .orderBy("start")
+        .rowsBetween(-(n - 1), 0)
+    )
+    cnt = F.count(F.lit(1)).over(wf)
+    sx = F.sum("x").over(wf).cast("double")
+    sy = F.sum("y").over(wf).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).over(wf).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).over(wf).cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).over(wf).cast("double")
+    nn = cnt.cast("double")
+    vx = nn * sxx - sx * sx
+    vy = nn * syy - sy * sy
+    corr = F.when(
+        (cnt >= 2) & (vx > 0) & (vy > 0),
+        (nn * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return pairs.select(
+        "exchange",
+        "symbol_a",
+        "symbol_b",
+        "start",
+        cnt.cast("long").alias("n_in_frame"),
+        corr.alias(f"corr_{n}"),
+    )
