@@ -1039,12 +1039,13 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries only, so the front of this dict is reserved for
     # the weakest evidence — entries whose code changed since their
     # last green row, brand-new entries, then entries whose last green
-    # row is oldest (r3).  r5 has 9 changed + 27 brand-new entries in
-    # the front, leaving 14 window slots for the r3-vintage block;
-    # the r3-vintage entries pushed past position 50 rotate forward
-    # in r6.  The FULL surface was locally swept green this round —
-    # tools/check_oracle.py at sf0.01, every one of the 124 entries
-    # ok (the driver window is a budget cap, not the only evidence).
+    # row is oldest (r3).  r5 has 9 changed + 36 brand-new entries in
+    # the front, leaving 5 window slots for the r3-vintage block; the
+    # r3-vintage entries pushed past position 50 rotate forward in
+    # r6.  The FULL surface was locally swept green this round —
+    # tools/check_oracle.py, every one of the 133 entries ok at
+    # sf0.01, and the pre-wave-4 128 also ok at sf0.1 (the driver
+    # window is a budget cap, not the only evidence).
     return {
         # --- r5 front window: changed-since-last-check first ---
         "doc_minhash_lsh": _q_doc_minhash_lsh,
