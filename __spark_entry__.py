@@ -1044,8 +1044,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3-vintage entries pushed past position 50 rotate forward in
     # r6.  The FULL surface was locally swept green this round —
     # tools/check_oracle.py, every one of the 133 entries ok at
-    # sf0.01, and the pre-wave-4 128 also ok at sf0.1 (the driver
-    # window is a budget cap, not the only evidence).
+    # BOTH sf0.01 and sf0.1 (the driver window is a budget cap, not
+    # the only evidence).
     return {
         # --- r5 front window: changed-since-last-check first ---
         "doc_minhash_lsh": _q_doc_minhash_lsh,
