@@ -131,6 +131,10 @@ def headline_queries():
         "doc_tfidf_terms",
         "rolling_active_hll",
         "ann_recall",
+        # round-5 wave 4: frame-sum rolling risk family
+        "rolling_beta_60",
+        "rolling_corr_60",
+        "drawdown_curve",
     ):
         if name in q:
             out[name] = q[name]
