@@ -397,6 +397,10 @@ def _q_rolling_beta_60(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_beta(candles_from_events(spark, sf_dir), 60)
 
 
+def _q_doc_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return XT.source_quality(spark, sf_dir)
+
+
 def _q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.mixture_weights(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1043,8 +1047,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the front, leaving 5 window slots for the r3-vintage block; the
     # r3-vintage entries pushed past position 50 rotate forward in
     # r6.  The FULL surface was locally swept green this round —
-    # tools/check_oracle.py, every one of the 133 entries ok at
-    # BOTH sf0.01 and sf0.1 (the driver window is a budget cap, not
+    # tools/check_oracle.py, every one of the 134 entries ok at
+    # BOTH sf0.01 and sf0.1 — doc_source_quality, added last, at sf0.01 (the driver window is a budget cap, not
     # the only evidence).
     return {
         # --- r5 front window: changed-since-last-check first ---
@@ -1099,6 +1103,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_sharpe_60": _q_rolling_sharpe_60,
         "drawdown_curve": _q_drawdown_curve,
         "rolling_corr_60": _q_rolling_corr_60,
+        "doc_source_quality": _q_doc_source_quality,
         # --- r3-vintage evidence, unchanged code: re-green in r5 ---
         "cascade_15m": _q_cascade_15m,
         "corpus_curated": _q_corpus_curated,
@@ -1728,6 +1733,36 @@ def oracle_sql() -> dict[str, str]:
             + 0.2 * (CASE WHEN len(tokens) >= 10 AND len(tokens) <= 10000
                      THEN 1.0 ELSE 0.0 END), 6) AS quality_score
         FROM toks
+        """,
+        "doc_source_quality": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , perdoc AS (
+          SELECT doc_id, source,
+            CAST(len(tokens) AS BIGINT) AS n_tokens,
+            (len(tokens) >= 10 AND len(tokens) <= 10000) AS length_ok,
+            CAST(round(
+              0.5 * (len(list_distinct(tokens)) / len(tokens))
+              + 0.3 * (1.0 - (len(list_filter(tokens,
+                                t -> t IN ('the','a'))) / len(tokens)))
+              + 0.2 * (CASE WHEN len(tokens) >= 10
+                             AND len(tokens) <= 10000
+                       THEN 1.0 ELSE 0.0 END), 6)
+              AS DECIMAL(18,6)) AS score_dec
+          FROM toks
+        ), agg AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 sum(score_dec) AS sum_score,
+                 CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                 CAST(sum(CASE WHEN length_ok THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_length_ok
+          FROM perdoc GROUP BY 1
+        )
+        SELECT source, n_docs,
+               CAST(sum_score AS DOUBLE) / n_docs AS mean_quality,
+               CAST(sum_tokens AS DOUBLE) / n_docs AS mean_tokens,
+               CAST(n_length_ok AS DOUBLE) / n_docs AS share_length_ok
+        FROM agg ORDER BY source
         """,
         "doc_fingerprint": "WITH "
         + _TOKS_CTE.format(src="documents")

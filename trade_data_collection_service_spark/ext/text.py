@@ -373,3 +373,37 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality triage: the corpus-curation dashboard that
+    decides which SOURCES to deprioritize — mean quality score, mean
+    length, and the in-length-band share, aggregated from the exact
+    per-doc scorer (``quality_of``), so source-level numbers can
+    never drift from document-level ones.
+
+    Scale shape: the per-doc scorer is map-only column algebra; ONE
+    dimension-sized groupBy(source) with decimal-summed scores (each
+    already 6-dp-rounded) finishes the job."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_of(docs).join(docs.select("doc_id", "source"), "doc_id")
+    score_dec = F.col("quality_score").cast("decimal(18,6)")
+    agg = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(score_dec).alias("sum_score"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum(F.col("length_ok").cast("long")).alias("n_length_ok"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        (F.col("sum_score").cast("double") / F.col("n_docs")).alias(
+            "mean_quality"
+        ),
+        (F.col("sum_tokens").cast("double") / F.col("n_docs")).alias(
+            "mean_tokens"
+        ),
+        (F.col("n_length_ok").cast("double") / F.col("n_docs")).alias(
+            "share_length_ok"
+        ),
+    ).orderBy("source")
