@@ -337,7 +337,14 @@ def _q_minute_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start",
         "close_a",
         "close_b",
-        F.round(F.col("close_a") - F.col("close_b"), 6).alias("spread"),
+        # Published spread follows the exchange_spread decimal
+        # contract: round(a-b, 6) normalized through DECIMAL(18,6)
+        # so the compared value is an exact 6-dp decimal in both
+        # engines, not a raw IEEE rounding of a double.
+        F.round(F.col("close_a") - F.col("close_b"), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("spread"),
     ).orderBy("symbol", "start")
 
 
@@ -3718,7 +3725,8 @@ def oracle_sql() -> dict[str, str]:
           FROM candles GROUP BY 1, 2
         )
         SELECT symbol, start, close_a, close_b,
-               round(close_a - close_b, 6) AS spread
+               CAST(CAST(round(close_a - close_b, 6) AS DECIMAL(18,6))
+                    AS DOUBLE) AS spread
         FROM per_minute
         WHERE close_a IS NOT NULL AND close_b IS NOT NULL
         ORDER BY symbol, start

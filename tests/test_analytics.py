@@ -319,6 +319,33 @@ def test_exchange_spread_hand_computed(spark):
     assert s["max_abs_spread"] == 3.0
 
 
+def test_exchange_spread_non_default_venues(spark):
+    """The venue pair is a parameter: on a universe with other
+    exchange ids the operator must pivot the requested pair (and the
+    defaults must return empty, not wrong)."""
+    from trade_data_collection_service_spark.operators.analytics import (
+        exchange_spread,
+        minute_spread,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0)
+    rows = [
+        ("BINANCE", "S", t0, 10.0, 1.0),
+        ("KRAKEN", "S", t0, 8.5, 1.0),  # spread +1.5
+    ]
+    df = _mk(spark, rows)
+    ms = minute_spread(df, "BINANCE", "KRAKEN").collect()
+    assert len(ms) == 1
+    assert ms[0]["close_a"] == 10.0 and ms[0]["close_b"] == 8.5
+    out = exchange_spread(df, "BINANCE", "KRAKEN").collect()
+    assert len(out) == 1 and abs(out[0]["mean_spread"] - 1.5) < 1e-12
+    # reversed pair flips the sign
+    rev = exchange_spread(df, "KRAKEN", "BINANCE").collect()
+    assert abs(rev[0]["mean_spread"] + 1.5) < 1e-12
+    # fixture defaults see no such venues: empty, not garbage
+    assert exchange_spread(df).count() == 0
+
+
 def test_intraday_profile_hand_computed(spark):
     from trade_data_collection_service_spark.operators.analytics import (
         intraday_profile,

@@ -112,6 +112,48 @@ def test_repetition_flags_planted_boilerplate(spark):
     assert out[3]["n_bigrams"] == 0 and not out[3]["flagged"]
 
 
+def test_repetition_long_doc_matches_histogram(spark):
+    """The O(L log L) sorted-array fold must match a brute-force
+    bigram histogram on a planted book-length document — the input
+    shape that made the old O(distinct x total) form a straggler."""
+    import collections
+    import random
+
+    from trade_data_collection_service_spark.ext.text import (
+        repetition_of,
+        with_tokens,
+    )
+
+    rng = random.Random(42)
+    # ~30k tokens with a mid-document repeated chant and a heavy tail
+    # of near-unique vocabulary (high distinct count)
+    words = ["w%05d" % rng.randrange(20_000) for _ in range(28_000)]
+    words[10_000:10_030] = ["ra", "ta"] * 15
+    long_text = " ".join(words)
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "tiny doc here")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_of(docs).collect()}
+    toks = {
+        r["doc_id"]: r["tokens"]
+        for r in with_tokens(docs).select("doc_id", "tokens").collect()
+    }
+    for doc_id, ts in toks.items():
+        bgs = (
+            [ts[i] + " " + ts[i + 1] for i in range(len(ts) - 1)]
+            if len(ts) >= 2
+            else []
+        )
+        hist = collections.Counter(bgs)
+        n, nd = len(bgs), len(hist)
+        top = max(hist.values()) if hist else 0
+        got = out[doc_id]
+        assert got["n_bigrams"] == n
+        assert got["n_distinct_bigrams"] == nd
+        assert abs(got["dup_bigram_frac"] - round((n - nd) / n, 6)) < 1e-9
+        assert abs(got["top_bigram_frac"] - round(top / n, 6)) < 1e-9
+
+
 def test_tfidf_ranks_distinctive_terms_first(spark, tmp_path):
     from trade_data_collection_service_spark.ext.text import tfidf_terms
 

@@ -56,11 +56,22 @@ def test_stream_spread_matches_batch(spark, dirs):
         (r["symbol"], r["start"]): (r["close_a"], r["close_b"], r["spread"])
         for r in spark.read.parquet(out).collect()
     }
+    # expected spread follows the published decimal contract:
+    # HALF_UP over the shortest repr, normalized through 6-dp decimal
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _spread6(a: float, b: float) -> float:
+        return float(
+            Decimal(repr(a - b)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
     want = {
         (r["symbol"], r["start"]): (
             r["close_a"],
             r["close_b"],
-            round(r["close_a"] - r["close_b"], 6),
+            _spread6(r["close_a"], r["close_b"]),
         )
         for r in minute_spread(candles).collect()
     }

@@ -218,13 +218,17 @@ def repetition_of(raw_docs: DataFrame) -> DataFrame:
     frequent bigram.  Template/boilerplate pages score high and get
     flagged.
 
-    Deliberately ZERO-shuffle: the per-doc bigram histogram is
-    computed with array higher-order functions (transform over the
-    distinct bigrams counting matches), so the whole operator is one
-    map-side projection — no explode, no groupBy.  Per-doc cost is
-    O(distinct x total) on arrays of ~document length; at 100 TB this
-    beats the explode+groupBy form, which would shuffle one row per
-    bigram occurrence.
+    Deliberately ZERO-shuffle: the whole operator is one map-side
+    projection — no explode, no groupBy (the explode+groupBy form
+    would shuffle one row per bigram occurrence).  Per-doc cost is
+    O(L log L): the bigram array is ``array_sort``-ed once, then a
+    single ``aggregate`` fold over the sorted array yields BOTH the
+    longest equal-run (= the most-frequent-bigram count) and the
+    distinct-bigram count in one pass.  This replaces an earlier
+    O(distinct x total) transform-over-distinct form that was fine
+    for web pages but turned a single book-length document
+    (~100 k tokens, routine at pre-training scale) into a ~10^10
+    string-comparison straggler inside one task.
     """
     docs = with_tokens(raw_docs)
     t = F.col("tokens")
@@ -240,17 +244,41 @@ def repetition_of(raw_docs: DataFrame) -> DataFrame:
     docs = docs.withColumn("bg", bg).withColumn(
         "n_bigrams", F.size("bg").cast("long")
     )
-    distinct_bg = F.array_distinct("bg")
-    top_count = F.array_max(
-        F.transform(
-            distinct_bg,
-            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
-        )
+    # One O(L log L) pass: sort, then fold (prev, run, best, ndist).
+    # The "" sentinel cannot collide with a real bigram: every bigram
+    # is concat_ws(" ", a, b), which always contains the separator.
+    stats = F.aggregate(
+        F.array_sort("bg"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit(0).cast("long").alias("ndist"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+            (
+                acc["ndist"]
+                + F.when(x == acc["prev"], F.lit(0)).otherwise(F.lit(1))
+            ).alias("ndist"),
+        ),
     )
+    docs = docs.withColumn("bg_stats", stats)
+    top_count = F.col("bg_stats.best")
+    n_distinct = F.col("bg_stats.ndist")
     n = F.col("n_bigrams")
     dup_frac = F.when(
         n > 0,
-        F.round((n - F.size(distinct_bg)).cast("double") / n, 6),
+        F.round((n - n_distinct).cast("double") / n, 6),
     ).otherwise(F.lit(0.0))
     top_frac = F.when(
         n > 0, F.round(top_count.cast("double") / n, 6)
@@ -258,7 +286,7 @@ def repetition_of(raw_docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         "n_bigrams",
-        F.size(distinct_bg).cast("long").alias("n_distinct_bigrams"),
+        n_distinct.cast("long").alias("n_distinct_bigrams"),
         dup_frac.alias("dup_bigram_frac"),
         top_frac.alias("top_bigram_frac"),
         ((n > 0) & (top_frac > 0.2)).alias("flagged"),

@@ -614,27 +614,39 @@ def volume_profile(candles: DataFrame, bucket_width: float = 5.0) -> DataFrame:
     ).orderBy("exchange", "symbol", "price_bucket")
 
 
-def minute_spread(candles: DataFrame) -> DataFrame:
+def minute_spread(
+    candles: DataFrame,
+    venue_a: str = "EXCH_A",
+    venue_b: str = "EXCH_B",
+) -> DataFrame:
     """(symbol, start, close_a, close_b) for minutes quoted on BOTH
     venues — the conditional-aggregate pivot shared by the batch
     summary (``exchange_spread``) and the streaming spread feed
     (streaming/spread.py), so the two can never disagree on what a
-    spread observation is."""
+    spread observation is.
+
+    The venue pair is a parameter (defaults match the fixture
+    universe derived in candles.py); on any other exchange universe
+    pass the two venue ids explicitly."""
     return (
         candles.groupBy("symbol", "start")
         .agg(
             F.min(
-                F.when(F.col("exchange") == "EXCH_A", F.col("close"))
+                F.when(F.col("exchange") == venue_a, F.col("close"))
             ).alias("close_a"),
             F.min(
-                F.when(F.col("exchange") == "EXCH_B", F.col("close"))
+                F.when(F.col("exchange") == venue_b, F.col("close"))
             ).alias("close_b"),
         )
         .filter(F.col("close_a").isNotNull() & F.col("close_b").isNotNull())
     )
 
 
-def exchange_spread(candles: DataFrame) -> DataFrame:
+def exchange_spread(
+    candles: DataFrame,
+    venue_a: str = "EXCH_A",
+    venue_b: str = "EXCH_B",
+) -> DataFrame:
     """Cross-exchange spread per symbol: for every minute a symbol
     trades on BOTH exchanges, the close-price gap EXCH_A − EXCH_B,
     summarized per symbol — the arbitrage/venue-quality monitor a
@@ -646,8 +658,9 @@ def exchange_spread(candles: DataFrame) -> DataFrame:
     minutes quoted on only one venue drop out.  Per-symbol summary
     sums are decimal-exact; the mean quotients divide bit-identical
     operands.  Output: (symbol, n_quotes, mean_spread,
-    mean_abs_spread, max_abs_spread)."""
-    per_minute = minute_spread(candles)
+    mean_abs_spread, max_abs_spread).  The venue pair is a parameter
+    with fixture-universe defaults (see ``minute_spread``)."""
+    per_minute = minute_spread(candles, venue_a, venue_b)
     spread = F.round(F.col("close_a") - F.col("close_b"), 6).cast(
         "decimal(18,6)"
     )

@@ -17,12 +17,23 @@ any bounded-state streaming indicator.
 Determinism contract: RSI folds gains/losses as integer micro-units
 (the decimal-sum twin of the batch path); SMA divides a sequential
 float sum — equal to the batch value within one ulp, rounded to 6 dp
-on both sides.
+on both sides.  All 6-dp rounding goes through
+``Decimal(repr(x)).quantize(HALF_UP)`` — the exact semantics of
+Spark's ``F.round`` (HALF_UP over the shortest decimal repr) — so a
+close diff landing on a representational 6-dp tie folds identically
+to the batch decimal sum (Python's builtin ``round`` would banker's-
+round the true binary value and could diverge by one micro-unit).
+
+Duplicate/revised candles: inserting a candle whose start already
+occupies a buffer slot REPLACES that slot (last-write-wins), so a
+revision that slips past upstream transport dedup cannot double-fill
+the frame and skew n_in_frame/n_moves against the batch operators.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 
@@ -59,18 +70,37 @@ _STATE_SCHEMA = StructType(
 )
 
 
+_SIX_DP = Decimal("0.000001")
+
+
+def _round6(x: float) -> float:
+    """Twin of Spark's ``F.round(_, 6)``: HALF_UP over the shortest
+    decimal repr of the double (``repr`` IS the shortest repr)."""
+    return float(
+        Decimal(repr(x)).quantize(_SIX_DP, rounding=ROUND_HALF_UP)
+    )
+
+
+def _micro6(x: float) -> int:
+    """``F.round(_, 6)`` as integer micro-units (exact, no re-float)."""
+    return int(
+        Decimal(repr(x))
+        .quantize(_SIX_DP, rounding=ROUND_HALF_UP)
+        .scaleb(6)
+    )
+
+
 def _indicators(buf: list[tuple[int, float]], sma_n: int, rsi_n: int):
     """Compute (sma, n_in_frame, rsi, n_moves) over the buffer tail —
     the exact frames the batch window operators use."""
     closes = [c for _, c in buf]
     frame = closes[-sma_n:]
-    sma = round(sum(frame) / len(frame), 6)
+    sma = _round6(sum(frame) / len(frame))
     moves = closes[-(rsi_n + 1):]
     sg = sl = 0
     n_moves = 0
     for prev, cur in zip(moves, moves[1:]):
-        d = round(cur - prev, 6)
-        micro = int(round(d * 1_000_000))
+        micro = _micro6(cur - prev)
         if micro > 0:
             sg += micro
         else:
@@ -109,6 +139,10 @@ def make_indicator_fn(sma_n: int, rsi_n: int):
         out = []
         starts_us = rows["start"].astype("datetime64[us]").astype("int64")
         for t, c in zip(starts_us.to_list(), rows["close"].to_list()):
+            # Last-write-wins on an equal start: a revised/duplicate
+            # candle replaces its slot instead of double-filling the
+            # frame (buf is O(keep), so the scan is bounded).
+            buf = [(bt, bc) for bt, bc in buf if bt != t]
             buf.append((t, float(c)))
             buf.sort()  # late-within-buffer candles slot in by time
             buf = buf[-keep:]

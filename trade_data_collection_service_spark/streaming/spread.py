@@ -23,13 +23,21 @@ from pyspark.sql import functions as F
 
 
 def stream_minute_spread(
-    candle_stream: DataFrame, watermark: str = "5 minutes"
+    candle_stream: DataFrame,
+    watermark: str = "5 minutes",
+    venue_a: str = "EXCH_A",
+    venue_b: str = "EXCH_B",
 ) -> DataFrame:
     """candle readStream → closed per-minute venue spread (append).
 
     The tumbling ``window("start", "1 minute")`` start equals the
     candle's own minute-aligned start, so the streamed rows align
-    key-for-key with the batch ``minute_spread``."""
+    key-for-key with the batch ``minute_spread``.  The venue pair is
+    a parameter with the fixture-universe defaults (same contract as
+    operators/analytics.py::minute_spread); the published spread is
+    round(a-b, 6) normalized through DECIMAL(18,6) — the
+    exchange_spread contract — so the compared value is an exact
+    6-dp decimal, not a raw IEEE rounding."""
     base = candle_stream.select(
         "exchange", "symbol", "start", "close"
     ).withWatermark("start", watermark)
@@ -39,10 +47,10 @@ def stream_minute_spread(
         )
         .agg(
             F.min(
-                F.when(F.col("exchange") == "EXCH_A", F.col("close"))
+                F.when(F.col("exchange") == venue_a, F.col("close"))
             ).alias("close_a"),
             F.min(
-                F.when(F.col("exchange") == "EXCH_B", F.col("close"))
+                F.when(F.col("exchange") == venue_b, F.col("close"))
             ).alias("close_b"),
         )
         .withColumn("start", F.col("w.start"))
@@ -54,7 +62,10 @@ def stream_minute_spread(
         "start",
         "close_a",
         "close_b",
-        F.round(F.col("close_a") - F.col("close_b"), 6).alias("spread"),
+        F.round(F.col("close_a") - F.col("close_b"), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("spread"),
     )
 
 
@@ -65,6 +76,8 @@ def start_spread_stream(
     checkpoint_dir: str,
     watermark: str = "5 minutes",
     max_files_per_trigger: int = 1,
+    venue_a: str = "EXCH_A",
+    venue_b: str = "EXCH_B",
 ):
     """File-source candle stream → closed spread rows → append sink."""
     schema = spark.read.parquet(source_dir).schema
@@ -74,7 +87,7 @@ def start_spread_stream(
         .parquet(source_dir)
     )
     return (
-        stream_minute_spread(stream, watermark)
+        stream_minute_spread(stream, watermark, venue_a, venue_b)
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
