@@ -297,6 +297,36 @@ def test_stochastic_hand_computed(spark):
     assert abs(out[2]["pct_d"] - (out[1]["pct_k"] + 10.0) / 2) < 1e-4
 
 
+def test_donchian_hand_computed(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        donchian,
+    )
+
+    base = datetime(2024, 1, 1)
+    # (minute, open, high, low, close)
+    rows = [
+        ("E", "S", base, 10.0, 12.0, 8.0, 11.0, 1.0),
+        ("E", "S", datetime(2024, 1, 1, 0, 1), 11.0, 14.0, 9.0, 13.0, 1.0),
+        ("E", "S", datetime(2024, 1, 1, 0, 2), 13.0, 13.5, 9.5, 15.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["exchange", "symbol", "start", "open", "high", "low", "close", "volume"],
+    )
+    out = {r["start"].minute: r for r in donchian(df, 2).collect()}
+    # m0: frame {m0} -> u=12 l=8 mid=10 width=4; no prior channel
+    assert out[0]["donchian_upper_2"] == 12.0 and out[0]["donchian_lower_2"] == 8.0
+    assert out[0]["donchian_mid_2"] == 10.0 and out[0]["donchian_width_2"] == 4.0
+    assert out[0]["breakout_up"] is False and out[0]["breakout_down"] is False
+    # m1: frame {m0,m1} -> u=14 l=8; close 13 vs prior channel (12,8)
+    assert out[1]["donchian_upper_2"] == 14.0
+    assert out[1]["breakout_up"] is True and out[1]["breakout_down"] is False
+    # m2: frame {m1,m2} -> u=14 l=9; close 15 vs prior (14,8) -> breakout
+    assert out[2]["donchian_upper_2"] == 14.0 and out[2]["donchian_lower_2"] == 9.0
+    assert out[2]["breakout_up"] is True
+    assert out[2]["n_in_frame"] == 2
+
+
 def test_exchange_spread_hand_computed(spark):
     from trade_data_collection_service_spark.operators.analytics import (
         exchange_spread,

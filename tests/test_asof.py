@@ -117,3 +117,56 @@ def test_asof_forward_duplicate_right_timestamps_deterministic(spark):
             direction="forward",
         ).collect()
         assert [r["asof_close"] for r in out] == [11.0]
+
+
+def test_asof_tolerance_backward(spark):
+    """pandas merge_asof(tolerance=...) semantics: the nearest
+    preceding match older than the tolerance publishes nulls; at the
+    boundary the match is inclusive."""
+    left = spark.createDataFrame(
+        [
+            ("S", datetime(2024, 1, 1, 0, 1, 30), 1),   # 90s stale -> ok
+            ("S", datetime(2024, 1, 1, 0, 2, 0), 2),    # exactly 2m -> ok
+            ("S", datetime(2024, 1, 1, 0, 2, 1), 3),    # 2m1s -> nulled
+            ("S", datetime(2023, 12, 31), 4),           # no match at all
+        ],
+        ["symbol", "ts", "event_id"],
+    )
+    right = spark.createDataFrame(
+        [("S", datetime(2024, 1, 1, 0, 0), 10.0)],
+        ["symbol", "start", "close"],
+    )
+    out = {
+        r["event_id"]: (r["asof_start"], r["asof_close"])
+        for r in asof_join(
+            left, right, ["symbol"], "ts", "start", ["start", "close"],
+            tolerance="2 minutes",
+        ).collect()
+    }
+    t0 = datetime(2024, 1, 1, 0, 0)
+    assert out[1] == (t0, 10.0)
+    assert out[2] == (t0, 10.0)
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+
+
+def test_asof_tolerance_forward(spark):
+    left = spark.createDataFrame(
+        [
+            ("S", datetime(2024, 1, 1, 0, 0, 30), 1),   # 30s early -> ok
+            ("S", datetime(2023, 12, 31, 23, 0), 2),    # 1h early -> nulled
+        ],
+        ["symbol", "ts", "event_id"],
+    )
+    right = spark.createDataFrame(
+        [("S", datetime(2024, 1, 1, 0, 1), 11.0)],
+        ["symbol", "start", "close"],
+    )
+    out = {
+        r["event_id"]: r["asof_close"]
+        for r in asof_join(
+            left, right, ["symbol"], "ts", "start", ["close"],
+            direction="forward", tolerance="5 minutes",
+        ).collect()
+    }
+    assert out == {1: 11.0, 2: None}

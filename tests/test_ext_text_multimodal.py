@@ -185,3 +185,23 @@ def test_unigram_logprob_rare_tokens_score_lower(spark, tmp_path):
     assert out[8]["avg_logprob"] < out[0]["avg_logprob"]
     assert all(r["avg_logprob"] < 0 for r in out.values())
     assert out[0]["n_tokens"] == 4
+
+
+def test_ngram_topk_exact_counts(spark):
+    from trade_data_collection_service_spark.ext.text import ngram_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "to be or not to be"),          # "to be" twice as bigram... trigrams: to be or / be or not / or not to / not to be
+            (2, "to be or not to be"),
+            (3, "be or not"),                    # one trigram
+            (4, "hi"),                            # too short: none
+        ],
+        ["doc_id", "text"],
+    )
+    out = [(r["ngram"], r["n_occurrences"]) for r in ngram_topk(docs, 3, 3).collect()]
+    # "be or not" occurs in docs 1,2 (once each) + doc 3 = 3 times
+    assert out[0] == ("be or not", 3)
+    # remaining trigrams tie at 2, broken alphabetically
+    assert out[1] == ("not to be", 2)
+    assert out[2] == ("or not to", 2)

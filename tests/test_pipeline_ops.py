@@ -338,3 +338,60 @@ def test_mixture_weights_rebalance_to_uniform(spark):
         out["a"]["n_docs"] * out["a"]["weight"]
         - out["b"]["n_docs"] * out["b"]["weight"]
     ) < 1e-12
+
+
+def _ev(spark, rows):
+    # (event_id, ts, user_id, event_type)
+    return spark.createDataFrame(
+        [(i, t, u, et, 1.0, "{}") for i, t, u, et in rows],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+
+def test_event_transitions_hand_computed(spark):
+    t = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: view -> click -> view
+        (0, t, 1, "view"),
+        (1, t + m, 1, "click"),
+        (2, t + 2 * m, 1, "view"),
+        # user 2: view -> click (same-ts pair ordered by event_id)
+        (3, t, 2, "view"),
+        (4, t, 2, "click"),
+        # user 3: single event, no transition
+        (5, t, 3, "purchase"),
+    ]
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in XP.event_transitions(_ev(spark, rows)).collect()
+    }
+    assert out[("view", "click")]["n"] == 2
+    assert out[("click", "view")]["n"] == 1
+    assert set(out) == {("view", "click"), ("click", "view")}
+    # row-normalized: view -> click is the only view transition
+    assert out[("view", "click")]["p"] == 1.0
+    assert out[("click", "view")]["p"] == 1.0
+
+
+def test_event_paths_topk_hand_computed(spark):
+    t = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = []
+    eid = 0
+    # 3 users with view>click>purchase, 2 with view>view, 1 with a
+    # single click; a 4th event on user 0 must NOT extend the path
+    for u in (1, 2, 3):
+        for j, et in enumerate(["view", "click", "purchase", "error"]):
+            rows.append((eid, t + j * m, u, et))
+            eid += 1
+    for u in (4, 5):
+        for j, et in enumerate(["view", "view"]):
+            rows.append((eid, t + j * m, u, et))
+            eid += 1
+    rows.append((eid, t, 6, "click"))
+    out = XP.event_paths_topk(_ev(spark, rows), depth=3, k=2).collect()
+    assert [(r["path"], r["path_len"], r["n_users"]) for r in out] == [
+        ("view>click>purchase", 3, 3),
+        ("view>view", 2, 2),
+    ]

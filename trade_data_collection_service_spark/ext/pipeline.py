@@ -786,3 +786,78 @@ def funnel_rates(
             / F.lag("n_users").over(Window.orderBy("level"))
         ).alias("step_conversion"),
     ).orderBy("level")
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every ordered pair of consecutive events (by ts,
+    tie-broken on event_id) the transition count and row-normalized
+    probability — the session-flow model behind next-action
+    prediction and funnel diagnosis.
+
+    One window lead per user (the events table's natural layout) and
+    one event_type x event_type groupBy — the output is
+    vocabulary-squared-sized, independent of data volume, and the
+    probability divides two exact counts (identical operands in both
+    engines, no rounding needed)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+def event_paths_topk(events: DataFrame, depth: int = 3, k: int = 10) -> DataFrame:
+    """Top-k opening paths: each user's first ``depth`` events (by ts,
+    tie-broken on event_id) joined into a ">"-separated path string,
+    counted across users — the onboarding-flow census.
+
+    One window rank per user, a depth-bounded sort_array per user
+    (``depth`` structs, constant state), one path groupBy with
+    map-side combine, and a TakeOrderedAndProject for the top-k
+    (count desc, path asc tiebreak — deterministic)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= depth)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("path_len"),
+        )
+    )
+    return (
+        paths.groupBy("path", "path_len")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(k)
+    )

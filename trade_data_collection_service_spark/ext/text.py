@@ -435,3 +435,33 @@ def source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_length_ok"
         ),
     ).orderBy("source")
+
+
+def ngram_topk(docs: DataFrame, n: int = 3, k: int = 50) -> DataFrame:
+    """Corpus-wide top-k word n-grams by exact occurrence count (all
+    occurrences, not per-doc distinct) — the phrase census a curation
+    pipeline uses to spot boilerplate and build stop-phrase lists
+    (the corpus-level companion to the per-doc ``repetition_of``).
+
+    Per-doc n-grams are built map-side with array higher-order
+    functions and exploded once; the count groupBy partial-aggregates
+    before the shuffle (web boilerplate means huge map-side combine
+    wins), and top-k is orderBy(count desc, ngram asc).limit(k) — a
+    TakeOrderedAndProject, never a full sort.  Counts are exact
+    integers; no float arithmetic anywhere."""
+    t = F.col("tokens")
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        with_tokens(docs)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -91,6 +91,51 @@ def bollinger(candles: DataFrame, n: int = 20, k: float = 2.0) -> DataFrame:
     )
 
 
+def donchian(candles: DataFrame, n: int = 20) -> DataFrame:
+    """Donchian channel: trailing-N-candle highest high / lowest low
+    per (exchange, symbol), with midline, width, and a breakout flag
+    (close exceeding the PRIOR candle's channel) — the classic
+    turtle-trading breakout signal.
+
+    Two extrema over one rowsBetween frame plus one lag, all on the
+    table's native (exchange, symbol) sort — a single shuffle, no
+    arithmetic beyond min/max/half-sum, so every published value is
+    an IEEE op over bit-identical operands in both engines (no
+    rounding needed)."""
+    w = (
+        Window.partitionBy("exchange", "symbol")
+        .orderBy("start")
+        .rowsBetween(-(n - 1), 0)
+    )
+    ws = Window.partitionBy("exchange", "symbol").orderBy("start")
+    upper = F.max("high").over(w)
+    lower = F.min("low").over(w)
+    base = candles.select(
+        "exchange",
+        "symbol",
+        "start",
+        "close",
+        upper.alias(f"donchian_upper_{n}"),
+        lower.alias(f"donchian_lower_{n}"),
+        ((upper + lower) / 2.0).alias(f"donchian_mid_{n}"),
+        (upper - lower).alias(f"donchian_width_{n}"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
+    prev_upper = F.lag(f"donchian_upper_{n}").over(ws)
+    prev_lower = F.lag(f"donchian_lower_{n}").over(ws)
+    # first candle has no prior channel: published as NOT a breakout
+    # (coalesce also keeps the boolean non-null for cross-engine hashing)
+    return base.select(
+        "*",
+        F.coalesce(F.col("close") > prev_upper, F.lit(False)).alias(
+            "breakout_up"
+        ),
+        F.coalesce(F.col("close") < prev_lower, F.lit(False)).alias(
+            "breakout_down"
+        ),
+    )
+
+
 def daily_volatility(candles: DataFrame) -> DataFrame:
     """Per-day realized volatility: sqrt(Σ r²) of 1m log returns
     r = ln(close_t / close_{t-1}) per (exchange, symbol).  The r²

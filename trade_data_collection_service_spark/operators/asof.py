@@ -40,6 +40,7 @@ def asof_join(
     prefix: str = "asof_",
     right_order: list[str] | None = None,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left rows + ``{prefix}{payload}`` columns from the latest right
     row with ``right_ts <= left_ts`` on the same key (nulls when no
@@ -57,7 +58,17 @@ def asof_join(
     before the left timestamp) or ``"forward"`` (earliest right row at
     or after it; DuckDB twin: ``ASOF LEFT JOIN ... ON l.ts <= r.ts``).
     Same single shuffle+sort either way — only the carry window's
-    frame and the equal-timestamp side order flip."""
+    frame and the equal-timestamp side order flip.
+
+    ``tolerance``: optional max staleness as a SQL interval string
+    (e.g. ``"2 minutes"`` — pandas ``merge_asof(tolerance=...)``
+    semantics): when the matched right row is further than the
+    tolerance from the left timestamp, the payload columns are nulled
+    (the match that exists is by construction the NEAREST one in the
+    chosen direction, so "no match within tolerance" and "nearest
+    match outside tolerance" coincide).  Applied as a map-side
+    post-predicate on the carried right timestamp — zero extra
+    shuffles."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_types = dict(left.dtypes)
@@ -67,6 +78,7 @@ def asof_join(
         *keys,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__rt"),
         *[F.col(p).alias(f"__p_{p}") for p in payload],
         *[F.col(c).alias(f"__o_{i}") for i, c in enumerate(order_cols)],
         *[F.lit(None).cast(left_types[c]).alias(f"__l_{c}") for c in left.columns],
@@ -75,6 +87,7 @@ def asof_join(
         *keys,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(right_types[right_ts]).alias("__rt"),
         *[F.lit(None).cast(right_types[p]).alias(f"__p_{p}") for p in payload],
         *[
             F.lit(None).cast(right_types[c]).alias(f"__o_{i}")
@@ -104,10 +117,23 @@ def asof_join(
         )
         carry = lambda col: F.first(col, ignorenulls=True).over(w)  # noqa: E731
     unioned = tagged_r.unionByName(tagged_l, allowMissingColumns=False)
+    if tolerance is None:
+        within = F.lit(True)
+    elif direction == "backward":
+        within = carry("__rt") >= F.col("__t") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+    else:
+        within = carry("__rt") <= F.col("__t") + F.expr(
+            f"INTERVAL {tolerance}"
+        )
     carried = unioned.select(
         *keys,
         "__side",
         *[F.col(f"__l_{c}").alias(c) for c in left.columns if c not in keys],
-        *[carry(f"__p_{p}").alias(f"{prefix}{p}") for p in payload],
+        *[
+            F.when(within, carry(f"__p_{p}")).alias(f"{prefix}{p}")
+            for p in payload
+        ],
     )
     return carried.filter(F.col("__side") == 1).drop("__side")

@@ -1,0 +1,228 @@
+"""Distributed EMA / MACD — an exponential-recurrence prefix scan
+expressed entirely in window + groupBy algebra (no UDF, no per-symbol
+collect of the series).
+
+The reference exposes no indicator analytics (SURVEY.md §2.5), but an
+EMA is the canonical "inherently sequential" candle operator, so it is
+the proof case for running recurrences on a cluster.  Semantics are
+pandas' ``ewm(span=n, adjust=True).mean()`` (the pandas DEFAULT):
+
+    ema_t = num_t / den_t
+    num_t = x_t + beta * num_{t-1},   beta = 1 - 2/(n+1)
+    den_t = 1 + beta * den_{t-1}  =  (1 - beta^t) / alpha   (closed form)
+
+Both recurrences are LINEAR with zero seed, which is what makes the
+scan distributable:
+
+1. ``row_number`` per (exchange, symbol) — the one shuffle+sort, on
+   the table's native layout.
+2. Rows are cut into fixed blocks.  Within a block,
+   ``num_i = beta^i * cumsum(x_j * beta^(-j))`` — a plain windowed
+   running sum after an exponential rescale, i.e. whole-stage-codegen
+   arithmetic, no state.  The rescale bounds the exponent range by
+   capping the block length at ``EXP_BUDGET / ln(1/beta)`` so
+   ``beta^(-j)`` stays far from double overflow; precision loss is
+   O(block * 2^-52) relative — at most ~1e-12, and the terms it can
+   lose are exactly the exponentially-down-weighted ones EMA forgets
+   anyway.  Published values are rounded to 4 decimals through
+   DECIMAL(18,4), five orders of magnitude above the drift.
+3. Each block is summarized by its linear map ``e -> A*e + B``
+   (A = beta^len, B = the block's zero-seed num).  Per symbol, the
+   entering state of every block is the left-fold composition of the
+   preceding summaries — ``aggregate`` over the sorted summary array,
+   O(series/block) elements per symbol (bounded driver-free state;
+   ~1.2k structs for a 5M-row symbol at block 4096).
+4. Entering states join back on (exchange, symbol, block) — a
+   dimension-sized join (AQE broadcasts it) — and
+   ``num = beta^(i+1) * E + beta^i * cum`` finishes map-side.
+
+MACD composes three EMAs: fast/slow over close in ONE pass (shared
+rn/blocks, two value columns), then the signal EMA re-runs the same
+scan over the macd series.  Cost: 2 sort-shuffles total vs the 3+ of
+naive per-EMA passes.
+
+DuckDB oracle twin: the recurrences verbatim as a recursive CTE —
+deliberately the sequential algorithm, so the hash match proves the
+blocked scan equals the textbook definition.  An independent pandas
+``ewm`` parity pytest covers the same claim at 1e-9 tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Max |exponent| of the within-block rescale; e^300 << DBL_MAX (~e^709).
+EXP_BUDGET = 300.0
+
+
+def ema_params(n: int) -> tuple[float, float]:
+    """(alpha, beta) for span n — the pandas ewm(span=n) smoothing."""
+    alpha = 2.0 / (n + 1.0)
+    return alpha, 1.0 - alpha
+
+
+def _max_block(n: int) -> int:
+    """Largest block length whose rescale stays within EXP_BUDGET."""
+    _, beta = ema_params(n)
+    return max(2, int(EXP_BUDGET / math.log(1.0 / beta)))
+
+
+def with_ema(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_cols: list[str],
+    spans: list[int],
+    out_cols: list[str],
+    block: int = 1024,
+) -> DataFrame:
+    """``df`` + one unrounded adjusted-EMA column per (value, span)
+    pair, computed by the blocked scan above.  All spans share the one
+    row_number sort; each (value, span) adds only map-side arithmetic,
+    one dimension-sized block-summary groupBy, and one small join."""
+    assert len(value_cols) == len(spans) == len(out_cols)
+    wk = Window.partitionBy(*keys).orderBy(order_col)
+    df = df.withColumn("__rn", F.row_number().over(wk))
+    out = df
+    for vc, n, oc in zip(value_cols, spans, out_cols):
+        alpha, beta = ema_params(n)
+        b = min(block, _max_block(n))
+        blk = ((F.col("__rn") - 1) / b).cast("long")
+        i = (F.col("__rn") - 1) % b  # 0-based position within block
+        out = (
+            out.withColumn(f"__blk_{oc}", blk)
+            .withColumn(f"__i_{oc}", i)
+            .withColumn(
+                f"__s_{oc}",
+                F.col(vc) * F.pow(F.lit(beta), -F.col(f"__i_{oc}")),
+            )
+        )
+        wb = (
+            Window.partitionBy(*keys, f"__blk_{oc}")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = out.withColumn(f"__cum_{oc}", F.sum(f"__s_{oc}").over(wb))
+        # block summaries: A = beta^len, B = num at block end
+        summaries = out.groupBy(*keys, f"__blk_{oc}").agg(
+            F.count(F.lit(1)).alias("__len"),
+            F.max_by(f"__cum_{oc}", f"__i_{oc}").alias("__cum_end"),
+        )
+        summaries = summaries.select(
+            *keys,
+            F.col(f"__blk_{oc}").alias("__blk"),
+            F.pow(F.lit(beta), F.col("__len")).alias("__A"),
+            (
+                F.col("__cum_end")
+                * F.pow(F.lit(beta), F.col("__len") - 1)
+            ).alias("__B"),
+        )
+        # entering state per block = left fold of preceding summaries;
+        # the per-symbol summary array is series/block elements —
+        # bounded, and the only non-windowed sequential step.
+        entering = (
+            summaries.groupBy(*keys)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__blk", "__A", "__B"))
+                ).alias("__arr")
+            )
+            .select(
+                *keys,
+                F.posexplode(
+                    F.aggregate(
+                        "__arr",
+                        F.struct(
+                            F.lit(0.0).alias("e"),
+                            F.array().cast("array<double>").alias("es"),
+                        ),
+                        lambda acc, s: F.struct(
+                            (s["__A"] * acc["e"] + s["__B"]).alias("e"),
+                            F.concat(
+                                acc["es"], F.array(acc["e"])
+                            ).alias("es"),
+                        ),
+                        lambda acc: acc["es"],
+                    )
+                ).alias("__blk", f"__E_{oc}"),
+            )
+        )
+        out = out.join(
+            entering.withColumnRenamed("__blk", f"__blk_{oc}"),
+            [*keys, f"__blk_{oc}"],
+            "left",
+        )
+        num = (
+            F.pow(F.lit(beta), F.col(f"__i_{oc}") + 1)
+            * F.col(f"__E_{oc}")
+            + F.pow(F.lit(beta), F.col(f"__i_{oc}")) * F.col(f"__cum_{oc}")
+        )
+        den = (1.0 - F.pow(F.lit(beta), F.col("__rn"))) / alpha
+        out = out.withColumn(oc, num / den).drop(
+            f"__blk_{oc}", f"__i_{oc}", f"__s_{oc}", f"__cum_{oc}",
+            f"__E_{oc}",
+        )
+    return out.drop("__rn")
+
+
+def _pub4(col) -> F.Column:
+    """Published 4-dp rounding through DECIMAL(18,4) — wide enough
+    above the blocked scan's ~1e-12 drift that cross-engine ties are
+    out of reach (float contract, docs/ARCHITECTURE.md)."""
+    return F.round(col, 4).cast("decimal(18,4)").cast("double")
+
+
+def ema(candles: DataFrame, n: int = 20) -> DataFrame:
+    """Adjusted EMA of close per (exchange, symbol), published at 4 dp."""
+    out = with_ema(
+        candles.select("exchange", "symbol", "start", "close"),
+        ["exchange", "symbol"],
+        "start",
+        ["close"],
+        [n],
+        ["__ema"],
+    )
+    return out.select(
+        "exchange",
+        "symbol",
+        "start",
+        "close",
+        _pub4(F.col("__ema")).alias(f"ema_{n}"),
+    ).orderBy("exchange", "symbol", "start")
+
+
+def macd(
+    candles: DataFrame, fast: int = 12, slow: int = 26, signal: int = 9
+) -> DataFrame:
+    """MACD line (ema_fast - ema_slow), signal (EMA of the line), and
+    histogram, per (exchange, symbol).  Fast and slow EMAs share one
+    scan; the signal line is the same scan re-run over the macd
+    series.  All three published at 4 dp."""
+    base = with_ema(
+        candles.select("exchange", "symbol", "start", "close"),
+        ["exchange", "symbol"],
+        "start",
+        ["close", "close"],
+        [fast, slow],
+        ["__ef", "__es"],
+    ).withColumn("__macd", F.col("__ef") - F.col("__es"))
+    out = with_ema(
+        base,
+        ["exchange", "symbol"],
+        "start",
+        ["__macd"],
+        [signal],
+        ["__sig"],
+    )
+    return out.select(
+        "exchange",
+        "symbol",
+        "start",
+        "close",
+        _pub4(F.col("__macd")).alias("macd"),
+        _pub4(F.col("__sig")).alias("macd_signal"),
+        _pub4(F.col("__macd") - F.col("__sig")).alias("macd_hist"),
+    ).orderBy("exchange", "symbol", "start")
