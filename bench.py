@@ -135,10 +135,49 @@ def headline_queries():
         "rolling_beta_60",
         "rolling_corr_60",
         "drawdown_curve",
+        # round-6: distributed EMA recurrence scan + flow/census ops
+        "ema_20",
+        "macd_12_26_9",
+        "donchian_20",
+        "event_transitions",
+        "event_paths_topk",
+        "doc_ngram_topk",
+        "asof_price_tolerance",
     ):
         if name in q:
             out[name] = q[name]
     return out
+
+
+def steady_state_queries(cleanup: list):
+    """Steady-state incremental dedup (VERDICT r5 next-round #5): the
+    ``doc_incremental_neardup`` query times index-build + batch query
+    together; an ingestion SLA quotes the PER-BATCH marginal cost
+    against an index that already exists.  The index is built during
+    the (untimed) warm pass and reused by the measured pass, so the
+    reported number is the steady-state figure."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.ext import dedup as XD
+
+    state: dict[str, str] = {}
+
+    def steady(spark, sf_dir):
+        corpus = XD.documents_neardup(spark, sf_dir)
+        if "idx" not in state:
+            tmp = tempfile.mkdtemp(prefix="bench_neardup_idx_")
+            cleanup.append(tmp)
+            state["idx"] = tmp + "/idx"
+            XD.write_neardup_index(
+                corpus.filter(F.col("doc_id") % 3 != 0), state["idx"]
+            )
+        return XD.incremental_neardup_pairs(
+            corpus.filter(F.col("doc_id") % 3 == 0), state["idx"]
+        )
+
+    return {"doc_incremental_neardup_steady": steady}
 
 
 def skew_join_queries():
@@ -253,13 +292,42 @@ def run_one(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def run_calibration(spark, sf_dir: str, reps: int = 3) -> dict:
+    """Host-speed yardstick (VERDICT r5 next-round #6): time a fixed,
+    byte-stable query (tpch_q6 — unchanged since r3) in isolation at
+    the very start of the run, before the suite touches the JVM.
+    Cross-round ratios of this figure separate host-level variance
+    from plan regressions without after-the-fact adjudication
+    (docs/ARCHITECTURE.md host-variance protocol, now self-recorded)."""
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()["tpch_q6"]
+    run_one(spark, fn, sf_dir)  # warm: file listing, codegen
+    reps_s = sorted(round(run_one(spark, fn, sf_dir), 4) for _ in range(reps))
+    return {
+        "query": "tpch_q6",
+        "median_sec": reps_s[len(reps_s) // 2],
+        "reps_sec": reps_s,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    try:
+        calibration = run_calibration(spark, sf_dir)
+    except Exception as e:  # pragma: no cover
+        print(f"bench calibration failed: {e}", file=sys.stderr)
+        calibration = None
+    cleanup: list[str] = []
     timings: dict[str, float] = {}
-    suite = {**headline_queries(), **skew_join_queries()}
+    suite = {
+        **headline_queries(),
+        **steady_state_queries(cleanup),
+        **skew_join_queries(),
+    }
     for name, fn in suite.items():
         try:
             # warm once (file listing, code paths), measure second run
@@ -298,9 +366,14 @@ def main() -> None:
                 "candles_per_sec": throughput,
                 "streaming_candles_per_sec": streaming_cps,
                 "streaming_wall_sec": streaming_wall,
+                "calibration": calibration,
             }
         )
     )
+    import shutil
+
+    for path in cleanup:
+        shutil.rmtree(path, ignore_errors=True)
     spark.stop()
 
 
