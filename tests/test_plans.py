@@ -178,3 +178,48 @@ def test_tfidf_terms_uses_window_group_limit(spark, sf_dir):
     # partition key), never a global sort; df table joins broadcast
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ema_scan_stays_jvm_side(spark, sf_dir):
+    from trade_data_collection_service_spark.operators.ema import macd, with_ema
+
+    c = candles_from_events(spark, sf_dir)
+    plan = _plan(
+        with_ema(
+            c.select("exchange", "symbol", "start", "close"),
+            ["exchange", "symbol"], "start", ["close"], [20], ["e"],
+        )
+    )
+    # the recurrence is pure window algebra: no pandas/Python eval
+    # anywhere (the whole point vs the applyInPandas folk solution)
+    for banned in ("BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert banned not in plan, banned
+    # block cumsum + row_number run as window execs over the one sort
+    assert "Window" in plan
+    # MACD shares the fast/slow sort: exactly 2 sorts of the full
+    # candle table (rn pass + signal-line pass), not one per EMA
+    mplan = _plan(macd(c))
+    for banned in ("BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert banned not in mplan, banned
+
+
+def test_ngram_topk_is_take_ordered(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.text import ngram_topk
+
+    plan = _plan(
+        ngram_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    )
+    # corpus-wide top-k must be a per-partition heap, never a full sort
+    assert "TakeOrderedAndProject" in plan
+    # the count groupBy partial-aggregates before the exchange
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_event_paths_topk_is_take_ordered(spark, sf_dir):
+    from trade_data_collection_service_spark.candles import events_df
+    from trade_data_collection_service_spark.ext.pipeline import (
+        event_paths_topk,
+    )
+
+    plan = _plan(event_paths_topk(events_df(spark, sf_dir)))
+    assert "TakeOrderedAndProject" in plan
