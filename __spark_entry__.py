@@ -1108,6 +1108,24 @@ def _q_asof_price_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_returns_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.operators.analytics import (
+        returns_autocorr,
+    )
+
+    return returns_autocorr(candles_from_events(spark, sf_dir))
+
+
+def _q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trade_data_collection_service_spark.candles import events_df
+
+    ev = events_df(spark, sf_dir)
+    return XP.conversion_latency(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
 def _with_utc(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -1190,7 +1208,12 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": XH.q7_nation_volume,
         "tpch_q6": XH.q6_forecast_revenue,
         "tpch_q2": XH.q2_min_cost_supplier,
-        # --- beyond the 50-query check window: r5-green, unchanged ---
+        # --- beyond the 50-query check window.  First two are r6-new
+        # (local sweep green at sf0.01 + sf0.1; FIRST in line for the
+        # r7 window, ahead of the 45 r4-vintage entries below) ---
+        "returns_autocorr": _q_returns_autocorr,
+        "conversion_latency": _q_conversion_latency,
+        # --- r5-green, unchanged ---
         "doc_minhash_lsh": _q_doc_minhash_lsh,
         "emb_ivfpq_indexed_topk": _q_emb_ivfpq_indexed_topk,
         "doc_bm25_topk": _q_doc_bm25_topk,
@@ -3728,6 +3751,68 @@ def oracle_sql() -> dict[str, str]:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS DOUBLE) AS obv
         FROM steps
+        """,
+        "returns_autocorr": CANDLES_CTE
+        + """
+        , rets AS (
+          SELECT exchange, symbol, start,
+            CAST(round(close / lag(close) OVER w - 1.0, 10)
+                 AS DECIMAL(18,10)) AS ret
+          FROM candles
+          WINDOW w AS (PARTITION BY exchange, symbol ORDER BY start)
+          QUALIFY lag(close) OVER w > 0 AND close > 0
+              AND abs(close / lag(close) OVER w - 1.0) <= 10.0
+        ), pairs AS (
+          SELECT exchange, symbol, ret AS x,
+                 lag(ret, 1) OVER (
+                   PARTITION BY exchange, symbol ORDER BY start
+                 ) AS y
+          FROM rets
+          QUALIFY y IS NOT NULL
+        ), agg AS (
+          SELECT exchange, symbol,
+            CAST(count(*) AS BIGINT) AS n_obs,
+            CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+            CAST(sum(x * x) AS DOUBLE) AS sxx,
+            CAST(sum(y * y) AS DOUBLE) AS syy,
+            CAST(sum(x * y) AS DOUBLE) AS sxy
+          FROM pairs GROUP BY 1, 2
+        )
+        SELECT exchange, symbol, n_obs,
+          CASE WHEN n_obs >= 2
+                AND CAST(n_obs AS DOUBLE) * sxx - sx * sx > 0
+                AND CAST(n_obs AS DOUBLE) * syy - sy * sy > 0
+               THEN (CAST(n_obs AS DOUBLE) * sxy - sx * sy)
+                    / (sqrt(CAST(n_obs AS DOUBLE) * sxx - sx * sx)
+                       * sqrt(CAST(n_obs AS DOUBLE) * syy - sy * sy))
+          END AS autocorr_1
+        FROM agg ORDER BY exchange, symbol
+        """,
+        "conversion_latency": """
+        WITH pairs AS (
+          SELECT a.user_id, a.event_id AS click_id, a.ts AS click_ts,
+                 b.ts AS purchase_ts
+          FROM events a JOIN events b
+            ON a.user_id = b.user_id
+           AND a.event_type = 'click' AND b.event_type = 'purchase'
+           AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+        ), first_p AS (
+          SELECT user_id, click_id, click_ts,
+                 min(purchase_ts) AS first_purchase_ts
+          FROM pairs GROUP BY 1, 2, 3
+        ), lat AS (
+          SELECT CAST(hour(click_ts) AS BIGINT) AS click_hour,
+                 epoch_us(first_purchase_ts) - epoch_us(click_ts) AS lat_us
+          FROM first_p
+        )
+        SELECT click_hour,
+               CAST(count(*) AS BIGINT) AS n_conversions,
+               min(lat_us) / 1e6 AS min_latency_s,
+               max(lat_us) / 1e6 AS max_latency_s,
+               round(quantile_cont(lat_us, 0.5) / 1e6, 6) AS p50_latency_s,
+               round(CAST(sum(lat_us) AS DOUBLE) / count(*) / 1e6, 6)
+                 AS mean_latency_s
+        FROM lat GROUP BY 1 ORDER BY 1
         """,
         "returns_corr": CANDLES_CTE
         + """

@@ -143,6 +143,8 @@ def headline_queries():
         "event_paths_topk",
         "doc_ngram_topk",
         "asof_price_tolerance",
+        "returns_autocorr",
+        "conversion_latency",
     ):
         if name in q:
             out[name] = q[name]

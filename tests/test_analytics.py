@@ -486,3 +486,24 @@ def test_rolling_corr_converges_to_static(spark):
         r["corr_60"] is None or -1.0 - 1e-9 <= r["corr_60"] <= 1.0 + 1e-9
         for r in roll
     )
+
+
+def test_returns_autocorr_alternating_and_constant(spark):
+    from trade_data_collection_service_spark.operators.analytics import (
+        returns_autocorr,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # S: alternating closes -> strongly negative lag-1 autocorr
+    for i, c in enumerate([10.0, 11.0, 10.0, 11.0, 10.0, 11.0]):
+        rows.append(("E", "S", datetime(2024, 1, 1, 0, i), c, 1.0))
+    # T: constant growth factor -> zero return variance -> NULL
+    for i, c in enumerate([10.0, 20.0, 40.0, 80.0]):
+        rows.append(("E", "T", datetime(2024, 1, 1, 0, i), c, 1.0))
+    out = {
+        r["symbol"]: r
+        for r in returns_autocorr(_mk(spark, rows)).collect()
+    }
+    assert out["S"]["n_obs"] == 4 and out["S"]["autocorr_1"] < -0.9
+    assert out["T"]["autocorr_1"] is None

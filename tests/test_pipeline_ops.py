@@ -395,3 +395,38 @@ def test_event_paths_topk_hand_computed(spark):
         ("view>click>purchase", 3, 3),
         ("view>view", 2, 2),
     ]
+
+
+def test_conversion_latency_hand_computed(spark):
+    t = dt.datetime(2024, 1, 1, 9, 0)
+
+    def ev(eid, ts, u, et):
+        return (eid, ts, u, et, 1.0, "{}")
+
+    rows = [
+        # user 1: click at 9:00, purchases at +10min and +30min ->
+        # latency to FIRST purchase = 600s
+        ev(0, t, 1, "click"),
+        ev(1, t + dt.timedelta(minutes=10), 1, "purchase"),
+        ev(2, t + dt.timedelta(minutes=30), 1, "purchase"),
+        # user 2: click at 10:00, purchase at +1h -> 3600s
+        ev(3, t + dt.timedelta(hours=1), 2, "click"),
+        ev(4, t + dt.timedelta(hours=2), 2, "purchase"),
+        # user 3: click with no purchase inside 4h -> no conversion
+        ev(5, t, 3, "click"),
+        ev(6, t + dt.timedelta(hours=5), 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    clicks = df.filter(df.event_type == "click")
+    purchases = df.filter(df.event_type == "purchase")
+    out = {
+        r["click_hour"]: r
+        for r in XP.conversion_latency(clicks, purchases).collect()
+    }
+    assert set(out) == {9, 10}
+    assert out[9]["n_conversions"] == 1
+    assert out[9]["min_latency_s"] == 600.0 == out[9]["max_latency_s"]
+    assert out[9]["p50_latency_s"] == 600.0
+    assert out[10]["mean_latency_s"] == 3600.0

@@ -861,3 +861,59 @@ def event_paths_topk(events: DataFrame, depth: int = 3, k: int = 10) -> DataFram
         .orderBy(F.col("n_users").desc(), F.col("path").asc())
         .limit(k)
     )
+
+
+def conversion_latency(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "4 hours"
+) -> DataFrame:
+    """Time-to-convert distribution by hour of click: for each click
+    with a purchase inside the attribution horizon, the latency to
+    the FIRST such purchase, summarized per click hour-of-day — the
+    campaign-timing read on top of the attribution join
+    (streaming/interval_join.py supplies the pair definition, so the
+    batch summary and the stream-stream join can never disagree on
+    what a conversion is).
+
+    Latencies are exact epoch-microsecond differences (integer
+    arithmetic end to end); the median interpolates two longs
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the
+    price_percentiles contract), and mean divides an exact long sum.
+    Shape: the user_id-partitioned interval join, one min-per-click
+    groupBy (map-side combined), then a 24-row hour groupBy."""
+    from trade_data_collection_service_spark.streaming.interval_join import (
+        attribution_pairs,
+    )
+
+    pairs = attribution_pairs(clicks, purchases, horizon)
+    first = pairs.groupBy("user_id", "click_id", "click_ts").agg(
+        F.min("purchase_ts").alias("first_purchase_ts")
+    )
+    # unix_micros rejects TIMESTAMP_NTZ (see sessionize note); the
+    # cast is a lossless UTC reinterpret and cancels in the difference
+    ts_c = F.col("click_ts").cast("timestamp")
+    ts_p = F.col("first_purchase_ts").cast("timestamp")
+    lat_us = F.unix_micros(ts_p) - F.unix_micros(ts_c)
+    lat = first.select(
+        F.hour("click_ts").cast("long").alias("click_hour"),
+        lat_us.alias("lat_us"),
+    )
+    return (
+        lat.groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            (F.min("lat_us") / F.lit(1e6)).alias("min_latency_s"),
+            (F.max("lat_us") / F.lit(1e6)).alias("max_latency_s"),
+            F.round(
+                F.percentile("lat_us", F.lit(0.5)) / F.lit(1e6), 6
+            ).alias("p50_latency_s"),
+            F.round(
+                (
+                    F.sum("lat_us").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(1e6)
+                ),
+                6,
+            ).alias("mean_latency_s"),
+        )
+        .orderBy("click_hour")
+    )

@@ -1013,3 +1013,69 @@ def rolling_corr(candles: DataFrame, n: int = 60) -> DataFrame:
         cnt.cast("long").alias("n_in_frame"),
         corr.alias(f"corr_{n}"),
     )
+
+
+def returns_autocorr(
+    candles: DataFrame, lag: int = 1, max_abs_return: float = 10.0
+) -> DataFrame:
+    """Lag-k autocorrelation of per-candle simple returns per
+    (exchange, symbol) — the momentum/mean-reversion diagnostic
+    (significantly negative at minute grain = microstructure bounce;
+    positive = trending).
+
+    Same float contract as ``returns_corr``: returns are 10-dp
+    decimals over the filtered series (positive prices, |r| bounded),
+    the lag pairs come from ONE extra window over the same
+    (exchange, symbol) sort — no self-join — and Pearson runs in
+    doubles over five decimal-exact moment sums."""
+    ws = Window.partitionBy("exchange", "symbol").orderBy("start")
+    prev = F.lag("close").over(ws)
+    r = F.col("close") / prev - F.lit(1.0)
+    rets = (
+        candles.select(
+            "exchange", "symbol", "start", prev.alias("prev"), "close",
+            r.alias("r"),
+        )
+        .filter(
+            (F.col("prev") > 0)
+            & (F.col("close") > 0)
+            & (F.abs("r") <= max_abs_return)
+        )
+        .select(
+            "exchange",
+            "symbol",
+            "start",
+            F.round("r", 10).cast("decimal(18,10)").alias("ret"),
+        )
+    )
+    # pair r_t with r_{t-lag} over the SURVIVING return series (the
+    # filtered frame defines the series, identically in the oracle)
+    wr = Window.partitionBy("exchange", "symbol").orderBy("start")
+    pairs = rets.select(
+        "exchange",
+        "symbol",
+        F.col("ret").alias("x"),
+        F.lag("ret", lag).over(wr).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    agg = pairs.groupBy("exchange", "symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n_obs").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (F.col("n_obs") >= 2) & (vx > 0) & (vy > 0),
+        cov / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return agg.select(
+        "exchange",
+        "symbol",
+        "n_obs",
+        corr.alias(f"autocorr_{lag}"),
+    ).orderBy("exchange", "symbol")
