@@ -100,17 +100,23 @@ def with_ema(
                 F.col(vc) * F.pow(F.lit(beta), -F.col(f"__i_{oc}")),
             )
         )
+        # Block summaries aggregate the PRE-window frame: the block-end
+        # cumulative equals the plain block sum of s, so the summary
+        # branch needs only a groupBy — it never depends on the window
+        # output, and Catalyst reuses the (keys) shuffle between the
+        # window branch and this aggregate (ReusedExchange) instead of
+        # recomputing the upstream subtree twice.
+        pre = out
+        summaries = pre.groupBy(*keys, f"__blk_{oc}").agg(
+            F.count(F.lit(1)).alias("__len"),
+            F.sum(f"__s_{oc}").alias("__cum_end"),
+        )
         wb = (
             Window.partitionBy(*keys, f"__blk_{oc}")
             .orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         out = out.withColumn(f"__cum_{oc}", F.sum(f"__s_{oc}").over(wb))
-        # block summaries: A = beta^len, B = num at block end
-        summaries = out.groupBy(*keys, f"__blk_{oc}").agg(
-            F.count(F.lit(1)).alias("__len"),
-            F.max_by(f"__cum_{oc}", f"__i_{oc}").alias("__cum_end"),
-        )
         summaries = summaries.select(
             *keys,
             F.col(f"__blk_{oc}").alias("__blk"),
