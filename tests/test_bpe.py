@@ -1,0 +1,90 @@
+"""Distributed BPE trainer (ext/bpe.py): merge rules learned on a
+known corpus must match a hand-run of the Sennrich algorithm, the
+merge fold must be left-to-right non-overlapping (the classic
+``aaa`` / ``abab`` traps), and apply-side segmentation must round-trip
+the learned rules."""
+
+from __future__ import annotations
+
+import collections
+
+from trade_data_collection_service_spark.ext.bpe import (
+    END_WORD,
+    segment_words,
+    train_bpe,
+    word_vocab,
+)
+
+
+def _py_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Reference implementation: textbook pair-count + merge loop
+    with the same lexicographic tie-break."""
+    vocab = {
+        tuple(list(w) + [END_WORD]): f for w, f in word_freqs.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        counts: collections.Counter = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < 2:
+            break
+        merges.append((a, b, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = f
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_matches_reference_on_known_corpus(spark):
+    # Sennrich-style toy corpus: "low lower lowest newest widest"
+    text = "low low low lower lower newest newest newest newest widest"
+    docs = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    freqs = collections.Counter((text + " " + text).split())
+    want_merges, want_vocab = _py_bpe(dict(freqs), 8)
+    got_merges, got_syms = train_bpe(docs, 8)
+    assert got_merges == want_merges
+    got_vocab = {
+        tuple(r["syms"]): r["weight"] for r in got_syms.collect()
+    }
+    assert got_vocab == {k: v for k, v in want_vocab.items()}
+
+
+def test_merge_fold_is_left_to_right_non_overlapping(spark):
+    # 'aaaa' with merge (a,a): left-to-right gives [aa, aa], never
+    # the overlapping [a, aa, a] or greedy-wrong [aa, a, a]
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa abab")], ["doc_id", "text"]
+    )
+    words = word_vocab(docs)
+    seg = {
+        r["word"]: r["syms"]
+        for r in segment_words(words, [("a", "a", 0)]).collect()
+    }
+    assert seg["aaaa"] == ["aa", "aa", END_WORD]
+    assert seg["aaa"] == ["aa", "a", END_WORD]
+    ab = {
+        r["word"]: r["syms"]
+        for r in segment_words(words, [("a", "b", 0)]).collect()
+    }
+    assert ab["abab"] == ["ab", "ab", END_WORD]
+
+
+def test_bpe_early_stop_when_no_repeats(spark):
+    docs = spark.createDataFrame([(1, "xy")], ["doc_id", "text"])
+    merges, _ = train_bpe(docs, 10)
+    assert merges == []  # every pair occurs once: below threshold
