@@ -105,3 +105,51 @@ def test_ivfpq_indexed_search_prunes_partitions(ivfpq_index):
     assert m and "bucket" in m.group(1), plan[:2000]
     n_parts = spark.read.parquet(path).select("bucket").distinct().count()
     assert n_parts >= 2
+
+
+def test_append_equals_rebuild(spark, sf_dir):
+    """Growing the index with append_to_ivf_index must be
+    search-identical to rebuilding over the union corpus: the stored
+    corpus is split 2/3 + 1/3, the 1/3 appended incrementally, and
+    every query's ranked result compared row-for-row against the
+    full-build index (same frozen centroids on both paths)."""
+    from trade_data_collection_service_spark.ext.similarity import (
+        append_to_ivf_index,
+        assign_buckets,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ivf_append_")
+    try:
+        full_path, inc_path = f"{tmp}/full", f"{tmp}/inc"
+        # full build fixes the centroids (trained on the whole corpus
+        # — the frozen-quantizer contract)
+        centroids = write_ivf_index(spark, sf_dir, full_path)
+        v = vectors(spark, sf_dir)
+        base = v.filter(F.col("vec_id") % 3 != 0)
+        newer = v.filter(F.col("vec_id") % 3 == 0)
+        # incremental: seed with the base 2/3 under the SAME centroids
+        (
+            assign_buckets(base, centroids)
+            .repartition("bucket")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(inc_path)
+        )
+        append_to_ivf_index(newer, inc_path, centroids)
+        qs = _queries(spark, sf_dir, 5)
+        want = [
+            tuple(r)
+            for r in ivf_search_indexed(
+                spark, full_path, centroids, qs, k=3, nprobe=2
+            ).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in ivf_search_indexed(
+                spark, inc_path, centroids, qs, k=3, nprobe=2
+            ).collect()
+        ]
+        assert got == want and got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

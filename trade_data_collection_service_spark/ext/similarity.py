@@ -404,6 +404,32 @@ def write_ivf_index(
     return centroids
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame, path: str, centroids: DataFrame
+) -> None:
+    """Grow a stored IVF index incrementally (the ingestion-time
+    twin of ``write_neardup_index``/``append_to_neardup_index`` for
+    the ANN side): assign ONLY the new vectors to buckets with the
+    STORED centroids and append their rows to the bucket partitions.
+    The existing corpus is never re-read, re-assigned, or rewritten —
+    per batch the cost is O(batch x n_centroids) map-side work plus
+    appends to the touched bucket directories.
+
+    Centroids deliberately stay frozen (the FAISS ``add`` contract):
+    a drifting quantizer would silently re-home *existing* buckets.
+    Retrain + rebuild is a separate, explicit operation.  Searches
+    over an appended index are identical to a rebuild over the union
+    corpus (pytest: tests/test_ivf_index.py)."""
+    bucketed = assign_buckets(new_vectors, centroids)
+    (
+        bucketed.repartition("bucket")
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def ivf_search_indexed(
     spark: SparkSession,
     path: str,
