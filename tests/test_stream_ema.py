@@ -79,3 +79,53 @@ def test_stream_ema_matches_batch(spark, dirs):
     for pairs in by_key.values():
         ts = [t for _, t in sorted(pairs)]
         assert ts == list(range(1, len(ts) + 1))
+
+
+def test_stream_macd_matches_batch(spark, dirs):
+    from trade_data_collection_service_spark.operators.ema import macd
+    from trade_data_collection_service_spark.streaming.ema import macd_stream
+
+    candles = candles_from_events(spark, SF_DIR).select(
+        "exchange", "symbol", "start", "close"
+    )
+    src = os.path.join(dirs, "msrc")
+    days = sorted(
+        r["d"]
+        for r in candles.select(F.date_trunc("day", "start").alias("d"))
+        .distinct()
+        .collect()
+    )
+    cut = days[len(days) // 2]
+    for s in (
+        candles.filter(F.col("start") < cut),
+        candles.filter(F.col("start") >= cut),
+    ):
+        s.coalesce(1).write.mode("append").parquet(src)
+
+    out = os.path.join(dirs, "mout")
+    ckpt = os.path.join(dirs, "mckpt")
+    q = macd_stream(spark, src, out, ckpt)
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    got = {
+        (r["exchange"], r["symbol"], r["start"]): (
+            r["macd"], r["macd_signal"], r["macd_hist"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["exchange"], r["symbol"], r["start"]): (
+            r["macd"], r["macd_signal"], r["macd_hist"],
+        )
+        for r in macd(candles_from_events(spark, SF_DIR)).collect()
+    }
+    assert set(got) == set(want)
+    off = 0
+    for k, g in got.items():
+        for a, b in zip(g, want[k]):
+            if abs(a - b) > 1e-9:
+                # blocked-scan drift on an exact 4-dp tie: one step max
+                assert abs(a - b) <= 1.0001e-4
+                off += 1
+    assert off <= 3

@@ -134,3 +134,115 @@ def ema_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+MACD_SCHEMA = StructType(
+    [
+        StructField("exchange", StringType()),
+        StructField("symbol", StringType()),
+        StructField("start", TimestampType()),
+        StructField("close", DoubleType()),
+        StructField("macd", DoubleType()),
+        StructField("macd_signal", DoubleType()),
+        StructField("macd_hist", DoubleType()),
+        StructField("t", LongType()),
+    ]
+)
+
+# (t, num_fast, num_slow, signal_num) — floats as repr for exactness
+_MACD_STATE_SCHEMA = StructType(
+    [
+        StructField("t", LongType()),
+        StructField("nf", StringType()),
+        StructField("ns", StringType()),
+        StructField("sn", StringType()),
+    ]
+)
+
+
+def make_macd_fn(fast: int = 12, slow: int = 26, signal: int = 9):
+    """Live MACD: three zero-seeded linear recurrences per key —
+    fast/slow numerators over close and the signal numerator over the
+    macd line — each denominator closed-form, so state stays O(1).
+    Published 4-dp values match the batch ``operators/ema.py::macd``
+    on in-order replay (parity pytest)."""
+    af, bf = ema_params(fast)
+    as_, bs = ema_params(slow)
+    ag, bg = ema_params(signal)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        exchange, symbol = key
+        if state.exists:
+            t, nf_r, ns_r, sn_r = state.get
+            nf, ns, sn = float(nf_r), float(ns_r), float(sn_r)
+        else:
+            t, nf, ns, sn = 0, 0.0, 0.0, 0.0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("start", kind="mergesort")
+        out = []
+        for start, close in zip(rows["start"], rows["close"]):
+            t += 1
+            x = float(close)
+            nf = x + bf * nf
+            ns = x + bs * ns
+            den_f = (1.0 - bf**t) / af
+            den_s = (1.0 - bs**t) / as_
+            macd = nf / den_f - ns / den_s
+            sn = macd + bg * sn
+            den_g = (1.0 - bg**t) / ag
+            sig = sn / den_g
+            out.append(
+                {
+                    "exchange": exchange,
+                    "symbol": symbol,
+                    "start": start,
+                    "close": x,
+                    "macd": _pub4_py(macd),
+                    "macd_signal": _pub4_py(sig),
+                    "macd_hist": _pub4_py(macd - sig),
+                    "t": t,
+                }
+            )
+        state.update((t, repr(nf), repr(ns), repr(sn)))
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def macd_stream(
+    spark,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    max_files_per_trigger: int = 1,
+):
+    """File-source candle stream → stateful live MACD feed → append."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    feed = (
+        stream.select("exchange", "symbol", "start", "close")
+        .groupBy("exchange", "symbol")
+        .applyInPandasWithState(
+            make_macd_fn(fast, slow, signal),
+            outputStructType=MACD_SCHEMA,
+            stateStructType=_MACD_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        feed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
