@@ -7,9 +7,12 @@ algebra to scan history in parallel, the streaming side IS the
 recurrence: state per (exchange, symbol) is just ``(t, num)`` — the
 row count and the zero-seeded numerator — because the adjusted-EMA
 denominator has the closed form ``(1 - beta^t) / alpha``.  O(1)
-state per key, one output row per candle, identical published
-values (4-dp HALF_UP through the decimal contract) to the batch
-``ema()`` on an in-order replay (parity pytest).
+state per key, one output row per candle; on an in-order replay the
+published 4-dp values (HALF_UP through the decimal contract) equal
+the batch ``ema()`` except where the batch blocked scan's ~1e-12
+arithmetic drift lands exactly on a 4-dp rounding tie — at most a
+single 1e-4 step, and none-to-few rows in practice (the parity
+pytest bounds it).
 
 Ordering contract: rows are folded in event-time order within each
 micro-batch; a cross-batch late or duplicate candle folds in arrival
@@ -165,7 +168,8 @@ def make_macd_fn(fast: int = 12, slow: int = 26, signal: int = 9):
     fast/slow numerators over close and the signal numerator over the
     macd line — each denominator closed-form, so state stays O(1).
     Published 4-dp values match the batch ``operators/ema.py::macd``
-    on in-order replay (parity pytest)."""
+    on in-order replay up to exact 4-dp rounding ties of the blocked
+    scan's ~1e-12 drift (parity pytest bounds the count)."""
     af, bf = ema_params(fast)
     as_, bs = ema_params(slow)
     ag, bg = ema_params(signal)
