@@ -170,3 +170,39 @@ def test_asof_tolerance_forward(spark):
         ).collect()
     }
     assert out == {1: 11.0, 2: None}
+
+
+def test_asof_null_payload_row_is_the_match(spark):
+    """ADVICE r6: timestamp gate and payload must refer to the SAME
+    right row.  When the nearest right row carries a NULL payload
+    value, the published payload is that null — NOT a backfill from an
+    older row (which could lie outside the tolerance the gate just
+    approved).  Matches pandas merge_asof, which takes the nearest
+    row's value even when it is NaN."""
+    left = spark.createDataFrame(
+        [("S", datetime(2024, 1, 1, 0, 5, 0), 1)],
+        ["symbol", "ts", "event_id"],
+    )
+    right = spark.createDataFrame(
+        [
+            # old row, non-null payload, 65 minutes stale
+            ("S", datetime(2023, 12, 31, 23, 0), 10.0, 1),
+            # nearest row, NULL payload, 1 minute stale
+            ("S", datetime(2024, 1, 1, 0, 4), None, 2),
+        ],
+        "symbol string, start timestamp, close double, version long",
+    )
+    # Without tolerance: the nearest row wins, null payload and all.
+    no_tol = asof_join(
+        left, right, ["symbol"], "ts", "start", ["close"],
+        right_order=["version"],
+    ).collect()
+    assert [r["asof_close"] for r in no_tol] == [None]
+    # With tolerance 2m: the nearest row is within tolerance; its null
+    # payload must NOT be replaced by the out-of-tolerance older row.
+    tol = asof_join(
+        left, right, ["symbol"], "ts", "start", ["start", "close"],
+        right_order=["version"], tolerance="2 minutes",
+    ).collect()
+    assert tol[0]["asof_start"] == datetime(2024, 1, 1, 0, 4)
+    assert tol[0]["asof_close"] is None

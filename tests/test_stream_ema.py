@@ -129,3 +129,126 @@ def test_stream_macd_matches_batch(spark, dirs):
                 assert abs(a - b) <= 1.0001e-4
                 off += 1
     assert off <= 3
+
+
+def test_stream_ema_drops_cross_batch_late_rows(spark, dirs):
+    """r7 hardening (VERDICT r6 #4): a candle arriving in a LATER
+    micro-batch with a start at or before the newest folded start is
+    dropped and counted — never folded as a new observation — so the
+    published series equals the batch scan over the in-order rows and
+    the feed's ``dropped`` counter is nonzero."""
+    from datetime import datetime
+
+    rows = [
+        ("X", "AAA", datetime(2024, 1, 1, 0, m), 100.0 + m)
+        for m in range(6)
+    ]
+    in_order = spark.createDataFrame(
+        rows, "exchange string, symbol string, start timestamp, close double"
+    )
+    src = os.path.join(dirs, "late_src")
+    # batch 1: first four candles (in order)
+    in_order.filter(F.col("close") < 104).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # batch 2: a LATE duplicate of minute 1 (revised close) + a late
+    # minute-2 revision + the two genuinely new candles
+    late = spark.createDataFrame(
+        [
+            ("X", "AAA", datetime(2024, 1, 1, 0, 1), 999.0),
+            ("X", "AAA", datetime(2024, 1, 1, 0, 2), 888.0),
+            rows[4],
+            rows[5],
+        ],
+        "exchange string, symbol string, start timestamp, close double",
+    )
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    out = os.path.join(dirs, "late_out")
+    ckpt = os.path.join(dirs, "late_ckpt")
+    q = ema_stream(spark, src, out, ckpt, n=20)
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    got = {
+        r["start"]: (r["close"], r["ema"], r["t"], r["dropped"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # exactly the six in-order candles emitted, none folded twice
+    assert len(got) == 6
+    want = {
+        r["start"]: r["ema_20"]
+        for r in ema(in_order, 20).collect()
+    }
+    for st, (close, e, _, _) in got.items():
+        assert close != 999.0 and close != 888.0
+        assert abs(e - want[st]) <= 1.0001e-4
+    # t stays dense 1..6 (late rows never incremented it)
+    assert sorted(t for _, _, t, _ in got.values()) == list(range(1, 7))
+    # the two late rows were counted on the rows emitted after them
+    assert got[datetime(2024, 1, 1, 0, 5)][3] == 2
+    assert got[datetime(2024, 1, 1, 0, 0)][3] == 0
+
+
+def test_stream_ema_same_batch_revision_last_write_wins(spark, dirs):
+    """A duplicate start WITHIN one micro-batch is a revision: the
+    later arrival replaces the earlier one before folding (the same
+    last-write-wins contract as the indicator/Donchian buffers)."""
+    from datetime import datetime
+
+    src = os.path.join(dirs, "lww_src")
+    batch = spark.createDataFrame(
+        [
+            ("X", "BBB", datetime(2024, 1, 1, 0, 0), 10.0),
+            ("X", "BBB", datetime(2024, 1, 1, 0, 1), 11.0),
+            # revision of minute 1, later in arrival order -> wins
+            ("X", "BBB", datetime(2024, 1, 1, 0, 1), 20.0),
+        ],
+        "exchange string, symbol string, start timestamp, close double",
+    )
+    batch.coalesce(1).write.mode("append").parquet(src)
+    out = os.path.join(dirs, "lww_out")
+    ckpt = os.path.join(dirs, "lww_ckpt")
+    q = ema_stream(spark, src, out, ckpt, n=20)
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        r["start"]: (r["close"], r["t"], r["dropped"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 2
+    assert got[datetime(2024, 1, 1, 0, 1)][0] == 20.0
+    assert got[datetime(2024, 1, 1, 0, 1)] == (20.0, 2, 1)
+
+
+def test_stream_macd_drops_cross_batch_late_rows(spark, dirs):
+    from trade_data_collection_service_spark.streaming.ema import macd_stream
+
+    from datetime import datetime
+
+    rows = [
+        ("X", "CCC", datetime(2024, 1, 1, 0, m), 50.0 + m)
+        for m in range(4)
+    ]
+    src = os.path.join(dirs, "mlate_src")
+    spark.createDataFrame(
+        rows[:3],
+        "exchange string, symbol string, start timestamp, close double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("X", "CCC", datetime(2024, 1, 1, 0, 0), 777.0), rows[3]],
+        "exchange string, symbol string, start timestamp, close double",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = os.path.join(dirs, "mlate_out")
+    ckpt = os.path.join(dirs, "mlate_ckpt")
+    q = macd_stream(spark, src, out, ckpt)
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        r["start"]: (r["close"], r["t"], r["dropped"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 4
+    assert all(c != 777.0 for c, _, _ in got.values())
+    assert got[datetime(2024, 1, 1, 0, 3)] == (53.0, 4, 1)

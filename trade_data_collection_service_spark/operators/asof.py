@@ -7,8 +7,8 @@ archetypal custom operator.  This implementation is a composition of
 built-ins (option (a) of the brief's ladder — no UDF, no pandas):
 
     tag left/right rows → union → one window sorted by
-    (key, ts, side) → last(payload, ignorenulls) carries the most
-    recent right payload forward → keep left rows.
+    (key, ts, side) → last(struct(right_ts, payload...), ignorenulls)
+    carries the most recent right ROW forward → keep left rows.
 
 Cost: ONE shuffle+sort on (keys, ts) for both inputs together —
 the same lower bound a merge-based as-of algorithm pays.  No
@@ -117,14 +117,33 @@ def asof_join(
         )
         carry = lambda col: F.first(col, ignorenulls=True).over(w)  # noqa: E731
     unioned = tagged_r.unionByName(tagged_l, allowMissingColumns=False)
+    # Carry the ENTIRE matched right row as ONE struct (timestamp +
+    # payloads together), null on left rows, non-null on every right
+    # row even when individual payload fields are null.  This pins the
+    # tolerance gate and the published payload to the SAME right row:
+    # with per-column ignorenulls carries (the previous shape), a
+    # nearest right row holding a NULL payload value would pass the
+    # staleness check on its own timestamp while the payload silently
+    # came from an OLDER row possibly outside the tolerance.  Struct
+    # carry also matches pandas ``merge_asof`` semantics exactly: the
+    # nearest row's value is taken even when it is null.
+    matched = carry(
+        F.when(
+            F.col("__side") == 0,
+            F.struct(
+                F.col("__rt"),
+                *[F.col(f"__p_{p}") for p in payload],
+            ),
+        )
+    )
     if tolerance is None:
         within = F.lit(True)
     elif direction == "backward":
-        within = carry("__rt") >= F.col("__t") - F.expr(
+        within = matched["__rt"] >= F.col("__t") - F.expr(
             f"INTERVAL {tolerance}"
         )
     else:
-        within = carry("__rt") <= F.col("__t") + F.expr(
+        within = matched["__rt"] <= F.col("__t") + F.expr(
             f"INTERVAL {tolerance}"
         )
     carried = unioned.select(
@@ -132,7 +151,7 @@ def asof_join(
         "__side",
         *[F.col(f"__l_{c}").alias(c) for c in left.columns if c not in keys],
         *[
-            F.when(within, carry(f"__p_{p}")).alias(f"{prefix}{p}")
+            F.when(within, matched[f"__p_{p}"]).alias(f"{prefix}{p}")
             for p in payload
         ],
     )

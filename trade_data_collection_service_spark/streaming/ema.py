@@ -14,11 +14,18 @@ arithmetic drift lands exactly on a 4-dp rounding tie — at most a
 single 1e-4 step, and none-to-few rows in practice (the parity
 pytest bounds it).
 
-Ordering contract: rows are folded in event-time order within each
-micro-batch; a cross-batch late or duplicate candle folds in arrival
-order (the recurrence cannot be rewound in O(1) state) — sit the
-feed behind transport_dedup / the closed-candle stream, same caveat
-as the indicator feed (streaming/indicators.py).
+Ordering contract (r7 hardening, VERDICT r6 #4 / ADVICE r6 #2): rows
+are folded in event-time order within each micro-batch with
+last-write-wins on duplicate starts (a same-batch revision replaces
+the original before it is folded — the same contract as the
+indicator/Donchian buffers); a CROSS-batch late or duplicate candle
+is DROPPED and counted, never folded — an O(1) recurrence cannot be
+rewound, and folding it as a new observation would skew the state
+forever.  State carries ``last_us`` (newest folded start) and the
+cumulative ``dropped`` count, republished on every output row so the
+discard rate is queryable from the feed itself.  Sitting the feed
+behind transport_dedup remains the way to get the revision VALUE
+applied; without it the revision is at least harmless.
 """
 
 from __future__ import annotations
@@ -48,14 +55,19 @@ EMA_SCHEMA = StructType(
         StructField("close", DoubleType()),
         StructField("ema", DoubleType()),
         StructField("t", LongType()),
+        StructField("dropped", LongType()),
     ]
 )
 
-# (t, num) — num carried as repr(float) so state round-trips exactly
+# (t, num, last_us, dropped) — num carried as repr(float) so state
+# round-trips exactly; last_us = newest folded start (epoch micros,
+# -1 before the first fold); dropped = cumulative late/dup discards
 _STATE_SCHEMA = StructType(
     [
         StructField("t", LongType()),
         StructField("num", StringType()),
+        StructField("last_us", LongType()),
+        StructField("dropped", LongType()),
     ]
 )
 
@@ -68,6 +80,27 @@ def _pub4_py(x: float) -> float:
     return float(Decimal(repr(x)).quantize(_FOUR_DP, rounding=ROUND_HALF_UP))
 
 
+def _foldable(
+    pdfs: Iterator[pd.DataFrame], last_us: int
+) -> tuple[pd.DataFrame, int]:
+    """Event-time-sorted rows safe to fold into an O(1) recurrence:
+    last-write-wins on same-batch duplicate starts (a later arrival
+    for the same start replaces the earlier one BEFORE folding), and
+    rows at or before ``last_us`` — cross-batch late data the
+    recurrence cannot rewind for — are discarded.  Returns the
+    surviving rows and the number discarded/replaced."""
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    n0 = len(rows)
+    # stable sort → among equal starts, arrival order is preserved,
+    # so keep="last" is the latest revision
+    rows = rows.sort_values("start", kind="mergesort")
+    rows = rows.drop_duplicates(subset=["start"], keep="last")
+    if last_us >= 0 and len(rows):
+        us = rows["start"].astype("datetime64[us]").astype("int64")
+        rows = rows[us > last_us]
+    return rows, n0 - len(rows)
+
+
 def make_ema_fn(n: int):
     alpha, beta = ema_params(n)
 
@@ -76,12 +109,12 @@ def make_ema_fn(n: int):
     ) -> Iterator[pd.DataFrame]:
         exchange, symbol = key
         if state.exists:
-            t, num_repr = state.get
+            t, num_repr, last_us, dropped = state.get
             num = float(num_repr)
         else:
-            t, num = 0, 0.0
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values("start", kind="mergesort")
+            t, num, last_us, dropped = 0, 0.0, -1, 0
+        rows, late = _foldable(pdfs, last_us)
+        dropped += late
         out = []
         for start, close in zip(rows["start"], rows["close"]):
             t += 1
@@ -95,10 +128,19 @@ def make_ema_fn(n: int):
                     "close": float(close),
                     "ema": _pub4_py(num / den),
                     "t": t,
+                    "dropped": dropped,
                 }
             )
-        state.update((t, repr(num)))
-        yield pd.DataFrame(out)
+        if len(rows):
+            last_us = int(
+                rows["start"]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .iloc[-1]
+            )
+        state.update((t, repr(num), last_us, dropped))
+        if out:
+            yield pd.DataFrame(out)
 
     return fn
 
@@ -149,16 +191,20 @@ MACD_SCHEMA = StructType(
         StructField("macd_signal", DoubleType()),
         StructField("macd_hist", DoubleType()),
         StructField("t", LongType()),
+        StructField("dropped", LongType()),
     ]
 )
 
-# (t, num_fast, num_slow, signal_num) — floats as repr for exactness
+# (t, num_fast, num_slow, signal_num, last_us, dropped) — floats as
+# repr for exactness; last_us/dropped as in _STATE_SCHEMA
 _MACD_STATE_SCHEMA = StructType(
     [
         StructField("t", LongType()),
         StructField("nf", StringType()),
         StructField("ns", StringType()),
         StructField("sn", StringType()),
+        StructField("last_us", LongType()),
+        StructField("dropped", LongType()),
     ]
 )
 
@@ -179,12 +225,12 @@ def make_macd_fn(fast: int = 12, slow: int = 26, signal: int = 9):
     ) -> Iterator[pd.DataFrame]:
         exchange, symbol = key
         if state.exists:
-            t, nf_r, ns_r, sn_r = state.get
+            t, nf_r, ns_r, sn_r, last_us, dropped = state.get
             nf, ns, sn = float(nf_r), float(ns_r), float(sn_r)
         else:
-            t, nf, ns, sn = 0, 0.0, 0.0, 0.0
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values("start", kind="mergesort")
+            t, nf, ns, sn, last_us, dropped = 0, 0.0, 0.0, 0.0, -1, 0
+        rows, late = _foldable(pdfs, last_us)
+        dropped += late
         out = []
         for start, close in zip(rows["start"], rows["close"]):
             t += 1
@@ -207,10 +253,19 @@ def make_macd_fn(fast: int = 12, slow: int = 26, signal: int = 9):
                     "macd_signal": _pub4_py(sig),
                     "macd_hist": _pub4_py(macd - sig),
                     "t": t,
+                    "dropped": dropped,
                 }
             )
-        state.update((t, repr(nf), repr(ns), repr(sn)))
-        yield pd.DataFrame(out)
+        if len(rows):
+            last_us = int(
+                rows["start"]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .iloc[-1]
+            )
+        state.update((t, repr(nf), repr(ns), repr(sn), last_us, dropped))
+        if out:
+            yield pd.DataFrame(out)
 
     return fn
 
