@@ -88,3 +88,74 @@ def test_bpe_early_stop_when_no_repeats(spark):
     docs = spark.createDataFrame([(1, "xy")], ["doc_id", "text"])
     merges, _ = train_bpe(docs, 10)
     assert merges == []  # every pair occurs once: below threshold
+
+
+def test_batched_equals_sequential_on_planted_corpus(spark):
+    """VERDICT r6 #2: the batched trainer must produce the IDENTICAL
+    ordered rule list as the one-rule-per-round classic loop.  Planted
+    corpus mixes disjoint frequent pairs (batchable) with interacting
+    runs (forces the guards): same rules, same final vocabulary."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcdefgh"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+        for _ in range(120)
+    ]
+    # plant heavy disjoint pairs and interacting chains
+    words += ["lo", "low", "lower", "lowest"] * 9
+    words += ["ababab", "aaab", "bba"] * 7
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+
+    seq_stats: dict = {}
+    bat_stats: dict = {}
+    seq_merges, seq_syms = train_bpe(docs, 18, batch=1, stats=seq_stats)
+    bat_merges, bat_syms = train_bpe(docs, 18, batch=8, stats=bat_stats)
+    assert bat_merges == seq_merges
+    assert len(seq_merges) == 18
+    # and both match the textbook reference
+    freqs = collections.Counter(text.split())
+    want_merges, want_vocab = _py_bpe(dict(freqs), 18)
+    assert seq_merges == want_merges
+    got_vocab = {tuple(r["syms"]): r["weight"] for r in bat_syms.collect()}
+    assert got_vocab == want_vocab
+    # batching must actually cut the round count (the job envelope)
+    assert seq_stats["rounds"] == 18
+    assert bat_stats["rounds"] < 18
+
+
+def test_batched_equals_sequential_many_disjoint_pairs(spark):
+    """A corpus whose top pairs are mutually disjoint at strictly
+    descending counts compresses many rules into ONE round; rule
+    order must still match sequential."""
+    # doubled pairs inside each word push (a,b)/(c,d)/(e,f) strictly
+    # above the 50/40/30-count interacting tail ((b,a), (q,</w>), ...)
+    text = " ".join(["ababq"] * 50 + ["cdcdr"] * 40 + ["efefs"] * 30)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    stats: dict = {}
+    bat, _ = train_bpe(docs, 3, batch=16, stats=stats)
+    seq, _ = train_bpe(docs, 3, batch=1)
+    assert bat == seq
+    assert [(a, b) for a, b, _ in bat] == [
+        ("a", "b"), ("c", "d"), ("e", "f")
+    ]
+    assert [n for _, _, n in bat] == [100, 80, 60]
+    assert stats["rounds"] == 1  # all three accepted in one round
+
+
+def test_batched_guard_on_interacting_riser(spark):
+    """Riser trap: merging the top pair creates a new symbol whose
+    pairs immediately out-rank the next disjoint candidate — the
+    batch guard must fall back to sequential behavior here."""
+    # 'xyz' x30: top pair (x,y) n=30; after merge, riser (xy,z) n=30
+    # beats the planted disjoint pair (c,d) n=20.
+    text = " ".join(["xyz"] * 30 + ["cd"] * 20)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    bat, _ = train_bpe(docs, 3, batch=8)
+    seq, _ = train_bpe(docs, 3, batch=1)
+    assert bat == seq
+    freqs = collections.Counter(text.split())
+    want, _ = _py_bpe(dict(freqs), 3)
+    assert bat == want

@@ -203,6 +203,23 @@ def test_ema_scan_stays_jvm_side(spark, sf_dir):
         assert banned not in mplan, banned
 
 
+def test_macd_runtime_plan_reuses_exchanges(spark, sf_dir):
+    """VERDICT r6 #7: the signal-line pass necessarily re-sorts (its
+    input — the macd series — does not exist until the first pass
+    publishes it, and the block-summary windows repartition on
+    (keys, blk)), but the shared fast/slow subtree must NOT execute
+    twice: at runtime AQE stitches the identical first-pass exchanges
+    together as ReusedExchange.  Assert on the FINAL adaptive plan —
+    the static plan shows 0 reuse by construction."""
+    from trade_data_collection_service_spark.operators.ema import macd
+
+    df = macd(candles_from_events(spark, sf_dir))
+    df.collect()  # materialize so the adaptive plan is final
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1, plan[:2000]
+
+
 def test_ngram_topk_is_take_ordered(spark, sf_dir):
     from trade_data_collection_service_spark.ext.text import ngram_topk
 

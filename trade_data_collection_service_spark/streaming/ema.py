@@ -72,12 +72,15 @@ _STATE_SCHEMA = StructType(
 )
 
 _FOUR_DP = Decimal("0.0001")
+_NINE_DP = Decimal("1E-9")
 
 
 def _pub4_py(x: float) -> float:
     """Python twin of operators/ema.py::_pub4 (F.round HALF_UP over
-    the shortest repr, normalized through 4-dp decimal)."""
-    return float(Decimal(repr(x)).quantize(_FOUR_DP, rounding=ROUND_HALF_UP))
+    the shortest repr, normalized through the 9-dp guard digit then
+    4-dp decimal — same two-step contract as the batch publish)."""
+    d9 = Decimal(repr(x)).quantize(_NINE_DP, rounding=ROUND_HALF_UP)
+    return float(d9.quantize(_FOUR_DP, rounding=ROUND_HALF_UP))
 
 
 def _foldable(
