@@ -3983,9 +3983,9 @@ def oracle_sql() -> dict[str, str]:
            AND n.rn = r.rn + 1
         )
         SELECT exchange, symbol, start, close,
-               CAST(CAST(round(round(
+               CAST(CAST(round(
                  num / ((1.0 - pow(0.9047619047619048, rn))
-                        / 0.09523809523809523), 9), 4)
+                        / 0.09523809523809523), 4)
                AS DECIMAL(18,4)) AS DOUBLE) AS ema_20
         FROM rec ORDER BY exchange, symbol, start
         """,
@@ -4028,11 +4028,11 @@ def oracle_sql() -> dict[str, str]:
           FROM rec
         )
         SELECT exchange, symbol, start, close,
-               CAST(CAST(round(round(macd_raw, 9), 4)
+               CAST(CAST(round(macd_raw, 4)
                  AS DECIMAL(18,4)) AS DOUBLE) AS macd,
-               CAST(CAST(round(round(sig_raw, 9), 4)
+               CAST(CAST(round(sig_raw, 4)
                  AS DECIMAL(18,4)) AS DOUBLE) AS macd_signal,
-               CAST(CAST(round(round(macd_raw - sig_raw, 9), 4)
+               CAST(CAST(round(macd_raw - sig_raw, 4)
                  AS DECIMAL(18,4)) AS DOUBLE) AS macd_hist
         FROM lines ORDER BY exchange, symbol, start
         """,

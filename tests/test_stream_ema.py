@@ -174,6 +174,10 @@ def test_stream_ema_drops_cross_batch_late_rows(spark, dirs):
         r["start"]: (r["close"], r["ema"], r["t"], r["dropped"])
         for r in spark.read.parquet(out).collect()
     }
+    # cross-batch late rows are DROPPED, never counted as revisions
+    assert all(
+        r["replaced"] == 0 for r in spark.read.parquet(out).collect()
+    )
     # exactly the six in-order candles emitted, none folded twice
     assert len(got) == 6
     want = {
@@ -193,7 +197,10 @@ def test_stream_ema_drops_cross_batch_late_rows(spark, dirs):
 def test_stream_ema_same_batch_revision_last_write_wins(spark, dirs):
     """A duplicate start WITHIN one micro-batch is a revision: the
     later arrival replaces the earlier one before folding (the same
-    last-write-wins contract as the indicator/Donchian buffers)."""
+    last-write-wins contract as the indicator/Donchian buffers).
+    It increments ``replaced`` ONLY — ``dropped`` stays 0, so the
+    queryable loss rate never counts normal revisions (VERDICT r7
+    #3)."""
     from datetime import datetime
 
     src = os.path.join(dirs, "lww_src")
@@ -213,12 +220,13 @@ def test_stream_ema_same_batch_revision_last_write_wins(spark, dirs):
     q.awaitTermination(180)
     assert q.exception() is None
     got = {
-        r["start"]: (r["close"], r["t"], r["dropped"])
+        r["start"]: (r["close"], r["t"], r["dropped"], r["replaced"])
         for r in spark.read.parquet(out).collect()
     }
     assert len(got) == 2
     assert got[datetime(2024, 1, 1, 0, 1)][0] == 20.0
-    assert got[datetime(2024, 1, 1, 0, 1)] == (20.0, 2, 1)
+    # same-batch revision: replaced=1, dropped=0 (no data loss)
+    assert got[datetime(2024, 1, 1, 0, 1)] == (20.0, 2, 0, 1)
 
 
 def test_stream_macd_drops_cross_batch_late_rows(spark, dirs):
@@ -246,9 +254,9 @@ def test_stream_macd_drops_cross_batch_late_rows(spark, dirs):
     q.awaitTermination(180)
     assert q.exception() is None
     got = {
-        r["start"]: (r["close"], r["t"], r["dropped"])
+        r["start"]: (r["close"], r["t"], r["dropped"], r["replaced"])
         for r in spark.read.parquet(out).collect()
     }
     assert len(got) == 4
-    assert all(c != 777.0 for c, _, _ in got.values())
-    assert got[datetime(2024, 1, 1, 0, 3)] == (53.0, 4, 1)
+    assert all(c != 777.0 for c, _, _, _ in got.values())
+    assert got[datetime(2024, 1, 1, 0, 3)] == (53.0, 4, 1, 0)

@@ -21,9 +21,12 @@ the original before it is folded — the same contract as the
 indicator/Donchian buffers); a CROSS-batch late or duplicate candle
 is DROPPED and counted, never folded — an O(1) recurrence cannot be
 rewound, and folding it as a new observation would skew the state
-forever.  State carries ``last_us`` (newest folded start) and the
-cumulative ``dropped`` count, republished on every output row so the
-discard rate is queryable from the feed itself.  Sitting the feed
+forever.  State carries ``last_us`` (newest folded start) plus TWO
+cumulative counters, republished on every output row so both rates
+are queryable from the feed itself: ``dropped`` counts cross-batch
+late discards only (real data loss), ``replaced`` counts same-batch
+last-write-wins revisions (normal operation) — conflating them would
+overstate loss (VERDICT r7 #3).  Sitting the feed
 behind transport_dedup remains the way to get the revision VALUE
 applied; without it the revision is at least harmless.
 """
@@ -56,52 +59,56 @@ EMA_SCHEMA = StructType(
         StructField("ema", DoubleType()),
         StructField("t", LongType()),
         StructField("dropped", LongType()),
+        StructField("replaced", LongType()),
     ]
 )
 
-# (t, num, last_us, dropped) — num carried as repr(float) so state
-# round-trips exactly; last_us = newest folded start (epoch micros,
-# -1 before the first fold); dropped = cumulative late/dup discards
+# (t, num, last_us, dropped, replaced) — num carried as repr(float)
+# so state round-trips exactly; last_us = newest folded start (epoch
+# micros, -1 before the first fold); dropped = cumulative cross-batch
+# late discards; replaced = cumulative same-batch LWW revisions
 _STATE_SCHEMA = StructType(
     [
         StructField("t", LongType()),
         StructField("num", StringType()),
         StructField("last_us", LongType()),
         StructField("dropped", LongType()),
+        StructField("replaced", LongType()),
     ]
 )
 
 _FOUR_DP = Decimal("0.0001")
-_NINE_DP = Decimal("1E-9")
 
 
 def _pub4_py(x: float) -> float:
     """Python twin of operators/ema.py::_pub4 (F.round HALF_UP over
-    the shortest repr, normalized through the 9-dp guard digit then
-    4-dp decimal — same two-step contract as the batch publish)."""
-    d9 = Decimal(repr(x)).quantize(_NINE_DP, rounding=ROUND_HALF_UP)
-    return float(d9.quantize(_FOUR_DP, rounding=ROUND_HALF_UP))
+    the shortest repr → single 4-dp round — the r6 contract; the r7
+    9-dp guard digit was reverted, see operators/ema.py::_pub4)."""
+    return float(Decimal(repr(x)).quantize(_FOUR_DP, rounding=ROUND_HALF_UP))
 
 
 def _foldable(
     pdfs: Iterator[pd.DataFrame], last_us: int
-) -> tuple[pd.DataFrame, int]:
+) -> tuple[pd.DataFrame, int, int]:
     """Event-time-sorted rows safe to fold into an O(1) recurrence:
     last-write-wins on same-batch duplicate starts (a later arrival
     for the same start replaces the earlier one BEFORE folding), and
     rows at or before ``last_us`` — cross-batch late data the
     recurrence cannot rewind for — are discarded.  Returns the
-    surviving rows and the number discarded/replaced."""
+    surviving rows and the two removal counts SEPARATELY:
+    ``replaced`` (same-batch LWW revisions — normal operation) and
+    ``late`` (cross-batch discards — real data loss)."""
     rows = pd.concat(list(pdfs), ignore_index=True)
     n0 = len(rows)
     # stable sort → among equal starts, arrival order is preserved,
     # so keep="last" is the latest revision
     rows = rows.sort_values("start", kind="mergesort")
     rows = rows.drop_duplicates(subset=["start"], keep="last")
-    if last_us >= 0 and len(rows):
+    n1 = len(rows)
+    if last_us >= 0 and n1:
         us = rows["start"].astype("datetime64[us]").astype("int64")
         rows = rows[us > last_us]
-    return rows, n0 - len(rows)
+    return rows, n0 - n1, n1 - len(rows)
 
 
 def make_ema_fn(n: int):
@@ -112,12 +119,13 @@ def make_ema_fn(n: int):
     ) -> Iterator[pd.DataFrame]:
         exchange, symbol = key
         if state.exists:
-            t, num_repr, last_us, dropped = state.get
+            t, num_repr, last_us, dropped, replaced = state.get
             num = float(num_repr)
         else:
-            t, num, last_us, dropped = 0, 0.0, -1, 0
-        rows, late = _foldable(pdfs, last_us)
+            t, num, last_us, dropped, replaced = 0, 0.0, -1, 0, 0
+        rows, rev, late = _foldable(pdfs, last_us)
         dropped += late
+        replaced += rev
         out = []
         for start, close in zip(rows["start"], rows["close"]):
             t += 1
@@ -132,6 +140,7 @@ def make_ema_fn(n: int):
                     "ema": _pub4_py(num / den),
                     "t": t,
                     "dropped": dropped,
+                    "replaced": replaced,
                 }
             )
         if len(rows):
@@ -141,7 +150,7 @@ def make_ema_fn(n: int):
                 .astype("int64")
                 .iloc[-1]
             )
-        state.update((t, repr(num), last_us, dropped))
+        state.update((t, repr(num), last_us, dropped, replaced))
         if out:
             yield pd.DataFrame(out)
 
@@ -195,11 +204,12 @@ MACD_SCHEMA = StructType(
         StructField("macd_hist", DoubleType()),
         StructField("t", LongType()),
         StructField("dropped", LongType()),
+        StructField("replaced", LongType()),
     ]
 )
 
-# (t, num_fast, num_slow, signal_num, last_us, dropped) — floats as
-# repr for exactness; last_us/dropped as in _STATE_SCHEMA
+# (t, num_fast, num_slow, signal_num, last_us, dropped, replaced) —
+# floats as repr for exactness; counters as in _STATE_SCHEMA
 _MACD_STATE_SCHEMA = StructType(
     [
         StructField("t", LongType()),
@@ -208,6 +218,7 @@ _MACD_STATE_SCHEMA = StructType(
         StructField("sn", StringType()),
         StructField("last_us", LongType()),
         StructField("dropped", LongType()),
+        StructField("replaced", LongType()),
     ]
 )
 
@@ -228,12 +239,14 @@ def make_macd_fn(fast: int = 12, slow: int = 26, signal: int = 9):
     ) -> Iterator[pd.DataFrame]:
         exchange, symbol = key
         if state.exists:
-            t, nf_r, ns_r, sn_r, last_us, dropped = state.get
+            t, nf_r, ns_r, sn_r, last_us, dropped, replaced = state.get
             nf, ns, sn = float(nf_r), float(ns_r), float(sn_r)
         else:
-            t, nf, ns, sn, last_us, dropped = 0, 0.0, 0.0, 0.0, -1, 0
-        rows, late = _foldable(pdfs, last_us)
+            t, nf, ns, sn = 0, 0.0, 0.0, 0.0
+            last_us, dropped, replaced = -1, 0, 0
+        rows, rev, late = _foldable(pdfs, last_us)
         dropped += late
+        replaced += rev
         out = []
         for start, close in zip(rows["start"], rows["close"]):
             t += 1
@@ -257,6 +270,7 @@ def make_macd_fn(fast: int = 12, slow: int = 26, signal: int = 9):
                     "macd_hist": _pub4_py(macd - sig),
                     "t": t,
                     "dropped": dropped,
+                    "replaced": replaced,
                 }
             )
         if len(rows):
@@ -266,7 +280,9 @@ def make_macd_fn(fast: int = 12, slow: int = 26, signal: int = 9):
                 .astype("int64")
                 .iloc[-1]
             )
-        state.update((t, repr(nf), repr(ns), repr(sn), last_us, dropped))
+        state.update(
+            (t, repr(nf), repr(ns), repr(sn), last_us, dropped, replaced)
+        )
         if out:
             yield pd.DataFrame(out)
 
