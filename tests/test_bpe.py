@@ -159,3 +159,43 @@ def test_batched_guard_on_interacting_riser(spark):
     freqs = collections.Counter(text.split())
     want, _ = _py_bpe(dict(freqs), 3)
     assert bat == want
+
+
+def test_batched_self_pair_ends_batch(spark):
+    """ADVICE r7 (high): a self-pair (a, a) breaks the riser bound —
+    merging it over odd-length runs creates (aa, a) whose witness is
+    the self-pair's OWN occurrences, so its post-merge count can
+    outrank a pair accepted later in the same batch.  The repro
+    corpus {aaa:40, aab:9, aaab:34, b:1} sequentially learns
+    (a,a) then (aa,a) then (b,</w>); an unguarded batch emitted
+    (a,a),(b,</w>),(aa,a).  The fix: a self-pair terminates its
+    batch, so batched == sequential == textbook here."""
+    freqs = {"aaa": 40, "aab": 9, "aaab": 34, "b": 1}
+    words = []
+    for w, f in freqs.items():
+        words += [w] * f
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    want, _ = _py_bpe(freqs, 5)
+    seq, _ = train_bpe(docs, 5, batch=1)
+    for b in (2, 8, 16):
+        bat, _ = train_bpe(docs, 5, batch=b)
+        assert bat == seq == want, f"batch={b}: {bat} != {seq}"
+    assert [(a, b) for a, b, _ in seq[:3]] == [
+        ("a", "a"), ("aa", "a"), ("b", END_WORD)
+    ]
+
+
+def test_batched_self_pair_head_and_mid_prefix(spark):
+    """Self-pair both as the round's argmax head and mid-prefix after
+    disjoint non-self rules: batched must stay identical to the
+    sequential/textbook order in each case."""
+    # mid-prefix: disjoint (x,y) outranks the self-pair (a,a), which
+    # must still end the batch before the interacting tail
+    text = " ".join(["xy"] * 60 + ["aaa"] * 25 + ["aaab"] * 20 + ["cd"] * 15)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    freqs = collections.Counter(text.split())
+    want, _ = _py_bpe(dict(freqs), 6)
+    seq, _ = train_bpe(docs, 6, batch=1)
+    bat, _ = train_bpe(docs, 6, batch=8)
+    assert bat == seq == want

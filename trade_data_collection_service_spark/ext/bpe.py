@@ -177,12 +177,29 @@ def _accept_batch(
     later-accepted equal-count pairs — which sorted order already
     places lexicographically after it.  Worst case the batch
     degenerates to size 1 — exactly the sequential algorithm, never
-    wrong, just less parallel."""
+    wrong, just less parallel.
+
+    SELF-PAIR EXCEPTION (ADVICE r7): the riser bound above fails
+    when an accepted pair is a SELF-pair (a == b).  Merging (a, a)
+    over an odd-length run ``aaa...`` creates the riser (aa, a),
+    and its witness is an occurrence of (a, a) — the accepted
+    pair's OWN occurrences, not a non-accepted pair — so the
+    riser's post-merge count is bounded only by the self-pair's
+    count, which can exceed ``bound`` and outrank a pair accepted
+    later in the same batch (repro: corpus {aaa:40, aab:9,
+    aaab:34, b:1} — sequential order is (a,a),(aa,a),(b,</w>) but
+    an unguarded batch emits (a,a),(b,</w>),(aa,a)).  A self-pair
+    therefore ENDS the batch: it is accepted (nothing before it is
+    affected — its riser does not exist until its own merge runs,
+    which is last) and the walk stops, so the riser competes on
+    fresh counts next round.  The non-self proof is untouched:
+    riser (xy, z) implies a pre-merge (y, z), a non-accepted pair
+    at or below the break point."""
     accepted: list[tuple[str, str, int]] = []
     used: set[str] = set()
     tail = int(rows[-1]["n"]) if (truncated and rows) else 0
     seen_bound = 0
-    for r in rows:
+    for i, r in enumerate(rows):
         a, b, n = r["a"], r["b"], int(r["n"])
         if (
             n < 2
@@ -195,6 +212,13 @@ def _accept_batch(
             break
         accepted.append((a, b, n))
         used.update((a, b, a + b))
+        if a == b:
+            # batch ends at a self-pair; the first NON-accepted pair
+            # is the next row — its count is the bound the kept
+            # prefix must strictly beat
+            if i + 1 < len(rows):
+                seen_bound = int(rows[i + 1]["n"])
+            break
     bound = max(seen_bound, tail)
     keep = accepted[:1]
     for s in accepted[1:]:
