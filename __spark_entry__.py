@@ -1017,6 +1017,50 @@ def _q_emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_ivf_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally GROWN IVF index under the oracle (VERDICT r6 #6 /
+    r7 #5): the corpus is split 2/3 + 1/3, the base written with the
+    full-corpus-trained frozen centroids, the remaining third added
+    via append_to_ivf_index (assign-only, existing partitions never
+    rewritten — the FAISS ``add`` contract), then searched.  Append is
+    search-identical to a rebuild over the union corpus (pytest:
+    tests/test_ivf_index.py::test_append_equals_rebuild), and a
+    full-corpus index search equals the inline ivf_trained_topk
+    composition, so the DuckDB twin is emb_ivf_trained_topk's SQL.
+    bucket is cast to int to match the inline twin's published
+    dtype (assign_buckets derives it from the k-means cluster id)."""
+    import tempfile
+
+    from trade_data_collection_service_spark.ext.kmeans import fit
+    from trade_data_collection_service_spark.ext.similarity import (
+        append_to_ivf_index,
+        assign_buckets,
+        ivf_search_indexed,
+        vectors,
+    )
+
+    path = tempfile.mkdtemp(prefix="ivf_app_q_") + "/index"
+    cents, _ = fit(spark, sf_dir, k=8, max_iters=2, round_to=6)
+    centroids = cents.select(
+        F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
+    ).withColumn("nrm", XS._norm("emb"))
+    v = vectors(spark, sf_dir)
+    base = v.filter(F.col("vec_id") % 3 != 0)
+    newer = v.filter(F.col("vec_id") % 3 == 0)
+    (
+        assign_buckets(base, centroids)
+        .repartition("bucket")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    append_to_ivf_index(newer, path, centroids)
+    qs = v.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103))
+    out = ivf_search_indexed(spark, path, centroids, qs, k=3, nprobe=1)
+    return out.withColumn("bucket", F.col("bucket").cast("int"))
+
+
 def _q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, end to end: per-subspace Lloyd's
     codebooks (m=4 x 16 codes, 2 iterations), long-format encode, and
@@ -1140,19 +1184,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
+# r8 driver window (VERDICT r7 #2, carried from r6 #1): the driver
+# oracle-checks only the FIRST 50 _queries() entries, so the front is
+# reserved for the weakest evidence — this round that is the two
+# queries whose publish contract changed in r8 (ema/macd revert), the
+# brand-new appended-IVF entry, the two entries that have NEVER had a
+# driver row, and the 45 entries whose last driver row was r4 (three
+# rounds stale).  Exactly 50.  The full 144-entry surface is swept
+# locally via tools/check_oracle.py at sf0.01 and sf0.1 each round
+# (docs/COVERAGE.md) — the window is a budget cap, not the evidence.
+_R8_WINDOW = [
+    # changed in r8: publish contract reverted to single 4-dp round
+    "ema_20",
+    "macd_12_26_9",
+    # brand-new in r8
+    "emb_ivf_appended_topk",
+    # never driver-checked (r6-new, missed both rotations)
+    "returns_autocorr",
+    "conversion_latency",
+    # r4-vintage driver evidence, unchanged code
+    "listing_stable",
+    "price_quantile_sketch",
+    "pivot_volume",
+    "volume_rollup_sets",
+    "volume_cube_sets",
+    "max_drawdown",
+    "top_volume_per_symbol",
+    "bollinger_20",
+    "daily_volatility",
+    "atr_14",
+    "watchdog_cycle",
+    "asof_price_forward",
+    "volume_bars",
+    "event_sessions",
+    "asof_price",
+    "repair_window",
+    "minmax_window",
+    "count_distinct_window",
+    "latest_per_symbol",
+    "distinct_pairs",
+    "recent_topn",
+    "symbol_filter",
+    "readme_window",
+    "freshness",
+    "listing_diff",
+    "gap_filled",
+    "gap_filled_ffill",
+    "sma_20",
+    "vwap_daily",
+    "price_percentiles",
+    "price_bands",
+    "gap_missing_count",
+    "gap_islands",
+    "backfill_plan",
+    "validate_quarantine",
+    "doc_chunks",
+    "doc_token_cms",
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q15",
+    "candles_1m",
+    "dedup_latest",
+    "rollup_5m",
+]
+
+
 def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict ORDER is load-bearing: the round driver oracle-checks the
-    # FIRST 50 entries only, so the front of this dict is reserved for
-    # the weakest evidence — entries whose code changed since their
-    # last green row, brand-new entries, then entries whose last green
-    # row is oldest.  r6 window = 3 changed (repetition fold rewrite;
-    # the spread pair's venue params + decimal contract) + 7 brand-new
-    # + rolling_active_hll (keeping the shared actives fold fresh,
-    # VERDICT r5 #4) + the 39 entries whose last driver row was r3 —
-    # exactly 50, leaving every entry's driver evidence ≤2 rounds old.
-    # The FULL surface was locally swept green via
-    # tools/check_oracle.py at BOTH sf0.01 and sf0.1 (the driver
-    # window is a budget cap, not the only evidence).
+    base = _registry()
+    missing = [k for k in _R8_WINDOW if k not in base]
+    assert not missing, f"window names drifted from registry: {missing}"
+    out = {k: base[k] for k in _R8_WINDOW}
+    out.update({k: v for k, v in base.items() if k not in out})
+    return out
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Insertion order here is historical grouping only; the driver
+    # window is imposed by _R8_WINDOW in _queries().
     return {
         # --- changed in r6: re-prove first ---
         "doc_repetition": _q_doc_repetition,
@@ -1216,6 +1326,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r5-green, unchanged ---
         "doc_minhash_lsh": _q_doc_minhash_lsh,
         "emb_ivfpq_indexed_topk": _q_emb_ivfpq_indexed_topk,
+        "emb_ivf_appended_topk": _q_emb_ivf_appended_topk,
         "doc_bm25_topk": _q_doc_bm25_topk,
         "emb_pq_topk": _q_emb_pq_topk,
         "emb_ivf_pq_topk": _q_emb_ivf_pq_topk,
@@ -4445,6 +4556,9 @@ def oracle_sql() -> dict[str, str]:
     # composition's results (parity pytest in tests/test_ivf_index),
     # so its oracle IS the inline twin.
     sql["emb_ivfpq_indexed_topk"] = sql["emb_ivf_pq_topk"]
+    # append == rebuild == inline trained composition (pytest-proven
+    # chain, see _q_emb_ivf_appended_topk) -> same DuckDB twin
+    sql["emb_ivf_appended_topk"] = sql["emb_ivf_trained_topk"]
     # funnel conversion summary wraps the funnel oracle verbatim so
     # the two can never disagree on chain semantics
     sql["event_funnel_rates"] = (

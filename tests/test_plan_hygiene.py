@@ -30,6 +30,8 @@ NESTED_LOOP_OK = {
     "emb_quantized_topk",  # same shape, int8 corpus
     "emb_ivf_topk",  # probe×bucket candidate pairing vs broadcast probes
     "emb_ivf_trained_topk",
+    "emb_ivf_appended_topk",  # same coarse-assignment shape over the
+    # base/append split + broadcast(3-query probe set) at search
     "ann_recall",  # the exact ground-truth pass IS brute-force by
     # design: corpus × broadcast(sampled query set), evaluation-only
     "doc_unigram_logprob",  # 1-row total-token broadcast scalar
