@@ -199,3 +199,45 @@ def test_batched_self_pair_head_and_mid_prefix(spark):
     seq, _ = train_bpe(docs, 6, batch=1)
     bat, _ = train_bpe(docs, 6, batch=8)
     assert bat == seq == want
+
+
+def test_fast_mode_whole_prefix_batching(spark):
+    """exact=False (VERDICT r7 #7): the whole disjoint prefix is
+    accepted per round — rule ORDER may diverge from sequential, but
+    on the self-pair corpus the accepted SET matches and the final
+    segmentation is identical (the out-of-order rule, (b,</w>), is
+    disjoint from the self-merge chain, so the merges commute)."""
+    freqs = {"aaa": 40, "aab": 9, "aaab": 34, "b": 1}
+    words = []
+    for w, f in freqs.items():
+        words += [w] * f
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    seq, seq_syms = train_bpe(docs, 3, batch=1)
+    fast_stats: dict = {}
+    fast, fast_syms = train_bpe(docs, 3, batch=8, stats=fast_stats, exact=False)
+    # documented divergence: order differs...
+    assert [(a, b) for a, b, _ in fast] == [
+        ("a", "a"), ("b", END_WORD), ("aa", "a")
+    ]
+    assert fast != seq
+    # ...but the accepted set and the resulting segmentation agree
+    assert sorted((a, b) for a, b, _ in fast) == sorted(
+        (a, b) for a, b, _ in seq
+    )
+    assert {tuple(r["syms"]): r["weight"] for r in fast_syms.collect()} == {
+        tuple(r["syms"]): r["weight"] for r in seq_syms.collect()
+    }
+    assert fast_stats["rounds"] == 2  # 3 rules in 2 jobs
+
+
+def test_fast_mode_matches_exact_on_disjoint_tiers(spark):
+    """Where the guards never fire (strictly-descending disjoint top
+    pairs), exact=False is identical to exact batching — same rules,
+    same single round."""
+    text = " ".join(["ababq"] * 50 + ["cdcdr"] * 40 + ["efefs"] * 30)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    stats: dict = {}
+    fast, _ = train_bpe(docs, 3, batch=16, stats=stats, exact=False)
+    exact, _ = train_bpe(docs, 3, batch=16)
+    assert fast == exact
+    assert stats["rounds"] == 1
