@@ -524,9 +524,17 @@ def main() -> None:
             timings[name] = -1.0
     # Outlier re-measurement (VERDICT r7 #3: volume_bars regressed
     # 3.96x in a single UNREPEATED measurement on unchanged code):
-    # any query >=1.5x off its prior-round recording gets two more
-    # reps and publishes the 3-rep median, with the raw reps recorded
-    # so a genuine regression is distinguishable from a one-shot blip.
+    # any query >=1.5x off its prior-round recording — after
+    # host-speed normalization, so a uniformly faster/slower host
+    # doesn't re-measure the whole suite — gets two more reps and
+    # publishes the 3-rep median, with the raw reps recorded so a
+    # genuine regression is distinguishable from a one-shot blip.
+    prior = prior_calibration()
+    host_factor = None
+    if prior and calibration and calibration.get("median_sec"):
+        host_factor = round(
+            calibration["median_sec"] / prior["median_sec"], 4
+        )
     prior_q = prior_query_timings(
         float(sf) if sf.replace(".", "").isdigit() else None
     )
@@ -535,7 +543,7 @@ def main() -> None:
         t0 = prior_q.get(name)
         if t0 is None or t1 <= 0 or t0 <= 0:
             continue
-        ratio = t1 / t0
+        ratio = t1 / (t0 * (host_factor or 1.0))
         if 1 / 1.5 < ratio < 1.5:
             continue
         try:
@@ -568,14 +576,10 @@ def main() -> None:
     # Host-speed self-normalization: host_factor > 1 means this host
     # ran the fixed yardstick slower than the prior round's host, so
     # cross-round query ratios should be divided by it before being
-    # read as regressions.
-    prior = prior_calibration()
-    host_factor = None
+    # read as regressions.  (prior/host_factor computed above, before
+    # the outlier pass.)
     value_host_normalized = None
-    if prior and calibration and calibration.get("median_sec"):
-        host_factor = round(
-            calibration["median_sec"] / prior["median_sec"], 4
-        )
+    if host_factor:
         value_host_normalized = round(total / host_factor, 4)
     # Throughput anchor vs BASELINE.md: the reference's backfill path
     # tops out at ~4-6k candles/s (load_history.py:33,427); ours is
