@@ -350,7 +350,11 @@ def run_bpe_train(spark, n_merges: int = 500, batch: int = 32) -> dict:
     }
 
 
-def _current_round() -> int | None:
+def _repo_root() -> str:
+    return os.path.dirname(os.path.abspath(__file__))
+
+
+def _current_round(root: str | None = None) -> int | None:
     """Round currently being BUILT.  VERDICT.md judges round N and is
     committed together with BENCH_r{N}.json at the start of round
     N+1, so current = verdict round + 1 — a BENCH file of the current
@@ -361,28 +365,23 @@ def _current_round() -> int | None:
     import re
 
     try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "VERDICT.md"
-            )
-        ) as f:
+        with open(os.path.join(root or _repo_root(), "VERDICT.md")) as f:
             m = re.search(r"Round\s+(\d+)", f.read(400))
         return int(m.group(1)) + 1 if m else None
     except Exception:
         return None
 
 
-def _latest_prior_bench() -> tuple[int, dict] | None:
+def _latest_prior_bench(root: str | None = None) -> tuple[int, dict] | None:
     """Highest-round BENCH_r{N}.json STRICTLY BELOW the round being
     benchmarked (ADVICE r7) — the genuine prior round's recording."""
     import glob
     import re
 
-    cur = _current_round()
+    root = root or _repo_root()
+    cur = _current_round(root)
     best = None
-    for path in glob.glob(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
-    ):
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
             continue
@@ -400,7 +399,9 @@ def _latest_prior_bench() -> tuple[int, dict] | None:
     return best
 
 
-def prior_query_timings(sf: float | None = None) -> dict[str, float]:
+def prior_query_timings(
+    sf: float | None = None, root: str | None = None
+) -> dict[str, float]:
     """Per-query seconds from the prior round's BENCH recording, for
     outlier detection (VERDICT r7 #3).  The driver stores the bench
     line's tail, possibly truncated at the FRONT — regex out whatever
@@ -409,7 +410,7 @@ def prior_query_timings(sf: float | None = None) -> dict[str, float]:
     ratios are not outliers."""
     import re
 
-    best = _latest_prior_bench()
+    best = _latest_prior_bench(root)
     if best is None:
         return {}
     doc = best[1]
@@ -439,14 +440,14 @@ def prior_query_timings(sf: float | None = None) -> dict[str, float]:
     return out
 
 
-def prior_calibration() -> dict | None:
+def prior_calibration(root: str | None = None) -> dict | None:
     """Prior ROUND's recorded calibration, so this run can
     self-normalize for host speed (VERDICT r6 next-round #5).  The
     driver wraps the bench line in {tail: "...", parsed: ...}; parse
     whichever form is present, defensively."""
     import re
 
-    best_doc = _latest_prior_bench()
+    best_doc = _latest_prior_bench(root)
     if best_doc is None:
         return None
     rnd, doc = best_doc

@@ -1,0 +1,102 @@
+"""Bench prior-round selection (ADVICE r7, low): the calibration /
+outlier baselines must come from the genuine PRIOR round, never from
+a recording of the round currently being benchmarked — a self-ratio
+host_factor of ~1 would silently mask the host normalization.  Pure
+file-fixture tests, no Spark."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+
+
+def _write(tmp_path, name, doc):
+    (tmp_path / name).write_text(json.dumps(doc))
+
+
+def _bench_doc(median, queries=None, sf=0.1):
+    tail = json.dumps(
+        {
+            "queries": queries or {},
+            "sf": sf,
+            "calibration": {"query": "tpch_q6", "median_sec": median},
+        }
+    )
+    return {"n": 0, "rc": 0, "sf": sf, "tail": tail, "parsed": None}
+
+
+def test_current_round_is_verdict_round_plus_one(tmp_path):
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — Round 7\n\nbody")
+    assert bench._current_round(str(tmp_path)) == 8
+
+
+def test_current_round_none_without_verdict(tmp_path):
+    assert bench._current_round(str(tmp_path)) is None
+
+
+def test_prior_excludes_current_round_recording(tmp_path):
+    """The ADVICE repro: BENCH for the in-progress round already on
+    disk (post-driver-flush re-run) must NOT be chosen as prior."""
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — Round 7\n")
+    _write(tmp_path, "BENCH_r06.json", _bench_doc(0.40))
+    _write(tmp_path, "BENCH_r07.json", _bench_doc(0.50))
+    _write(tmp_path, "BENCH_r08.json", _bench_doc(0.99))  # current round
+    got = bench.prior_calibration(str(tmp_path))
+    assert got == {"round": 7, "median_sec": 0.50}
+
+
+def test_prior_picks_highest_eligible_round(tmp_path):
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — Round 9\n")
+    _write(tmp_path, "BENCH_r03.json", _bench_doc(0.30))
+    _write(tmp_path, "BENCH_r07.json", _bench_doc(0.70))
+    got = bench.prior_calibration(str(tmp_path))
+    assert got == {"round": 7, "median_sec": 0.70}
+
+
+def test_prior_query_timings_respects_sf(tmp_path):
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — Round 2\n")
+    _write(
+        tmp_path,
+        "BENCH_r01.json",
+        _bench_doc(0.4, {"tpch_q6": 0.45, "candles_1m": 1.2}, sf=0.1),
+    )
+    got = bench.prior_query_timings(0.1, str(tmp_path))
+    assert got["candles_1m"] == 1.2
+    # a different scale factor yields no baselines at all
+    assert bench.prior_query_timings(0.01, str(tmp_path)) == {}
+
+
+def test_prior_query_timings_survive_front_truncated_tail(tmp_path):
+    """The driver stores only the LAST N chars of the bench line —
+    the regex extraction must still read the surviving pairs."""
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — Round 2\n")
+    full = json.dumps(
+        {
+            "queries": {"alpha_q": 0.111, "beta_q": 2.345},
+            "sf": 0.1,
+            "calibration": {"query": "tpch_q6", "median_sec": 0.38},
+        }
+    )
+    cut = full.find('"beta_q"')  # truncation severs alpha_q mid-entry
+    doc = {"n": 1, "rc": 0, "sf": 0.1, "tail": full[cut:], "parsed": None}
+    _write(tmp_path, "BENCH_r01.json", doc)
+    got = bench.prior_query_timings(0.1, str(tmp_path))
+    assert got.get("beta_q") == 2.345
+    # scalar fields never leak in as query baselines
+    assert "median_sec" not in got and "sf" not in got
+
+
+def test_repo_fixture_prior_is_round_seven():
+    """Against the real repo state during round 8: the prior must be
+    r7 (not any file the in-progress round may have produced)."""
+    cur = bench._current_round()
+    if cur != 8:  # driver has moved on; the invariant is the cap
+        prior = bench.prior_calibration()
+        assert prior is None or prior["round"] < cur
+        return
+    prior = bench.prior_calibration()
+    assert prior is not None and prior["round"] == 7

@@ -50,9 +50,11 @@ def main() -> int:
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -91,6 +93,9 @@ def main() -> int:
         else:
             print(f"ok   {name}: rows={len(sdf)}")
     spark.stop()
+    # one grep-proof summary line (Spark progress bars use \r and can
+    # swallow interleaved per-query lines in naive pipelines)
+    print(f"SWEEP {sf_dir}: {checked - failures}/{checked} ok, {failures} FAIL")
     return 1 if failures else 0
 
 
