@@ -1017,6 +1017,17 @@ def _q_emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-passage spans over the documents
+    table (ext/dedup.py::duplicate_spans): maximal runs of 5-token
+    windows occurring >= 2 times corpus-wide.  New in r8 — slot this
+    at the FRONT of the r9 driver window (it enters the surface with
+    judge-only evidence, like every post-rotation addition)."""
+    return XD.duplicate_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=5
+    )
+
+
 def _q_emb_ivf_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally GROWN IVF index under the oracle (VERDICT r6 #6 /
     r7 #5): the corpus is split 2/3 + 1/3, the base written with the
@@ -1327,6 +1338,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": _q_doc_minhash_lsh,
         "emb_ivfpq_indexed_topk": _q_emb_ivfpq_indexed_topk,
         "emb_ivf_appended_topk": _q_emb_ivf_appended_topk,
+        "doc_duplicate_spans": _q_doc_duplicate_spans,
         "doc_bm25_topk": _q_doc_bm25_topk,
         "emb_pq_topk": _q_emb_pq_topk,
         "emb_ivf_pq_topk": _q_emb_ivf_pq_topk,
@@ -2244,6 +2256,47 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
         ORDER BY doc_id
+        """,
+        "doc_duplicate_spans": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , wins0 AS (
+          SELECT doc_id, unnest(CASE WHEN len(tokens) >= 5 THEN
+             list_transform(range(1, len(tokens) - 3),
+               i -> {'start': CAST(i AS BIGINT),
+                     'gram': array_to_string(
+                       list_slice(tokens, i, i + 4), ' ')})
+             ELSE CAST([] AS STRUCT(start BIGINT, gram VARCHAR)[])
+             END) AS w
+          FROM toks
+        ), wins AS (
+          SELECT doc_id, w.start AS start, w.gram AS gram FROM wins0
+        ), dup AS (
+          SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2
+        ), hits AS (
+          SELECT w.doc_id, w.start FROM wins w JOIN dup USING (gram)
+        ), marked AS (
+          SELECT doc_id, start,
+            CASE WHEN max(start) OVER (PARTITION BY doc_id
+                 ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) + 5 >= start
+                 THEN 0 ELSE 1 END AS ni
+          FROM hits
+        ), islands AS (
+          SELECT doc_id, start,
+            sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS island
+          FROM marked
+        )
+        SELECT doc_id,
+               CAST(min(start) AS BIGINT) AS span_start,
+               CAST(max(start) + 4 AS BIGINT) AS span_end,
+               CAST(max(start) + 4 - min(start) + 1 AS BIGINT)
+                 AS span_tokens,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM islands GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
         """,
         "doc_ngram_topk": "WITH "
         + _TOKS_CTE.format(src="documents")

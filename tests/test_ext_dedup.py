@@ -240,3 +240,72 @@ def test_neardup_quality_planted_truth(spark):
     # truth is a lower bound (organic near-dups exist) but must be
     # well above chance
     assert row["precision"] > 0.5
+
+
+def test_duplicate_spans_planted_boilerplate(spark):
+    """ExactSubstr-style passage detection (r8): a 6-token
+    boilerplate shared by two docs marks [its span] in each; a
+    doc repeating a phrase internally marks one merged span; unique
+    text and docs shorter than k mark nothing."""
+    from trade_data_collection_service_spark.ext.dedup import duplicate_spans
+
+    boiler = "please read the terms of service"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            # boilerplate at tokens 3..8, unique tail
+            (1, "alpha beta " + boiler + " gamma delta"),
+            # boilerplate at tokens 1..6
+            (2, boiler + " epsilon zeta"),
+            # internal repetition: "x y z w v" twice back-to-back
+            # (tokens 1..10) => every 5-window in 1..6 duplicated
+            (3, "x y z w v x y z w v unique1 unique2 unique3"),
+            # all-unique doc: no spans
+            (4, "one two three four five six seven eight"),
+            # shorter than k: no windows at all
+            (5, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): (
+            r["span_tokens"],
+            r["n_windows"],
+        )
+        for r in duplicate_spans(docs, k=5).collect()
+    }
+    # doc 1: windows starting 3..4 cover the 6-token boilerplate ->
+    # one span tokens 3..8 (2 windows)
+    # doc 2: windows 1..2 -> span 1..6
+    # doc 3: "x y z w v" 5-grams at starts 1 and 6 are equal, and
+    # the bridging windows 2..5 each occur only once -> starts {1,6}
+    # are 5 apart = adjacent (start 6 == prev_end 5 + 1) -> ONE
+    # merged span 1..10
+    assert got == {
+        (1, 3, 8): (6, 2),
+        (2, 1, 6): (6, 2),
+        (3, 1, 10): (10, 2),
+    }
+
+
+def test_duplicate_spans_gap_splits_spans(spark):
+    """Two duplicated regions separated by unique text produce TWO
+    spans, not one."""
+    from trade_data_collection_service_spark.ext.dedup import duplicate_spans
+
+    a = "the quick brown fox jumps"       # 5 tokens
+    b = "pack my box with liquor jugs"    # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, a + " filler1 filler2 filler3 " + b),
+            (2, a),
+            (3, b),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, k=5).collect()
+    }
+    assert (1, 1, 5) in got        # region a
+    assert (1, 9, 14) in got       # region b after 3 filler tokens
+    assert (1, 1, 14) not in got   # never merged across the gap

@@ -595,3 +595,97 @@ def neardup_quality(
         (F.col("n_hit").cast("double") / F.col("n_found")).alias("precision"),
         (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame, k: int = 5, min_count: int = 2
+) -> DataFrame:
+    """ExactSubstr-style duplicate-PASSAGE detection at fixed gram
+    length (the hash-gram approximation of Lee et al. 2021,
+    arXiv:2107.06499 — "Deduplicating Training Data Makes Language
+    Models Better"): every k-token window that occurs ``min_count``+
+    times anywhere in the corpus (across documents OR repeated inside
+    one) marks its positions, and overlapping-or-adjacent marked
+    windows merge into maximal duplicated spans per document.  Where
+    the dedup ladder above finds whole-document (near-)duplicates,
+    this finds the boilerplate/quotation/template PASSAGES inside
+    otherwise-unique documents — the other half of training-corpus
+    dedup.
+
+    Returns (doc_id, span_start, span_end, span_tokens, n_windows):
+    1-based inclusive token positions of each maximal span, with the
+    count of duplicated k-windows it merged.
+
+    Scale shape: windows are built map-side from each doc's token
+    array (O(L) per doc, no self-join); the only corpus-scale shuffle
+    is the gram-frequency groupBy (map-side combined) plus one
+    equi-join of windows against the duplicated-gram keys — the same
+    posting-list shape as the shingle/census operators.  The span
+    merge is one per-doc sort window.  Gram keys here are the literal
+    k-token strings for cross-engine exactness (the repo-wide md5
+    convention); at 100 TB swap the join/group key for a 128-bit hash
+    of the gram — same plan, ~10× fewer shuffle bytes, collision odds
+    ~1e-20."""
+    from pyspark.sql.window import Window
+
+    win_t = "array<struct<start:bigint,gram:string>>"
+    wins = (
+        with_tokens(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("tokens") >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tokens") - (k - 1)),
+                        lambda i: F.struct(
+                            i.cast("bigint").alias("start"),
+                            F.concat_ws(
+                                " ", F.slice("tokens", i, k)
+                            ).alias("gram"),
+                        ),
+                    ),
+                ).otherwise(F.expr(f"CAST(array() AS {win_t})"))
+            ).alias("w"),
+        )
+        .select("doc_id", "w.start", "w.gram")
+    )
+    dup = (
+        wins.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("gram")
+    )
+    hits = wins.join(dup, "gram").select("doc_id", "start")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    # windows [s, s+k-1] merge when the next start is <= previous
+    # max end + 1 (overlap OR exact adjacency = one duplicated run)
+    prev_max = F.max("start").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "__ni",
+        F.when(
+            prev_max.isNull() | (F.col("start") > prev_max + k), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = marked.withColumn(
+        "__isl",
+        F.sum("__ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "__isl")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .withColumn(
+            "span_tokens",
+            (F.col("span_end") - F.col("span_start") + 1).cast("bigint"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
+        )
+        .orderBy("doc_id", "span_start")
+    )
