@@ -1028,6 +1028,16 @@ def _q_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply side of doc_duplicate_spans: documents rebuilt with the
+    duplicated passages stripped (ext/dedup.py::strip_duplicate_
+    spans).  New in r8 — r9-window-front candidate alongside
+    doc_duplicate_spans."""
+    return XD.strip_duplicate_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=5
+    )
+
+
 def _q_emb_ivf_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally GROWN IVF index under the oracle (VERDICT r6 #6 /
     r7 #5): the corpus is split 2/3 + 1/3, the base written with the
@@ -1339,6 +1349,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivfpq_indexed_topk": _q_emb_ivfpq_indexed_topk,
         "emb_ivf_appended_topk": _q_emb_ivf_appended_topk,
         "doc_duplicate_spans": _q_doc_duplicate_spans,
+        "doc_strip_spans": _q_doc_strip_spans,
         "doc_bm25_topk": _q_doc_bm25_topk,
         "emb_pq_topk": _q_emb_pq_topk,
         "emb_ivf_pq_topk": _q_emb_ivf_pq_topk,
@@ -1469,6 +1480,50 @@ _REVENUE = (
 _TOKS_CTE = r"""
 toks AS (
   SELECT *, string_split_regex(lower(text), '\s+') AS tokens FROM {src}
+)
+"""
+
+# duplicate-passage span chain (doc_duplicate_spans /
+# doc_strip_spans twins of ext/dedup.py::duplicate_spans, k=5):
+# positioned 5-gram windows -> grams occurring >=2x corpus-wide ->
+# per-doc merge of overlapping/adjacent hits into maximal spans
+_DUPSPAN_CTES = """
+, wins0 AS (
+  SELECT doc_id, unnest(CASE WHEN len(tokens) >= 5 THEN
+     list_transform(range(1, len(tokens) - 3),
+       i -> {'start': CAST(i AS BIGINT),
+             'gram': array_to_string(
+               list_slice(tokens, i, i + 4), ' ')})
+     ELSE CAST([] AS STRUCT(start BIGINT, gram VARCHAR)[])
+     END) AS w
+  FROM toks
+), wins AS (
+  SELECT doc_id, w.start AS start, w.gram AS gram FROM wins0
+), dup AS (
+  SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2
+), hits AS (
+  SELECT w.doc_id, w.start FROM wins w JOIN dup USING (gram)
+), marked AS (
+  SELECT doc_id, start,
+    CASE WHEN max(start) OVER (PARTITION BY doc_id
+         ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING
+         AND 1 PRECEDING) + 5 >= start
+         THEN 0 ELSE 1 END AS ni
+  FROM hits
+), islands AS (
+  SELECT doc_id, start,
+    sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS island
+  FROM marked
+), spans AS (
+  SELECT doc_id,
+         CAST(min(start) AS BIGINT) AS span_start,
+         CAST(max(start) + 4 AS BIGINT) AS span_end,
+         CAST(max(start) + 4 - min(start) + 1 AS BIGINT)
+           AS span_tokens,
+         CAST(count(*) AS BIGINT) AS n_windows
+  FROM islands GROUP BY doc_id, island
 )
 """
 
@@ -2259,44 +2314,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_duplicate_spans": "WITH "
         + _TOKS_CTE.format(src="documents")
+        + _DUPSPAN_CTES
         + """
-        , wins0 AS (
-          SELECT doc_id, unnest(CASE WHEN len(tokens) >= 5 THEN
-             list_transform(range(1, len(tokens) - 3),
-               i -> {'start': CAST(i AS BIGINT),
-                     'gram': array_to_string(
-                       list_slice(tokens, i, i + 4), ' ')})
-             ELSE CAST([] AS STRUCT(start BIGINT, gram VARCHAR)[])
-             END) AS w
-          FROM toks
-        ), wins AS (
-          SELECT doc_id, w.start AS start, w.gram AS gram FROM wins0
-        ), dup AS (
-          SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2
-        ), hits AS (
-          SELECT w.doc_id, w.start FROM wins w JOIN dup USING (gram)
-        ), marked AS (
-          SELECT doc_id, start,
-            CASE WHEN max(start) OVER (PARTITION BY doc_id
-                 ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING
-                 AND 1 PRECEDING) + 5 >= start
-                 THEN 0 ELSE 1 END AS ni
-          FROM hits
-        ), islands AS (
-          SELECT doc_id, start,
-            sum(ni) OVER (PARTITION BY doc_id ORDER BY start
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS island
-          FROM marked
+        SELECT doc_id, span_start, span_end, span_tokens, n_windows
+        FROM spans ORDER BY doc_id, span_start
+        """,
+        "doc_strip_spans": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + _DUPSPAN_CTES
+        + """
+        , sp AS (
+          SELECT doc_id,
+                 list({'s': span_start, 'e': span_end}) AS doc_spans
+          FROM spans GROUP BY doc_id
+        ), cleaned AS (
+          SELECT t.doc_id, t.tokens,
+            list_filter(range(1, len(t.tokens) + 1),
+              i -> len(list_filter(
+                     COALESCE(s.doc_spans,
+                              CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+                     x -> i >= x.s AND i <= x.e)) = 0) AS keep
+          FROM toks t LEFT JOIN sp s USING (doc_id)
         )
         SELECT doc_id,
-               CAST(min(start) AS BIGINT) AS span_start,
-               CAST(max(start) + 4 AS BIGINT) AS span_end,
-               CAST(max(start) + 4 - min(start) + 1 AS BIGINT)
-                 AS span_tokens,
-               CAST(count(*) AS BIGINT) AS n_windows
-        FROM islands GROUP BY doc_id, island
-        ORDER BY doc_id, span_start
+               COALESCE(array_to_string(
+                 list_transform(keep, i -> tokens[i]), ' '), '')
+                 AS clean_text,
+               CAST(len(tokens) - len(keep) AS BIGINT)
+                 AS n_tokens_removed
+        FROM cleaned ORDER BY doc_id
         """,
         "doc_ngram_topk": "WITH "
         + _TOKS_CTE.format(src="documents")

@@ -309,3 +309,51 @@ def test_duplicate_spans_gap_splits_spans(spark):
     assert (1, 1, 5) in got        # region a
     assert (1, 9, 14) in got       # region b after 3 filler tokens
     assert (1, 1, 14) not in got   # never merged across the gap
+
+
+def test_strip_duplicate_spans_removes_only_spanned_tokens(spark):
+    """Apply side: boilerplate tokens vanish from BOTH carriers, all
+    other tokens survive in order, untouched docs pass through."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        strip_duplicate_spans,
+    )
+
+    boiler = "please read the terms of service"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + boiler + " gamma delta"),
+            (2, boiler + " epsilon zeta"),
+            (3, "one two three four five six seven"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in strip_duplicate_spans(docs, k=5).collect()
+    }
+    assert got == {
+        1: ("alpha beta gamma delta", 6),
+        2: ("epsilon zeta", 6),
+        3: ("one two three four five six seven", 0),
+    }
+
+
+def test_strip_duplicate_spans_fully_duplicated_doc(spark):
+    """A doc that is ENTIRELY boilerplate strips to the empty string
+    (the policy is aggressive removal; keep-one composes by filtering
+    the span frame first)."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        strip_duplicate_spans,
+    )
+
+    boiler = "all rights reserved to the publisher"
+    docs = spark.createDataFrame(
+        [(1, boiler), (2, boiler + " plus original content here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in strip_duplicate_spans(docs, k=5).collect()
+    }
+    assert got[1] == ("", 6)
+    assert got[2] == ("plus original content here", 6)

@@ -689,3 +689,56 @@ def duplicate_spans(
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame, k: int = 5, min_count: int = 2
+) -> DataFrame:
+    """Apply side of ``duplicate_spans``: rebuild each document's
+    text with every duplicated-passage token REMOVED — the aggressive
+    boilerplate/template strip (terms-of-service blocks, headers,
+    repeated navigation text) used when recall matters more than
+    keeping one canonical copy.  Keep-one-copy dedup composes from
+    the same pieces: exclude the keeper's rows from the span frame
+    before stripping.
+
+    Returns (doc_id, clean_text, n_tokens_removed), every input doc
+    present (docs with no duplicated passage pass through intact).
+
+    Scale shape: ``duplicate_spans``'s shape plus one left join of
+    docs against the per-doc span lists (spans are tiny relative to
+    text) and a map-side array rebuild — no new corpus-scale
+    shuffle; the token filter is a nested higher-order expression
+    (filter-with-index over exists-over-spans), JVM-side, no UDF."""
+    span_t = "array<struct<span_start:bigint,span_end:bigint>>"
+    sp = (
+        duplicate_spans(docs, k, min_count)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct("span_start", "span_end")
+            ).alias("__spans")
+        )
+    )
+    toks = with_tokens(docs).select("doc_id", "tokens")
+    j = toks.join(sp, "doc_id", "left").withColumn(
+        "__spans",
+        F.coalesce(F.col("__spans"), F.expr(f"CAST(array() AS {span_t})")),
+    )
+    kept = F.filter(
+        F.col("tokens"),
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return (
+        j.select(
+            "doc_id",
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size("tokens") - F.size(kept))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
+        .orderBy("doc_id")
+    )
