@@ -1038,6 +1038,15 @@ def _q_doc_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-copy passage dedup (Lee et al. 2021 policy) over the
+    documents table (ext/dedup.py::dedup_passages_keep_first).  New in
+    r8 — r9-window-front candidate."""
+    return XD.dedup_passages_keep_first(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=5
+    )
+
+
 def _q_emb_ivf_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally GROWN IVF index under the oracle (VERDICT r6 #6 /
     r7 #5): the corpus is split 2/3 + 1/3, the base written with the
@@ -1350,6 +1359,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_appended_topk": _q_emb_ivf_appended_topk,
         "doc_duplicate_spans": _q_doc_duplicate_spans,
         "doc_strip_spans": _q_doc_strip_spans,
+        "doc_dedup_passages": _q_doc_dedup_passages,
         "doc_bm25_topk": _q_doc_bm25_topk,
         "emb_pq_topk": _q_emb_pq_topk,
         "emb_ivf_pq_topk": _q_emb_ivf_pq_topk,
@@ -1487,7 +1497,7 @@ toks AS (
 # doc_strip_spans twins of ext/dedup.py::duplicate_spans, k=5):
 # positioned 5-gram windows -> grams occurring >=2x corpus-wide ->
 # per-doc merge of overlapping/adjacent hits into maximal spans
-_DUPSPAN_CTES = """
+_DUPSPAN_CTES_T = """
 , wins0 AS (
   SELECT doc_id, unnest(CASE WHEN len(tokens) >= 5 THEN
      list_transform(range(1, len(tokens) - 3),
@@ -1501,8 +1511,13 @@ _DUPSPAN_CTES = """
   SELECT doc_id, w.start AS start, w.gram AS gram FROM wins0
 ), dup AS (
   SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2
+), hits_all AS (
+  SELECT w.doc_id, w.start, w.gram,
+         row_number() OVER (PARTITION BY w.gram
+                            ORDER BY w.doc_id, w.start) AS rn
+  FROM wins w JOIN dup USING (gram)
 ), hits AS (
-  SELECT w.doc_id, w.start FROM wins w JOIN dup USING (gram)
+  SELECT doc_id, start FROM hits_all{keep_first_pred}
 ), marked AS (
   SELECT doc_id, start,
     CASE WHEN max(start) OVER (PARTITION BY doc_id
@@ -1525,6 +1540,40 @@ _DUPSPAN_CTES = """
          CAST(count(*) AS BIGINT) AS n_windows
   FROM islands GROUP BY doc_id, island
 )
+"""
+
+# all occurrences (detect/strip) vs keep-first (canonical occurrence
+# — lowest doc_id then start per gram — survives the strip)
+# str.replace, not .format — the template contains DuckDB struct
+# literals whose braces .format would try to interpolate
+_DUPSPAN_CTES = _DUPSPAN_CTES_T.replace("{keep_first_pred}", "")
+_DUPSPAN_KF_CTES = _DUPSPAN_CTES_T.replace(
+    "{keep_first_pred}", " WHERE rn > 1"
+)
+
+# strip tail shared by doc_strip_spans / doc_dedup_passages: per-doc
+# span lists left-join docs; filter-with-index over exists-over-spans
+_STRIP_SQL = """
+, sp AS (
+  SELECT doc_id,
+         list({'s': span_start, 'e': span_end}) AS doc_spans
+  FROM spans GROUP BY doc_id
+), cleaned AS (
+  SELECT t.doc_id, t.tokens,
+    list_filter(range(1, len(t.tokens) + 1),
+      i -> len(list_filter(
+             COALESCE(s.doc_spans,
+                      CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+             x -> i >= x.s AND i <= x.e)) = 0) AS keep
+  FROM toks t LEFT JOIN sp s USING (doc_id)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(
+         list_transform(keep, i -> tokens[i]), ' '), '')
+         AS clean_text,
+       CAST(len(tokens) - len(keep) AS BIGINT)
+         AS n_tokens_removed
+FROM cleaned ORDER BY doc_id
 """
 
 _SHINGLES_CTE = """
@@ -2319,31 +2368,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, span_start, span_end, span_tokens, n_windows
         FROM spans ORDER BY doc_id, span_start
         """,
+        "doc_dedup_passages": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + _DUPSPAN_KF_CTES
+        + _STRIP_SQL,
         "doc_strip_spans": "WITH "
         + _TOKS_CTE.format(src="documents")
         + _DUPSPAN_CTES
-        + """
-        , sp AS (
-          SELECT doc_id,
-                 list({'s': span_start, 'e': span_end}) AS doc_spans
-          FROM spans GROUP BY doc_id
-        ), cleaned AS (
-          SELECT t.doc_id, t.tokens,
-            list_filter(range(1, len(t.tokens) + 1),
-              i -> len(list_filter(
-                     COALESCE(s.doc_spans,
-                              CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
-                     x -> i >= x.s AND i <= x.e)) = 0) AS keep
-          FROM toks t LEFT JOIN sp s USING (doc_id)
-        )
-        SELECT doc_id,
-               COALESCE(array_to_string(
-                 list_transform(keep, i -> tokens[i]), ' '), '')
-                 AS clean_text,
-               CAST(len(tokens) - len(keep) AS BIGINT)
-                 AS n_tokens_removed
-        FROM cleaned ORDER BY doc_id
-        """,
+        + _STRIP_SQL,
         "doc_ngram_topk": "WITH "
         + _TOKS_CTE.format(src="documents")
         + """

@@ -357,3 +357,36 @@ def test_strip_duplicate_spans_fully_duplicated_doc(spark):
     }
     assert got[1] == ("", 6)
     assert got[2] == ("plus original content here", 6)
+
+
+def test_dedup_passages_keep_first_retains_canonical_copy(spark):
+    """Keep-one-copy policy (Lee et al.): the lowest-doc_id carrier
+    of a duplicated passage keeps its text; every other carrier is
+    stripped.  Internal repetition keeps the FIRST occurrence."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        dedup_passages_keep_first,
+    )
+
+    boiler = "please read the terms of service"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + boiler + " gamma delta"),
+            (2, boiler + " epsilon zeta"),
+            # internal repeat: first copy (tokens 1..5) survives
+            (3, "x y z w v x y z w v coda"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in dedup_passages_keep_first(docs, k=5).collect()
+    }
+    # doc 1 is the canonical carrier -> untouched
+    assert got[1] == (
+        "alpha beta please read the terms of service gamma delta",
+        0,
+    )
+    # doc 2's copy stripped
+    assert got[2] == ("epsilon zeta", 6)
+    # doc 3: second internal copy (tokens 6..10) stripped
+    assert got[3] == ("x y z w v coda", 5)

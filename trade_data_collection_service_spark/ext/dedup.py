@@ -626,10 +626,14 @@ def duplicate_spans(
     convention); at 100 TB swap the join/group key for a 128-bit hash
     of the gram — same plan, ~10× fewer shuffle bytes, collision odds
     ~1e-20."""
-    from pyspark.sql.window import Window
+    return _merge_spans(_dup_hits(docs, k, min_count), k)
 
+
+def _dup_windows(docs: DataFrame, k: int) -> DataFrame:
+    """All positioned k-token windows: (doc_id, start, gram) — built
+    map-side from each doc's token array, O(L) per doc."""
     win_t = "array<struct<start:bigint,gram:string>>"
-    wins = (
+    return (
         with_tokens(docs)
         .select(
             "doc_id",
@@ -650,16 +654,42 @@ def duplicate_spans(
         )
         .select("doc_id", "w.start", "w.gram")
     )
+
+
+def _dup_hits(
+    docs: DataFrame, k: int, min_count: int, keep_first: bool = False
+) -> DataFrame:
+    """(doc_id, start) of duplicated windows.  ``keep_first`` drops
+    each gram's CANONICAL occurrence (lowest doc_id, then lowest
+    start) from the hit set — the keep-one-copy policy of Lee et al.;
+    the canonical copy's text survives a subsequent strip."""
+    from pyspark.sql.window import Window
+
+    wins = _dup_windows(docs, k)
     dup = (
         wins.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= min_count)
         .select("gram")
     )
-    hits = wins.join(dup, "gram").select("doc_id", "start")
+    hits = wins.join(dup, "gram")
+    if keep_first:
+        w = Window.partitionBy("gram").orderBy("doc_id", "start")
+        hits = hits.withColumn(
+            "__rn", F.row_number().over(w)
+        ).filter(F.col("__rn") > 1)
+    return hits.select("doc_id", "start")
+
+
+def _merge_spans(hits: DataFrame, k: int) -> DataFrame:
+    """Merge per-doc duplicated windows [s, s+k-1] into maximal
+    spans: windows join a span when the next start is <= previous
+    max end + 1 (overlap OR exact adjacency = one duplicated run).
+    One per-doc sort window — no corpus-scale shuffle beyond the
+    (doc_id) partition."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("doc_id").orderBy("start")
-    # windows [s, s+k-1] merge when the next start is <= previous
-    # max end + 1 (overlap OR exact adjacency = one duplicated run)
     prev_max = F.max("start").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -698,9 +728,8 @@ def strip_duplicate_spans(
     text with every duplicated-passage token REMOVED — the aggressive
     boilerplate/template strip (terms-of-service blocks, headers,
     repeated navigation text) used when recall matters more than
-    keeping one canonical copy.  Keep-one-copy dedup composes from
-    the same pieces: exclude the keeper's rows from the span frame
-    before stripping.
+    keeping one canonical copy.  For keep-one-copy semantics use
+    ``dedup_passages_keep_first`` below.
 
     Returns (doc_id, clean_text, n_tokens_removed), every input doc
     present (docs with no duplicated passage pass through intact).
@@ -710,9 +739,32 @@ def strip_duplicate_spans(
     text) and a map-side array rebuild — no new corpus-scale
     shuffle; the token filter is a nested higher-order expression
     (filter-with-index over exists-over-spans), JVM-side, no UDF."""
+    return _strip(docs, duplicate_spans(docs, k, min_count))
+
+
+def dedup_passages_keep_first(
+    docs: DataFrame, k: int = 5, min_count: int = 2
+) -> DataFrame:
+    """Keep-ONE-copy passage dedup — the actual Lee et al. 2021
+    policy: each duplicated k-gram's canonical occurrence (lowest
+    doc_id, then lowest start) survives; every OTHER occurrence is
+    merged into spans and stripped.  Same output contract as
+    ``strip_duplicate_spans`` (doc_id, clean_text,
+    n_tokens_removed), but the corpus retains exactly one copy of
+    each duplicated passage instead of zero.
+
+    Scale: one extra per-gram row_number window over the hit set
+    (posting-list sized, not corpus-sized) on top of the detect
+    shape."""
+    return _strip(
+        docs, _merge_spans(_dup_hits(docs, k, min_count, keep_first=True), k)
+    )
+
+
+def _strip(docs: DataFrame, spans: DataFrame) -> DataFrame:
     span_t = "array<struct<span_start:bigint,span_end:bigint>>"
     sp = (
-        duplicate_spans(docs, k, min_count)
+        spans
         .groupBy("doc_id")
         .agg(
             F.collect_list(
