@@ -143,6 +143,9 @@ def headline_queries():
         "event_paths_topk",
         "doc_ngram_topk",
         "asof_price_tolerance",
+        # round-8: passage-dedup family (ExactSubstr-style)
+        "doc_duplicate_spans",
+        "doc_dedup_passages",
         "returns_autocorr",
         "conversion_latency",
     ):
