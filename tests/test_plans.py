@@ -240,3 +240,23 @@ def test_event_paths_topk_is_take_ordered(spark, sf_dir):
 
     plan = _plan(event_paths_topk(events_df(spark, sf_dir)))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_duplicate_spans_single_corpus_pass(spark, sf_dir):
+    """The gram-occurrence count is a window function over ONE
+    gram-partitioned shuffle of the positioned-window table — never a
+    groupBy + join-back, which would scan and explode the corpus
+    twice (the two paths project different columns, so AQE cannot
+    stitch their exchanges) and shuffle the window table again for
+    the join.  Assert: exactly one parquet scan, no join operator in
+    the plan."""
+    from trade_data_collection_service_spark.ext.dedup import duplicate_spans
+
+    df = duplicate_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=5
+    )
+    plan = _plan(df)
+    # detail headers "(N) Scan parquet" count physical nodes once
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert op not in plan, op

@@ -618,9 +618,8 @@ def duplicate_spans(
 
     Scale shape: windows are built map-side from each doc's token
     array (O(L) per doc, no self-join); the only corpus-scale shuffle
-    is the gram-frequency groupBy (map-side combined) plus one
-    equi-join of windows against the duplicated-gram keys — the same
-    posting-list shape as the shingle/census operators.  The span
+    is ONE gram-partition window pass that takes the occurrence count
+    in place (no groupBy + join-back — see _dup_hits).  The span
     merge is one per-doc sort window.  Gram keys here are the literal
     k-token strings for cross-engine exactness (the repo-wide md5
     convention); at 100 TB swap the join/group key for a 128-bit hash
@@ -662,21 +661,29 @@ def _dup_hits(
     """(doc_id, start) of duplicated windows.  ``keep_first`` drops
     each gram's CANONICAL occurrence (lowest doc_id, then lowest
     start) from the hit set — the keep-one-copy policy of Lee et al.;
-    the canonical copy's text survives a subsequent strip."""
+    the canonical copy's text survives a subsequent strip.
+
+    Shape: ONE shuffle of the window table on gram, with the
+    occurrence count (and, for keep_first, the canonical rank) taken
+    as window functions over the gram partition.  The groupBy +
+    join-back alternative scans and explodes the corpus TWICE — the
+    two paths project different columns, so their exchanges are not
+    identical and AQE cannot stitch them (measured: 0 ReusedExchange)
+    — and then shuffles the full window table a second time for the
+    join.  A pathologically hot gram (mega-boilerplate) concentrates
+    its rows in one partition under either shape; cap or salt
+    upstream if a corpus exhibits one."""
     from pyspark.sql.window import Window
 
     wins = _dup_windows(docs, k)
-    dup = (
-        wins.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") >= min_count)
-        .select("gram")
-    )
-    hits = wins.join(dup, "gram")
+    wg = Window.partitionBy("gram")
+    hits = wins.withColumn(
+        "__n", F.count(F.lit(1)).over(wg)
+    ).filter(F.col("__n") >= min_count)
     if keep_first:
-        w = Window.partitionBy("gram").orderBy("doc_id", "start")
+        wr = Window.partitionBy("gram").orderBy("doc_id", "start")
         hits = hits.withColumn(
-            "__rn", F.row_number().over(w)
+            "__rn", F.row_number().over(wr)
         ).filter(F.col("__rn") > 1)
     return hits.select("doc_id", "start")
 
