@@ -1214,6 +1214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
+# r9 ROTATION PLAN (write _R9_WINDOW next round): the 4 r8-new
+# beyond-window entries (doc_duplicate_spans, doc_strip_spans,
+# doc_dedup_passages — never driver-checked — plus anything r9
+# changes) first, then the 46 r5-vintage entries
+# (doc_dedup_keep_best…tpch_q20 block per CORRECTNESS_r05) — that is
+# 49-50 slots; add new r9 oracle entries only into the window front.
+#
 # r8 driver window (VERDICT r7 #2, carried from r6 #1): the driver
 # oracle-checks only the FIRST 50 _queries() entries, so the front is
 # reserved for the weakest evidence — this round that is the two
