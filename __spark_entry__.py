@@ -1047,6 +1047,25 @@ def _q_doc_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time passage dedup under the oracle: the corpus is
+    split 2/3 stored + 1/3 batch, the stored side's gram census
+    written to an index (ext/dedup.py::write_gram_index), and the
+    batch detected against it WITHOUT re-reading stored text
+    (incremental_duplicate_spans).  Incremental == full-corpus run
+    restricted to the batch docs (pytest-proven), so the DuckDB twin
+    is the span chain with hits filtered to batch docs.  New in r8 —
+    r9-window-front candidate."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="gram_idx_q_") + "/index"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    XD.write_gram_index(docs.filter(F.col("doc_id") % 3 != 0), path, k=5)
+    return XD.incremental_duplicate_spans(
+        docs.filter(F.col("doc_id") % 3 == 0), path, k=5
+    )
+
+
 def _q_emb_ivf_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally GROWN IVF index under the oracle (VERDICT r6 #6 /
     r7 #5): the corpus is split 2/3 + 1/3, the base written with the
@@ -1216,10 +1235,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # r9 ROTATION PLAN (write _R9_WINDOW next round): the 4 r8-new
 # beyond-window entries (doc_duplicate_spans, doc_strip_spans,
-# doc_dedup_passages — never driver-checked — plus anything r9
-# changes) first, then the 46 r5-vintage entries
-# (doc_dedup_keep_best…tpch_q20 block per CORRECTNESS_r05) — that is
-# 49-50 slots; add new r9 oracle entries only into the window front.
+# doc_dedup_passages, doc_incremental_spans — never driver-checked —
+# plus anything r9 changes) first, then the 46 r5-vintage entries
+# (doc_dedup_keep_best…tpch_q20 block per CORRECTNESS_r05) — exactly
+# 50; a brand-new r9 oracle entry must displace an r5-vintage one
+# (push the displaced block to the r10 front), so prefer pytest-only
+# ops in r9 unless the entry is worth the displacement.
 #
 # r8 driver window (VERDICT r7 #2, carried from r6 #1): the driver
 # oracle-checks only the FIRST 50 _queries() entries, so the front is
@@ -1367,6 +1388,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_duplicate_spans": _q_doc_duplicate_spans,
         "doc_strip_spans": _q_doc_strip_spans,
         "doc_dedup_passages": _q_doc_dedup_passages,
+        "doc_incremental_spans": _q_doc_incremental_spans,
         "doc_bm25_topk": _q_doc_bm25_topk,
         "emb_pq_topk": _q_emb_pq_topk,
         "emb_ivf_pq_topk": _q_emb_ivf_pq_topk,
@@ -2379,6 +2401,17 @@ def oracle_sql() -> dict[str, str]:
         + _TOKS_CTE.format(src="documents")
         + _DUPSPAN_KF_CTES
         + _STRIP_SQL,
+        # incremental == full-corpus spans restricted to batch docs
+        # (the pytest-proven equivalence in test_ext_dedup.py)
+        "doc_incremental_spans": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + _DUPSPAN_CTES_T.replace(
+            "{keep_first_pred}", " WHERE doc_id % 3 = 0"
+        )
+        + """
+        SELECT doc_id, span_start, span_end, span_tokens, n_windows
+        FROM spans ORDER BY doc_id, span_start
+        """,
         "doc_strip_spans": "WITH "
         + _TOKS_CTE.format(src="documents")
         + _DUPSPAN_CTES

@@ -390,3 +390,89 @@ def test_dedup_passages_keep_first_retains_canonical_copy(spark):
     assert got[2] == ("epsilon zeta", 6)
     # doc 3: second internal copy (tokens 6..10) stripped
     assert got[3] == ("x y z w v coda", 5)
+
+
+def test_incremental_spans_equal_full_corpus_run(spark, tmp_path):
+    """Ingestion-time passage dedup: detect on a new batch against a
+    stored gram index must mark EXACTLY the spans a full-corpus
+    duplicate_spans marks on the batch docs — including grams first
+    duplicated BY the batch (intra-batch repeats) and grams the batch
+    shares only with the stored corpus."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_gram_index,
+        duplicate_spans,
+        incremental_duplicate_spans,
+        write_gram_index,
+    )
+
+    boiler = "please read the terms of service"
+    rows = [
+        (1, "alpha beta " + boiler + " gamma"),
+        (2, "unrelated stored content entirely here"),
+        (3, "p q r s t u v w"),
+        # batch docs (higher ids)
+        (10, boiler + " fresh tail"),                    # dup vs stored
+        (11, "m n o p q m n o p q coda"),                # intra-batch... no — intra-DOC
+        (12, "zz yy xx ww vv"),
+        (13, "zz yy xx ww vv uu"),                       # dup vs doc 12 (same batch)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    stored = docs.filter("doc_id < 10")
+    batch = docs.filter("doc_id >= 10")
+    path = str(tmp_path / "gram_idx")
+    # build as base + append to exercise the maintenance path too
+    write_gram_index(stored.filter("doc_id = 1"), path, k=5)
+    append_to_gram_index(stored.filter("doc_id > 1"), path, k=5)
+
+    got = [
+        tuple(r)
+        for r in incremental_duplicate_spans(batch, path, k=5).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duplicate_spans(docs, k=5)
+        .filter("doc_id >= 10")
+        .collect()
+    ]
+    assert got == want and got
+
+
+def test_incremental_dedup_passages_stored_canonical(spark, tmp_path):
+    """Keep-first against the index: stored corpus is canonical, so a
+    batch copy of stored boilerplate strips entirely; a passage first
+    duplicated within the batch keeps its first batch occurrence.
+    Equals the full-corpus keep-first run on the batch docs (stored
+    ids precede batch ids)."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        dedup_passages_keep_first,
+        incremental_dedup_passages,
+        write_gram_index,
+    )
+
+    boiler = "all rights reserved to the publisher"
+    rows = [
+        (1, "intro " + boiler + " outro"),
+        (2, "stored filler text only here"),
+        (10, boiler + " new material"),
+        (12, "aa bb cc dd ee ff"),
+        (13, "aa bb cc dd ee gg"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "gram_idx2")
+    write_gram_index(docs.filter("doc_id < 10"), path, k=5)
+    batch = docs.filter("doc_id >= 10")
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in incremental_dedup_passages(batch, path, k=5).collect()
+    }
+    want = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in dedup_passages_keep_first(docs, k=5)
+        .filter("doc_id >= 10")
+        .collect()
+    }
+    assert got == want
+    assert got[10] == ("new material", 6)     # stored copy canonical
+    assert got[12][1] == 0                    # first batch occurrence kept
+    assert got[13] == ("gg", 5)               # second batch copy stripped

@@ -801,3 +801,103 @@ def _strip(docs: DataFrame, spans: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def write_gram_index(docs: DataFrame, path: str, k: int = 5) -> None:
+    """Persist the k-gram census of a curated corpus — everything
+    :func:`incremental_duplicate_spans` needs to passage-dedup future
+    batches against it WITHOUT touching the corpus text again:
+    ``{path}/grams`` holds (gram, n_occ) rows.  At rest this is
+    O(distinct corpus grams) — no text positions, no doc ids — the
+    passage twin of ``write_neardup_index``.  Existence is the only
+    thing the incremental reader tests, so index maintenance after a
+    batch merge is a plain append of the batch's census rows
+    (:func:`append_to_gram_index`); duplicate gram rows across
+    appends are harmless."""
+    (
+        _dup_windows(docs, k)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/grams")
+    )
+
+
+def append_to_gram_index(new_docs: DataFrame, path: str, k: int = 5) -> None:
+    """Grow a stored gram index incrementally: append the new batch's
+    census rows.  The existing rows are never re-read or rewritten —
+    per batch the cost is the batch's own census (the same
+    frozen-at-rest contract as ``append_to_ivf_index``)."""
+    (
+        _dup_windows(new_docs, k)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .write.mode("append")
+        .parquet(f"{path}/grams")
+    )
+
+
+def incremental_duplicate_spans(
+    new_docs: DataFrame, path: str, k: int = 5
+) -> DataFrame:
+    """Passage-dedup an incoming batch against a STORED gram index
+    (the ingestion-time operation: strip boilerplate the corpus has
+    already seen, as it arrives).  A batch window is duplicated when
+    its gram EXISTS in the index (>= 1 stored occurrence + this one
+    >= 2 total) OR occurs >= 2 times within the batch itself —
+    exactly the windows ``duplicate_spans(stored UNION batch)`` marks
+    on the batch docs (pytest-proven equivalence), but the stored
+    corpus is never re-tokenized or re-counted: per batch the cost is
+    the batch census plus one distinct-gram semi-join against the
+    index postings.
+
+    Same output contract as ``duplicate_spans``."""
+    from pyspark.sql.window import Window
+
+    spark = new_docs.sparkSession
+    wins = _dup_windows(new_docs, k)
+    wg = Window.partitionBy("gram")
+    counted = wins.withColumn("__n", F.count(F.lit(1)).over(wg))
+    stored = (
+        spark.read.parquet(f"{path}/grams").select("gram").distinct()
+    )
+    hits = (
+        counted.join(stored.withColumn("__seen", F.lit(1)), "gram", "left")
+        .filter((F.col("__n") >= 2) | F.col("__seen").isNotNull())
+        .select("doc_id", "start")
+    )
+    return _merge_spans(hits, k)
+
+
+def incremental_dedup_passages(
+    new_docs: DataFrame, path: str, k: int = 5
+) -> DataFrame:
+    """Keep-first passage dedup of an incoming batch against the
+    stored index, with the STORED corpus canonical: any window whose
+    gram the corpus has seen is stripped outright; a gram new to this
+    batch keeps its first batch occurrence (lowest doc_id, then
+    start).  Equals ``dedup_passages_keep_first(stored UNION batch)``
+    restricted to the batch docs whenever stored doc_ids precede
+    batch doc_ids (pytest-proven).  Output contract of
+    ``strip_duplicate_spans``."""
+    from pyspark.sql.window import Window
+
+    spark = new_docs.sparkSession
+    wins = _dup_windows(new_docs, k)
+    wg = Window.partitionBy("gram")
+    wr = Window.partitionBy("gram").orderBy("doc_id", "start")
+    counted = wins.withColumn(
+        "__n", F.count(F.lit(1)).over(wg)
+    ).withColumn("__rn", F.row_number().over(wr))
+    stored = (
+        spark.read.parquet(f"{path}/grams").select("gram").distinct()
+    )
+    hits = (
+        counted.join(stored.withColumn("__seen", F.lit(1)), "gram", "left")
+        .filter(
+            F.col("__seen").isNotNull()
+            | ((F.col("__n") >= 2) & (F.col("__rn") > 1))
+        )
+        .select("doc_id", "start")
+    )
+    return _strip(new_docs, _merge_spans(hits, k))
