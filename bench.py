@@ -182,7 +182,25 @@ def steady_state_queries(cleanup: list):
             corpus.filter(F.col("doc_id") % 3 == 0), state["idx"]
         )
 
-    return {"doc_incremental_neardup_steady": steady}
+    state2: dict[str, str] = {}
+
+    def steady_spans(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if "idx" not in state2:
+            tmp = tempfile.mkdtemp(prefix="bench_gram_idx_")
+            cleanup.append(tmp)
+            state2["idx"] = tmp + "/idx"
+            XD.write_gram_index(
+                docs.filter(F.col("doc_id") % 3 != 0), state2["idx"], k=5
+            )
+        return XD.incremental_duplicate_spans(
+            docs.filter(F.col("doc_id") % 3 == 0), state2["idx"], k=5
+        )
+
+    return {
+        "doc_incremental_neardup_steady": steady,
+        "doc_incremental_spans_steady": steady_spans,
+    }
 
 
 def skew_join_queries():
