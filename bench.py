@@ -339,7 +339,12 @@ def run_bpe_train(spark, n_merges: int = 500, batch: int = 32) -> dict:
         .groupBy("word")
         .agg(F.sum("weight").alias("weight"))
     )
-    vocab = vocab.localCheckpoint()  # share the census across modes
+    # vocab stays LAZY: the word census executes inside each mode's
+    # timed window, exactly as BENCH_r07 recorded it — checkpointing
+    # it out would read cross-round as a phantom BPE speedup.  The
+    # fast run executes second on a warm JVM; its census is cached at
+    # the FS level at most, and the ~seconds census is the same
+    # constant in both figures.
     stats: dict = {}
     t0 = time.perf_counter()
     merges, _ = train_bpe_from_vocab(vocab, n_merges, batch=batch, stats=stats)

@@ -260,3 +260,46 @@ def test_stream_macd_drops_cross_batch_late_rows(spark, dirs):
     assert len(got) == 4
     assert all(c != 777.0 for c, _, _, _ in got.values())
     assert got[datetime(2024, 1, 1, 0, 3)] == (53.0, 4, 1, 0)
+
+
+def test_stream_ema_late_duplicates_count_as_dropped_not_replaced(
+    spark, dirs
+):
+    """Review r8: two same-batch revisions of an ALREADY-FOLDED start
+    are both cross-batch loss — the late filter must run before the
+    LWW dedup, else one of them is laundered into ``replaced``
+    (normal operation) and the loss metric understates by half."""
+    from datetime import datetime
+
+    src = os.path.join(dirs, "latedup_src")
+    base = [
+        ("X", "DDD", datetime(2024, 1, 1, 0, 0), 10.0),
+        ("X", "DDD", datetime(2024, 1, 1, 0, 1), 11.0),
+    ]
+    schema = "exchange string, symbol string, start timestamp, close double"
+    spark.createDataFrame(base, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # batch 2: TWO revisions of minute 0 (both late) + one new candle
+    spark.createDataFrame(
+        [
+            ("X", "DDD", datetime(2024, 1, 1, 0, 0), 555.0),
+            ("X", "DDD", datetime(2024, 1, 1, 0, 0), 666.0),
+            ("X", "DDD", datetime(2024, 1, 1, 0, 2), 12.0),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = os.path.join(dirs, "latedup_out")
+    ckpt = os.path.join(dirs, "latedup_ckpt")
+    q = ema_stream(spark, src, out, ckpt, n=20)
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        r["start"]: (r["close"], r["dropped"], r["replaced"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 3
+    assert all(c not in (555.0, 666.0) for c, _, _ in got.values())
+    # both late revisions are LOSS, neither is a same-batch revision
+    assert got[datetime(2024, 1, 1, 0, 2)] == (12.0, 2, 0)

@@ -100,15 +100,19 @@ def _foldable(
     ``late`` (cross-batch discards — real data loss)."""
     rows = pd.concat(list(pdfs), ignore_index=True)
     n0 = len(rows)
+    # cross-batch late filter FIRST: every arrival at or before
+    # last_us is loss, including same-batch duplicates of an
+    # already-folded start — deduping first would launder those
+    # as "replaced" and understate the loss metric
+    if last_us >= 0 and n0:
+        us = rows["start"].astype("datetime64[us]").astype("int64")
+        rows = rows[us > last_us]
+    n1 = len(rows)
     # stable sort → among equal starts, arrival order is preserved,
     # so keep="last" is the latest revision
     rows = rows.sort_values("start", kind="mergesort")
     rows = rows.drop_duplicates(subset=["start"], keep="last")
-    n1 = len(rows)
-    if last_us >= 0 and n1:
-        us = rows["start"].astype("datetime64[us]").astype("int64")
-        rows = rows[us > last_us]
-    return rows, n0 - n1, n1 - len(rows)
+    return rows, n1 - len(rows), n0 - n1
 
 
 def make_ema_fn(n: int):
