@@ -308,23 +308,28 @@ def decontaminate(
     """
     from trade_data_collection_service_spark.ext.text import shingles_col
 
-    t = with_tokens(docs).withColumn("shingles", shingles_col(k=k))
+    # The shingle expression is INLINED into each explode, never
+    # routed through withColumn("shingles", ...) + explode(col): the
+    # named-column form makes Generate re-evaluate the whole array
+    # construction per OUTPUT shingle instead of once per doc —
+    # measured 6.0 s vs 0.5 s for the identical 260k-row explode at
+    # sf0.1 (the exploded_shingles docstring's CollapseProject trap,
+    # in its explode guise).  This took doc_decontaminate 6.9 s →
+    # ~1.5 s.
+    t = with_tokens(docs)
+    sh = shingles_col(k=k)
     is_bench = _hash_prefix(F.col("doc_id").cast("string"), salt) < threshold
     bench_shingles = (
         t.filter(is_bench)
-        .select(F.explode("shingles").alias("s"))
+        .select(F.explode(sh).alias("s"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     # ONE shingle construction per train doc: explode first, LEFT-join
     # the broadcast benchmark set to tag hits, and take totals + hit
-    # counts in a single aggregation.  (Computing size(shingles) next
-    # to explode(shingles) re-evaluates the array expression per row —
-    # the CollapseProject trap; measured 7.1 s → 6.7 s at sf0.1: the
-    # explode + 1M broadcast probes dominate, construction was the
-    # smaller term, but one pass is strictly less work either way.)
+    # counts in a single aggregation.
     train = t.filter(~is_bench).select(
-        "doc_id", F.explode("shingles").alias("s")
+        "doc_id", F.explode(sh).alias("s")
     )
     return (
         train.join(F.broadcast(bench_shingles), "s", "left")
