@@ -29,6 +29,12 @@ LANG_MARKERS = {
 
 
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """NB: exploding a withColumn'd array re-evaluates the array
+    expression per OUTPUT row (pipeline.decontaminate's measured
+    trap).  ``F.explode("tokens")`` only re-runs this cheap split
+    (~2×, tolerated at these sites); an EXPENSIVE generator — the
+    shingle/window builders — must be inlined into ``F.explode(expr)``
+    directly (the exploded_shingles / _dup_windows form)."""
     return df.withColumn("tokens", F.split(F.lower(F.col(text_col)), r"\s+"))
 
 
