@@ -88,8 +88,12 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def exploded_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) rows — shingle construction happens exactly once.
+def exploded_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh) rows — shingle construction happens exactly once,
+    with the generator INLINED into explode (never withColumn + 
+    explode(col): Generate re-evaluates a named-column array
+    expression per OUTPUT shingle — the decontaminate trap, 12× on
+    this construction).
 
     The array-column formulation (18 withColumn minhashes over a
     shingles array) looks tidy but Catalyst's CollapseProject inlines
@@ -99,7 +103,7 @@ def exploded_shingles(docs: DataFrame) -> DataFrame:
     codegen and the signature is a plain aggregation — no wide arrays
     pinned in memory for book-length documents."""
     return with_tokens(docs).select(
-        "doc_id", F.explode(shingles_col()).alias("sh")
+        "doc_id", F.explode(shingles_col(k=k)).alias("sh")
     )
 
 

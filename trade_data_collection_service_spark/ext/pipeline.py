@@ -306,30 +306,27 @@ def decontaminate(
     13-gram-overlap decontamination from LLM-training practice
     (GPT-3/PaLM-style), restated as two DataFrame joins.
     """
-    from trade_data_collection_service_spark.ext.text import shingles_col
+    from trade_data_collection_service_spark.ext.dedup import (
+        exploded_shingles,
+    )
 
-    # The shingle expression is INLINED into each explode, never
-    # routed through withColumn("shingles", ...) + explode(col): the
-    # named-column form makes Generate re-evaluate the whole array
-    # construction per OUTPUT shingle instead of once per doc —
-    # measured 6.0 s vs 0.5 s for the identical 260k-row explode at
-    # sf0.1 (the exploded_shingles docstring's CollapseProject trap,
-    # in its explode guise).  This took doc_decontaminate 6.9 s →
-    # ~1.5 s.
-    t = with_tokens(docs)
-    sh = shingles_col(k=k)
+    # exploded_shingles inlines the shingle generator into explode —
+    # routing it through withColumn + explode(col) made Generate
+    # re-evaluate the array construction per OUTPUT shingle (6.9 s →
+    # 1.4 s for this query at sf0.1; the trap is documented on
+    # exploded_shingles itself).
     is_bench = _hash_prefix(F.col("doc_id").cast("string"), salt) < threshold
     bench_shingles = (
-        t.filter(is_bench)
-        .select(F.explode(sh).alias("s"))
+        exploded_shingles(docs.filter(is_bench), k=k)
+        .select(F.col("sh").alias("s"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     # ONE shingle construction per train doc: explode first, LEFT-join
     # the broadcast benchmark set to tag hits, and take totals + hit
     # counts in a single aggregation.
-    train = t.filter(~is_bench).select(
-        "doc_id", F.explode(sh).alias("s")
+    train = exploded_shingles(docs.filter(~is_bench), k=k).select(
+        "doc_id", F.col("sh").alias("s")
     )
     return (
         train.join(F.broadcast(bench_shingles), "s", "left")

@@ -30,11 +30,11 @@ LANG_MARKERS = {
 
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     """NB: exploding a withColumn'd array re-evaluates the array
-    expression per OUTPUT row (pipeline.decontaminate's measured
-    trap).  ``F.explode("tokens")`` only re-runs this cheap split
-    (~2×, tolerated at these sites); an EXPENSIVE generator — the
-    shingle/window builders — must be inlined into ``F.explode(expr)``
-    directly (the exploded_shingles / _dup_windows form)."""
+    expression per OUTPUT row.  ``F.explode("tokens")`` only re-runs
+    this cheap split (~2×, tolerated at these sites); an EXPENSIVE
+    generator must be inlined into ``F.explode(expr)`` directly —
+    see ext/dedup.py::exploded_shingles (the canonical form and the
+    measured numbers)."""
     return df.withColumn("tokens", F.split(F.lower(F.col(text_col)), r"\s+"))
 
 
