@@ -704,7 +704,11 @@ def _q_repair_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.operators.repair import repair_window
 
     ws, we = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
-    c = candles_from_events(spark, sf_dir)
+    # The candle base feeds three consumers (good rollup, corrupt
+    # variant, repair truth); materialize it once — in deployment the
+    # raw candle table IS stored (events are transport-only), so the
+    # checkpoint stands in for reading the stored table, not an extra.
+    c = candles_from_events(spark, sf_dir).localCheckpoint(eager=False)
     good = rollup_raw(c, 15)
     in_win = (
         (F.col("exchange") == "EXCH_A")
@@ -735,7 +739,12 @@ def _q_watchdog_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         watchdog_cycle,
     )
 
-    c = candles_from_events(spark, sf_dir)
+    # Four plan subtrees consume the candle base (gap detection,
+    # repair union, refill truth, verify); without a materialization
+    # point each re-runs the events→candles aggregation.  In
+    # deployment the candle table is stored; the lazy checkpoint is
+    # that stored table's stand-in (measured 10.4 s → ~4 s at sf0.1).
+    c = candles_from_events(spark, sf_dir).localCheckpoint(eager=False)
     lost = (
         (F.col("symbol") == "SYM3")
         & (F.col("start") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))

@@ -196,7 +196,11 @@ def minhash_lsh_pairs(
         ex = docs.sparkSession.read.parquet(scratch_path)
     else:
         ex = exploded_shingles(docs).localCheckpoint(eager=False)
-    sig = minhash_signatures(docs, ex=ex)
+    # sig feeds three subtrees (band keys + the two n_sh count joins);
+    # it is one small row per doc, so materialize it once instead of
+    # re-running the 18-way min aggregation over the shingle table
+    # per consumer.
+    sig = minhash_signatures(docs, ex=ex).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         F.explode(
