@@ -51,6 +51,28 @@ from trade_data_collection_service_spark.functions.sketch import ALPHA
 
 SF0001 = "/root/testdata/sf0.001"
 
+# Scratch dirs created by stored-index query entries (incremental
+# neardup/spans, indexed IVF/PQ).  Registered here and removed at
+# interpreter exit so repeated sweeps don't accumulate /tmp state
+# (ADVICE r8 — bench.py's steady-state entries already do this).
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS
+            ]
+        )
+    _SCRATCH_DIRS.append(d)
+    return d
+
 ROLLUP_COLS = [
     "exchange",
     "symbol",
@@ -278,9 +300,7 @@ def _q_doc_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored side.  The oracle recomputes the same split symbolically;
     batch-parity vs minhash_lsh_pairs is additionally pytest-proven
     (tests/test_ext_dedup.py)."""
-    import tempfile
-
-    idx = tempfile.mkdtemp(prefix="neardup_idx_q_") + "/idx"
+    idx = _scratch_dir("neardup_idx_q_") + "/idx"
     corpus = XD.documents_neardup(spark, sf_dir)
     XD.write_neardup_index(corpus.filter(F.col("doc_id") % 3 != 0), idx)
     return XD.incremental_neardup_pairs(
@@ -1012,11 +1032,9 @@ def _q_emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-asserted in tests/test_ivf_index.py) and scores with the
     asymmetric LUT.  Results are identical to the inline ivf_pq_topk
     composition, so the DuckDB twin is the same SQL."""
-    import tempfile
-
     from trade_data_collection_service_spark.ext.similarity import vectors
 
-    path = tempfile.mkdtemp(prefix="ivfpq_idx_q_") + "/index"
+    path = _scratch_dir("ivfpq_idx_q_") + "/index"
     centroids, books = XQ.write_ivfpq_index(spark, sf_dir, path)
     qs = vectors(spark, sf_dir).filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 103)
@@ -1065,9 +1083,7 @@ def _q_doc_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to the batch docs (pytest-proven), so the DuckDB twin
     is the span chain with hits filtered to batch docs.  New in r8 —
     r9-window-front candidate."""
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix="gram_idx_q_") + "/index"
+    path = _scratch_dir("gram_idx_q_") + "/index"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     XD.write_gram_index(docs.filter(F.col("doc_id") % 3 != 0), path, k=5)
     return XD.incremental_duplicate_spans(
@@ -1087,8 +1103,6 @@ def _q_emb_ivf_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition, so the DuckDB twin is emb_ivf_trained_topk's SQL.
     bucket is cast to int to match the inline twin's published
     dtype (assign_buckets derives it from the k-means cluster id)."""
-    import tempfile
-
     from trade_data_collection_service_spark.ext.kmeans import fit
     from trade_data_collection_service_spark.ext.similarity import (
         append_to_ivf_index,
@@ -1097,7 +1111,7 @@ def _q_emb_ivf_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vectors,
     )
 
-    path = tempfile.mkdtemp(prefix="ivf_app_q_") + "/index"
+    path = _scratch_dir("ivf_app_q_") + "/index"
     cents, _ = fit(spark, sf_dir, k=8, max_iters=2, round_to=6)
     centroids = cents.select(
         F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")

@@ -400,18 +400,30 @@ def _current_round(root: str | None = None) -> int | None:
 
 def _latest_prior_bench(root: str | None = None) -> tuple[int, dict] | None:
     """Highest-round BENCH_r{N}.json STRICTLY BELOW the round being
-    benchmarked (ADVICE r7) — the genuine prior round's recording."""
+    benchmarked (ADVICE r7) — the genuine prior round's recording.
+    When the current round can't be inferred (no VERDICT.md), the
+    highest-numbered BENCH file is assumed to be a stale artifact of
+    the in-progress round and excluded (ADVICE r8) — erring toward a
+    one-round-older prior beats a self-ratio host_factor of ~1."""
     import glob
     import re
 
     root = root or _repo_root()
     cur = _current_round(root)
-    best = None
+    rounds: dict[int, str] = {}
     for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
+        if m:
+            rounds[int(m.group(1))] = path
+    if cur is None and rounds:
+        cur = max(rounds)
+        print(
+            "bench: VERDICT.md round unknown — excluding "
+            f"BENCH_r{cur:02d}.json as the presumed in-progress round",
+            file=sys.stderr,
+        )
+    best = None
+    for rnd, path in rounds.items():
         if cur is not None and rnd >= cur:
             continue
         if best is not None and rnd <= best[0]:

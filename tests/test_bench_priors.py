@@ -49,6 +49,16 @@ def test_prior_excludes_current_round_recording(tmp_path):
     assert got == {"round": 7, "median_sec": 0.50}
 
 
+def test_prior_without_verdict_excludes_highest_bench(tmp_path):
+    """ADVICE r8: no VERDICT.md (round unknown) must not silently
+    consider ALL rounds — the highest-numbered BENCH file is assumed
+    to belong to the in-progress round and is excluded."""
+    _write(tmp_path, "BENCH_r06.json", _bench_doc(0.40))
+    _write(tmp_path, "BENCH_r07.json", _bench_doc(0.99))  # presumed current
+    got = bench.prior_calibration(str(tmp_path))
+    assert got == {"round": 6, "median_sec": 0.40}
+
+
 def test_prior_picks_highest_eligible_round(tmp_path):
     (tmp_path / "VERDICT.md").write_text("# VERDICT — Round 9\n")
     _write(tmp_path, "BENCH_r03.json", _bench_doc(0.30))

@@ -799,11 +799,15 @@ def _strip(docs: DataFrame, spans: DataFrame) -> DataFrame:
             lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
         ),
     )
+    # NULL text => NULL tokens => NULL kept: publish '' / 0 to match
+    # the DuckDB twin's COALESCE(..., '') (ADVICE r8)
     return (
         j.select(
             "doc_id",
-            F.array_join(kept, " ").alias("clean_text"),
-            (F.size("tokens") - F.size(kept))
+            F.coalesce(F.array_join(kept, " "), F.lit("")).alias(
+                "clean_text"
+            ),
+            F.coalesce(F.size("tokens") - F.size(kept), F.lit(0))
             .cast("bigint")
             .alias("n_tokens_removed"),
         )
