@@ -1047,30 +1047,36 @@ def _q_emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicate-passage spans over the documents
     table (ext/dedup.py::duplicate_spans): maximal runs of 5-token
-    windows occurring >= 2 times corpus-wide.  New in r8 — slot this
-    at the FRONT of the r9 driver window (it enters the surface with
-    judge-only evidence, like every post-rotation addition)."""
+    windows occurring >= 2 times corpus-wide, detected hot-gram-safe
+    (r9: map-side-combined census + equi-join, VERDICT r8 #2) over
+    128-bit hashed gram keys (hash_grams, VERDICT r8 #4 — pytest-
+    proven identical to literal grams, so the twin is unchanged)."""
     return XD.duplicate_spans(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=5
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        k=5,
+        hash_grams=True,
     )
 
 
 def _q_doc_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply side of doc_duplicate_spans: documents rebuilt with the
     duplicated passages stripped (ext/dedup.py::strip_duplicate_
-    spans).  New in r8 — r9-window-front candidate alongside
-    doc_duplicate_spans."""
+    spans), on the r9 hot-gram-safe hashed-gram detect path."""
     return XD.strip_duplicate_spans(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=5
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        k=5,
+        hash_grams=True,
     )
 
 
 def _q_doc_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-one-copy passage dedup (Lee et al. 2021 policy) over the
-    documents table (ext/dedup.py::dedup_passages_keep_first).  New in
-    r8 — r9-window-front candidate."""
+    documents table (ext/dedup.py::dedup_passages_keep_first), on the
+    r9 hot-gram-safe hashed-gram detect path."""
     return XD.dedup_passages_keep_first(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=5
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        k=5,
+        hash_grams=True,
     )
 
 
@@ -1081,13 +1087,16 @@ def _q_doc_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch detected against it WITHOUT re-reading stored text
     (incremental_duplicate_spans).  Incremental == full-corpus run
     restricted to the batch docs (pytest-proven), so the DuckDB twin
-    is the span chain with hits filtered to batch docs.  New in r8 —
-    r9-window-front candidate."""
+    is the span chain with hits filtered to batch docs.  r9: the
+    index is written and read with 128-bit hashed gram keys
+    (hash_grams) on the hot-gram-safe detect path."""
     path = _scratch_dir("gram_idx_q_") + "/index"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    XD.write_gram_index(docs.filter(F.col("doc_id") % 3 != 0), path, k=5)
+    XD.write_gram_index(
+        docs.filter(F.col("doc_id") % 3 != 0), path, k=5, hash_grams=True
+    )
     return XD.incremental_duplicate_spans(
-        docs.filter(F.col("doc_id") % 3 == 0), path, k=5
+        docs.filter(F.col("doc_id") % 3 == 0), path, k=5, hash_grams=True
     )
 
 

