@@ -197,9 +197,46 @@ def steady_state_queries(cleanup: list):
             docs.filter(F.col("doc_id") % 3 == 0), state2["idx"], k=5
         )
 
+    state3: dict = {}
+
+    def steady_ivfpq_serve(spark, sf_dir):
+        """Serve-only IVF-PQ (VERDICT r8 #6): the three most
+        expensive benched queries are dominated by in-query codebook
+        training (the oracle contract); the number a deployment cares
+        about is search against a STORED index with STORED codebooks.
+        Index + codebooks are built during the untimed warm pass
+        (train_codebooks returns eagerly-checkpointed frames, so
+        reuse costs nothing); the measured pass is probe-bucket →
+        pruned partition read → LUT scoring only."""
+        from trade_data_collection_service_spark.ext import pq as XQ
+        from trade_data_collection_service_spark.ext.similarity import (
+            vectors,
+        )
+
+        if "idx" not in state3:
+            tmp = tempfile.mkdtemp(prefix="bench_ivfpq_idx_")
+            cleanup.append(tmp)
+            state3["idx"] = tmp + "/index"
+            state3["centroids"], state3["books"] = XQ.write_ivfpq_index(
+                spark, sf_dir, state3["idx"]
+            )
+        qs = vectors(spark, sf_dir).filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 103)
+        )
+        return XQ.ivfpq_search_indexed(
+            spark,
+            state3["idx"],
+            state3["centroids"],
+            state3["books"],
+            qs,
+            k=10,
+            nprobe=2,
+        )
+
     return {
         "doc_incremental_neardup_steady": steady,
         "doc_incremental_spans_steady": steady_spans,
+        "emb_ivfpq_serve_steady": steady_ivfpq_serve,
     }
 
 
@@ -307,6 +344,66 @@ def run_streaming(spark, sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _shuffle_write_bytes(spark) -> int | None:
+    """Cumulative shuffle-write bytes of all completed stages, from
+    the local status REST endpoint (the AppStatusStore's public
+    face).  None when the UI is disabled — callers degrade to
+    wall-time-only measurements."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            stages = json.load(r)
+        return sum(int(st.get("shuffleWriteBytes", 0)) for st in stages)
+    except Exception:
+        return None
+
+
+def run_spans_gram_bytes(spark, sf_dir: str) -> dict | None:
+    """Hashed-gram shuffle-byte claim as a number (VERDICT r8 #4):
+    duplicate_spans with literal k-token string keys vs 128-bit md5
+    keys (output-identical, pytest-proven) — record the shuffle-write
+    bytes and wall of each.  Measured at the oracle's k=5 AND at
+    k=25 (the Lee et al. regime uses ~50-token windows): short grams
+    lz4-compress well in the shuffle, so the k=5 saving is modest;
+    the long-gram row is where fixed 16-byte keys earn their keep."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out: dict = {}
+    for k in (5, 25):
+        row: dict = {}
+        for label, hashed in (("literal", False), ("hashed", True)):
+            df = duplicate_spans(docs, k=k, hash_grams=hashed)
+            df.write.format("noop").mode("overwrite").save()  # warm
+            b0 = _shuffle_write_bytes(spark)
+            t0 = time.perf_counter()
+            duplicate_spans(docs, k=k, hash_grams=hashed).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            wall = time.perf_counter() - t0
+            b1 = _shuffle_write_bytes(spark)
+            row[label] = {
+                "wall_sec": round(wall, 4),
+                "shuffle_bytes": (b1 - b0) if b0 is not None else None,
+            }
+        lit_b = row["literal"]["shuffle_bytes"]
+        h_b = row["hashed"]["shuffle_bytes"]
+        if lit_b and h_b:
+            row["bytes_ratio"] = round(h_b / lit_b, 4)
+        out[f"k{k}"] = row
+    return out
+
+
 def run_bpe_train(spark, n_merges: int = 500, batch: int = 32) -> dict:
     """Tokenizer-build envelope (VERDICT r6 next-round #3): merges/sec
     for a 500-rule BPE train with batched merge rounds.  The fixture
@@ -359,6 +456,28 @@ def run_bpe_train(spark, n_merges: int = 500, batch: int = 32) -> dict:
         vocab, n_merges, batch=batch, stats=fstats, exact=False
     )
     fwall = time.perf_counter() - t0
+    # fast-mode envelope at depth (VERDICT r8 #8): the "32k merges in
+    # ~1-2k jobs" extrapolation rested on a 500-merge run; validate
+    # that merges/round holds at 2000 merges.  The synthetic vocab may
+    # exhaust its mergeable pairs first — merges < requested is then
+    # the honest recording, not a failure.
+    f2k = None
+    if os.environ.get("SPARK_GRAFT_SKIP_BPE2000") != "1":
+        f2stats: dict = {}
+        t0 = time.perf_counter()
+        f2merges, _ = train_bpe_from_vocab(
+            vocab, 2000, batch=batch, stats=f2stats, exact=False
+        )
+        f2wall = time.perf_counter() - t0
+        f2k = {
+            "merges": len(f2merges),
+            "rounds": f2stats["rounds"],
+            "wall_sec": round(f2wall, 2),
+            "merges_per_sec": round(len(f2merges) / f2wall, 2),
+            "merges_per_round": round(
+                len(f2merges) / max(f2stats["rounds"], 1), 1
+            ),
+        }
     return {
         "merges": len(merges),
         "rounds": stats["rounds"],
@@ -373,6 +492,7 @@ def run_bpe_train(spark, n_merges: int = 500, batch: int = 32) -> dict:
             "merges_per_sec": round(len(fmerges) / fwall, 2),
             "merges_per_round": round(len(fmerges) / max(fstats["rounds"], 1), 1),
         },
+        "fast2000": f2k,
     }
 
 
@@ -475,6 +595,41 @@ def prior_query_timings(
                         "sf", "candles_per_sec",
                         "streaming_candles_per_sec", "streaming_wall_sec"):
             out[name] = val
+    return out
+
+
+def prior_headline_scalars(
+    sf: float | None = None, root: str | None = None
+) -> dict[str, float]:
+    """candles_per_sec / streaming_candles_per_sec from the prior
+    round's recording, for the throughput outlier protocol (VERDICT
+    r8 #5: the single-shot streaming figure mis-recorded a 0.74×
+    "regression" in r8 that isolated re-runs disproved).  Same
+    sf-gating as prior_query_timings."""
+    import re
+
+    best = _latest_prior_bench(root)
+    if best is None:
+        return {}
+    doc = best[1]
+    if sf is not None and isinstance(doc, dict):
+        prior_sf = doc.get("sf")
+        if isinstance(prior_sf, (int, float)) and abs(prior_sf - sf) > 1e-9:
+            return {}
+    names = ("candles_per_sec", "streaming_candles_per_sec")
+    parsed = doc.get("parsed") if isinstance(doc, dict) else None
+    out: dict[str, float] = {}
+    if isinstance(parsed, dict):
+        for n in names:
+            if isinstance(parsed.get(n), (int, float)) and parsed[n] > 0:
+                out[n] = float(parsed[n])
+    hay = (doc.get("tail", "") or "") if isinstance(doc, dict) else ""
+    for n in names:
+        if n in out:
+            continue
+        m = re.search(rf'"{n}":\s*([0-9]+(?:\.[0-9]+)?)', hay)
+        if m and float(m.group(1)) > 0:
+            out[n] = float(m.group(1))
     return out
 
 
@@ -600,12 +755,39 @@ def main() -> None:
             "reps_sec": reps,
         }
     total = round(sum(t for t in timings.values() if t > 0), 4)
+    prior_scalars = prior_headline_scalars(
+        float(sf) if sf.replace(".", "").isdigit() else None
+    )
     streaming_cps = streaming_wall = None
     if os.environ.get("SPARK_GRAFT_SKIP_STREAMING") != "1":
         try:
             streaming_cps, streaming_wall = run_streaming(spark, sf_dir)
         except Exception as e:  # pragma: no cover
             print(f"bench streaming failed: {e}", file=sys.stderr)
+    # Throughput outlier protocol (VERDICT r8 #5): the streaming loop
+    # was the one headline still taken as a single shot.  Throughput
+    # scales inversely with time, so the host-normalized expectation
+    # is prior / host_factor; >=1.5x off either way -> two more runs,
+    # publish the 3-rep median (of candles/sec; wall follows).
+    if streaming_cps and prior_scalars.get("streaming_candles_per_sec"):
+        expect = prior_scalars["streaming_candles_per_sec"] / (
+            host_factor or 1.0
+        )
+        if not (1 / 1.5 < streaming_cps / expect < 1.5):
+            first_cps = streaming_cps
+            reps = [(streaming_cps, streaming_wall)]
+            for _ in range(2):
+                try:
+                    reps.append(run_streaming(spark, sf_dir))
+                except Exception as e:  # pragma: no cover
+                    print(f"bench streaming re-run failed: {e}", file=sys.stderr)
+            reps.sort()
+            streaming_cps, streaming_wall = reps[len(reps) // 2]
+            re_measured["streaming_candles_per_sec"] = {
+                "prior": prior_scalars["streaming_candles_per_sec"],
+                "first_cps": first_cps,
+                "reps_cps": [r[0] for r in reps],
+            }
     bpe = None
     if os.environ.get("SPARK_GRAFT_SKIP_BPE") != "1":
         try:
@@ -630,8 +812,47 @@ def main() -> None:
         n_candles = candles_from_events(spark, sf_dir).count()
         if timings.get("candles_1m", 0) > 0:
             throughput = round(n_candles / timings["candles_1m"], 1)
+        # candles_per_sec = n_candles (deterministic per sf) divided
+        # by the candles_1m timing, so the query outlier pass above
+        # already protects it — EXCEPT when the prior-vs-now drift
+        # shows only in the derived ratio (e.g. prior tail lost the
+        # candles_1m entry).  Same >=1.5x rule, re-measuring the
+        # underlying query (VERDICT r8 #5).
+        if (
+            throughput
+            and prior_scalars.get("candles_per_sec")
+            and "candles_1m" not in re_measured
+        ):
+            expect = prior_scalars["candles_per_sec"] / (host_factor or 1.0)
+            if not (1 / 1.5 < throughput / expect < 1.5):
+                first = timings["candles_1m"]
+                reps = sorted(
+                    [first]
+                    + [
+                        round(run_one(spark, suite["candles_1m"], sf_dir), 4)
+                        for _ in range(2)
+                    ]
+                )
+                timings["candles_1m"] = reps[1]
+                re_measured["candles_1m"] = {
+                    "prior_sec": None,
+                    "first_sec": first,
+                    "reps_sec": reps,
+                    "trigger": "candles_per_sec drift",
+                }
+                throughput = round(n_candles / reps[1], 1)
+                total = round(
+                    sum(t for t in timings.values() if t > 0), 4
+                )
+                if host_factor:
+                    value_host_normalized = round(total / host_factor, 4)
     except Exception:
         pass
+    spans_gram = None
+    try:
+        spans_gram = run_spans_gram_bytes(spark, sf_dir)
+    except Exception as e:  # pragma: no cover
+        print(f"bench spans gram bytes failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -648,6 +869,7 @@ def main() -> None:
                 "host_factor": host_factor,
                 "value_host_normalized": value_host_normalized,
                 "re_measured": re_measured,
+                "spans_gram_shuffle": spans_gram,
                 "bpe_train": bpe,
             }
         )

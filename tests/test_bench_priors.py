@@ -100,6 +100,31 @@ def test_prior_query_timings_survive_front_truncated_tail(tmp_path):
     assert "median_sec" not in got and "sf" not in got
 
 
+def test_prior_headline_scalars_from_tail(tmp_path):
+    """Throughput outlier protocol (VERDICT r8 #5): the two headline
+    rates must be recoverable from a prior tail, sf-gated, and
+    'candles_per_sec' must not swallow the streaming figure."""
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — Round 9\n")
+    tail = json.dumps(
+        {
+            "sf": 0.1,
+            "candles_per_sec": 139011.0,
+            "streaming_candles_per_sec": 2648.1,
+        }
+    )
+    _write(
+        tmp_path,
+        "BENCH_r08.json",
+        {"n": 0, "rc": 0, "sf": 0.1, "tail": tail, "parsed": None},
+    )
+    got = bench.prior_headline_scalars(0.1, str(tmp_path))
+    assert got == {
+        "candles_per_sec": 139011.0,
+        "streaming_candles_per_sec": 2648.1,
+    }
+    assert bench.prior_headline_scalars(0.01, str(tmp_path)) == {}
+
+
 def test_repo_fixture_prior_is_round_seven():
     """Against the real repo state during round 8: the prior must be
     r7 (not any file the in-progress round may have produced)."""

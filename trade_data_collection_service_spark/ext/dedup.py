@@ -634,8 +634,8 @@ def duplicate_spans(
     hit set from one broadcastable/AQE-skew-splittable equi-join.
     The span merge is one per-doc sort window.  ``hash_grams=True``
     swaps gram keys for 128-bit md5 digests — same plan and (short
-    of a ~1e-15 collision) identical output, ~10× fewer shuffle
-    bytes on long grams (pytest-proven equivalent, bench-measured)."""
+    of a ~1e-15 collision) identical output, 0.32× shuffle bytes at
+    k=25 (pytest-proven equivalent; bench spans_gram_shuffle row)."""
     return _merge_spans(_dup_hits(docs, k, min_count, hash_grams=hash_grams), k)
 
 
@@ -643,8 +643,10 @@ def _gram_col(tokens_slice, hash_grams: bool):
     """Join/group key for one k-token window.  ``hash_grams`` swaps
     the literal k-token string for its 128-bit md5 digest (16-byte
     BINARY, the repo-wide md5 convention) — same plan, fixed-width
-    shuffle keys (~10× fewer shuffle bytes on long grams), collision
-    odds ~n²/2¹²⁹ (≈1e-15 even at 1e12 distinct grams).  The gram
+    shuffle keys (bench-measured 0.32× lz4-compressed shuffle bytes
+    at k=25/sf0.1; short grams compress well so k=5 saves ~8%),
+    collision odds ~n²/2¹²⁹ (≈1e-15 even at 1e12 distinct grams).
+    The gram
     never reaches any published output, so hashing cannot change
     results short of a collision."""
     g = F.concat_ws(" ", tokens_slice)
