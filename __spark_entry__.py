@@ -1265,87 +1265,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
-# r9 ROTATION PLAN (write _R9_WINDOW next round): the 4 r8-new
-# beyond-window entries (doc_duplicate_spans, doc_strip_spans,
-# doc_dedup_passages, doc_incremental_spans — never driver-checked —
-# plus anything r9 changes) first, then the 46 r5-vintage entries
-# (doc_dedup_keep_best…tpch_q20 block per CORRECTNESS_r05) — exactly
-# 50; a brand-new r9 oracle entry must displace an r5-vintage one
-# (push the displaced block to the r10 front), so prefer pytest-only
-# ops in r9 unless the entry is worth the displacement.
+# r10 ROTATION PLAN (write _R10_WINDOW next round): the 48 entries
+# whose latest driver evidence is r7 (doc_repetition, minute_spread,
+# exchange_spread, donchian_20, event_transitions, event_paths_topk,
+# doc_ngram_topk, asof_price_tolerance, rolling_active_hll, then the
+# doc_dedup_keep_best…tpch_q2 block per CORRECTNESS_r07 minus r08
+# keys) + the 2 oldest r8-window entries (ema_20, macd_12_26_9) = 50;
+# anything r10 changes goes first and displaces from the r7 block's
+# tail.  After r9 the evidence ledger is 50 r9 / 50 r8 / 48 r7 — no
+# entry older than two rounds.
 #
-# r8 driver window (VERDICT r7 #2, carried from r6 #1): the driver
-# oracle-checks only the FIRST 50 _queries() entries, so the front is
-# reserved for the weakest evidence — this round that is the two
-# queries whose publish contract changed in r8 (ema/macd revert), the
-# brand-new appended-IVF entry, the two entries that have NEVER had a
-# driver row, and the 45 entries whose last driver row was r4 (three
-# rounds stale).  Exactly 50.  The full 144-entry surface is swept
-# locally via tools/check_oracle.py at sf0.01 and sf0.1 each round
-# (docs/COVERAGE.md) — the window is a budget cap, not the evidence.
-_R8_WINDOW = [
-    # changed in r8: publish contract reverted to single 4-dp round
-    "ema_20",
-    "macd_12_26_9",
-    # brand-new in r8
-    "emb_ivf_appended_topk",
-    # never driver-checked (r6-new, missed both rotations)
-    "returns_autocorr",
-    "conversion_latency",
-    # r4-vintage driver evidence, unchanged code
-    "listing_stable",
-    "price_quantile_sketch",
-    "pivot_volume",
-    "volume_rollup_sets",
-    "volume_cube_sets",
-    "max_drawdown",
-    "top_volume_per_symbol",
-    "bollinger_20",
-    "daily_volatility",
-    "atr_14",
-    "watchdog_cycle",
-    "asof_price_forward",
-    "volume_bars",
-    "event_sessions",
-    "asof_price",
-    "repair_window",
-    "minmax_window",
-    "count_distinct_window",
-    "latest_per_symbol",
-    "distinct_pairs",
-    "recent_topn",
-    "symbol_filter",
-    "readme_window",
-    "freshness",
-    "listing_diff",
-    "gap_filled",
-    "gap_filled_ffill",
-    "sma_20",
-    "vwap_daily",
-    "price_percentiles",
-    "price_bands",
-    "gap_missing_count",
-    "gap_islands",
-    "backfill_plan",
-    "validate_quarantine",
-    "doc_chunks",
-    "doc_token_cms",
-    "tpch_q17",
-    "tpch_q21",
-    "tpch_q8",
-    "tpch_q13",
-    "tpch_q15",
-    "candles_1m",
-    "dedup_latest",
-    "rollup_5m",
+# r9 driver window (VERDICT r8 #1, the committed r8 plan verbatim):
+# the 4 r8-new passage entries — never driver-checked, AND the
+# surface r9 changed (hot-gram guard + hashed gram keys) — then the
+# 46 entries whose last driver row was r5.  Exactly 50.  The full
+# 148-entry surface is swept locally via tools/check_oracle.py at
+# sf0.01 and sf0.1 each round (docs/COVERAGE.md; r9: sweep lines
+# carry the HEAD SHA) — the window is a budget cap, not the evidence.
+_R9_WINDOW = [
+    # r8-new, never driver-checked; r9 changed their detect path
+    # (hot-gram-safe census + 128-bit hashed gram keys)
+    "doc_duplicate_spans",
+    "doc_strip_spans",
+    "doc_dedup_passages",
+    "doc_incremental_spans",
+    # r5-vintage driver evidence (CORRECTNESS_r05 minus r07/r08 keys)
+    "doc_minhash_lsh",
+    "emb_ivfpq_indexed_topk",
+    "doc_bm25_topk",
+    "emb_pq_topk",
+    "emb_ivf_pq_topk",
+    "emb_ivfadc_topk",
+    "event_anomaly",
+    "events_hll_daily",
+    "emb_ivf_trained_topk",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "event_sessions_native",
+    "doc_heavy_hitters",
+    "event_funnel",
+    "event_retention",
+    "twap_daily",
+    "emb_semdedup",
+    "candle_patterns",
+    "doc_incremental_neardup",
+    "rsi_14",
+    "stochastic_14",
+    "obv",
+    "returns_corr",
+    "rolling_active_users",
+    "doc_chunk_dupes",
+    "gap_filled_interp",
+    "doc_tfidf_terms",
+    "ann_recall",
+    "doc_unigram_logprob",
+    "symbol_beta",
+    "doc_source_mix",
+    "volume_profile",
+    "intraday_profile",
+    "doc_neardup_quality",
+    "event_funnel_rates",
+    "rolling_beta_60",
+    "rolling_sharpe_60",
+    "drawdown_curve",
+    "rolling_corr_60",
+    "doc_source_quality",
+    "cascade_15m",
+    "corpus_curated",
+    "doc_decontaminate",
+    "doc_dedup_exact",
 ]
 
 
 def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _registry()
-    missing = [k for k in _R8_WINDOW if k not in base]
+    missing = [k for k in _R9_WINDOW if k not in base]
     assert not missing, f"window names drifted from registry: {missing}"
-    out = {k: base[k] for k in _R8_WINDOW}
+    out = {k: base[k] for k in _R9_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 

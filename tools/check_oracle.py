@@ -94,8 +94,36 @@ def main() -> int:
             print(f"ok   {name}: rows={len(sdf)}")
     spark.stop()
     # one grep-proof summary line (Spark progress bars use \r and can
-    # swallow interleaved per-query lines in naive pipelines)
-    print(f"SWEEP {sf_dir}: {checked - failures}/{checked} ok, {failures} FAIL")
+    # swallow interleaved per-query lines in naive pipelines).  The
+    # line names the commit it attests (VERDICT r8 #3): a sweep log
+    # whose SHA is not `git rev-parse HEAD` at round end proves
+    # nothing about the shipped code — tools/sweep_gate.py enforces
+    # that docs/COVERAGE.md's recorded sweeps match HEAD.
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd="/root/repo",
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or "unknown"
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd="/root/repo",
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+        if dirty:
+            sha += "+dirty"
+    except Exception:
+        sha = "unknown"
+    print(
+        f"SWEEP {sf_dir}: {checked - failures}/{checked} ok,"
+        f" {failures} FAIL @ {sha}"
+    )
     return 1 if failures else 0
 
 
