@@ -529,9 +529,7 @@ def test_spans_hashed_grams_equal_literal(spark):
     from trade_data_collection_service_spark.ext.dedup import (
         dedup_passages_keep_first,
         duplicate_spans,
-        incremental_duplicate_spans,
         strip_duplicate_spans,
-        write_gram_index,
     )
 
     boiler = "quoted template block repeats verbatim"
@@ -633,3 +631,57 @@ def test_compact_gram_index_equals_fresh_build(spark, tmp_path):
         for r in incremental_duplicate_spans(batch, path, k=3).collect()
     )
     assert before == after and before
+
+
+def test_compact_gram_index_mid_publish_crash_recovery(spark, tmp_path):
+    """Stage-WAL roll-forward: after a crash DURING the live-dir
+    overwrite (damaged grams dir, _SUCCESS-marked stage on disk),
+    re-running compact must publish from the intact stage — never
+    re-read the damaged live dir — and end byte-equivalent to a
+    clean compaction."""
+    import os
+    import shutil
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_gram_index,
+        compact_gram_index,
+        write_gram_index,
+    )
+
+    rows = [
+        (1, "shared boiler block aa bb"),
+        (2, "shared boiler block cc dd"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "idx")
+    write_gram_index(docs.filter("doc_id = 1"), path, k=3)
+    append_to_gram_index(docs.filter("doc_id = 2"), path, k=3)
+    want = {
+        (r["gram"], r["n_occ"])
+        for r in spark.read.parquet(f"{path}/grams")
+        .groupBy("gram")
+        .agg(F.sum("n_occ").alias("n_occ"))
+        .collect()
+    }
+    # simulate the crash state: stage fully written (with _SUCCESS),
+    # live dir half-deleted by an interrupted overwrite
+    (
+        spark.read.parquet(f"{path}/grams")
+        .groupBy("gram")
+        .agg(F.sum("n_occ").alias("n_occ"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/grams.stage")
+    )
+    assert os.path.exists(f"{path}/grams.stage/_SUCCESS")
+    for f in os.listdir(f"{path}/grams"):
+        if f.endswith(".parquet"):
+            os.remove(f"{path}/grams/{f}")
+            break  # one lost file is enough damage
+    compact_gram_index(spark, path)
+    got = {
+        (r["gram"], r["n_occ"])
+        for r in spark.read.parquet(f"{path}/grams").collect()
+    }
+    assert got == want
+    assert not os.path.exists(f"{path}/grams.stage")  # WAL retired
+    shutil.rmtree(path, ignore_errors=True)

@@ -120,8 +120,11 @@ def main() -> int:
             sha += "+dirty"
     except Exception:
         sha = "unknown"
+    # subset runs are marked so tools/sweep_gate.py never mistakes a
+    # targeted re-check for the full-surface sweep the round requires
+    scope = "(subset) " if only else ""
     print(
-        f"SWEEP {sf_dir}: {checked - failures}/{checked} ok,"
+        f"SWEEP {scope}{sf_dir}: {checked - failures}/{checked} ok,"
         f" {failures} FAIL @ {sha}"
     )
     return 1 if failures else 0

@@ -4,14 +4,17 @@ CURRENT code — the r8 hole was a post-sweep commit that changed the
 oracle surface with only a commit-message claim of re-verification.
 
 check_oracle.py stamps its summary line with the commit it ran
-against (``SWEEP <sf_dir>: N/N ok, 0 FAIL @ <sha>``); the builder
-copies those lines into docs/COVERAGE.md.  This gate accepts a
-stamped sweep iff the stamp IS ``git rev-parse --short HEAD`` or is
-an ancestor whose diff to HEAD touches only docs/markdown/round
-artifacts (the sweep-recording commit itself cannot invalidate the
-sweep it records; any code or test change can, and fails the gate).
-A ``+dirty`` stamp never passes.  Run as the literal last check of a
-round:
+against (``SWEEP <sf_dir>: N/N ok, 0 FAIL @ <sha>``) and marks
+targeted runs ``SWEEP (subset) ...``.  This gate accepts a stamped
+sweep iff it is UNMARKED, covers the full oracle surface
+(total >= len(_registry())), and the stamp IS ``git rev-parse
+--short HEAD`` or an ancestor whose diff to HEAD touches only
+docs/markdown/round artifacts (the sweep-recording commit itself
+cannot invalidate the sweep it records; any code or test change
+can, and fails the gate).  A ``+dirty`` stamp never passes, and a
+recorded FAILING full sweep at the shipped code blocks the round
+even when an older clean line also qualifies.  Run as the literal
+last check of a round:
 
     python tools/sweep_gate.py            # expects sf0.01 + sf0.1
 
@@ -48,6 +51,19 @@ def _docs_only_since(stamp: str) -> bool:
     return all(_DOC_ONLY.match(p) for p in changed if p)
 
 
+def _expected_total() -> int:
+    """Size of the full oracle surface, so a subset run (or a stale
+    sweep of a smaller surface) can never satisfy the gate.  Falls
+    back to the r9 surface size if the entry module won't import."""
+    try:
+        sys.path.insert(0, REPO)
+        import __spark_entry__ as entrymod
+
+        return len(entrymod._registry())
+    except Exception:
+        return 148
+
+
 def main() -> int:
     head = _git("rev-parse", "--short", "HEAD")
     if _git("status", "--porcelain"):
@@ -57,27 +73,47 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
+    expected = _expected_total()
     text = open(f"{REPO}/docs/COVERAGE.md").read()
     # every stamped sweep line in the log, e.g.
     #   SWEEP /root/testdata/sf0.01: 148/148 ok, 0 FAIL @ abc1234
     lines = re.findall(
-        r"SWEEP\s+(\S*?(sf[0-9.]+))[:\s].*?(\d+)/(\d+) ok,\s*(\d+) FAIL"
+        r"SWEEP\s+(\(subset\)\s+)?(\S*?(sf[0-9.]+))[:\s].*?"
+        r"(\d+)/(\d+) ok,\s*(\d+) FAIL"
         r"\s*@\s*`?([0-9a-f]{7,40}(?:\+dirty)?)`?",
         text,
     )
     ok: dict[str, tuple] = {}
-    for _path, sf, good, total, fails, stamp in lines:
-        if fails != "0" or good != total or stamp.endswith("+dirty"):
+    bad: dict[str, str] = {}
+    for subset, _path, sf, good, total, fails, stamp in lines:
+        sf = sf.rstrip(".")
+        at_code = not stamp.endswith("+dirty") and (
+            stamp == head or _docs_only_since(stamp)
+        )
+        if not at_code or subset:
             continue
-        if stamp == head or _docs_only_since(stamp):
-            ok[sf.rstrip(".")] = (good, total, stamp)
+        if fails != "0" or good != total:
+            # a FAILING full sweep recorded at the shipped code blocks
+            # the round even when an older clean line also qualifies
+            bad[sf] = f"{good}/{total} ok, {fails} FAIL @ {stamp}"
+        elif int(total) >= expected:
+            ok[sf] = (good, total, stamp)
+    for sf, line in sorted(bad.items()):
+        print(
+            f"sweep_gate: {sf} has a FAILING sweep recorded at the"
+            f" current code ({line}) — fix and re-sweep.",
+            file=sys.stderr,
+        )
+    if bad:
+        return 1
     missing = [sf for sf in REQUIRED_SFS if sf not in ok]
     if missing:
-        recorded = sorted({(sf, st) for _p, sf, *_r, st in lines})
+        recorded = sorted({(sf, st) for _m, _p, sf, *_r, st in lines})
         print(
             f"sweep_gate: HEAD is {head} but docs/COVERAGE.md has no"
-            f" clean sweep for {missing} stamped at HEAD or at a"
-            f" docs-only ancestor; stamped sweeps found: {recorded}",
+            f" clean full-surface (>= {expected}) sweep for {missing}"
+            f" stamped at HEAD or a docs-only ancestor; stamped sweeps"
+            f" found: {recorded}",
             file=sys.stderr,
         )
         print(

@@ -919,21 +919,36 @@ def compact_gram_index(spark: SparkSession, path: str) -> None:
     are unaffected; the win is at-rest size and per-batch semi-join
     input after many appends.
 
-    Publish protocol mirrors ``tables.compact``: the census is
-    re-aggregated (map-side combined groupBy-sum) into a sibling
-    ``.stage`` directory first, then overwritten into the live path —
-    a pre-publish crash leaves the index untouched; a mid-publish
-    crash is repaired by re-running compact on the intact stage."""
+    Publish protocol is the stage WAL of streaming.pipeline: the
+    census is re-aggregated (map-side combined groupBy-sum) into a
+    sibling ``.stage`` directory, published into the live path, then
+    the stage is removed.  Re-running compact after ANY crash is
+    safe: a stage without ``_SUCCESS`` means the live dir was never
+    touched — the partial stage is discarded and rebuilt; a
+    ``_SUCCESS``-marked stage is the authoritative census (the live
+    dir may be mid-overwrite, so it is re-published from the stage,
+    NEVER re-read)."""
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _rm,
+        table_exists,
+    )
+
     src = f"{path}/grams"
     stage = f"{path}/grams.stage"
-    (
-        spark.read.parquet(src)
-        .groupBy("gram")
-        .agg(F.sum("n_occ").alias("n_occ"))
-        .write.mode("overwrite")
-        .parquet(stage)
-    )
+    if not (
+        table_exists(spark, stage)
+        and table_exists(spark, stage + "/_SUCCESS")
+    ):
+        _rm(spark, stage)
+        (
+            spark.read.parquet(src)
+            .groupBy("gram")
+            .agg(F.sum("n_occ").alias("n_occ"))
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
     spark.read.parquet(stage).write.mode("overwrite").parquet(src)
+    _rm(spark, stage)
 
 
 def incremental_duplicate_spans(

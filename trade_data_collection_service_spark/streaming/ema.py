@@ -67,10 +67,16 @@ EMA_SCHEMA = StructType(
 # so state round-trips exactly; last_us = newest folded start (epoch
 # micros, -1 before the first fold); dropped = cumulative cross-batch
 # late discards; replaced = cumulative same-batch LWW revisions.
-# COMPAT: r8 widened this from 4 fields (no `replaced`); a checkpoint
-# written under the old schema resumes because the fold fns unpack
-# positionally and pad missing trailing counters with 0 — new fields
-# must only ever be APPENDED here, never inserted or reordered.
+# COMPAT: r8 widened this from 4 fields (no `replaced`), and the
+# MACD schema from 6 to 7.  Spark's state store REJECTS a resumed
+# checkpoint whose stored value schema differs
+# (STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE — verified empirically on
+# this operator), so pre-r8 checkpoints do NOT resume under the
+# current schema: drain the old query, start a fresh checkpoint, and
+# accept the dropped/replaced counters resetting to 0 (the candle
+# data itself lives in the sink, not in this state).  Positional
+# padding in the fold fns cannot help — the failure happens in the
+# state store before Python ever sees a tuple.
 _STATE_SCHEMA = StructType(
     [
         StructField("t", LongType()),
@@ -127,10 +133,7 @@ def make_ema_fn(n: int):
     ) -> Iterator[pd.DataFrame]:
         exchange, symbol = key
         if state.exists:
-            # pad-with-0 unpack so pre-r8 4-field checkpoints resume
-            # (see _STATE_SCHEMA compat note)
-            st = tuple(state.get) + (0,) * 5
-            t, num_repr, last_us, dropped, replaced = st[:5]
+            t, num_repr, last_us, dropped, replaced = state.get
             num = float(num_repr)
         else:
             t, num, last_us, dropped, replaced = 0, 0.0, -1, 0, 0
@@ -250,9 +253,7 @@ def make_macd_fn(fast: int = 12, slow: int = 26, signal: int = 9):
     ) -> Iterator[pd.DataFrame]:
         exchange, symbol = key
         if state.exists:
-            # pad-with-0 unpack so pre-r8 6-field checkpoints resume
-            st = tuple(state.get) + (0,) * 7
-            t, nf_r, ns_r, sn_r, last_us, dropped, replaced = st[:7]
+            t, nf_r, ns_r, sn_r, last_us, dropped, replaced = state.get
             nf, ns, sn = float(nf_r), float(ns_r), float(sn_r)
         else:
             t, nf, ns, sn = 0, 0.0, 0.0, 0.0
