@@ -685,3 +685,81 @@ def test_compact_gram_index_mid_publish_crash_recovery(spark, tmp_path):
     assert got == want
     assert not os.path.exists(f"{path}/grams.stage")  # WAL retired
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_neardup_replayed_append_corrupts_then_compact_repairs(
+    spark, sf_dir, tmp_path
+):
+    """r9 correction of the append replay-safety claim: a re-delivered
+    un-keyed append CORRUPTS incremental results (duplicate shingle
+    postings double-count n_inter, inflating jaccard; duplicate count
+    rows multiply pairs) — and compact_neardup_index restores exact
+    fresh-build behavior."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_neardup_index,
+        compact_neardup_index,
+        documents_neardup,
+        incremental_neardup_pairs,
+        write_neardup_index,
+    )
+
+    corpus = documents_neardup(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = corpus.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "idx")
+    write_neardup_index(stored.filter("doc_id % 2 = 0"), path)
+    tail = stored.filter("doc_id % 2 = 1")
+    append_to_neardup_index(tail, path)
+    want = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    assert want
+    # the crash-replay: the same append delivered again, un-keyed
+    append_to_neardup_index(tail, path)
+    try:
+        got_dup = sorted(
+            tuple(r)
+            for r in incremental_neardup_pairs(batch, path).collect()
+        )
+        assert got_dup != want  # corruption is real, not hypothetical
+    except Exception:
+        # doubled postings can make n_inter == na + nb, so the
+        # jaccard denominator hits 0 — the corrupted index can fail
+        # the query outright (ANSI DIVIDE_BY_ZERO), which proves the
+        # point just as well
+        pass
+    compact_neardup_index(spark, path)
+    got = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    assert got == want
+
+
+def test_neardup_batch_keyed_append_replay_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """With batch_id, a replayed append dynamically overwrites its own
+    batch partition — results identical to a single delivery, no
+    compaction needed."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_neardup_index,
+        documents_neardup,
+        incremental_neardup_pairs,
+        write_neardup_index,
+    )
+
+    corpus = documents_neardup(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = corpus.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "idx")
+    write_neardup_index(stored.filter("doc_id % 2 = 0"), path)
+    tail = stored.filter("doc_id % 2 = 1")
+    append_to_neardup_index(tail, path, batch_id=7)
+    want = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    append_to_neardup_index(tail, path, batch_id=7)  # replay
+    got = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    assert got == want and want

@@ -120,3 +120,34 @@ def test_strip_and_keep_first_match_reference(spark, corpus):
         for r in dedup_passages_keep_first(df, k=K).collect()
     }
     assert got_kf == _ref_strip(corpus, keep_first=True)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpus_case())
+def test_hashed_grams_equal_literal_on_random_corpora(spark, corpus):
+    """hash_grams (128-bit md5 keys) is output-identical to literal
+    grams across the sampled edge space — the heavy-collision
+    3-word-alphabet corpora stress exactly the grouping/joining the
+    key swap touches."""
+    df = _docs_df(spark, corpus)
+    lit_spans = sorted(
+        tuple(r) for r in duplicate_spans(df, k=K).collect()
+    )
+    hashed = sorted(
+        tuple(r) for r in duplicate_spans(df, k=K, hash_grams=True).collect()
+    )
+    assert lit_spans == hashed
+    lit_kf = sorted(
+        tuple(r) for r in dedup_passages_keep_first(df, k=K).collect()
+    )
+    hashed_kf = sorted(
+        tuple(r)
+        for r in dedup_passages_keep_first(
+            df, k=K, hash_grams=True
+        ).collect()
+    )
+    assert lit_kf == hashed_kf

@@ -409,9 +409,16 @@ def write_neardup_index(docs: DataFrame, path: str) -> None:
     At rest this is O(corpus shingle digests) — no text, no arrays —
     and each piece is exactly the intermediate the batch job already
     computes, so index maintenance after a batch merge is an append
-    of the new batch's rows to the three tables."""
-    ex = exploded_shingles(docs)
-    ex.write.mode("overwrite").parquet(f"{path}/shingles")
+    of the new batch's rows to the three tables.
+
+    All three tables are laid out ``partitionBy(batch)`` (the base
+    build is ``batch=base``) so :func:`append_to_neardup_index` can
+    make replayed appends idempotent by dynamically overwriting one
+    batch partition; readers ignore the partition column."""
+    ex = exploded_shingles(docs).withColumn("batch", F.lit("base"))
+    ex.write.partitionBy("batch").mode("overwrite").parquet(
+        f"{path}/shingles"
+    )
     ex_r = docs.sparkSession.read.parquet(f"{path}/shingles")
     sig = minhash_signatures(docs, ex=ex_r)
     bands = sig.select(
@@ -426,9 +433,18 @@ def write_neardup_index(docs: DataFrame, path: str) -> None:
             ])
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
-    bands.write.mode("overwrite").parquet(f"{path}/bands")
-    sig.select("doc_id", "n_sh").write.mode("overwrite").parquet(
-        f"{path}/counts"
+    (
+        bands.withColumn("batch", F.lit("base"))
+        .write.partitionBy("batch")
+        .mode("overwrite")
+        .parquet(f"{path}/bands")
+    )
+    (
+        sig.select("doc_id", "n_sh")
+        .withColumn("batch", F.lit("base"))
+        .write.partitionBy("batch")
+        .mode("overwrite")
+        .parquet(f"{path}/counts")
     )
 
 
@@ -515,7 +531,9 @@ def incremental_neardup_pairs(
     )
 
 
-def append_to_neardup_index(new_docs: DataFrame, path: str) -> None:
+def append_to_neardup_index(
+    new_docs: DataFrame, path: str, batch_id: str | int | None = None
+) -> None:
     """Index maintenance after an accepted batch merge: append the new
     docs' shingle postings, band triples, and counts to the stored
     index — the O(batch) operation that keeps
@@ -523,12 +541,35 @@ def append_to_neardup_index(new_docs: DataFrame, path: str) -> None:
     Equivalence with rebuilding the index from scratch on the combined
     corpus is pytest-proven (tests/test_ext_dedup.py).
 
-    Append-only parquet writes: safe to replay (the near-dup join is
-    set-semantics on (doc_id, band/shingle) — duplicates from a
-    replayed append only duplicate candidates, which ``distinct()``
-    collapses), matching the engine's idempotent-sink discipline."""
+    REPLAY SAFETY (r9 correction): a re-delivered append is only
+    harmless on the BANDS table (candidates go through ``distinct``).
+    Duplicated SHINGLE postings double-count ``n_inter`` — inflating
+    jaccard — and duplicated COUNTS rows multiply output pairs, so a
+    blind re-append CORRUPTS results (pytest-demonstrated).  Pass
+    ``batch_id`` (e.g. the foreachBatch batch id) to make the append
+    idempotent: each table's rows land in a ``batch=<id>`` partition
+    directory via dynamic overwrite, so a replay rewrites the same
+    partition instead of appending twice — the engine's idempotent-
+    sink discipline.  Without a batch_id (at-most-once delivery),
+    repair accidental duplication with
+    :func:`compact_neardup_index`."""
+    batch = str(batch_id) if batch_id is not None else "legacy"
+
+    def _write(df: DataFrame, table: str) -> None:
+        w = df.withColumn("batch", F.lit(batch)).write.partitionBy("batch")
+        if batch_id is not None:
+            # dynamic overwrite of THIS batch's partition only —
+            # replaying the same batch_id rewrites, never duplicates
+            (
+                w.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(f"{path}/{table}")
+            )
+        else:
+            w.mode("append").parquet(f"{path}/{table}")
+
     ex = exploded_shingles(new_docs)
-    ex.write.mode("append").parquet(f"{path}/shingles")
+    _write(ex, "shingles")
     sig = minhash_signatures(new_docs, ex=ex.localCheckpoint(eager=False))
     bands = sig.select(
         "doc_id",
@@ -542,9 +583,56 @@ def append_to_neardup_index(new_docs: DataFrame, path: str) -> None:
             ])
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
-    bands.write.mode("append").parquet(f"{path}/bands")
-    sig.select("doc_id", "n_sh").write.mode("append").parquet(
-        f"{path}/counts"
+    _write(bands, "bands")
+    _write(sig.select("doc_id", "n_sh"), "counts")
+
+
+def compact_neardup_index(spark: SparkSession, path: str) -> None:
+    """Repair/compact the stored near-dup index: collapse duplicate
+    rows that un-keyed (``batch_id=None``) append replays accumulate —
+    which CORRUPT results, not just waste space (duplicate shingle
+    postings double-count the jaccard intersection; duplicate counts
+    rows multiply output pairs) — back to the fresh-build contents:
+    distinct shingle postings and band triples, one count row per doc.
+    The ``OPTIMIZE FINAL`` analog for this index, sibling of
+    :func:`compact_gram_index`.
+
+    Same stage-WAL publish per table: a ``_SUCCESS``-marked stage is
+    authoritative and re-published, never re-read from a possibly
+    mid-overwrite live dir; re-running after any crash converges
+    (distinct/max are idempotent)."""
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _rm,
+        table_exists,
+    )
+
+    def _collapse(table: str, df_fn) -> None:
+        src, stage = f"{path}/{table}", f"{path}/{table}.stage"
+        if not (
+            table_exists(spark, stage)
+            and table_exists(spark, stage + "/_SUCCESS")
+        ):
+            _rm(spark, stage)
+            (
+                df_fn(spark.read.parquet(src))
+                .withColumn("batch", F.lit("base"))
+                .write.partitionBy("batch")
+                .mode("overwrite")
+                .parquet(stage)
+            )
+        spark.read.parquet(stage).write.partitionBy("batch").mode(
+            "overwrite"
+        ).parquet(src)
+        _rm(spark, stage)
+
+    _collapse("shingles", lambda df: df.select("doc_id", "sh").distinct())
+    _collapse(
+        "bands",
+        lambda df: df.select("doc_id", "band_id", "band_key").distinct(),
+    )
+    _collapse(
+        "counts",
+        lambda df: df.groupBy("doc_id").agg(F.max("n_sh").alias("n_sh")),
     )
 
 
