@@ -722,12 +722,14 @@ def test_neardup_replayed_append_corrupts_then_compact_repairs(
             for r in incremental_neardup_pairs(batch, path).collect()
         )
         assert got_dup != want  # corruption is real, not hypothetical
-    except Exception:
+    except AssertionError:
+        raise  # identical results would mean the corruption is gone
+    except Exception as e:
         # doubled postings can make n_inter == na + nb, so the
-        # jaccard denominator hits 0 — the corrupted index can fail
-        # the query outright (ANSI DIVIDE_BY_ZERO), which proves the
-        # point just as well
-        pass
+        # jaccard denominator hits 0 — the corrupted index fails the
+        # query outright, which proves the point just as well; accept
+        # ONLY that failure mode
+        assert "DIVIDE_BY_ZERO" in str(e), e
     compact_neardup_index(spark, path)
     got = sorted(
         tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
@@ -763,3 +765,134 @@ def test_neardup_batch_keyed_append_replay_is_idempotent(
         tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
     )
     assert got == want and want
+
+
+def test_compact_preserves_keyed_batch_idempotence(spark, sf_dir, tmp_path):
+    """Compaction must NOT erase the batch-idempotence ledger: a
+    keyed batch partition survives compact with its identity, so a
+    later replay of that batch_id still overwrites (not duplicates) —
+    and legacy duplication is still collapsed."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_neardup_index,
+        compact_neardup_index,
+        documents_neardup,
+        incremental_neardup_pairs,
+        write_neardup_index,
+    )
+
+    corpus = documents_neardup(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = corpus.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "idx")
+    write_neardup_index(stored.filter("doc_id % 2 = 0"), path)
+    tail = stored.filter("doc_id % 2 = 1")
+    append_to_neardup_index(tail, path, batch_id=7)
+    want = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    compact_neardup_index(spark, path)
+    # keyed partition must still exist post-compact
+    assert (tmp_path / "idx" / "shingles" / "batch=7").exists()
+    # replay of the already-applied batch AFTER compaction: still
+    # idempotent (the finding this guards: collapsing batch=7 into
+    # base would make this replay a duplicating append)
+    append_to_neardup_index(tail, path, batch_id=7)
+    got = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    assert got == want and want
+
+
+def test_reserved_batch_id_rejected(spark, sf_dir, tmp_path):
+    """batch_id='base'/'legacy' would dynamically overwrite the whole
+    stored corpus / accumulated appends — must raise, not wipe."""
+    import pytest
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_neardup_index,
+        documents_neardup,
+        write_neardup_index,
+    )
+
+    corpus = documents_neardup(spark, sf_dir).limit(20)
+    path = str(tmp_path / "idx")
+    write_neardup_index(corpus, path)
+    for bad in ("base", "legacy"):
+        with pytest.raises(ValueError, match="reserved"):
+            append_to_neardup_index(corpus, path, batch_id=bad)
+
+
+def test_empty_corpus_index_rejected(spark):
+    """A partitioned write of zero rows leaves no schema-bearing
+    files; write_neardup_index must fail loudly up front instead of
+    letting every later read die on schema inference."""
+    import pytest
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        write_neardup_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty"):
+        write_neardup_index(empty, "/tmp/never_written_idx")
+
+
+def test_append_after_crashed_compact_recovers_first(spark, tmp_path):
+    """The stale-stage data-loss hole: rows appended AFTER a crashed
+    compaction publish must survive — the append recovers (republishes
+    the authoritative stage) BEFORE adding its rows, so a later replay
+    of the stage can never destroy them."""
+    import os
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_gram_index,
+        duplicate_spans,
+        incremental_duplicate_spans,
+        write_gram_index,
+    )
+
+    rows = [
+        (1, "shared boiler block aa bb"),
+        (2, "shared boiler block cc dd"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "idx")
+    write_gram_index(docs, path, k=3)
+    # simulate a compaction that crashed mid-publish: _SUCCESS-marked
+    # stage on disk (the collapsed census), live dir damaged
+    (
+        spark.read.parquet(f"{path}/grams")
+        .groupBy("gram")
+        .agg(F.sum("n_occ").alias("n_occ"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/grams.stage")
+    )
+    assert os.path.exists(f"{path}/grams.stage/_SUCCESS")
+    for f in os.listdir(f"{path}/grams"):
+        if f.endswith(".parquet"):
+            os.remove(f"{path}/grams/{f}")
+            break
+    # the post-crash append: must repair first, then add its rows
+    late = spark.createDataFrame(
+        [(3, "late arrival gram block xx yy")], ["doc_id", "text"]
+    )
+    append_to_gram_index(late, path, k=3)
+    assert not os.path.exists(f"{path}/grams.stage")  # WAL retired
+    # batch sharing grams ONLY with the late append: those grams must
+    # still be in the index (the old code's stage replay lost them)
+    probe = spark.createDataFrame(
+        [(10, "late arrival gram block zz")], ["doc_id", "text"]
+    )
+    got = [
+        tuple(r)
+        for r in incremental_duplicate_spans(probe, path, k=3).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duplicate_spans(
+            docs.unionByName(late).unionByName(probe), k=3
+        )
+        .filter("doc_id = 10")
+        .collect()
+    ]
+    assert got == want and got

@@ -395,6 +395,65 @@ def simhash_near_pairs(
     )
 
 
+# batch partition values the index machinery owns: "base" = the
+# write_*_index build, "legacy" = un-keyed appends.  User batch_ids
+# must not collide (a keyed append dynamically OVERWRITES its own
+# partition — batch_id="base" would wipe the whole base corpus).
+_RESERVED_BATCHES = ("base", "legacy")
+
+
+def _recover_compaction(spark: SparkSession, src: str) -> None:
+    """Roll a crashed compaction forward BEFORE touching ``src`` (the
+    streaming pipeline's recover-on-entry discipline): a
+    ``_SUCCESS``-marked ``.stage`` sibling is the authoritative
+    compacted table — the live dir may be mid-overwrite — so it is
+    republished, never re-derived from the possibly-damaged live dir;
+    a stage without the marker is a discarded partial.  Every append,
+    compact, and incremental read calls this first, which closes the
+    data-loss window where rows appended AFTER a crashed publish
+    would be destroyed by a LATER replay of the stale stage: repair
+    always happens before new rows land or old rows are read."""
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _rm,
+        table_exists,
+    )
+
+    stage = src + ".stage"
+    if not table_exists(spark, stage):
+        return
+    if table_exists(spark, stage + "/_SUCCESS"):
+        df = spark.read.parquet(stage)
+        w = df.write.mode("overwrite")
+        if "batch" in df.columns:
+            w = w.partitionBy("batch")
+        w.parquet(src)
+    _rm(spark, stage)
+
+
+def _staged_rewrite(spark: SparkSession, src: str, transform) -> None:
+    """Whole-table stage-WAL rewrite shared by the index compactions
+    (and the one place the crash protocol lives): recover any prior
+    crash, stage ``transform(live)`` (the job commit writes the
+    ``_SUCCESS`` marker), publish the stage over the live dir, retire
+    the stage.  A crash at any point converges on re-run or on the
+    next recovering operation."""
+    from trade_data_collection_service_spark.streaming.pipeline import _rm
+
+    _recover_compaction(spark, src)
+    stage = src + ".stage"
+    staged = transform(spark.read.parquet(src))
+    w = staged.write.mode("overwrite")
+    if "batch" in staged.columns:
+        w = w.partitionBy("batch")
+    w.parquet(stage)
+    out = spark.read.parquet(stage)
+    w2 = out.write.mode("overwrite")
+    if "batch" in out.columns:
+        w2 = w2.partitionBy("batch")
+    w2.parquet(src)
+    _rm(spark, stage)
+
+
 def write_neardup_index(docs: DataFrame, path: str) -> None:
     """Persist the near-dup index of a curated corpus — everything
     :func:`incremental_neardup_pairs` needs to dedup future batches
@@ -414,8 +473,23 @@ def write_neardup_index(docs: DataFrame, path: str) -> None:
     All three tables are laid out ``partitionBy(batch)`` (the base
     build is ``batch=base``) so :func:`append_to_neardup_index` can
     make replayed appends idempotent by dynamically overwriting one
-    batch partition; readers ignore the partition column."""
+    batch partition; readers ignore the partition column.  An empty
+    corpus is rejected: a partitioned write of zero rows leaves no
+    schema-bearing files, so every later read of the index would die
+    on schema inference — fail here, loudly, instead."""
+    from trade_data_collection_service_spark.streaming.pipeline import _rm
+
+    spark = docs.sparkSession
     ex = exploded_shingles(docs).withColumn("batch", F.lit("base"))
+    if ex.isEmpty():
+        raise ValueError(
+            "write_neardup_index: corpus produced no shingles — an"
+            " empty index cannot be materialized (or read back)"
+        )
+    # a fresh build supersedes any crashed-compaction stage; clear it
+    # so a later recover cannot clobber the new table with old data
+    for t in ("shingles", "bands", "counts"):
+        _rm(spark, f"{path}/{t}.stage")
     ex.write.partitionBy("batch").mode("overwrite").parquet(
         f"{path}/shingles"
     )
@@ -470,6 +544,8 @@ def incremental_neardup_pairs(
     verified cross pairs; batch-parity is pytest-proven against
     ``minhash_lsh_pairs`` on the combined corpus."""
     spark = new_docs.sparkSession
+    for t in ("shingles", "bands", "counts"):
+        _recover_compaction(spark, f"{path}/{t}")
     ex_new = exploded_shingles(new_docs).localCheckpoint(eager=False)
     sig_new = minhash_signatures(new_docs, ex=ex_new)
     bands_new = sig_new.select(
@@ -552,7 +628,21 @@ def append_to_neardup_index(
     partition instead of appending twice — the engine's idempotent-
     sink discipline.  Without a batch_id (at-most-once delivery),
     repair accidental duplication with
-    :func:`compact_neardup_index`."""
+    :func:`compact_neardup_index`.
+
+    MIGRATION: an index written by the pre-partitioned (flat) layout
+    cannot be appended to — flat data files and ``batch=`` partition
+    directories in one root break Spark partition discovery — rebuild
+    it once with :func:`write_neardup_index` first."""
+    if batch_id is not None and str(batch_id) in _RESERVED_BATCHES:
+        raise ValueError(
+            f"batch_id {batch_id!r} is reserved (a keyed append"
+            " dynamically overwrites its own partition — this one"
+            " would wipe the stored corpus)"
+        )
+    spark = new_docs.sparkSession
+    for t in ("shingles", "bands", "counts"):
+        _recover_compaction(spark, f"{path}/{t}")
     batch = str(batch_id) if batch_id is not None else "legacy"
 
     def _write(df: DataFrame, table: str) -> None:
@@ -592,47 +682,52 @@ def compact_neardup_index(spark: SparkSession, path: str) -> None:
     rows that un-keyed (``batch_id=None``) append replays accumulate —
     which CORRUPT results, not just waste space (duplicate shingle
     postings double-count the jaccard intersection; duplicate counts
-    rows multiply output pairs) — back to the fresh-build contents:
+    rows multiply output pairs) — back to fresh-build contents:
     distinct shingle postings and band triples, one count row per doc.
     The ``OPTIMIZE FINAL`` analog for this index, sibling of
     :func:`compact_gram_index`.
 
-    Same stage-WAL publish per table: a ``_SUCCESS``-marked stage is
-    authoritative and re-published, never re-read from a possibly
-    mid-overwrite live dir; re-running after any crash converges
-    (distinct/max are idempotent)."""
-    from trade_data_collection_service_spark.streaming.pipeline import (
-        _rm,
-        table_exists,
-    )
+    Only the ``base``/``legacy`` partitions are collapsed (merged
+    into ``base``); batch-KEYED partitions are rewritten unchanged,
+    preserving their identity — collapsing them too would erase the
+    idempotence ledger, so a later replay of an already-applied
+    ``batch_id`` would re-create its partition beside the merged
+    copy of the same rows and corrupt the index exactly the way this
+    function repairs.  Keyed partitions are duplicate-free by
+    construction, so they need no collapsing.
 
-    def _collapse(table: str, df_fn) -> None:
-        src, stage = f"{path}/{table}", f"{path}/{table}.stage"
-        if not (
-            table_exists(spark, stage)
-            and table_exists(spark, stage + "/_SUCCESS")
-        ):
-            _rm(spark, stage)
-            (
-                df_fn(spark.read.parquet(src))
-                .withColumn("batch", F.lit("base"))
-                .write.partitionBy("batch")
-                .mode("overwrite")
-                .parquet(stage)
+    Crash safety is the shared stage-WAL (:func:`_staged_rewrite` +
+    recover-on-entry in every append/read/compact)."""
+
+    def _tf(collapse):
+        def tf(df):
+            hot = df.filter(F.col("batch").isin(*_RESERVED_BATCHES))
+            keyed = df.filter(~F.col("batch").isin(*_RESERVED_BATCHES))
+            base = collapse(hot.drop("batch")).withColumn(
+                "batch", F.lit("base")
             )
-        spark.read.parquet(stage).write.partitionBy("batch").mode(
-            "overwrite"
-        ).parquet(src)
-        _rm(spark, stage)
+            return base.unionByName(keyed.select(*base.columns))
 
-    _collapse("shingles", lambda df: df.select("doc_id", "sh").distinct())
-    _collapse(
-        "bands",
-        lambda df: df.select("doc_id", "band_id", "band_key").distinct(),
+        return tf
+
+    _staged_rewrite(
+        spark,
+        f"{path}/shingles",
+        _tf(lambda df: df.select("doc_id", "sh").distinct()),
     )
-    _collapse(
-        "counts",
-        lambda df: df.groupBy("doc_id").agg(F.max("n_sh").alias("n_sh")),
+    _staged_rewrite(
+        spark,
+        f"{path}/bands",
+        _tf(lambda df: df.select("doc_id", "band_id", "band_key").distinct()),
+    )
+    _staged_rewrite(
+        spark,
+        f"{path}/counts",
+        _tf(
+            lambda df: df.groupBy("doc_id").agg(
+                F.max("n_sh").alias("n_sh")
+            )
+        ),
     )
 
 
@@ -973,6 +1068,11 @@ def write_gram_index(
     ``hash_grams`` must match between the index writer and every
     reader — the stored key is whatever the batch side will join
     on."""
+    from trade_data_collection_service_spark.streaming.pipeline import _rm
+
+    # a fresh build supersedes any crashed-compaction stage; clear it
+    # so a later recover cannot clobber the new table with old data
+    _rm(docs.sparkSession, f"{path}/grams.stage")
     (
         _dup_windows(docs, k, hash_grams)
         .groupBy("gram")
@@ -988,7 +1088,12 @@ def append_to_gram_index(
     """Grow a stored gram index incrementally: append the new batch's
     census rows.  The existing rows are never re-read or rewritten —
     per batch the cost is the batch's own census (the same
-    frozen-at-rest contract as ``append_to_ivf_index``)."""
+    frozen-at-rest contract as ``append_to_ivf_index``).  Replays are
+    harmless HERE (the reader tests gram existence only), unlike the
+    near-dup index — but the append still recovers a crashed
+    compaction first, so its rows cannot land in a table a later
+    stage-replay would overwrite."""
+    _recover_compaction(new_docs.sparkSession, f"{path}/grams")
     (
         _dup_windows(new_docs, k, hash_grams)
         .groupBy("gram")
@@ -1007,36 +1112,16 @@ def compact_gram_index(spark: SparkSession, path: str) -> None:
     are unaffected; the win is at-rest size and per-batch semi-join
     input after many appends.
 
-    Publish protocol is the stage WAL of streaming.pipeline: the
-    census is re-aggregated (map-side combined groupBy-sum) into a
-    sibling ``.stage`` directory, published into the live path, then
-    the stage is removed.  Re-running compact after ANY crash is
-    safe: a stage without ``_SUCCESS`` means the live dir was never
-    touched — the partial stage is discarded and rebuilt; a
-    ``_SUCCESS``-marked stage is the authoritative census (the live
-    dir may be mid-overwrite, so it is re-published from the stage,
-    NEVER re-read)."""
-    from trade_data_collection_service_spark.streaming.pipeline import (
-        _rm,
-        table_exists,
+    Crash safety is the shared stage-WAL (:func:`_staged_rewrite`):
+    recover any prior crash, stage the re-aggregated census (map-side
+    combined groupBy-sum), publish, retire the stage.  Every append
+    and incremental read also recovers on entry, so a crashed publish
+    is repaired before new rows land or results are read."""
+    _staged_rewrite(
+        spark,
+        f"{path}/grams",
+        lambda df: df.groupBy("gram").agg(F.sum("n_occ").alias("n_occ")),
     )
-
-    src = f"{path}/grams"
-    stage = f"{path}/grams.stage"
-    if not (
-        table_exists(spark, stage)
-        and table_exists(spark, stage + "/_SUCCESS")
-    ):
-        _rm(spark, stage)
-        (
-            spark.read.parquet(src)
-            .groupBy("gram")
-            .agg(F.sum("n_occ").alias("n_occ"))
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-    spark.read.parquet(stage).write.mode("overwrite").parquet(src)
-    _rm(spark, stage)
 
 
 def incremental_duplicate_spans(
@@ -1063,6 +1148,7 @@ def incremental_duplicate_spans(
 
     Same output contract as ``duplicate_spans``."""
     spark = new_docs.sparkSession
+    _recover_compaction(spark, f"{path}/grams")
     wins = _dup_windows(new_docs, k, hash_grams).localCheckpoint(
         eager=False
     )
@@ -1099,6 +1185,7 @@ def incremental_dedup_passages(
     detect path's semi-join).  Both joins are equi on gram:
     broadcastable when small, AQE-skew-splittable when not."""
     spark = new_docs.sparkSession
+    _recover_compaction(spark, f"{path}/grams")
     wins = _dup_windows(new_docs, k, hash_grams).localCheckpoint(
         eager=False
     )
