@@ -896,3 +896,151 @@ def test_append_after_crashed_compact_recovers_first(spark, tmp_path):
         .collect()
     ]
     assert got == want and got
+
+def test_reader_is_pure_and_crash_aware(spark, tmp_path):
+    """Incremental readers must never write (a reader that 'repairs'
+    stages can destroy a HEALTHY in-progress compaction's stage) yet
+    must still survive a crashed publish: an unmarked stage is left
+    untouched and ignored; a _SUCCESS-marked stage is READ as the
+    authoritative table — without republishing it."""
+    import os
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_gram_index,
+        incremental_duplicate_spans,
+        write_gram_index,
+    )
+
+    rows = [
+        (1, "shared boiler block aa bb"),
+        (2, "shared boiler block cc dd"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "idx")
+    write_gram_index(docs.filter("doc_id = 1"), path, k=3)
+    append_to_gram_index(docs.filter("doc_id = 2"), path, k=3)
+    probe = spark.createDataFrame(
+        [(10, "shared boiler block zz")], ["doc_id", "text"]
+    )
+    want = [
+        tuple(r)
+        for r in incremental_duplicate_spans(probe, path, k=3).collect()
+    ]
+    assert want
+
+    # 1) unmarked stage = a compaction in progress (or a discarded
+    # partial): the reader must not delete it and must read live
+    os.makedirs(f"{path}/grams.stage")
+    with open(f"{path}/grams.stage/part-inflight.parquet", "w") as fh:
+        fh.write("not yet committed")
+    got = [
+        tuple(r)
+        for r in incremental_duplicate_spans(probe, path, k=3).collect()
+    ]
+    assert got == want
+    assert os.path.exists(f"{path}/grams.stage/part-inflight.parquet")
+    os.remove(f"{path}/grams.stage/part-inflight.parquet")
+    os.rmdir(f"{path}/grams.stage")
+
+    # 2) _SUCCESS-marked stage + damaged live = crashed publish: the
+    # reader answers from the stage and leaves BOTH dirs untouched
+    (
+        spark.read.parquet(f"{path}/grams")
+        .groupBy("gram")
+        .agg(F.sum("n_occ").alias("n_occ"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/grams.stage")
+    )
+    assert os.path.exists(f"{path}/grams.stage/_SUCCESS")
+    removed = None
+    for f in os.listdir(f"{path}/grams"):
+        if f.endswith(".parquet"):
+            os.remove(f"{path}/grams/{f}")
+            removed = f
+            break
+    assert removed is not None
+    got = [
+        tuple(r)
+        for r in incremental_duplicate_spans(probe, path, k=3).collect()
+    ]
+    assert got == want
+    # pure read: the stage is still there, the live dir still damaged
+    assert os.path.exists(f"{path}/grams.stage/_SUCCESS")
+    assert not os.path.exists(f"{path}/grams/{removed}")
+
+
+def test_empty_batch_id_rejected(spark, sf_dir, tmp_path):
+    """batch_id='' writes the null partition
+    (__HIVE_DEFAULT_PARTITION__), which compaction's batch filters
+    cannot address — its rows would silently vanish on the next
+    compact.  Must raise at append time."""
+    import pytest
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_neardup_index,
+        documents_neardup,
+        write_neardup_index,
+    )
+
+    corpus = documents_neardup(spark, sf_dir).limit(20)
+    path = str(tmp_path / "idx")
+    write_neardup_index(corpus, path)
+    for bad in ("", "   "):
+        with pytest.raises(ValueError, match="empty"):
+            append_to_neardup_index(corpus, path, batch_id=bad)
+
+
+def test_compact_repairs_cross_partition_duplication(
+    spark, sf_dir, tmp_path
+):
+    """Duplicates that SPAN partitions (same docs appended un-keyed,
+    then re-delivered with a batch_id) corrupt results exactly like
+    un-keyed replays; compaction must repair ACROSS partitions with
+    keyed precedence — while keeping the keyed partition's identity so
+    its batch_id replay stays idempotent afterwards."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_neardup_index,
+        compact_neardup_index,
+        documents_neardup,
+        incremental_neardup_pairs,
+        write_neardup_index,
+    )
+
+    corpus = documents_neardup(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = corpus.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "idx")
+    write_neardup_index(stored.filter("doc_id % 2 = 0"), path)
+    tail = stored.filter("doc_id % 2 = 1")
+    append_to_neardup_index(tail, path, batch_id=7)
+    want = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    assert want
+    # the cross-partition duplication: the SAME tail re-delivered
+    # un-keyed (e.g. a pre-migration producer) — rows now exist in
+    # both batch=7 and batch=legacy
+    append_to_neardup_index(tail, path)
+    try:
+        got_dup = sorted(
+            tuple(r)
+            for r in incremental_neardup_pairs(batch, path).collect()
+        )
+        assert got_dup != want  # the duplication corrupts, demonstrably
+    except AssertionError:
+        raise
+    except Exception as e:
+        assert "DIVIDE_BY_ZERO" in str(e), e
+    compact_neardup_index(spark, path)
+    got = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    assert got == want
+    # keyed precedence kept the ledger: batch=7 survives compaction,
+    # so replaying it still overwrites instead of duplicating
+    assert (tmp_path / "idx" / "shingles" / "batch=7").exists()
+    append_to_neardup_index(tail, path, batch_id=7)
+    got2 = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    assert got2 == want

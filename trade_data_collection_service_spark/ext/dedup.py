@@ -402,19 +402,49 @@ def simhash_near_pairs(
 _RESERVED_BATCHES = ("base", "legacy")
 
 
+def _publish(df: DataFrame, dest: str) -> None:
+    """The ONE overwrite-write used by stage creation, stage publish,
+    and crash recovery (preserving the ``batch`` partition layout when
+    present) — a single code path so the three sites cannot silently
+    diverge."""
+    w = df.write.mode("overwrite")
+    if "batch" in df.columns:
+        w = w.partitionBy("batch")
+    w.parquet(dest)
+
+
+def _retire_stage(spark: SparkSession, stage: str) -> None:
+    """Delete a stage marker-FIRST: the recursive directory delete is
+    not atomic, so removing ``_SUCCESS`` (a single-file, near-atomic
+    delete) before the directory guarantees a crash mid-retire leaves
+    an UNMARKED partial — discarded by the next maintenance op — and
+    never a marked-but-truncated stage that recovery would publish
+    over a healthy live table."""
+    from trade_data_collection_service_spark.streaming.pipeline import _rm
+
+    _rm(spark, stage + "/_SUCCESS")
+    _rm(spark, stage)
+
+
 def _recover_compaction(spark: SparkSession, src: str) -> None:
     """Roll a crashed compaction forward BEFORE touching ``src`` (the
     streaming pipeline's recover-on-entry discipline): a
     ``_SUCCESS``-marked ``.stage`` sibling is the authoritative
     compacted table — the live dir may be mid-overwrite — so it is
     republished, never re-derived from the possibly-damaged live dir;
-    a stage without the marker is a discarded partial.  Every append,
-    compact, and incremental read calls this first, which closes the
-    data-loss window where rows appended AFTER a crashed publish
-    would be destroyed by a LATER replay of the stale stage: repair
-    always happens before new rows land or old rows are read."""
+    a stage without the marker is a discarded partial.  Every append
+    and compact calls this first, which closes the data-loss window
+    where rows appended AFTER a crashed publish would be destroyed by
+    a LATER replay of the stale stage: repair always happens before
+    new rows land.
+
+    MAINTENANCE IS SINGLE-MAINTAINER BY CONTRACT: this function
+    deletes/republishes stages, so two concurrent maintenance ops
+    (append/compact) on one index are unsupported — there is no
+    filesystem lock to serialize them.  READERS never call this; they
+    use :func:`_authoritative` (pure read) precisely so a concurrent
+    read cannot destroy a healthy in-progress compaction's stage."""
     from trade_data_collection_service_spark.streaming.pipeline import (
-        _rm,
         table_exists,
     )
 
@@ -422,12 +452,32 @@ def _recover_compaction(spark: SparkSession, src: str) -> None:
     if not table_exists(spark, stage):
         return
     if table_exists(spark, stage + "/_SUCCESS"):
-        df = spark.read.parquet(stage)
-        w = df.write.mode("overwrite")
-        if "batch" in df.columns:
-            w = w.partitionBy("batch")
-        w.parquet(src)
-    _rm(spark, stage)
+        _publish(spark.read.parquet(stage), src)
+    _retire_stage(spark, stage)
+
+
+def _authoritative(spark: SparkSession, src: str) -> DataFrame:
+    """READ-ONLY crash awareness for the incremental readers: when a
+    ``_SUCCESS``-marked compaction stage exists, the stage IS the
+    authoritative table (the live dir may be mid-overwrite from the
+    crashed publish), so read it; otherwise read live.  Never deletes
+    or republishes anything — a reader that "repaired" stages would
+    destroy the stage of a HEALTHY compaction running concurrently.
+    Repair stays with the single-maintainer ops
+    (:func:`_recover_compaction`); reads are safe to run anytime.
+
+    (As with any directory-of-parquet layout, a read plan executed
+    WHILE a maintenance op rewrites the files underneath can fail —
+    the stage protocol closes the crashed-state window, it does not
+    add snapshot isolation.)"""
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        table_exists,
+    )
+
+    stage = src + ".stage"
+    if table_exists(spark, stage + "/_SUCCESS"):
+        return spark.read.parquet(stage)
+    return spark.read.parquet(src)
 
 
 def _staged_rewrite(spark: SparkSession, src: str, transform) -> None:
@@ -437,21 +487,11 @@ def _staged_rewrite(spark: SparkSession, src: str, transform) -> None:
     ``_SUCCESS`` marker), publish the stage over the live dir, retire
     the stage.  A crash at any point converges on re-run or on the
     next recovering operation."""
-    from trade_data_collection_service_spark.streaming.pipeline import _rm
-
     _recover_compaction(spark, src)
     stage = src + ".stage"
-    staged = transform(spark.read.parquet(src))
-    w = staged.write.mode("overwrite")
-    if "batch" in staged.columns:
-        w = w.partitionBy("batch")
-    w.parquet(stage)
-    out = spark.read.parquet(stage)
-    w2 = out.write.mode("overwrite")
-    if "batch" in out.columns:
-        w2 = w2.partitionBy("batch")
-    w2.parquet(src)
-    _rm(spark, stage)
+    _publish(transform(spark.read.parquet(src)), stage)
+    _publish(spark.read.parquet(stage), src)
+    _retire_stage(spark, stage)
 
 
 def write_neardup_index(docs: DataFrame, path: str) -> None:
@@ -468,7 +508,9 @@ def write_neardup_index(docs: DataFrame, path: str) -> None:
     At rest this is O(corpus shingle digests) — no text, no arrays —
     and each piece is exactly the intermediate the batch job already
     computes, so index maintenance after a batch merge is an append
-    of the new batch's rows to the three tables.
+    of the new batch's rows to the three tables.  (Index maintenance
+    — build/append/compact — is single-maintainer by contract; see
+    :func:`_recover_compaction`.)
 
     All three tables are laid out ``partitionBy(batch)`` (the base
     build is ``batch=base``) so :func:`append_to_neardup_index` can
@@ -477,8 +519,6 @@ def write_neardup_index(docs: DataFrame, path: str) -> None:
     corpus is rejected: a partitioned write of zero rows leaves no
     schema-bearing files, so every later read of the index would die
     on schema inference — fail here, loudly, instead."""
-    from trade_data_collection_service_spark.streaming.pipeline import _rm
-
     spark = docs.sparkSession
     ex = exploded_shingles(docs).withColumn("batch", F.lit("base"))
     if ex.isEmpty():
@@ -487,9 +527,9 @@ def write_neardup_index(docs: DataFrame, path: str) -> None:
             " empty index cannot be materialized (or read back)"
         )
     # a fresh build supersedes any crashed-compaction stage; clear it
-    # so a later recover cannot clobber the new table with old data
+    # (marker-first) so a later recover cannot clobber the new table
     for t in ("shingles", "bands", "counts"):
-        _rm(spark, f"{path}/{t}.stage")
+        _retire_stage(spark, f"{path}/{t}.stage")
     ex.write.partitionBy("batch").mode("overwrite").parquet(
         f"{path}/shingles"
     )
@@ -544,8 +584,6 @@ def incremental_neardup_pairs(
     verified cross pairs; batch-parity is pytest-proven against
     ``minhash_lsh_pairs`` on the combined corpus."""
     spark = new_docs.sparkSession
-    for t in ("shingles", "bands", "counts"):
-        _recover_compaction(spark, f"{path}/{t}")
     ex_new = exploded_shingles(new_docs).localCheckpoint(eager=False)
     sig_new = minhash_signatures(new_docs, ex=ex_new)
     bands_new = sig_new.select(
@@ -562,7 +600,7 @@ def incremental_neardup_pairs(
     ).select(
         F.col("doc_id").alias("new_id"), "band.band_id", "band.band_key"
     )
-    stored_bands = spark.read.parquet(f"{path}/bands")
+    stored_bands = _authoritative(spark, f"{path}/bands")
     small = (
         stored_bands.groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("n_bucket"))
@@ -577,7 +615,7 @@ def incremental_neardup_pairs(
         .select("new_id", "stored_id")
         .distinct()
     )
-    stored_sh = spark.read.parquet(f"{path}/shingles").select(
+    stored_sh = _authoritative(spark, f"{path}/shingles").select(
         F.col("doc_id").alias("stored_id"), "sh"
     )
     inter = (
@@ -588,7 +626,7 @@ def incremental_neardup_pairs(
         .groupBy("new_id", "stored_id")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    stored_counts = spark.read.parquet(f"{path}/counts").select(
+    stored_counts = _authoritative(spark, f"{path}/counts").select(
         F.col("doc_id").alias("stored_id"), F.col("n_sh").alias("nb")
     )
     new_counts = sig_new.select(
@@ -634,12 +672,22 @@ def append_to_neardup_index(
     cannot be appended to — flat data files and ``batch=`` partition
     directories in one root break Spark partition discovery — rebuild
     it once with :func:`write_neardup_index` first."""
-    if batch_id is not None and str(batch_id) in _RESERVED_BATCHES:
-        raise ValueError(
-            f"batch_id {batch_id!r} is reserved (a keyed append"
-            " dynamically overwrites its own partition — this one"
-            " would wipe the stored corpus)"
-        )
+    if batch_id is not None:
+        b = str(batch_id)
+        if b in _RESERVED_BATCHES:
+            raise ValueError(
+                f"batch_id {batch_id!r} is reserved (a keyed append"
+                " dynamically overwrites its own partition — this one"
+                " would wipe the stored corpus)"
+            )
+        if not b.strip():
+            raise ValueError(
+                f"batch_id {batch_id!r} is empty/whitespace: Spark"
+                " writes it as the null partition"
+                " (__HIVE_DEFAULT_PARTITION__), which compaction's"
+                " batch filters cannot see — its rows would be"
+                " silently dropped on the next compact"
+            )
     spark = new_docs.sparkSession
     for t in ("shingles", "bands", "counts"):
         _recover_compaction(spark, f"{path}/{t}")
@@ -687,46 +735,68 @@ def compact_neardup_index(spark: SparkSession, path: str) -> None:
     The ``OPTIMIZE FINAL`` analog for this index, sibling of
     :func:`compact_gram_index`.
 
-    Only the ``base``/``legacy`` partitions are collapsed (merged
-    into ``base``); batch-KEYED partitions are rewritten unchanged,
-    preserving their identity — collapsing them too would erase the
-    idempotence ledger, so a later replay of an already-applied
-    ``batch_id`` would re-create its partition beside the merged
-    copy of the same rows and corrupt the index exactly the way this
-    function repairs.  Keyed partitions are duplicate-free by
-    construction, so they need no collapsing.
-
     Crash safety is the shared stage-WAL (:func:`_staged_rewrite` +
-    recover-on-entry in every append/read/compact)."""
+    recover-on-entry in every append/compact; readers are pure and
+    read the ``_SUCCESS``-marked stage directly when one exists).
 
-    def _tf(collapse):
+    Cross-partition repair (r9 review finding): duplicates that SPAN
+    partitions — the same doc appended un-keyed (``legacy``) and
+    later re-delivered with a ``batch_id``, or under two different
+    batch_ids — corrupt results exactly like intra-partition replays,
+    so compaction resolves every key to ONE row with keyed-partition
+    precedence: a row keeps its keyed partition (the idempotence
+    ledger — a later replay of that batch_id still overwrites its own
+    partition, which contains exactly its rows) and the base/legacy
+    copy is dropped; among keyed duplicates the lexicographically
+    smallest batch wins (deterministic).  Replaying a batch whose
+    rows compaction moved AWAY from another keyed partition can
+    re-create that duplication — re-compact after replaying
+    historically-duplicated batches."""
+
+    def _tf(key_cols, extra=(), extra_names=()):
         def tf(df):
-            hot = df.filter(F.col("batch").isin(*_RESERVED_BATCHES))
-            keyed = df.filter(~F.col("batch").isin(*_RESERVED_BATCHES))
-            base = collapse(hot.drop("batch")).withColumn(
-                "batch", F.lit("base")
+            # one map-side-combinable pass: every logical key resolves
+            # to its winning partition (keyed beats base/legacy, then
+            # lexicographically smallest batch).  Reserved winners merge
+            # into `base`; keyed winners keep their partition identity.
+            # a NULL batch (pre-guard empty-string batch_id appends)
+            # counts as reserved so its rows merge into `base` instead
+            # of riding undefined null-struct ordering
+            reserved = (
+                F.col("batch").isin(*_RESERVED_BATCHES)
+                | F.col("batch").isNull()
             )
-            return base.unionByName(keyed.select(*base.columns))
+            win = F.min(
+                F.struct(
+                    reserved.cast("int").alias("p"),
+                    F.coalesce(F.col("batch"), F.lit("legacy")).alias("b"),
+                )
+            ).alias("__w")
+            return (
+                df.groupBy(*key_cols)
+                .agg(win, *extra)
+                .select(
+                    *key_cols,
+                    *extra_names,
+                    F.when(F.col("__w.p") == 1, F.lit("base"))
+                    .otherwise(F.col("__w.b"))
+                    .alias("batch"),
+                )
+            )
 
         return tf
 
+    _staged_rewrite(spark, f"{path}/shingles", _tf(["doc_id", "sh"]))
     _staged_rewrite(
-        spark,
-        f"{path}/shingles",
-        _tf(lambda df: df.select("doc_id", "sh").distinct()),
-    )
-    _staged_rewrite(
-        spark,
-        f"{path}/bands",
-        _tf(lambda df: df.select("doc_id", "band_id", "band_key").distinct()),
+        spark, f"{path}/bands", _tf(["doc_id", "band_id", "band_key"])
     )
     _staged_rewrite(
         spark,
         f"{path}/counts",
         _tf(
-            lambda df: df.groupBy("doc_id").agg(
-                F.max("n_sh").alias("n_sh")
-            )
+            ["doc_id"],
+            extra=[F.max("n_sh").alias("n_sh")],
+            extra_names=["n_sh"],
         ),
     )
 
@@ -1068,11 +1138,9 @@ def write_gram_index(
     ``hash_grams`` must match between the index writer and every
     reader — the stored key is whatever the batch side will join
     on."""
-    from trade_data_collection_service_spark.streaming.pipeline import _rm
-
     # a fresh build supersedes any crashed-compaction stage; clear it
-    # so a later recover cannot clobber the new table with old data
-    _rm(docs.sparkSession, f"{path}/grams.stage")
+    # (marker-first) so a later recover cannot clobber the new table
+    _retire_stage(docs.sparkSession, f"{path}/grams.stage")
     (
         _dup_windows(docs, k, hash_grams)
         .groupBy("gram")
@@ -1115,8 +1183,9 @@ def compact_gram_index(spark: SparkSession, path: str) -> None:
     Crash safety is the shared stage-WAL (:func:`_staged_rewrite`):
     recover any prior crash, stage the re-aggregated census (map-side
     combined groupBy-sum), publish, retire the stage.  Every append
-    and incremental read also recovers on entry, so a crashed publish
-    is repaired before new rows land or results are read."""
+    also recovers on entry, so a crashed publish is repaired before
+    new rows land; incremental reads are pure (they read the
+    ``_SUCCESS``-marked stage directly when one exists)."""
     _staged_rewrite(
         spark,
         f"{path}/grams",
@@ -1148,7 +1217,6 @@ def incremental_duplicate_spans(
 
     Same output contract as ``duplicate_spans``."""
     spark = new_docs.sparkSession
-    _recover_compaction(spark, f"{path}/grams")
     wins = _dup_windows(new_docs, k, hash_grams).localCheckpoint(
         eager=False
     )
@@ -1158,7 +1226,7 @@ def incremental_duplicate_spans(
         .filter(F.col("__n") >= 2)
         .select("gram")
     )
-    stored = spark.read.parquet(f"{path}/grams").select("gram")
+    stored = _authoritative(spark, f"{path}/grams").select("gram")
     hits = wins.join(
         batch_dup.unionByName(stored), "gram", "left_semi"
     ).select("doc_id", "start")
@@ -1185,7 +1253,6 @@ def incremental_dedup_passages(
     detect path's semi-join).  Both joins are equi on gram:
     broadcastable when small, AQE-skew-splittable when not."""
     spark = new_docs.sparkSession
-    _recover_compaction(spark, f"{path}/grams")
     wins = _dup_windows(new_docs, k, hash_grams).localCheckpoint(
         eager=False
     )
@@ -1193,7 +1260,7 @@ def incremental_dedup_passages(
         F.count(F.lit(1)).alias("__n"),
         F.min(F.struct("doc_id", "start")).alias("__first"),
     )
-    stored = spark.read.parquet(f"{path}/grams").select("gram").distinct()
+    stored = _authoritative(spark, f"{path}/grams").select("gram").distinct()
     hits = (
         wins.join(census, "gram")
         .join(stored.withColumn("__seen", F.lit(1)), "gram", "left")
