@@ -504,6 +504,41 @@ def run_bpe_train(spark, n_merges: int = 500, batch: int = 32) -> dict:
     }
 
 
+def run_bpe_encode(spark, sf_dir: str, n_merges: int = 64) -> dict:
+    """Tokenizer-APPLY envelope (r9): train a small fast-mode rule set
+    on the documents table, then encode the same table with
+    ``encode_corpus`` — the corpus-scale apply side (distinct-word
+    segmentation + one positioned join back).  Only the encode is in
+    the timed window; tokens/sec is the deployment figure (the token
+    budget of a curation pipeline is enforced with exactly this
+    pass)."""
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.ext.bpe import (
+        encode_corpus,
+        train_bpe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges, _ = train_bpe(docs, n_merges=n_merges, exact=False)
+    t0 = time.perf_counter()
+    n_docs, n_tokens = (
+        encode_corpus(docs, merges)
+        .agg(F.count(F.lit(1)), F.sum("n_tokens"))
+        .collect()[0]
+    )
+    wall = time.perf_counter() - t0
+    return {
+        "merges": len(merges),
+        "docs": int(n_docs),
+        "tokens": int(n_tokens),
+        "wall_sec": round(wall, 2),
+        "tokens_per_sec": round(n_tokens / wall, 1),
+    }
+
+
 def _repo_root() -> str:
     return os.path.dirname(os.path.abspath(__file__))
 
@@ -812,6 +847,12 @@ def main() -> None:
             bpe = run_bpe_train(spark)
         except Exception as e:  # pragma: no cover
             print(f"bench bpe failed: {e}", file=sys.stderr)
+    bpe_enc = None
+    if os.environ.get("SPARK_GRAFT_SKIP_BPE") != "1":
+        try:
+            bpe_enc = run_bpe_encode(spark, sf_dir)
+        except Exception as e:  # pragma: no cover
+            print(f"bench bpe encode failed: {e}", file=sys.stderr)
     # Host-speed self-normalization: host_factor > 1 means this host
     # ran the fixed yardstick slower than the prior round's host, so
     # cross-round query ratios should be divided by it before being
@@ -890,6 +931,7 @@ def main() -> None:
                 "re_measured": re_measured,
                 "spans_gram_shuffle": spans_gram,
                 "bpe_train": bpe,
+                "bpe_encode": bpe_enc,
             }
         )
     )

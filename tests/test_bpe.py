@@ -241,3 +241,100 @@ def test_fast_mode_matches_exact_on_disjoint_tiers(spark):
     exact, _ = train_bpe(docs, 3, batch=16)
     assert fast == exact
     assert stats["rounds"] == 1
+
+
+def _py_encode(text: str, merges, vocab: dict[str, int]) -> list[int]:
+    """Reference encoder: per word chars+</w>, apply rules in order
+    (left-to-right non-overlapping per rule), map via vocab (-1 UNK)."""
+    ids: list[int] = []
+    for w in text.lower().split():
+        syms = list(w) + [END_WORD]
+        for a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        ids.extend(vocab.get(s, -1) for s in syms)
+    return ids
+
+
+def test_encode_corpus_matches_reference(spark):
+    """Corpus-scale tokenizer apply: encode_corpus must equal the
+    per-doc pure-python encoder on the trained rules — ids, order,
+    empty docs, and UNK characters included."""
+    from trade_data_collection_service_spark.ext.bpe import (
+        corpus_alphabet,
+        encode_corpus,
+        token_vocab,
+    )
+
+    train_rows = [
+        (1, "low low low low low lower lower newest newest"),
+        (2, "newest newest newest newest widest widest widest"),
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    merges, _ = train_bpe(train, n_merges=8)
+    assert merges
+    vocab = token_vocab(merges, corpus_alphabet(word_vocab(train)))
+    vmap = dict(vocab)
+    # ids are deterministic and dense: 0..len-1, alphabet first
+    # (sorted), then merge outputs in merge order
+    assert sorted(vmap.values()) == list(range(len(vmap)))
+    alpha = [t for t, _ in vocab if len(t) == 1 or t == END_WORD]
+    assert alpha == sorted(alpha)
+    merged_toks = [a + b for a, b, _ in merges]
+    tail = [t for t, _ in vocab[len(alpha):]]
+    assert tail == [t for t in merged_toks if t not in set(alpha)]
+
+    enc_rows = [
+        (10, "low lower newest"),
+        (11, "widest low low"),
+        (12, ""),             # empty doc must survive with []
+        (13, None),           # NULL text likewise
+        (14, "zebra qux"),    # z/q/u/x unseen in training -> -1 UNK
+    ]
+    docs = spark.createDataFrame(enc_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in encode_corpus(docs, merges, vocab=vocab).collect()
+    }
+    assert set(got) == {10, 11, 12, 13, 14}
+    for doc_id, text in enc_rows:
+        want = _py_encode(text or "", merges, vmap)
+        assert got[doc_id] == (want, len(want)), doc_id
+    assert got[12] == ([], 0) and got[13] == ([], 0)
+    assert -1 in got[14][0]
+
+
+def test_encode_corpus_self_vocab_roundtrip(spark):
+    """Encoding the training corpus itself with its own learned vocab
+    has no UNKs, and per-doc token counts sum to the segmented-vocab
+    weighted symbol count (the same corpus mass, two routes)."""
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.ext.bpe import (
+        encode_corpus,
+    )
+
+    rows = [
+        (1, "hug hug hug pug pug hugs bun bun"),
+        (2, "pug pugs hugs hugs hug bun"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges, seg = train_bpe(docs, n_merges=6)
+    enc = encode_corpus(docs, merges)
+    assert enc.filter(F.array_contains("token_ids", -1)).count() == 0
+    total = enc.agg(F.sum("n_tokens")).collect()[0][0]
+    mass = seg.select(
+        F.sum(F.size("syms") * F.col("weight")).alias("m")
+    ).collect()[0][0]
+    assert total == mass and total > 0

@@ -335,10 +335,143 @@ def segment_words(
     used: set[str] = set()
     for a, b, _ in merges:
         if a in used or b in used or (a + b) in used:
-            symbols = _merge_pairs(symbols, group)
+            # lazy checkpoint per fold group: without it the chained
+            # folds compile into ONE Catalyst expression whose
+            # analysis/codegen cost grows superlinearly in the rule
+            # count (measured 22 s -> 7.6 s for 64 rules at sf0.1) —
+            # the trainer's per-round discipline, apply-side
+            symbols = _merge_pairs(symbols, group).localCheckpoint(
+                eager=False
+            )
             group, used = [], set()
         group.append((a, b))
         used.update((a, b, a + b))
     if group:
         symbols = _merge_pairs(symbols, group)
     return symbols
+
+
+def corpus_alphabet(vocab: DataFrame) -> list[str]:
+    """Sorted distinct base symbols (single characters + ``</w>``) of
+    a (word, weight) vocabulary — the id-0.. prefix of the token
+    vocabulary.  The collect is bounded by the alphabet size (the
+    kmeans-style scalar-collect budget), not the corpus."""
+    rows = (
+        vocab.select(F.explode(F.split("word", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted({r["ch"] for r in rows} | {END_WORD})
+
+
+def token_vocab(
+    merges: list[tuple[str, str, int]], alphabet: list[str]
+) -> list[tuple[str, int]]:
+    """Deterministic token-id assignment, tokenizer-standard: base
+    alphabet first (sorted), then each merge's output token in merge
+    order — so ids are stable across runs and the id order IS the
+    training order.  A merge output colliding with an existing token
+    keeps the first id."""
+    out: list[tuple[str, int]] = []
+    seen: set[str] = set()
+    for t in list(alphabet) + [a + b for a, b, _ in merges]:
+        if t not in seen:
+            out.append((t, len(out)))
+            seen.add(t)
+    return out
+
+
+def encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    vocab: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Tokenize a CORPUS with learned BPE merges — the apply side at
+    data scale (reference intent: the token budget every training-data
+    pipeline enforces needs real tokenizer counts, not whitespace
+    proxies).  Returns (doc_id, token_ids array<int>, n_tokens).
+
+    Scale shape — the classic distinct-word trick: segmentation cost
+    is O(DISTINCT words × disjoint rule groups) via
+    :func:`segment_words` (corpus-size-independent, like the
+    trainer's rounds); the corpus itself is touched by exactly one
+    positioned word explode, one equi-join word → token-id array
+    (AQE-splittable; the word census is Zipf-skewed but the joined
+    payload is one small array per word), and one per-doc ordered
+    flatten (``array_sort(collect_list(struct(pos, ids)))`` +
+    ``flatten`` — JVM higher-order, no UDF anywhere).  Token ids come
+    from :func:`token_vocab` (base alphabet + merge order); a symbol
+    with no id (a character the id vocabulary never saw) encodes as
+    -1, the UNK convention, rather than being silently dropped.
+
+    Docs with no words (empty/whitespace/NULL text) are preserved
+    with an empty token array — a tokenizer that drops rows corrupts
+    downstream joins.  No DuckDB oracle (rule application is the
+    trainer's non-SQL fold; SURVEY.md §5's pytest-verified class):
+    locked by a pure-python reference-encoder pytest instead."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+        .withColumn("weight", F.lit(1).cast("long"))
+    )
+    seg = segment_words(words, merges)
+    if vocab is None:
+        vocab = token_vocab(merges, corpus_alphabet(words))
+    ids_df = spark.createDataFrame(vocab, ["tok", "token_id"])
+    word_ids = (
+        seg.select("word", F.posexplode("syms").alias("pos", "tok"))
+        .join(F.broadcast(ids_df), "tok", "left")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            F.coalesce("token_id", F.lit(-1)).alias("id"),
+                        )
+                    )
+                ),
+                lambda x: x["id"],
+            ).alias("ids")
+        )
+    )
+    tok_words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "wpos", "word"
+        ),
+    ).filter(F.col("word") != "")
+    per_doc = (
+        tok_words.join(word_ids, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "ids"))),
+                    lambda x: x["ids"],
+                )
+            ).alias("token_ids")
+        )
+    )
+    empty = F.array().cast("array<int>")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("token_ids", empty).alias("token_ids")
+        )
+        .select(
+            "doc_id",
+            "token_ids",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )
+    )
