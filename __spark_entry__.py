@@ -832,6 +832,15 @@ def _q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.train_split(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_doc_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: hash key is the SOURCE, so a source's docs
+    (and the near-dups that cluster within it) land on one side
+    (ext/pipeline.py::grouped_train_split)."""
+    return XP.grouped_train_split(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def _q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.vocab_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -1279,7 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the 4 r8-new passage entries — never driver-checked, AND the
 # surface r9 changed (hot-gram guard + hashed gram keys) — then the
 # 46 entries whose last driver row was r5.  Exactly 50.  The full
-# 148-entry surface is swept locally via tools/check_oracle.py at
+# 150-entry surface is swept locally via tools/check_oracle.py at
 # sf0.01 and sf0.1 each round (docs/COVERAGE.md; r9: sweep lines
 # carry the HEAD SHA) — the window is a budget cap, not the evidence.
 _R9_WINDOW = [
@@ -1509,6 +1518,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candles_1m": _q_candles_1m,
         "dedup_latest": _q_dedup_latest,
         "rollup_5m": _q_rollup_5m,
+        # --- new in r9 (beyond-window; judge/local sweeps cover) ---
+        "doc_grouped_split": _q_doc_grouped_split,
+        "emb_ivfadc_rerank_topk": XQ.ivfadc_rerank_topk,
     }
 
 
@@ -2416,6 +2428,18 @@ def oracle_sql() -> dict[str, str]:
         FROM (
           SELECT doc_id, lang,
                  substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 2) AS p
+          FROM documents
+        )
+        ORDER BY doc_id
+        """,
+        "doc_grouped_split": """
+        SELECT doc_id, source AS grp,
+               CASE WHEN p < '0a' THEN 'test'
+                    WHEN p < '14' THEN 'val'
+                    ELSE 'train' END AS split
+        FROM (
+          SELECT doc_id, source,
+                 substr(md5('split-v1|' || CAST(source AS VARCHAR)), 1, 2) AS p
           FROM documents
         )
         ORDER BY doc_id
@@ -4760,6 +4784,32 @@ def oracle_sql() -> dict[str, str]:
     # append == rebuild == inline trained composition (pytest-proven
     # chain, see _q_emb_ivf_appended_topk) -> same DuckDB twin
     sql["emb_ivf_appended_topk"] = sql["emb_ivf_trained_topk"]
+    # ADC shortlist + exact re-rank (the FAISS refine step): wrap the
+    # ivfadc twin's ranked CTE — shortlist is its top-30, re-ranked on
+    # exact squared-L2 against the ORIGINAL vectors (str.replace, not
+    # .format: the SQL carries struct literals)
+    _RERANK_TAIL = """, shortlist AS (
+          SELECT q_id, vec_id FROM ranked WHERE rank <= 30
+        ), exact AS (
+          SELECT s.q_id, s.vec_id,
+                 round(list_sum(list_transform(list_zip(q.q_emb, n.emb),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS exact_d
+          FROM shortlist s
+          JOIN qv q USING (q_id)
+          JOIN n ON n.vec_id = s.vec_id
+        )
+        SELECT * FROM (
+          SELECT q_id, vec_id, exact_d,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY exact_d ASC, vec_id ASC) AS BIGINT) AS rank
+          FROM exact)
+        WHERE rank <= 10
+        ORDER BY q_id, rank
+        """
+    sql["emb_ivfadc_rerank_topk"] = sql["emb_ivfadc_topk"].replace(
+        "SELECT * FROM ranked WHERE rank <= 10", _RERANK_TAIL
+    )
+    assert "exact_d" in sql["emb_ivfadc_rerank_topk"]  # replace landed
     # funnel conversion summary wraps the funnel oracle verbatim so
     # the two can never disagree on chain semantics
     sql["event_funnel_rates"] = (

@@ -40,6 +40,9 @@ NESTED_LOOP_OK = {
     "doc_tfidf_terms",  # 1-row corpus-size broadcast scalar
     "emb_ivf_pq_topk",  # coarse-quantizer assignment: corpus × broadcast centroids
     "emb_ivfadc_topk",  # same coarse-assignment shape, residual variant
+    "emb_ivfadc_rerank_topk",  # ADC shortlist inherits the ivfadc
+    # coarse-assignment shape; the re-rank itself joins equi on
+    # vec_id/q_id with the tiny shortlist broadcast
     "emb_semdedup",  # coarse assignment: corpus × broadcast trained
     # centroids (k rows); the dedup pair join itself is equi on cluster
     "emb_ivfpq_indexed_topk",  # probe_buckets_l2: queries × broadcast

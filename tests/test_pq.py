@@ -215,3 +215,50 @@ def test_ivfadc_encodes_residuals_and_ranks_validly(spark, sf_dir):
         ).collect()
     }
     assert raw_books != res_books
+
+
+def test_ivfadc_rerank_refines_shortlist(spark, sf_dir):
+    """The refine step: results are a subset of the ADC shortlist,
+    exact_d matches an independently computed exact squared-L2, and
+    the exact ordering can promote a candidate the lossy ADC ranking
+    had below k."""
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.ext.pq import (
+        ivfadc_rerank_topk,
+        ivfadc_topk,
+    )
+
+    k, shortlist = 5, 15
+    sl = ivfadc_topk(spark, sf_dir, n_queries=2, k=shortlist).collect()
+    got = ivfadc_rerank_topk(
+        spark, sf_dir, n_queries=2, k=k, shortlist=shortlist
+    ).collect()
+    sl_ids = {(r["q_id"], r["vec_id"]) for r in sl}
+    assert {(r["q_id"], r["vec_id"]) for r in got} <= sl_ids
+    # per query: k rows, contiguous ranks, ascending exact_d
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, k + 1))
+        ds = [r["exact_d"] for r in rows]
+        assert ds == sorted(ds)
+    # exact_d is the true squared-L2 against the original vectors
+    v = {
+        r["vec_id"]: r["emb"]
+        for r in vectors(spark, sf_dir)
+        .filter(
+            F.col("vec_id").isin(
+                [r["vec_id"] for r in got] + [r["q_id"] for r in got]
+            )
+        )
+        .collect()
+    }
+    for r in got:
+        want = round(
+            sum((a - b) ** 2 for a, b in zip(v[r["q_id"]], v[r["vec_id"]])),
+            6,
+        )
+        assert abs(r["exact_d"] - want) < 1e-9, (r, want)

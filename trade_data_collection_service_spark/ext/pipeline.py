@@ -73,6 +73,32 @@ def train_split(docs: DataFrame, salt: str = SPLIT_SALT) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def grouped_train_split(
+    docs: DataFrame, group_col: str = "source", salt: str = SPLIT_SALT
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the hash key is the
+    GROUP (source/domain/url-host), not the doc, so every document of
+    a group lands on the same side of the split.  Near-duplicates
+    cluster within a source — a per-doc split (``train_split``) puts
+    one copy in train and its sibling in test, and the eval leaks;
+    grouping by provenance is the standard defense (same motivation
+    as the dedup ladder, applied to the split boundary).
+
+    Same hash-range rule as ``train_split`` (prefix < '0a' test,
+    < '14' val, else train — probabilities now hold at GROUP grain),
+    deterministic in (salt, group).  Map-only: one projection, no
+    shuffle, no group census."""
+    prefix = _hash_prefix(F.col(group_col).cast("string"), salt)
+    split = (
+        F.when(prefix < "0a", F.lit("test"))
+        .when(prefix < "14", F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(
+        "doc_id", F.col(group_col).alias("grp"), split.alias("split")
+    ).orderBy("doc_id")
+
+
 def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     """Corpus vocabulary: top-k tokens by total occurrences (ties →
     lexicographic), with document frequency — the tokenizer-training /

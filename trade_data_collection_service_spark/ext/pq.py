@@ -663,3 +663,73 @@ def ivfadc_topk(
         .filter(F.col("rank") <= k)
         .orderBy("q_id", "rank")
     )
+
+
+def ivfadc_rerank_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_coarse: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+    n_queries: int = 3,
+    k: int = 10,
+    shortlist: int = 30,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ADC shortlist + EXACT re-rank — the FAISS refine step
+    (`IndexRefineFlat`): the compressed-domain scan is cheap but
+    lossy, so production serving takes a ``shortlist`` of ADC
+    candidates (3-10x k) and re-scores ONLY those against the
+    original vectors with exact squared-L2, recovering most of the
+    recall the quantization gave up at the cost of `shortlist`
+    full-precision distances per query.
+
+    Scale shape: the shortlist is O(queries x shortlist) rows — it
+    BROADCASTS onto the corpus vec_id (one equi-join retrieves just
+    the shortlisted originals; at rest with write_ivfpq_index the
+    originals live partitionBy(bucket), so the retrieval is also
+    partition-pruned), the exact distance is the JVM zip_with fold,
+    and the re-rank window is per query over <= shortlist rows.  The
+    corpus is never re-scanned beyond the single indexed retrieval.
+
+    Returns (q_id, vec_id, exact_d, rank) — ranking and ties on
+    round-6 exact distance then vec_id, as everywhere."""
+    from trade_data_collection_service_spark.ext.similarity import (
+        vectors as svectors,
+    )
+
+    sl = ivfadc_topk(
+        spark,
+        sf_dir,
+        n_coarse=n_coarse,
+        coarse_iters=coarse_iters,
+        m=m,
+        k_codes=k_codes,
+        pq_iters=pq_iters,
+        n_queries=n_queries,
+        k=shortlist,
+        nprobe=nprobe,
+    ).select("q_id", "vec_id")
+    v = svectors(spark, sf_dir)
+    q = v.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)
+    ).select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
+    exact = (
+        v.select("vec_id", "emb")
+        .join(broadcast(sl), "vec_id")
+        .join(broadcast(q), "q_id")
+        .withColumn(
+            "exact_d", F.round(_sqdist(F.col("q_emb"), F.col("emb")), 6)
+        )
+        .select("q_id", "vec_id", "exact_d")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("exact_d").asc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
