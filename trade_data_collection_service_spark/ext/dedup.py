@@ -567,6 +567,7 @@ def incremental_neardup_pairs(
     path: str,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    exclude_batch: str | int | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against a STORED corpus index (the
     ingestion-time operation every curation pipeline needs): compute
@@ -582,8 +583,26 @@ def incremental_neardup_pairs(
     job's viral-boilerplate guard, applied to the stored side where
     the blowup lives).  Returns (new_id, stored_id, jaccard) for
     verified cross pairs; batch-parity is pytest-proven against
-    ``minhash_lsh_pairs`` on the combined corpus."""
+    ``minhash_lsh_pairs`` on the combined corpus.
+
+    ``exclude_batch`` drops the index partition with that batch id
+    from the stored side — REQUIRED when re-running a batch whose own
+    accepted rows may already be in the index (a crash-replay between
+    the index append and the downstream write): without it every doc
+    matches ITSELF in the index and the replay silently discards the
+    whole batch (streaming/doc_ingest.py wires this)."""
     spark = new_docs.sparkSession
+
+    def _stored(table: str) -> DataFrame:
+        df = _authoritative(spark, f"{path}/{table}")
+        if exclude_batch is not None:
+            # null-safe: a stray NULL batch partition must stay on the
+            # stored side, not vanish through three-valued logic
+            df = df.filter(
+                ~F.col("batch").eqNullSafe(str(exclude_batch))
+            )
+        return df
+
     ex_new = exploded_shingles(new_docs).localCheckpoint(eager=False)
     sig_new = minhash_signatures(new_docs, ex=ex_new)
     bands_new = sig_new.select(
@@ -600,7 +619,7 @@ def incremental_neardup_pairs(
     ).select(
         F.col("doc_id").alias("new_id"), "band.band_id", "band.band_key"
     )
-    stored_bands = _authoritative(spark, f"{path}/bands")
+    stored_bands = _stored("bands")
     small = (
         stored_bands.groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("n_bucket"))
@@ -615,7 +634,7 @@ def incremental_neardup_pairs(
         .select("new_id", "stored_id")
         .distinct()
     )
-    stored_sh = _authoritative(spark, f"{path}/shingles").select(
+    stored_sh = _stored("shingles").select(
         F.col("doc_id").alias("stored_id"), "sh"
     )
     inter = (
@@ -626,7 +645,7 @@ def incremental_neardup_pairs(
         .groupBy("new_id", "stored_id")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    stored_counts = _authoritative(spark, f"{path}/counts").select(
+    stored_counts = _stored("counts").select(
         F.col("doc_id").alias("stored_id"), F.col("n_sh").alias("nb")
     )
     new_counts = sig_new.select(
