@@ -1044,3 +1044,23 @@ def test_compact_repairs_cross_partition_duplication(
         tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
     )
     assert got2 == want
+
+
+def test_reserved_exclude_batch_rejected(spark, sf_dir, tmp_path):
+    """exclude_batch='base'/'legacy'/'' would hide the seed corpus
+    (or all un-keyed appends) from the dedup — reject like the write
+    side does, before any accept decision is computed."""
+    import pytest
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        documents_neardup,
+        incremental_neardup_pairs,
+        write_neardup_index,
+    )
+
+    corpus = documents_neardup(spark, sf_dir).limit(20)
+    path = str(tmp_path / "idx")
+    write_neardup_index(corpus, path)
+    for bad in ("base", "legacy", "", "  "):
+        with pytest.raises(ValueError, match="reserved|empty"):
+            incremental_neardup_pairs(corpus, path, exclude_batch=bad)

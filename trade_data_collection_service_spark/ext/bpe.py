@@ -401,10 +401,17 @@ def encode_corpus(
     (AQE-splittable; the word census is Zipf-skewed but the joined
     payload is one small array per word), and one per-doc ordered
     flatten (``array_sort(collect_list(struct(pos, ids)))`` +
-    ``flatten`` — JVM higher-order, no UDF anywhere).  Token ids come
-    from :func:`token_vocab` (base alphabet + merge order); a symbol
-    with no id (a character the id vocabulary never saw) encodes as
-    -1, the UNK convention, rather than being silently dropped.
+    ``flatten`` — JVM higher-order, no UDF anywhere).
+
+    TOKEN IDS: pass ``vocab`` (build it ONCE from the TRAINING
+    corpus: ``token_vocab(merges, corpus_alphabet(word_vocab(train)))``)
+    whenever more than one corpus is encoded — ids are then stable
+    across batches and a character the training vocabulary never saw
+    encodes as -1 (UNK) rather than being silently dropped.  With
+    ``vocab=None`` the id space is derived from THIS corpus's own
+    alphabet: fine for a self-contained one-shot encode (the bench
+    path), but ids from two such calls on different corpora are NOT
+    comparable and UNK can never occur — do not concatenate them.
 
     Docs with no words (empty/whitespace/NULL text) are preserved
     with an empty token array — a tokenizer that drops rows corrupts

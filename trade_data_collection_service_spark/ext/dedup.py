@@ -590,7 +590,26 @@ def incremental_neardup_pairs(
     accepted rows may already be in the index (a crash-replay between
     the index append and the downstream write): without it every doc
     matches ITSELF in the index and the replay silently discards the
-    whole batch (streaming/doc_ingest.py wires this)."""
+    whole batch (streaming/doc_ingest.py wires this).  Reserved and
+    empty ids are rejected exactly as on the write side — excluding
+    ``base``/``legacy`` would silently hide the seed corpus (or every
+    un-keyed append) from the dedup and let duplicates through.
+
+    CAVEAT (shared with ``compact_neardup_index``): if the SAME docs
+    were also appended under a DIFFERENT batch_id and a compaction
+    moved the shared rows into that other keyed partition, excluding
+    this batch no longer hides those docs' index rows — a crash
+    replay would then re-match them.  Run compaction at quiescence
+    (no batch between its index append and its downstream write),
+    which the single-maintainer contract already implies."""
+    if exclude_batch is not None:
+        eb = str(exclude_batch)
+        if eb in _RESERVED_BATCHES or not eb.strip():
+            raise ValueError(
+                f"exclude_batch {exclude_batch!r} is reserved/empty —"
+                " excluding it would hide the stored corpus (or all"
+                " un-keyed appends) from the dedup"
+            )
     spark = new_docs.sparkSession
 
     def _stored(table: str) -> DataFrame:
@@ -770,7 +789,11 @@ def compact_neardup_index(spark: SparkSession, path: str) -> None:
     smallest batch wins (deterministic).  Replaying a batch whose
     rows compaction moved AWAY from another keyed partition can
     re-create that duplication — re-compact after replaying
-    historically-duplicated batches."""
+    historically-duplicated batches.  The move also means an
+    ``exclude_batch`` read for the moved batch no longer hides those
+    docs (their rows now live under the other id), so run compaction
+    at QUIESCENCE — never between a batch's index append and its
+    downstream write (see ``incremental_neardup_pairs``)."""
 
     def _tf(key_cols, extra=(), extra_names=()):
         def tf(df):

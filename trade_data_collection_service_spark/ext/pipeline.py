@@ -39,6 +39,17 @@ def _hash_prefix(key: Column, salt: str) -> Column:
     return F.substring(F.md5(F.concat(F.lit(salt + "|"), key)), 1, 2)
 
 
+def _split_expr(prefix: Column) -> Column:
+    """The ONE hash-range → train/val/test rule (prefix < '0a' test
+    ~3.9%, < '14' val ~3.9%, else train), shared by the per-doc and
+    grouped splits so the thresholds cannot desynchronize."""
+    return (
+        F.when(prefix < "0a", F.lit("test"))
+        .when(prefix < "14", F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
 def stratified_sample(
     docs: DataFrame, thresholds: dict[str, str] | None = None, salt: str = "sample-v1"
 ) -> DataFrame:
@@ -63,13 +74,8 @@ def train_split(docs: DataFrame, salt: str = SPLIT_SALT) -> DataFrame:
     prefix < '0a' → test (~3.9%), < '14' → val (next ~3.9%), else
     train.  Membership depends only on (salt, doc_id)."""
     prefix = _hash_prefix(F.col("doc_id").cast("string"), salt)
-    split = (
-        F.when(prefix < "0a", F.lit("test"))
-        .when(prefix < "14", F.lit("val"))
-        .otherwise(F.lit("train"))
-    )
     return docs.select(
-        "doc_id", "lang", split.alias("split")
+        "doc_id", "lang", _split_expr(prefix).alias("split")
     ).orderBy("doc_id")
 
 
@@ -84,18 +90,17 @@ def grouped_train_split(
     grouping by provenance is the standard defense (same motivation
     as the dedup ladder, applied to the split boundary).
 
-    Same hash-range rule as ``train_split`` (prefix < '0a' test,
-    < '14' val, else train — probabilities now hold at GROUP grain),
-    deterministic in (salt, group).  Map-only: one projection, no
-    shuffle, no group census."""
+    Same hash-range rule as ``train_split`` (shared ``_split_expr``;
+    probabilities now hold at GROUP grain), deterministic in
+    (salt, group).  The assignment itself is one projection — no
+    group census, no join; the trailing ``orderBy`` is presentation
+    only (the oracle compare is order-insensitive) and is the sole
+    exchange in the plan — drop it when composing into a pipeline."""
     prefix = _hash_prefix(F.col(group_col).cast("string"), salt)
-    split = (
-        F.when(prefix < "0a", F.lit("test"))
-        .when(prefix < "14", F.lit("val"))
-        .otherwise(F.lit("train"))
-    )
     return docs.select(
-        "doc_id", F.col(group_col).alias("grp"), split.alias("split")
+        "doc_id",
+        F.col(group_col).alias("grp"),
+        _split_expr(prefix).alias("split"),
     ).orderBy("doc_id")
 
 
