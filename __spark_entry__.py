@@ -1053,6 +1053,36 @@ def _q_emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_ivfpq_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally grown IVF-PQ index, searched: base 2/3 of the
+    corpus written (quantizers trained on the FULL corpus — the
+    write_ivfpq_index contract), the remaining 1/3 appended under the
+    frozen centroids + codebooks (ext/pq.py::append_to_ivfpq_index,
+    the FAISS `add` contract on the compressed form), then searched.
+    Append ≡ rebuild ≡ the inline ivf_pq_topk composition
+    (pytest-proven chain, tests/test_ivf_index.py), so the DuckDB
+    twin is the inline SQL."""
+    from trade_data_collection_service_spark.ext.pq import (
+        append_to_ivfpq_index,
+        ivfpq_search_indexed,
+        write_ivfpq_index,
+    )
+    from trade_data_collection_service_spark.ext.similarity import vectors
+
+    path = _scratch_dir("ivfpq_app_q_") + "/index"
+    v = vectors(spark, sf_dir)
+    centroids, books = write_ivfpq_index(
+        spark, sf_dir, path, source=v.filter(F.col("vec_id") % 3 != 0)
+    )
+    append_to_ivfpq_index(
+        v.filter(F.col("vec_id") % 3 == 0), path, centroids, books
+    )
+    qs = v.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103))
+    return ivfpq_search_indexed(
+        spark, path, centroids, books, qs, k=10, nprobe=2
+    )
+
+
 def _q_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicate-passage spans over the documents
     table (ext/dedup.py::duplicate_spans): maximal runs of 5-token
@@ -1274,25 +1304,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
-# r10 ROTATION PLAN (write _R10_WINDOW next round): the 2 r9-new,
+# r10 ROTATION PLAN (write _R10_WINDOW next round): the 3 r9-new,
 # never-driver-checked entries (doc_grouped_split,
-# emb_ivfadc_rerank_topk — judge/local sweeps only so far) first,
+# emb_ivfadc_rerank_topk, emb_ivfpq_appended_topk — judge/local
+# sweeps only so far) first,
 # then the 48 entries whose latest driver evidence is r7
 # (doc_repetition, minute_spread, exchange_spread, donchian_20,
 # event_transitions, event_paths_topk, doc_ngram_topk,
 # asof_price_tolerance, rolling_active_hll, then the
 # doc_dedup_keep_best…tpch_q2 block per CORRECTNESS_r07 minus r08
-# keys, displacing the 2 at that block's tail) + the 2 oldest
+# keys, displacing the 3 at that block's tail) + the 2 oldest
 # r8-window entries (ema_20, macd_12_26_9) = 50; anything r10
 # changes goes first and displaces further from the r7 block's tail.
-# After r9 the evidence ledger is 50 r9 / 50 r8 / 48 r7 / 2 never —
-# the 2 never-checked are r10's first obligation.
+# After r9 the evidence ledger is 50 r9 / 50 r8 / 48 r7 / 3 never —
+# the 3 never-checked are r10's first obligation.
 #
 # r9 driver window (VERDICT r8 #1, the committed r8 plan verbatim):
 # the 4 r8-new passage entries — never driver-checked, AND the
 # surface r9 changed (hot-gram guard + hashed gram keys) — then the
 # 46 entries whose last driver row was r5.  Exactly 50.  The full
-# 150-entry surface is swept locally via tools/check_oracle.py at
+# 151-entry surface is swept locally via tools/check_oracle.py at
 # sf0.01 and sf0.1 each round (docs/COVERAGE.md; r9: sweep lines
 # carry the HEAD SHA) — the window is a budget cap, not the evidence.
 _R9_WINDOW = [
@@ -1525,6 +1556,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r9 (beyond-window; judge/local sweeps cover) ---
         "doc_grouped_split": _q_doc_grouped_split,
         "emb_ivfadc_rerank_topk": XQ.ivfadc_rerank_topk,
+        "emb_ivfpq_appended_topk": _q_emb_ivfpq_appended_topk,
     }
 
 
@@ -4814,6 +4846,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM ranked WHERE rank <= 10", _RERANK_TAIL
     )
     assert "exact_d" in sql["emb_ivfadc_rerank_topk"]  # replace landed
+    # appended IVF-PQ == rebuild == inline composition (pytest-proven
+    # chain, see _q_emb_ivfpq_appended_topk) -> same DuckDB twin
+    sql["emb_ivfpq_appended_topk"] = sql["emb_ivf_pq_topk"]
     # funnel conversion summary wraps the funnel oracle verbatim so
     # the two can never disagree on chain semantics
     sql["event_funnel_rates"] = (

@@ -539,6 +539,43 @@ def run_bpe_encode(spark, sf_dir: str, n_merges: int = 64) -> dict:
     }
 
 
+def run_doc_ingest(spark, sf_dir: str, cleanup: list) -> dict:
+    """Dedup-on-arrival throughput (r9): seed the near-dup index with
+    2/3 of the corpus (untimed), then time ONE ingest_batch of the
+    remaining 1/3 — cross dedup vs the stored index + intra-batch LSH
+    + batch-keyed index append + accepted-docs write, the full
+    ingestion loop a curation deployment runs per micro-batch."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        documents_neardup,
+        write_neardup_index,
+    )
+    from trade_data_collection_service_spark.streaming.doc_ingest import (
+        ingest_batch,
+    )
+
+    corpus = documents_neardup(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bench_doc_ingest_")
+    cleanup.append(tmp)
+    write_neardup_index(
+        corpus.filter(F.col("doc_id") % 3 != 0), f"{tmp}/idx"
+    )
+    batch = corpus.filter(F.col("doc_id") % 3 == 0)
+    n_batch = batch.count()
+    t0 = time.perf_counter()
+    n_accepted = ingest_batch(batch, f"{tmp}/idx", f"{tmp}/out", "bench")
+    wall = time.perf_counter() - t0
+    return {
+        "batch_docs": int(n_batch),
+        "accepted": int(n_accepted),
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_batch / wall, 1),
+    }
+
+
 def _repo_root() -> str:
     return os.path.dirname(os.path.abspath(__file__))
 
@@ -853,6 +890,12 @@ def main() -> None:
             bpe_enc = run_bpe_encode(spark, sf_dir)
         except Exception as e:  # pragma: no cover
             print(f"bench bpe encode failed: {e}", file=sys.stderr)
+    ingest = None
+    if os.environ.get("SPARK_GRAFT_SKIP_INGEST") != "1":
+        try:
+            ingest = run_doc_ingest(spark, sf_dir, cleanup)
+        except Exception as e:  # pragma: no cover
+            print(f"bench doc ingest failed: {e}", file=sys.stderr)
     # Host-speed self-normalization: host_factor > 1 means this host
     # ran the fixed yardstick slower than the prior round's host, so
     # cross-round query ratios should be divided by it before being
@@ -932,6 +975,7 @@ def main() -> None:
                 "spans_gram_shuffle": spans_gram,
                 "bpe_train": bpe,
                 "bpe_encode": bpe_enc,
+                "doc_ingest": ingest,
             }
         )
     )

@@ -338,3 +338,23 @@ def test_encode_corpus_self_vocab_roundtrip(spark):
         F.sum(F.size("syms") * F.col("weight")).alias("m")
     ).collect()[0][0]
     assert total == mass and total > 0
+
+
+def test_encode_corpus_plan_is_jvm_side(spark):
+    """The corpus encode must stay whole-JVM: no row-at-a-time Python
+    (BatchEvalPython) and no Arrow eval anywhere in the plan — the
+    fold/join/flatten pipeline is higher-order expressions only."""
+    from trade_data_collection_service_spark.ext.bpe import encode_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "hug hug pug"), (2, "pug bun hug")], ["doc_id", "text"]
+    )
+    merges, _ = train_bpe(docs, n_merges=4)
+    plan = (
+        encode_corpus(docs, merges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEval" not in plan

@@ -153,3 +153,53 @@ def test_append_equals_rebuild(spark, sf_dir):
         assert got == want and got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ivfpq_append_equals_rebuild_and_inline(spark, sf_dir):
+    """Growing the IVF-PQ index with append_to_ivfpq_index must be
+    search-identical to the full build AND to the inline ivf_pq_topk
+    composition (quantizers trained on the full corpus, frozen for
+    both the base write and the append)."""
+    from trade_data_collection_service_spark.ext.pq import (
+        append_to_ivfpq_index,
+        ivf_pq_topk,
+        ivfpq_search_indexed,
+        write_ivfpq_index,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ivfpq_append_")
+    try:
+        full_path, inc_path = f"{tmp}/full", f"{tmp}/inc"
+        centroids, books = write_ivfpq_index(spark, sf_dir, full_path)
+        v = vectors(spark, sf_dir)
+        write_ivfpq_index(
+            spark,
+            sf_dir,
+            inc_path,
+            source=v.filter(F.col("vec_id") % 3 != 0),
+        )
+        append_to_ivfpq_index(
+            v.filter(F.col("vec_id") % 3 == 0), inc_path, centroids, books
+        )
+        qs = _queries(spark, sf_dir)
+        key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+        val = lambda r: (r["vec_id"], r["approx_d"])  # noqa: E731
+        inc = {
+            key(r): val(r)
+            for r in ivfpq_search_indexed(
+                spark, inc_path, centroids, books, qs, k=10, nprobe=2
+            ).collect()
+        }
+        full = {
+            key(r): val(r)
+            for r in ivfpq_search_indexed(
+                spark, full_path, centroids, books, qs, k=10, nprobe=2
+            ).collect()
+        }
+        inline = {
+            key(r): val(r)
+            for r in ivf_pq_topk(spark, sf_dir, k=10, nprobe=2).collect()
+        }
+        assert inc == full == inline and inc
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -45,6 +45,8 @@ NESTED_LOOP_OK = {
     # vec_id/q_id with the tiny shortlist broadcast
     "emb_semdedup",  # coarse assignment: corpus × broadcast trained
     # centroids (k rows); the dedup pair join itself is equi on cluster
+    "emb_ivfpq_appended_topk",  # same probe/search shape over the
+    # base+append split (frozen-quantizer index growth)
     "emb_ivfpq_indexed_topk",  # probe_buckets_l2: queries × broadcast
     # coarse centroids (k_coarse rows) — the candidate scoring itself
     # joins equi on (bucket) and (q_id, subspace, code)

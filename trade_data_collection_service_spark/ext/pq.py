@@ -396,6 +396,31 @@ def ivf_pq_topk(
     )
 
 
+def _ivfpq_rows(
+    source: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+) -> DataFrame:
+    """(vec_id, code0..code{m-1}, bucket) index rows for ``source``
+    under FROZEN quantizers — the shared encode path of the base
+    build and the incremental append."""
+    spark = source.sparkSession
+    bucketed = assign_buckets_l2(source, centroids).select(
+        "vec_id", "bucket"
+    )
+    codes_wide = (
+        pq_encode(spark, "", codebooks, m=m, source=source)
+        .groupBy("vec_id")
+        .pivot("subspace", list(range(m)))
+        .agg(F.first("code"))
+        .select(
+            "vec_id", *[F.col(str(j)).alias(f"code{j}") for j in range(m)]
+        )
+    )
+    return codes_wide.join(bucketed, "vec_id")
+
+
 def write_ivfpq_index(
     spark: SparkSession,
     sf_dir: str,
@@ -405,6 +430,7 @@ def write_ivfpq_index(
     m: int = 4,
     k_codes: int = 16,
     pq_iters: int = 2,
+    source: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize the IVF-PQ index at rest: PQ codes pivoted to one
     row per vector, joined with the coarse bucket assignment, written
@@ -415,7 +441,12 @@ def write_ivfpq_index(
     m code bytes + one bucket key per vector (the vectors themselves
     stay in cold storage), each coarse bucket is a partition
     directory, and a query reads ONLY its nprobe directories —
-    partition pruning is plan-asserted in tests/test_ivf_index.py."""
+    partition pruning is plan-asserted in tests/test_ivf_index.py.
+
+    ``source`` limits the INDEXED rows (default: the whole corpus);
+    the quantizers always train on the full ``sf_dir`` corpus, so a
+    base-subset build composes with :func:`append_to_ivfpq_index`
+    into exactly the full-corpus index."""
     from trade_data_collection_service_spark.ext.similarity import (
         vectors as svectors,
     )
@@ -426,21 +457,11 @@ def write_ivfpq_index(
     centroids = coarse.select(
         F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
     )
-    bucketed = assign_buckets_l2(svectors(spark, sf_dir), centroids).select(
-        "vec_id", "bucket"
-    )
     books = train_codebooks(spark, sf_dir, m=m, k=k_codes, max_iters=pq_iters)
-    codes_wide = (
-        pq_encode(spark, sf_dir, books, m=m)
-        .groupBy("vec_id")
-        .pivot("subspace", list(range(m)))
-        .agg(F.first("code"))
-        .select(
-            "vec_id", *[F.col(str(j)).alias(f"code{j}") for j in range(m)]
-        )
-    )
+    if source is None:
+        source = svectors(spark, sf_dir)
     (
-        codes_wide.join(bucketed, "vec_id")
+        _ivfpq_rows(source, centroids, books, m)
         .repartition("bucket")
         .sortWithinPartitions("vec_id")
         .write.mode("overwrite")
@@ -448,6 +469,38 @@ def write_ivfpq_index(
         .parquet(path)
     )
     return centroids, books
+
+
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+) -> None:
+    """Grow a stored IVF-PQ index incrementally — the FAISS ``add``
+    contract on the compressed form (twin of
+    ``similarity.append_to_ivf_index``): assign ONLY the new vectors
+    to coarse buckets and PQ-encode them under the STORED (frozen)
+    centroids and codebooks, appending m code bytes + bucket key per
+    vector to the touched bucket partitions.  The existing index is
+    never re-read or rewritten; per batch the cost is
+    O(batch × (n_coarse + m·k_codes)) map-side work plus the
+    partition appends.
+
+    Quantizers deliberately stay frozen: retraining on drifted data
+    would silently re-home and re-code *existing* vectors — retrain +
+    rebuild is a separate, explicit operation.  An appended index
+    searches identically to a rebuild over the union corpus
+    (pytest: tests/test_ivf_index.py)."""
+    (
+        _ivfpq_rows(new_vectors, centroids, codebooks, m)
+        .repartition("bucket")
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
 
 
 def ivfpq_search_indexed(
