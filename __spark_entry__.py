@@ -1075,7 +1075,8 @@ def _q_emb_ivfpq_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, path, source=v.filter(F.col("vec_id") % 3 != 0)
     )
     append_to_ivfpq_index(
-        v.filter(F.col("vec_id") % 3 == 0), path, centroids, books
+        v.filter(F.col("vec_id") % 3 == 0), path, centroids, books,
+        batch_id="b1",
     )
     qs = v.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103))
     return ivfpq_search_indexed(

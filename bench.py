@@ -539,7 +539,7 @@ def run_bpe_encode(spark, sf_dir: str, n_merges: int = 64) -> dict:
     }
 
 
-def run_doc_ingest(spark, sf_dir: str, cleanup: list) -> dict:
+def run_doc_ingest_bench(spark, sf_dir: str, cleanup: list) -> dict:
     """Dedup-on-arrival throughput (r9): seed the near-dup index with
     2/3 of the corpus (untimed), then time ONE ingest_batch of the
     remaining 1/3 — cross dedup vs the stored index + intra-batch LSH
@@ -893,7 +893,7 @@ def main() -> None:
     ingest = None
     if os.environ.get("SPARK_GRAFT_SKIP_INGEST") != "1":
         try:
-            ingest = run_doc_ingest(spark, sf_dir, cleanup)
+            ingest = run_doc_ingest_bench(spark, sf_dir, cleanup)
         except Exception as e:  # pragma: no cover
             print(f"bench doc ingest failed: {e}", file=sys.stderr)
     # Host-speed self-normalization: host_factor > 1 means this host

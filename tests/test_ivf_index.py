@@ -172,34 +172,85 @@ def test_ivfpq_append_equals_rebuild_and_inline(spark, sf_dir):
         full_path, inc_path = f"{tmp}/full", f"{tmp}/inc"
         centroids, books = write_ivfpq_index(spark, sf_dir, full_path)
         v = vectors(spark, sf_dir)
+        # quantizers pass through pre-trained: the staged build must
+        # not retrain (r9 review finding — three identical trainings)
         write_ivfpq_index(
             spark,
             sf_dir,
             inc_path,
             source=v.filter(F.col("vec_id") % 3 != 0),
+            centroids=centroids,
+            codebooks=books,
         )
+        newer = v.filter(F.col("vec_id") % 3 == 0)
         append_to_ivfpq_index(
-            v.filter(F.col("vec_id") % 3 == 0), inc_path, centroids, books
+            newer, inc_path, centroids, books, batch_id="b1"
         )
         qs = _queries(spark, sf_dir)
         key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
         val = lambda r: (r["vec_id"], r["approx_d"])  # noqa: E731
-        inc = {
-            key(r): val(r)
-            for r in ivfpq_search_indexed(
-                spark, inc_path, centroids, books, qs, k=10, nprobe=2
-            ).collect()
-        }
-        full = {
-            key(r): val(r)
-            for r in ivfpq_search_indexed(
-                spark, full_path, centroids, books, qs, k=10, nprobe=2
-            ).collect()
-        }
+
+        def search(path):
+            return {
+                key(r): val(r)
+                for r in ivfpq_search_indexed(
+                    spark, path, centroids, books, qs, k=10, nprobe=2
+                ).collect()
+            }
+
+        inc = search(inc_path)
+        full = search(full_path)
         inline = {
             key(r): val(r)
             for r in ivf_pq_topk(spark, sf_dir, k=10, nprobe=2).collect()
         }
         assert inc == full == inline and inc
+
+        # a keyed replay dynamically overwrites its own partitions —
+        # search-identical, never duplicated (crash-replay safety)
+        append_to_ivfpq_index(
+            newer, inc_path, centroids, books, batch_id="b1"
+        )
+        assert search(inc_path) == full
+
+        # an empty micro-batch is a clean no-op, not a crash
+        append_to_ivfpq_index(
+            newer.filter(F.lit(False)),
+            inc_path,
+            centroids,
+            books,
+            batch_id="b2",
+        )
+        assert search(inc_path) == full
+
+        # un-keyed replay DUPLICATES rows; the duplicated vec_ids fail
+        # the _m == m completeness filter and silently vanish from
+        # results — compact_ivfpq_index repairs back to fresh-build
+        from trade_data_collection_service_spark.ext.pq import (
+            compact_ivfpq_index,
+        )
+
+        append_to_ivfpq_index(newer, inc_path, centroids, books)
+        append_to_ivfpq_index(newer, inc_path, centroids, books)
+        appended_ids = {r["vec_id"] for r in newer.select("vec_id").collect()}
+        corrupted = search(inc_path)
+        assert not {v[0] for v in corrupted.values()} & appended_ids, (
+            "duplicated vectors should vanish from results pre-compact"
+            " (the failure mode the batch keying exists to prevent)"
+        )
+        compact_ivfpq_index(spark, inc_path)
+        assert search(inc_path) == full
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ivfpq_append_rejects_reserved_batch(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.pq import (
+        append_to_ivfpq_index,
+    )
+
+    v = vectors(spark, sf_dir).limit(1)
+    with pytest.raises(ValueError, match="reserved"):
+        append_to_ivfpq_index(v, "/nonexistent", None, None, batch_id="base")
+    with pytest.raises(ValueError, match="empty/whitespace"):
+        append_to_ivfpq_index(v, "/nonexistent", None, None, batch_id="  ")

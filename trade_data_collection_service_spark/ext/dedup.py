@@ -402,14 +402,43 @@ def simhash_near_pairs(
 _RESERVED_BATCHES = ("base", "legacy")
 
 
+def _validate_batch_id(batch_id: str | int | None) -> str | None:
+    """Shared guard for every keyed index append (near-dup, IVF-PQ):
+    reserved values would dynamically overwrite the stored corpus
+    partition, and empty/whitespace ids land in the null partition
+    (``__HIVE_DEFAULT_PARTITION__``) that compaction's batch filters
+    silently drop.  Returns the normalized string id (None passes
+    through for un-keyed appends)."""
+    if batch_id is None:
+        return None
+    b = str(batch_id)
+    if b in _RESERVED_BATCHES:
+        raise ValueError(
+            f"batch_id {batch_id!r} is reserved (a keyed append"
+            " dynamically overwrites its own partition — this one"
+            " would wipe the stored corpus)"
+        )
+    if not b.strip():
+        raise ValueError(
+            f"batch_id {batch_id!r} is empty/whitespace: Spark"
+            " writes it as the null partition"
+            " (__HIVE_DEFAULT_PARTITION__), which compaction's"
+            " batch filters cannot see — its rows would be"
+            " silently dropped on the next compact"
+        )
+    return b
+
+
 def _publish(df: DataFrame, dest: str) -> None:
     """The ONE overwrite-write used by stage creation, stage publish,
-    and crash recovery (preserving the ``batch`` partition layout when
-    present) — a single code path so the three sites cannot silently
+    and crash recovery (preserving the partition layout — ``batch``,
+    and ``bucket`` ahead of it for the IVF-PQ index — when present)
+    — a single code path so the three sites cannot silently
     diverge."""
     w = df.write.mode("overwrite")
-    if "batch" in df.columns:
-        w = w.partitionBy("batch")
+    parts = [c for c in ("bucket", "batch") if c in df.columns]
+    if parts:
+        w = w.partitionBy(*parts)
     w.parquet(dest)
 
 
@@ -710,26 +739,11 @@ def append_to_neardup_index(
     cannot be appended to — flat data files and ``batch=`` partition
     directories in one root break Spark partition discovery — rebuild
     it once with :func:`write_neardup_index` first."""
-    if batch_id is not None:
-        b = str(batch_id)
-        if b in _RESERVED_BATCHES:
-            raise ValueError(
-                f"batch_id {batch_id!r} is reserved (a keyed append"
-                " dynamically overwrites its own partition — this one"
-                " would wipe the stored corpus)"
-            )
-        if not b.strip():
-            raise ValueError(
-                f"batch_id {batch_id!r} is empty/whitespace: Spark"
-                " writes it as the null partition"
-                " (__HIVE_DEFAULT_PARTITION__), which compaction's"
-                " batch filters cannot see — its rows would be"
-                " silently dropped on the next compact"
-            )
+    b = _validate_batch_id(batch_id)
     spark = new_docs.sparkSession
     for t in ("shingles", "bands", "counts"):
         _recover_compaction(spark, f"{path}/{t}")
-    batch = str(batch_id) if batch_id is not None else "legacy"
+    batch = b if b is not None else "legacy"
 
     def _write(df: DataFrame, table: str) -> None:
         w = df.withColumn("batch", F.lit(batch)).write.partitionBy("batch")

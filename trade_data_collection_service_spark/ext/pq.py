@@ -202,8 +202,10 @@ def pq_encode(
         if source is not None
         else vectors(spark, sf_dir).select("vec_id", "emb")
     )
-    dim = len(v.select("emb").first()["emb"])
-    sub_dim = dim // m
+    # derive the slice width from the (never-empty) codebooks, not
+    # from the encoded set — an empty micro-batch must encode to zero
+    # rows, not crash on .first() (r9 review finding)
+    sub_dim = len(codebooks.select("centroid").first()["centroid"])
     sliced = v.select(
         "vec_id",
         F.explode(
@@ -431,41 +433,71 @@ def write_ivfpq_index(
     k_codes: int = 16,
     pq_iters: int = 2,
     source: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize the IVF-PQ index at rest: PQ codes pivoted to one
     row per vector, joined with the coarse bucket assignment, written
-    ``partitionBy(bucket)``.  Returns (coarse centroids, codebooks) —
-    the only state a searcher needs besides the path.
+    ``partitionBy(bucket, batch)`` with the base build owning the
+    ``batch=base`` partitions.  Returns (coarse centroids, codebooks)
+    — the only state a searcher needs besides the path.
 
     This is the storage form the 100 TB story rests on: the index is
     m code bytes + one bucket key per vector (the vectors themselves
     stay in cold storage), each coarse bucket is a partition
     directory, and a query reads ONLY its nprobe directories —
     partition pruning is plan-asserted in tests/test_ivf_index.py.
+    The second (``batch``) partition level is the replay-idempotence
+    ledger shared with the near-dup index: a keyed
+    :func:`append_to_ivfpq_index` dynamically overwrites its own
+    partitions, so a crash-replayed append rewrites instead of
+    duplicating (a duplicated vec_id is NOT harmless here — its 2m
+    LUT rows fail the ``_m == m`` completeness filter in
+    :func:`ivfpq_search_indexed` and the vector silently vanishes
+    from every result).
 
     ``source`` limits the INDEXED rows (default: the whole corpus);
     the quantizers always train on the full ``sf_dir`` corpus, so a
     base-subset build composes with :func:`append_to_ivfpq_index`
-    into exactly the full-corpus index."""
+    into exactly the full-corpus index.  Pass pre-trained
+    ``centroids``/``codebooks`` to skip training entirely (staged
+    base+append builds train ONCE, not once per stage)."""
+    from trade_data_collection_service_spark.ext.dedup import _retire_stage
     from trade_data_collection_service_spark.ext.similarity import (
         vectors as svectors,
     )
 
-    coarse = train_codebooks(
-        spark, sf_dir, m=1, k=n_coarse, max_iters=coarse_iters
+    if centroids is None:
+        coarse = train_codebooks(
+            spark, sf_dir, m=1, k=n_coarse, max_iters=coarse_iters
+        )
+        centroids = coarse.select(
+            F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
+        )
+    books = (
+        codebooks
+        if codebooks is not None
+        else train_codebooks(spark, sf_dir, m=m, k=k_codes, max_iters=pq_iters)
     )
-    centroids = coarse.select(
-        F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
-    )
-    books = train_codebooks(spark, sf_dir, m=m, k=k_codes, max_iters=pq_iters)
     if source is None:
         source = svectors(spark, sf_dir)
+    if source.select("vec_id").isEmpty():
+        raise ValueError(
+            "write_ivfpq_index: source is empty — a partitioned write"
+            " of zero rows leaves no schema-bearing files, so every"
+            " later read would die on schema inference"
+        )
+    rows = _ivfpq_rows(source, centroids, books, m).withColumn(
+        "batch", F.lit("base")
+    )
+    # a fresh build supersedes any crashed-compaction stage; clear it
+    # (marker-first) so a later recover cannot clobber the new table
+    _retire_stage(spark, path + ".stage")
     (
-        _ivfpq_rows(source, centroids, books, m)
-        .repartition("bucket")
+        rows.repartition("bucket")
         .sortWithinPartitions("vec_id")
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy("bucket", "batch")
         .parquet(path)
     )
     return centroids, books
@@ -477,6 +509,7 @@ def append_to_ivfpq_index(
     centroids: DataFrame,
     codebooks: DataFrame,
     m: int = 4,
+    batch_id: str | int | None = None,
 ) -> None:
     """Grow a stored IVF-PQ index incrementally — the FAISS ``add``
     contract on the compressed form (twin of
@@ -486,21 +519,101 @@ def append_to_ivfpq_index(
     vector to the touched bucket partitions.  The existing index is
     never re-read or rewritten; per batch the cost is
     O(batch × (n_coarse + m·k_codes)) map-side work plus the
-    partition appends.
+    partition appends.  An empty batch is a clean no-op.
+
+    REPLAY SAFETY (r9 review finding): a re-delivered un-keyed append
+    duplicates index rows, and a duplicated vec_id does not merely
+    rank twice — its 2m LUT-join rows fail the ``_m == m``
+    completeness filter in :func:`ivfpq_search_indexed`, so the
+    vector SILENTLY DISAPPEARS from every query's results
+    (pytest-demonstrated).  Pass ``batch_id`` (e.g. the foreachBatch
+    batch id) to make the append idempotent: the batch's rows land in
+    ``bucket=*/batch=<id>`` partitions via dynamic overwrite, so a
+    replay rewrites the same partitions instead of appending twice.
+    Without a batch_id (at-most-once delivery), repair accidental
+    duplication with :func:`compact_ivfpq_index`.
 
     Quantizers deliberately stay frozen: retraining on drifted data
     would silently re-home and re-code *existing* vectors — retrain +
     rebuild is a separate, explicit operation.  An appended index
     searches identically to a rebuild over the union corpus
     (pytest: tests/test_ivf_index.py)."""
-    (
+    from trade_data_collection_service_spark.ext.dedup import (
+        _recover_compaction,
+        _validate_batch_id,
+    )
+
+    b = _validate_batch_id(batch_id)
+    spark = new_vectors.sparkSession
+    _recover_compaction(spark, path)
+    rows = (
         _ivfpq_rows(new_vectors, centroids, codebooks, m)
+        .withColumn("batch", F.lit(b if b is not None else "legacy"))
         .repartition("bucket")
         .sortWithinPartitions("vec_id")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(path)
     )
+    w = rows.write.partitionBy("bucket", "batch")
+    if b is not None:
+        # dynamic overwrite of THIS batch's partitions only —
+        # replaying the same batch_id rewrites, never duplicates
+        (
+            w.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+    else:
+        w.mode("append").parquet(path)
+
+
+def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
+    """Repair/compact the stored IVF-PQ index: resolve every vec_id
+    to ONE row — duplicates that un-keyed append replays accumulate
+    make the vector vanish from search results (see
+    :func:`append_to_ivfpq_index`), so this is a correctness repair,
+    not just space reclamation.  The ``OPTIMIZE FINAL`` analog for
+    this index, sibling of ``dedup.compact_neardup_index`` and
+    reusing its winner rule: keyed partitions beat base/legacy (they
+    are the replay-idempotence ledger), lexicographically smallest
+    batch among keyed duplicates; code/bucket columns are identical
+    across duplicates (frozen quantizers encode deterministically),
+    so the winner's payload is taken with the partition via one
+    map-side-combinable min-struct pass.  Crash safety is the shared
+    stage-WAL (``dedup._staged_rewrite``; recover-on-entry in
+    append/compact, readers pure via ``dedup._authoritative``).
+    Run at quiescence — maintenance is single-maintainer by
+    contract."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        _RESERVED_BATCHES,
+        _staged_rewrite,
+    )
+
+    def _tf(df: DataFrame) -> DataFrame:
+        code_cols = [c for c in df.columns if c.startswith("code")]
+        reserved = (
+            F.col("batch").isin(*_RESERVED_BATCHES) | F.col("batch").isNull()
+        )
+        win = F.min(
+            F.struct(
+                reserved.cast("int").alias("p"),
+                F.coalesce(F.col("batch"), F.lit("legacy")).alias("b"),
+                F.col("bucket").alias("bucket"),
+                *[F.col(c).alias(c) for c in code_cols],
+            )
+        ).alias("__w")
+        return (
+            df.groupBy("vec_id")
+            .agg(win)
+            .select(
+                "vec_id",
+                *[F.col(f"__w.{c}").alias(c) for c in code_cols],
+                F.col("__w.bucket").alias("bucket"),
+                F.when(F.col("__w.p") == 1, F.lit("base"))
+                .otherwise(F.col("__w.b"))
+                .alias("batch"),
+            )
+        )
+
+    _staged_rewrite(spark, path, _tf)
 
 
 def ivfpq_search_indexed(
@@ -525,10 +638,15 @@ def ivfpq_search_indexed(
         F.col("emb").alias("q_emb"),
         F.col("probe_bucket").alias("q_bucket"),
     )
+    from trade_data_collection_service_spark.ext.dedup import _authoritative
+
     probe_ids = [
         r["q_bucket"] for r in probes.select("q_bucket").distinct().collect()
     ]
-    index = spark.read.parquet(path).filter(F.col("bucket").isin(probe_ids))
+    # pure read with crash awareness (a _SUCCESS-marked compaction
+    # stage is the authoritative table); the bucket filter still
+    # prunes at the partition level in either location
+    index = _authoritative(spark, path).filter(F.col("bucket").isin(probe_ids))
     cand = (
         index.join(
             broadcast(probes.select("q_id", "q_bucket")),
@@ -552,8 +670,7 @@ def ivfpq_search_indexed(
         )
         .select("q_id", "vec_id", "c.subspace", "c.code")
     )
-    dim = len(queries.select("emb").first()["emb"])
-    sub_dim = dim // m
+    sub_dim = len(codebooks.select("centroid").first()["centroid"])
     q_sliced = queries.select(
         F.col("vec_id").alias("q_id"),
         F.explode(
