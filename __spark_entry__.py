@@ -483,6 +483,25 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XS.ann_recall(spark, sf_dir)
 
 
+def _q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 vs nprobe ∈ [1,4] in ONE corpus pass
+    (ext/similarity.ann_recall_curve): IVF candidate sets nest in
+    nprobe, so the corpus is bucketed/scored once against the
+    max-nprobe probe set and each per-nprobe top-k falls out of a
+    probe_rank <= nprobe grid over the already-scored candidates —
+    the FAISS nprobe tuning sweep without 4 separate searches."""
+    return XS.ann_recall_curve(spark, sf_dir)
+
+
+def _q_doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail LM-quality tiers (Wenzek et al. 2020,
+    ext/text.lm_quality_buckets): positional ntile over per-doc
+    unigram log-probability — rank-based so both engines split
+    identically (threshold percentiles would put boundary docs on
+    different sides of a float comparison)."""
+    return XT.lm_quality_buckets(spark, sf_dir)
+
+
 _SYMBOLS = [f"SYM{i}" for i in range(8)]
 
 
@@ -1305,20 +1324,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
-# r10 ROTATION PLAN (write _R10_WINDOW next round): the 3 r9-new,
+# r10 ROTATION PLAN (write _R10_WINDOW next round): the 5 r9-new,
 # never-driver-checked entries (doc_grouped_split,
-# emb_ivfadc_rerank_topk, emb_ivfpq_appended_topk — judge/local
-# sweeps only so far) first,
-# then the 48 entries whose latest driver evidence is r7
-# (doc_repetition, minute_spread, exchange_spread, donchian_20,
+# emb_ivfadc_rerank_topk, emb_ivfpq_appended_topk, ann_recall_curve,
+# doc_lm_buckets — judge/local sweeps only so far) first,
+# then the 45 highest-priority entries whose latest driver evidence
+# is r7 (doc_repetition, minute_spread, exchange_spread, donchian_20,
 # event_transitions, event_paths_topk, doc_ngram_topk,
 # asof_price_tolerance, rolling_active_hll, then the
 # doc_dedup_keep_best…tpch_q2 block per CORRECTNESS_r07 minus r08
-# keys, displacing the 3 at that block's tail) + the 2 oldest
-# r8-window entries (ema_20, macd_12_26_9) = 50; anything r10
-# changes goes first and displaces further from the r7 block's tail.
-# After r9 the evidence ledger is 50 r9 / 50 r8 / 48 r7 / 3 never —
-# the 3 never-checked are r10's first obligation.
+# keys, displacing the 5 at that block's tail) = 50; anything r10
+# changes goes first and displaces further from the r7 block's tail
+# (ema_20/macd_12_26_9 have r8 evidence — they rotate in r11).
+# After r9 the evidence ledger is 50 r9 / 50 r8 / 48 r7 / 5 never —
+# the 5 never-checked are r10's first obligation.
 #
 # r9 driver window (VERDICT r8 #1, the committed r8 plan verbatim):
 # the 4 r8-new passage entries — never driver-checked, AND the
@@ -1558,6 +1577,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_grouped_split": _q_doc_grouped_split,
         "emb_ivfadc_rerank_topk": XQ.ivfadc_rerank_topk,
         "emb_ivfpq_appended_topk": _q_emb_ivfpq_appended_topk,
+        "ann_recall_curve": _q_ann_recall_curve,
+        "doc_lm_buckets": _q_doc_lm_buckets,
     }
 
 
@@ -2267,6 +2288,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(tf) AS BIGINT) AS n_tokens,
                CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
         FROM scored GROUP BY 1 ORDER BY 1
+        """,
+        "doc_lm_buckets": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , terms AS (
+          SELECT doc_id, unnest(tokens) AS term FROM toks
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM terms GROUP BY 1, 2
+        ), vocab AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS n_term
+          FROM terms GROUP BY 1
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_total FROM terms
+        ), scored AS (
+          SELECT t.doc_id, t.tf,
+            t.tf * CAST(round(ln(CAST(v.n_term AS DOUBLE) / o.n_total), 12)
+                        AS DECIMAL(20,12)) AS wlp
+          FROM tf t JOIN vocab v USING (term) CROSS JOIN tot o
+        ), lp AS (
+          SELECT doc_id,
+                 CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
+          FROM scored GROUP BY 1
+        ), tiered AS (
+          SELECT doc_id, n_tokens, avg_logprob,
+                 CAST(ntile(3) OVER (
+                   ORDER BY avg_logprob DESC, doc_id) AS BIGINT) AS bucket
+          FROM lp
+        )
+        SELECT doc_id, n_tokens, avg_logprob, bucket,
+               CASE WHEN bucket = 1 THEN 'head'
+                    WHEN bucket = 2 THEN 'middle'
+                    ELSE 'tail' END AS tier
+        FROM tiered ORDER BY doc_id
         """,
         "doc_tfidf_terms": "WITH "
         + _TOKS_CTE.format(src="documents")
@@ -3332,6 +3388,74 @@ def oracle_sql() -> dict[str, str]:
         FROM approx a LEFT JOIN exact e
           ON a.q_id = e.q_id AND a.vec_id = e.vec_id
         GROUP BY 1 ORDER BY 1
+        """,
+        "ann_recall_curve": _VEC_CTE
+        + _kmeans_ctes(k=8, iters=2, dim=64)
+        + f"""
+        , tc AS (
+          SELECT cluster AS c_id, centroid AS c_emb,
+                 sqrt(list_sum(list_transform(centroid, x -> x * x)))
+                   AS c_nrm
+          FROM c2
+        ), asg AS (
+          SELECT vec_id, emb, nrm, c_id,
+                 {_COS.format(a="emb", b="c_emb", na="nrm", nb="c_nrm")} AS c_sim
+          FROM n, tc
+        ), bucketed AS (
+          SELECT vec_id, emb, nrm, c_id AS bucket
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS r
+                FROM asg)
+          WHERE r = 1
+        ), qv AS (
+          SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+          FROM n WHERE vec_id >= 100 AND vec_id < 103
+        ), qasg AS (
+          SELECT q_id, q_emb, q_nrm, c_id,
+                 {_COS.format(a="q_emb", b="c_emb", na="q_nrm", nb="c_nrm")} AS c_sim
+          FROM qv, tc
+        ), probes AS (
+          SELECT q_id, q_emb, q_nrm, c_id AS q_bucket, r AS probe_rank
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY q_id ORDER BY c_sim DESC, c_id) AS r
+                FROM qasg)
+          WHERE r <= 4
+        ), cand AS (
+          SELECT p.q_id, b.vec_id,
+                 {_COS.format(a="q_emb", b="emb", na="q_nrm", nb="nrm")} AS sim,
+                 p.probe_rank
+          FROM bucketed b JOIN probes p
+            ON b.bucket = p.q_bucket AND b.vec_id <> p.q_id
+        ), grid AS (
+          SELECT c.q_id, c.vec_id, c.sim, g.nprobe
+          FROM cand c JOIN (SELECT unnest(range(1, 5)) AS nprobe) g
+            ON g.nprobe >= c.probe_rank
+        ), approx AS (
+          SELECT q_id, nprobe, vec_id FROM (
+            SELECT q_id, nprobe, vec_id,
+                   row_number() OVER (PARTITION BY q_id, nprobe
+                     ORDER BY sim DESC, vec_id) AS rank
+            FROM grid) WHERE rank <= 3
+        ), esims AS (
+          SELECT q.q_id, v.vec_id,
+                 {_COS.format(a="q_emb", b="emb", na="q_nrm", nb="nrm")} AS sim
+          FROM n v, qv q WHERE v.vec_id <> q.q_id
+        ), exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (
+                     PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+            FROM esims
+          ) WHERE rank <= 3
+        )
+        SELECT a.q_id, CAST(a.nprobe AS BIGINT) AS nprobe,
+               CAST(sum(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_hits,
+               CAST(sum(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END)
+                    AS DOUBLE) / 3.0 AS recall_at_k
+        FROM approx a LEFT JOIN exact e
+          ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+        GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "emb_pq_topk": _VEC_CTE
         + _pq_ctes(m=4, k=16, iters=2, dim=64)

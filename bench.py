@@ -148,6 +148,9 @@ def headline_queries():
         "doc_dedup_passages",
         "returns_autocorr",
         "conversion_latency",
+        # round-9: one-pass nprobe sweep + CCNet LM tiers
+        "ann_recall_curve",
+        "doc_lm_buckets",
     ):
         if name in q:
             out[name] = q[name]

@@ -153,3 +153,35 @@ def test_ann_recall_bounds_and_exhaustive_probe(spark, sf_dir):
     # probing every bucket searches the whole corpus: recall == 1
     full = ann_recall(spark, sf_dir, n_centroids=8, nprobe=8).collect()
     assert all(r["recall_at_k"] == 1.0 for r in full)
+
+
+def test_ann_recall_curve_monotone_and_consistent(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.similarity import (
+        ann_recall,
+        ann_recall_curve,
+    )
+
+    rows = ann_recall_curve(spark, sf_dir, max_nprobe=8).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(len(v) for v in by_q.values()) == {8}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["nprobe"])
+        recalls = [r["recall_at_k"] for r in rs]
+        # candidate sets nest in nprobe, so recall never decreases
+        assert recalls == sorted(recalls), (q, recalls)
+        assert all(0.0 <= x <= 1.0 for x in recalls)
+        # probing all 8 buckets searches the whole corpus: recall == 1
+        assert recalls[-1] == 1.0
+    # the nprobe=1 level IS ann_recall's single-point evaluation
+    single = {
+        r["q_id"]: (r["n_hits"], r["recall_at_k"])
+        for r in ann_recall(spark, sf_dir, nprobe=1).collect()
+    }
+    level1 = {
+        r["q_id"]: (r["n_hits"], r["recall_at_k"])
+        for r in rows
+        if r["nprobe"] == 1
+    }
+    assert level1 == single

@@ -205,3 +205,24 @@ def test_ngram_topk_exact_counts(spark):
     # remaining trigrams tie at 2, broken alphabetically
     assert out[1] == ("not to be", 2)
     assert out[2] == ("or not to", 2)
+
+
+def test_lm_quality_buckets_balanced_and_ordered(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.text import (
+        lm_quality_buckets,
+    )
+
+    rows = lm_quality_buckets(spark, sf_dir).collect()
+    by_tier = {}
+    for r in rows:
+        by_tier.setdefault(r["tier"], []).append(r)
+    assert set(by_tier) == {"head", "middle", "tail"}
+    sizes = [len(by_tier[t]) for t in ("head", "middle", "tail")]
+    # ntile: equal sizes up to remainder-to-first
+    assert max(sizes) - min(sizes) <= 1 and sum(sizes) == len(rows)
+    # rank-ordered tiers: every head doc is at least as LM-probable
+    # as every tail doc
+    assert min(r["avg_logprob"] for r in by_tier["head"]) >= max(
+        r["avg_logprob"] for r in by_tier["tail"]
+    )
+    assert all(r["bucket"] in (1, 2, 3) for r in rows)

@@ -34,6 +34,10 @@ NESTED_LOOP_OK = {
     # base/append split + broadcast(3-query probe set) at search
     "ann_recall",  # the exact ground-truth pass IS brute-force by
     # design: corpus × broadcast(sampled query set), evaluation-only
+    "ann_recall_curve",  # same exact-ground-truth brute pass, shared
+    # across the whole nprobe sweep; the swept side joins equi on bucket
+    "doc_lm_buckets",  # inherits doc_unigram_logprob's 1-row
+    # total-token broadcast scalar
     "doc_unigram_logprob",  # 1-row total-token broadcast scalar
     "doc_source_mix",  # 1-row (n_total, n_sources) broadcast scalar
     "doc_neardup_quality",  # three 1-row count scalars crossJoined

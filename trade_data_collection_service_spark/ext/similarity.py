@@ -597,3 +597,126 @@ def ann_recall(
         )
         .orderBy("q_id")
     )
+
+
+def ann_recall_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_queries: int = 3,
+    k: int = 3,
+    max_nprobe: int = 4,
+) -> DataFrame:
+    """recall@k as a function of nprobe, for every nprobe in
+    [1, max_nprobe], in ONE pass over the corpus — the IVF tuning
+    curve (the FAISS ``nprobe`` sweep) without max_nprobe separate
+    searches.
+
+    The trick is that IVF candidate sets are NESTED in nprobe: a
+    corpus vector reached through a query's probe-rank-r bucket is a
+    candidate for every nprobe >= r.  So the corpus is bucketed once,
+    scored once against the max_nprobe probe set (each candidate
+    carrying its probe_rank), and the per-nprobe top-k falls out of a
+    probe_rank <= nprobe grid expansion of the ALREADY-SCORED
+    candidate rows — the grid multiplies only the candidate set
+    (queries x nprobe buckets' contents), never the corpus scan.
+    A vector lives in exactly one bucket, so no (q, vec) pair repeats
+    within one nprobe level and no dedup shuffle is needed.  The
+    exact ground-truth side is computed once and shared across the
+    whole curve (the cost of EVALUATION, offline, over a sampled
+    query set — as in :func:`ann_recall`).
+
+    Output: (q_id, nprobe, n_hits, recall_at_k), monotone
+    non-decreasing in nprobe per query (pytest-asserted)."""
+    from trade_data_collection_service_spark.ext.kmeans import fit
+
+    cents, _ = fit(spark, sf_dir, k=n_centroids, max_iters=iters, round_to=6)
+    centroids = cents.select(
+        F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
+    ).withColumn("nrm", _norm("emb"))
+    v = vectors(spark, sf_dir)
+    bucketed = assign_buckets(v, centroids)
+    q = v.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)
+    )
+    c = centroids.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    qsims = q.join(broadcast(c)).withColumn(
+        "c_sim",
+        F.round(_dot("emb", "c_emb") / (F.col("nrm") * F.col("c_nrm")), 6),
+    )
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("c_id")
+    )
+    probes = (
+        qsims.withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= max_nprobe)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("c_id").alias("q_bucket"),
+            "probe_rank",
+        )
+    )
+    cand = (
+        bucketed.join(
+            broadcast(probes),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn(
+            "sim",
+            F.round(_dot("emb", "q_emb") / (F.col("nrm") * F.col("q_nrm")), 6),
+        )
+        .select("q_id", "vec_id", "sim", "probe_rank")
+    )
+    grid = cand.select(
+        "q_id",
+        "vec_id",
+        "sim",
+        F.explode(
+            F.sequence(F.col("probe_rank"), F.lit(max_nprobe))
+        ).alias("nprobe"),
+    )
+    wk = Window.partitionBy("q_id", "nprobe").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    approx = (
+        grid.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nprobe", "vec_id")
+    )
+    qe = q.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    esims = v.join(broadcast(qe), F.col("vec_id") != F.col("q_id")).withColumn(
+        "sim",
+        F.round(_dot("emb", "q_emb") / (F.col("nrm") * F.col("q_nrm")), 6),
+    )
+    we = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    exact = (
+        esims.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    marked = approx.join(exact, ["q_id", "vec_id"], "left")
+    return (
+        marked.groupBy("q_id", "nprobe")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "q_id",
+            F.col("nprobe").cast("long").alias("nprobe"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(float(k))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("q_id", "nprobe")
+    )

@@ -409,6 +409,50 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_quality_buckets(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 3
+) -> DataFrame:
+    """CCNet-style language-model quality tiers (Wenzek et al. 2020):
+    rank every document by its per-token LM log-probability under the
+    corpus's own unigram model (:func:`unigram_logprob`) and split the
+    corpus into equal-sized tiers — ``head`` (most LM-probable,
+    cleanest), ``middle``, ``tail`` (likely noise/boilerplate-rare
+    tokens).  CCNet keeps head+middle for pre-training and drops or
+    down-samples tail; the tier column is exactly that routing key.
+
+    Determinism/portability: the split is POSITIONAL (ntile over
+    avg_logprob DESC, doc_id tiebreak), not threshold-based — rank
+    semantics are identical across engines, where interpolated
+    percentile thresholds would put boundary documents on different
+    sides of a float comparison.
+
+    Scale shape: the ntile window is global but runs over PER-DOC
+    AGGREGATE rows (one row per document — the token explode is
+    already reduced by unigram_logprob's groupBy), so the sort input
+    is corpus-cardinality, not token-cardinality.  At extreme scale
+    swap the exact ntile for CCNet's own procedure — percentile
+    thresholds estimated on a sample, broadcast, and applied as a
+    map-side comparison — at the cost of approximate tier sizes."""
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(spark, sf_dir)
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
+    bucketed = scored.withColumn(
+        "bucket", F.ntile(n_buckets).over(w).cast("long")
+    )
+    if n_buckets == 3:
+        tier = (
+            F.when(F.col("bucket") == 1, F.lit("head"))
+            .when(F.col("bucket") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        tier = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return bucketed.select(
+        "doc_id", "n_tokens", "avg_logprob", "bucket", tier.alias("tier")
+    ).orderBy("doc_id")
+
+
 def source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality triage: the corpus-curation dashboard that
     decides which SOURCES to deprioritize — mean quality score, mean
