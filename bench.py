@@ -579,6 +579,46 @@ def run_doc_ingest_bench(spark, sf_dir: str, cleanup: list) -> dict:
     }
 
 
+def run_emb_ingest_bench(spark, sf_dir: str, cleanup: list) -> dict:
+    """Searchable-on-arrival throughput (r9): seed the IVF-PQ store
+    with 2/3 of the vectors (untimed, quantizers trained + persisted
+    once), then time ONE ingest_embeddings of the remaining 1/3 —
+    quantizer read-back + map-side assign/encode + batch-keyed index
+    append + vector-store write, the per-micro-batch loop of
+    streaming/emb_ingest.py."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.ext.similarity import vectors
+    from trade_data_collection_service_spark.streaming.emb_ingest import (
+        ingest_embeddings,
+        init_emb_store,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_emb_ingest_")
+    cleanup.append(tmp)
+    init_emb_store(
+        spark,
+        sf_dir,
+        f"{tmp}/idx",
+        source=vectors(spark, sf_dir).filter(F.col("vec_id") % 3 != 0),
+    )
+    batch = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") % 3 == 0
+    )
+    n_batch = batch.count()
+    t0 = time.perf_counter()
+    n = ingest_embeddings(batch, f"{tmp}/idx", f"{tmp}/out", "bench")
+    wall = time.perf_counter() - t0
+    return {
+        "batch_vectors": int(n_batch),
+        "appended": int(n),
+        "wall_sec": round(wall, 2),
+        "vectors_per_sec": round(n_batch / wall, 1),
+    }
+
+
 def _repo_root() -> str:
     return os.path.dirname(os.path.abspath(__file__))
 
@@ -894,11 +934,16 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             print(f"bench bpe encode failed: {e}", file=sys.stderr)
     ingest = None
+    emb_ingest = None
     if os.environ.get("SPARK_GRAFT_SKIP_INGEST") != "1":
         try:
             ingest = run_doc_ingest_bench(spark, sf_dir, cleanup)
         except Exception as e:  # pragma: no cover
             print(f"bench doc ingest failed: {e}", file=sys.stderr)
+        try:
+            emb_ingest = run_emb_ingest_bench(spark, sf_dir, cleanup)
+        except Exception as e:  # pragma: no cover
+            print(f"bench emb ingest failed: {e}", file=sys.stderr)
     # Host-speed self-normalization: host_factor > 1 means this host
     # ran the fixed yardstick slower than the prior round's host, so
     # cross-round query ratios should be divided by it before being
@@ -979,6 +1024,7 @@ def main() -> None:
                 "bpe_train": bpe,
                 "bpe_encode": bpe_enc,
                 "doc_ingest": ingest,
+                "emb_ingest": emb_ingest,
             }
         )
     )

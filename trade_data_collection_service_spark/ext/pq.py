@@ -565,6 +565,33 @@ def append_to_ivfpq_index(
         w.mode("append").parquet(path)
 
 
+def write_ivfpq_quantizers(
+    centroids: DataFrame, codebooks: DataFrame, path: str
+) -> None:
+    """Persist the frozen quantizers NEXT TO the index (at
+    ``{path}.quantizers/…`` — a dotted sibling like the ``.stage``
+    WAL dir, because extra directories inside the partitioned index
+    root would break Spark partition discovery).  They are the only
+    state besides the path that a searcher or an incremental appender
+    needs, so storing them makes the index self-contained across
+    process restarts — the streaming ingest reads them back every
+    micro-batch instead of holding DataFrames captive in the driver."""
+    centroids.write.mode("overwrite").parquet(f"{path}.quantizers/centroids")
+    codebooks.write.mode("overwrite").parquet(f"{path}.quantizers/codebooks")
+
+
+def read_ivfpq_quantizers(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load the stored (coarse centroids, PQ codebooks) pair written
+    by :func:`write_ivfpq_quantizers`.  Both are tiny (n_coarse rows /
+    m×k_codes rows) and broadcast everywhere they are used."""
+    return (
+        spark.read.parquet(f"{path}.quantizers/centroids"),
+        spark.read.parquet(f"{path}.quantizers/codebooks"),
+    )
+
+
 def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
     """Repair/compact the stored IVF-PQ index: resolve every vec_id
     to ONE row — duplicates that un-keyed append replays accumulate
