@@ -3448,14 +3448,24 @@ def oracle_sql() -> dict[str, str]:
             FROM esims
           ) WHERE rank <= 3
         )
-        SELECT a.q_id, CAST(a.nprobe AS BIGINT) AS nprobe,
-               CAST(sum(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END)
-                    AS BIGINT) AS n_hits,
-               CAST(sum(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END)
-                    AS DOUBLE) / 3.0 AS recall_at_k
-        FROM approx a LEFT JOIN exact e
-          ON a.q_id = e.q_id AND a.vec_id = e.vec_id
-        GROUP BY 1, 2 ORDER BY 1, 2
+        , hits AS (
+          SELECT a.q_id, a.nprobe,
+                 CAST(sum(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END)
+                      AS BIGINT) AS n_hits
+          FROM approx a LEFT JOIN exact e
+            ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+          GROUP BY 1, 2
+        ), levels AS (
+          SELECT q.q_id, g.nprobe
+          FROM (SELECT q_id FROM qv) q,
+               (SELECT unnest(range(1, 5)) AS nprobe) g
+        )
+        SELECT l.q_id, CAST(l.nprobe AS BIGINT) AS nprobe,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3.0 AS recall_at_k
+        FROM levels l LEFT JOIN hits h
+          ON l.q_id = h.q_id AND l.nprobe = h.nprobe
+        ORDER BY 1, 2
         """,
         "emb_pq_topk": _VEC_CTE
         + _pq_ctes(m=4, k=16, iters=2, dim=64)

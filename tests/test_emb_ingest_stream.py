@@ -63,7 +63,7 @@ def test_emb_ingest_stream_end_to_end(spark, sf_dir, tmp_path):
         shutil.rmtree(f"{src}/{name}")
 
     q = run_emb_ingest(spark, src, index, out, str(tmp_path / "ck"))
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not terminate in 300s"
 
     centroids, books = read_ivfpq_quantizers(spark, index)
     full = str(tmp_path / "full")
@@ -119,3 +119,25 @@ def test_ingest_embeddings_empty_batch_is_noop(spark, sf_dir, tmp_path):
     init_emb_store(spark, sf_dir, index)
     empty = _raw(spark, sf_dir).filter(F.lit(False))
     assert ingest_embeddings(empty, index, out, batch_id=1) == 0
+
+
+def test_ingest_derives_m_from_store(spark, sf_dir, tmp_path):
+    """m comes from the stored codebooks, never from a caller
+    parameter: a store built with m=2 must ingest correctly with no
+    m plumbing — a mismatched m would encode partial code rows that
+    fail the _m == m filter and silently vanish from search."""
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    base = vectors(spark, sf_dir).filter(F.col("vec_id") % 3 != 0)
+    init_emb_store(spark, sf_dir, index, source=base, m=2)
+    batch = _raw(spark, sf_dir).filter(F.col("vec_id") % 3 == 0)
+    n = ingest_embeddings(batch, index, out, batch_id=1)
+    assert n > 0
+    centroids, books = read_ivfpq_quantizers(spark, index)
+    res = ivfpq_search_indexed(
+        spark, index, centroids, books, _queries(spark, sf_dir),
+        k=10, nprobe=8, m=2,
+    )
+    returned = {r["vec_id"] for r in res.collect()}
+    streamed = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    assert returned & streamed, "streamed vectors vanished (m mismatch)"

@@ -509,6 +509,50 @@ def _authoritative(spark: SparkSession, src: str) -> DataFrame:
     return spark.read.parquet(src)
 
 
+def _winner_tf(key_cols, payload_cols=(), extra=(), extra_names=()):
+    """THE cross-partition compaction winner rule, shared by every
+    batch-ledger index compactor (near-dup tables, IVF-PQ index): one
+    map-side-combinable pass resolves every logical key to its
+    winning partition — keyed beats base/legacy (keyed partitions are
+    the replay-idempotence ledger), then lexicographically smallest
+    batch; reserved winners merge into ``base``.  A NULL batch
+    (pre-guard empty-string batch_id appends) counts as reserved so
+    its rows merge into ``base`` instead of riding undefined
+    null-struct ordering.
+
+    ``payload_cols`` ride the min-struct (for tables whose non-key
+    columns are identical across duplicates — e.g. deterministic PQ
+    codes — the winner's payload comes with its partition);
+    ``extra``/``extra_names`` are separate aggregates for payloads
+    that need their own rule (e.g. ``max(n_sh)``)."""
+
+    def tf(df: DataFrame) -> DataFrame:
+        reserved = (
+            F.col("batch").isin(*_RESERVED_BATCHES) | F.col("batch").isNull()
+        )
+        win = F.min(
+            F.struct(
+                reserved.cast("int").alias("p"),
+                F.coalesce(F.col("batch"), F.lit("legacy")).alias("b"),
+                *[F.col(c).alias(c) for c in payload_cols],
+            )
+        ).alias("__w")
+        return (
+            df.groupBy(*key_cols)
+            .agg(win, *extra)
+            .select(
+                *key_cols,
+                *extra_names,
+                *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
+                F.when(F.col("__w.p") == 1, F.lit("base"))
+                .otherwise(F.col("__w.b"))
+                .alias("batch"),
+            )
+        )
+
+    return tf
+
+
 def _staged_rewrite(spark: SparkSession, src: str, transform) -> None:
     """Whole-table stage-WAL rewrite shared by the index compactions
     (and the one place the crash protocol lives): recover any prior
@@ -809,47 +853,14 @@ def compact_neardup_index(spark: SparkSession, path: str) -> None:
     at QUIESCENCE — never between a batch's index append and its
     downstream write (see ``incremental_neardup_pairs``)."""
 
-    def _tf(key_cols, extra=(), extra_names=()):
-        def tf(df):
-            # one map-side-combinable pass: every logical key resolves
-            # to its winning partition (keyed beats base/legacy, then
-            # lexicographically smallest batch).  Reserved winners merge
-            # into `base`; keyed winners keep their partition identity.
-            # a NULL batch (pre-guard empty-string batch_id appends)
-            # counts as reserved so its rows merge into `base` instead
-            # of riding undefined null-struct ordering
-            reserved = (
-                F.col("batch").isin(*_RESERVED_BATCHES)
-                | F.col("batch").isNull()
-            )
-            win = F.min(
-                F.struct(
-                    reserved.cast("int").alias("p"),
-                    F.coalesce(F.col("batch"), F.lit("legacy")).alias("b"),
-                )
-            ).alias("__w")
-            return (
-                df.groupBy(*key_cols)
-                .agg(win, *extra)
-                .select(
-                    *key_cols,
-                    *extra_names,
-                    F.when(F.col("__w.p") == 1, F.lit("base"))
-                    .otherwise(F.col("__w.b"))
-                    .alias("batch"),
-                )
-            )
-
-        return tf
-
-    _staged_rewrite(spark, f"{path}/shingles", _tf(["doc_id", "sh"]))
+    _staged_rewrite(spark, f"{path}/shingles", _winner_tf(["doc_id", "sh"]))
     _staged_rewrite(
-        spark, f"{path}/bands", _tf(["doc_id", "band_id", "band_key"])
+        spark, f"{path}/bands", _winner_tf(["doc_id", "band_id", "band_key"])
     )
     _staged_rewrite(
         spark,
         f"{path}/counts",
-        _tf(
+        _winner_tf(
             ["doc_id"],
             extra=[F.max("n_sh").alias("n_sh")],
             extra_names=["n_sh"],

@@ -537,7 +537,14 @@ def append_to_ivfpq_index(
     would silently re-home and re-code *existing* vectors — retrain +
     rebuild is a separate, explicit operation.  An appended index
     searches identically to a rebuild over the union corpus
-    (pytest: tests/test_ivf_index.py)."""
+    (pytest: tests/test_ivf_index.py).
+
+    MIGRATION: an index persisted by the pre-ledger (bucket-only)
+    layout cannot be appended to — flat data files inside
+    ``bucket=*/`` and ``batch=*/`` subdirectories in the same bucket
+    dir break Spark partition discovery — rebuild it once with
+    :func:`write_ivfpq_index` first (the near-dup index carries the
+    same rule)."""
     from trade_data_collection_service_spark.ext.dedup import (
         _recover_compaction,
         _validate_batch_id,
@@ -610,35 +617,13 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
     Run at quiescence — maintenance is single-maintainer by
     contract."""
     from trade_data_collection_service_spark.ext.dedup import (
-        _RESERVED_BATCHES,
         _staged_rewrite,
+        _winner_tf,
     )
 
     def _tf(df: DataFrame) -> DataFrame:
         code_cols = [c for c in df.columns if c.startswith("code")]
-        reserved = (
-            F.col("batch").isin(*_RESERVED_BATCHES) | F.col("batch").isNull()
-        )
-        win = F.min(
-            F.struct(
-                reserved.cast("int").alias("p"),
-                F.coalesce(F.col("batch"), F.lit("legacy")).alias("b"),
-                F.col("bucket").alias("bucket"),
-                *[F.col(c).alias(c) for c in code_cols],
-            )
-        ).alias("__w")
-        return (
-            df.groupBy("vec_id")
-            .agg(win)
-            .select(
-                "vec_id",
-                *[F.col(f"__w.{c}").alias(c) for c in code_cols],
-                F.col("__w.bucket").alias("bucket"),
-                F.when(F.col("__w.p") == 1, F.lit("base"))
-                .otherwise(F.col("__w.b"))
-                .alias("batch"),
-            )
-        )
+        return _winner_tf(["vec_id"], payload_cols=[*code_cols, "bucket"])(df)
 
     _staged_rewrite(spark, path, _tf)
 

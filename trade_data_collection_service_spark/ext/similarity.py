@@ -97,9 +97,13 @@ def assign_buckets(v: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def probe_buckets(v: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+def probe_buckets(
+    v: DataFrame, centroids: DataFrame, nprobe: int, with_rank: bool = False
+) -> DataFrame:
     """Top-``nprobe`` nearest centroids per vector (the buckets an IVF
-    query searches)."""
+    query searches).  ``with_rank`` additionally exposes each bucket's
+    probe rank (1 = nearest) — the nesting key the one-pass
+    :func:`ann_recall_curve` sweeps over."""
     c = centroids.select(
         F.col("vec_id").alias("c_id"),
         F.col("emb").alias("c_emb"),
@@ -109,11 +113,18 @@ def probe_buckets(v: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
         "c_sim", F.round(_dot("emb", "c_emb") / (F.col("nrm") * F.col("c_nrm")), 6)
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("c_id"))
-    return (
+    out = (
         sims.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= nprobe)
-        .select("vec_id", "emb", "nrm", F.col("c_id").alias("probe_bucket"))
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            F.col("c_id").alias("probe_bucket"),
+            F.col("__r").alias("probe_rank"),
+        )
     )
+    return out if with_rank else out.drop("probe_rank")
 
 
 def ivf_topk(
@@ -541,6 +552,24 @@ def semdedup(
     )
 
 
+def _exact_topk(v: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Exact cosine top-k ground truth shared by the recall
+    evaluators: corpus × broadcast(query set), rounded-sim ranks with
+    vec_id tiebreaks (the repo-wide float-ranking rule, which is what
+    keeps the DuckDB twins bit-equal).  ``q`` carries
+    (q_id, q_emb, q_nrm).  Returns (q_id, vec_id, hit=1)."""
+    sims = v.join(broadcast(q), F.col("vec_id") != F.col("q_id")).withColumn(
+        "sim",
+        F.round(_dot("emb", "q_emb") / (F.col("nrm") * F.col("q_nrm")), 6),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+
+
 def ann_recall(
     spark: SparkSession,
     sf_dir: str,
@@ -574,16 +603,7 @@ def ann_recall(
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    sims = v.join(broadcast(q), F.col("vec_id") != F.col("q_id")).withColumn(
-        "sim",
-        F.round(_dot("emb", "q_emb") / (F.col("nrm") * F.col("q_nrm")), 6),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    exact = (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", F.lit(1).alias("hit"))
-    )
+    exact = _exact_topk(v, q, k)
     marked = approx.join(exact, ["q_id", "vec_id"], "left")
     return (
         marked.groupBy("q_id")
@@ -640,28 +660,12 @@ def ann_recall_curve(
     q = v.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)
     )
-    c = centroids.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("emb").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    qsims = q.join(broadcast(c)).withColumn(
-        "c_sim",
-        F.round(_dot("emb", "c_emb") / (F.col("nrm") * F.col("c_nrm")), 6),
-    )
-    wq = Window.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), F.col("c_id")
-    )
-    probes = (
-        qsims.withColumn("probe_rank", F.row_number().over(wq))
-        .filter(F.col("probe_rank") <= max_nprobe)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
-            F.col("c_id").alias("q_bucket"),
-            "probe_rank",
-        )
+    probes = probe_buckets(q, centroids, max_nprobe, with_rank=True).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("probe_bucket").alias("q_bucket"),
+        "probe_rank",
     )
     cand = (
         bucketed.join(
@@ -675,7 +679,7 @@ def ann_recall_curve(
         )
         .select("q_id", "vec_id", "sim", "probe_rank")
     )
-    grid = cand.select(
+    swept = cand.select(
         "q_id",
         "vec_id",
         "sim",
@@ -687,7 +691,7 @@ def ann_recall_curve(
         F.col("sim").desc(), F.col("vec_id")
     )
     approx = (
-        grid.withColumn("rank", F.row_number().over(wk))
+        swept.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("q_id", "nprobe", "vec_id")
     )
@@ -696,27 +700,29 @@ def ann_recall_curve(
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    esims = v.join(broadcast(qe), F.col("vec_id") != F.col("q_id")).withColumn(
-        "sim",
-        F.round(_dot("emb", "q_emb") / (F.col("nrm") * F.col("q_nrm")), 6),
-    )
-    we = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    exact = (
-        esims.withColumn("rank", F.row_number().over(we))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", F.lit(1).alias("hit"))
-    )
-    marked = approx.join(exact, ["q_id", "vec_id"], "left")
-    return (
-        marked.groupBy("q_id", "nprobe")
+    exact = _exact_topk(v, qe, k)
+    hits = (
+        approx.join(exact, ["q_id", "vec_id"], "left")
+        .groupBy("q_id", "nprobe")
         .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+    )
+    # dense (q_id × nprobe) grid: a level whose nested candidate set
+    # is EMPTY (an under-populated nearest bucket) must emit recall
+    # 0.0, not silently drop off the curve
+    levels = qe.select(
+        "q_id",
+        F.explode(F.sequence(F.lit(1), F.lit(max_nprobe))).alias("nprobe"),
+    )
+    return (
+        levels.join(hits, ["q_id", "nprobe"], "left")
         .select(
             "q_id",
             F.col("nprobe").cast("long").alias("nprobe"),
-            "n_hits",
-            (F.col("n_hits").cast("double") / F.lit(float(k))).alias(
-                "recall_at_k"
-            ),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall_at_k"),
         )
         .orderBy("q_id", "nprobe")
     )

@@ -83,12 +83,22 @@ def ingest_embeddings(
     index_path: str,
     out_dir: str,
     batch_id: str | int,
-    m: int = 4,
 ) -> int:
     """One micro-batch of searchable-on-arrival ingestion (the
     foreachBatch body, callable directly for tests and backfills).
-    Returns the number of vectors appended."""
+    Returns the number of vectors appended.
+
+    ``m`` is deliberately NOT a parameter: it is derived from the
+    stored codebooks (one subspace per codebook), because a free m
+    that disagrees with the store's build-time m would encode partial
+    code rows whose LUT joins fail the ``_m == m`` completeness
+    filter — every streamed vector would silently vanish from search,
+    the exact failure mode the batch keying exists to prevent."""
     spark = batch.sparkSession
+    # ONE materialization of the micro-batch: count, encode, and the
+    # vector-store write below all reuse it instead of re-reading the
+    # source file three times per trigger
+    batch = batch.localCheckpoint(eager=True)
     vecs = batch.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -96,6 +106,7 @@ def ingest_embeddings(
     if n == 0:
         return 0
     centroids, books = read_ivfpq_quantizers(spark, index_path)
+    m = books.select("subspace").distinct().count()
     append_to_ivfpq_index(
         vecs, index_path, centroids, books, m=m, batch_id=batch_id
     )
@@ -115,7 +126,6 @@ def run_emb_ingest(
     index_path: str,
     out_dir: str,
     checkpoint_dir: str,
-    m: int = 4,
     schema: str = EMB_SCHEMA,
     available_now: bool = True,
 ):
@@ -132,7 +142,7 @@ def run_emb_ingest(
     )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        ingest_embeddings(batch, index_path, out_dir, batch_id, m)
+        ingest_embeddings(batch, index_path, out_dir, batch_id)
 
     writer = stream.writeStream.option(
         "checkpointLocation", checkpoint_dir
