@@ -493,6 +493,15 @@ def _q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XS.ann_recall_curve(spark, sf_dir)
 
 
+def _q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average conditional bigram log-probability under the
+    corpus's own MLE bigram model (ext/text.bigram_logprob) — the
+    distributed first rung of CCNet's KenLM quality ladder: one
+    per-doc window lag + two map-side-combined censuses + equi
+    joins, never a broadcast of the vocabulary² bigram table."""
+    return XT.bigram_logprob(spark, sf_dir)
+
+
 def _q_doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail LM-quality tiers (Wenzek et al. 2020,
     ext/text.lm_quality_buckets): positional ntile over per-doc
@@ -1324,20 +1333,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
-# r10 ROTATION PLAN (write _R10_WINDOW next round): the 5 r9-new,
+# r10 ROTATION PLAN (write _R10_WINDOW next round): the 6 r9-new,
 # never-driver-checked entries (doc_grouped_split,
 # emb_ivfadc_rerank_topk, emb_ivfpq_appended_topk, ann_recall_curve,
-# doc_lm_buckets — judge/local sweeps only so far) first,
-# then the 45 highest-priority entries whose latest driver evidence
-# is r7 (doc_repetition, minute_spread, exchange_spread, donchian_20,
-# event_transitions, event_paths_topk, doc_ngram_topk,
-# asof_price_tolerance, rolling_active_hll, then the
+# doc_lm_buckets, doc_bigram_logprob — judge/local sweeps only so
+# far) first, then the 44 highest-priority entries whose latest
+# driver evidence is r7 (doc_repetition, minute_spread,
+# exchange_spread, donchian_20, event_transitions, event_paths_topk,
+# doc_ngram_topk, asof_price_tolerance, rolling_active_hll, then the
 # doc_dedup_keep_best…tpch_q2 block per CORRECTNESS_r07 minus r08
-# keys, displacing the 5 at that block's tail) = 50; anything r10
+# keys, displacing the 6 at that block's tail) = 50; anything r10
 # changes goes first and displaces further from the r7 block's tail
 # (ema_20/macd_12_26_9 have r8 evidence — they rotate in r11).
-# After r9 the evidence ledger is 50 r9 / 50 r8 / 48 r7 / 5 never —
-# the 5 never-checked are r10's first obligation.
+# After r9 the evidence ledger is 50 r9 / 50 r8 / 48 r7 / 6 never —
+# the 6 never-checked are r10's first obligation.
 #
 # r9 driver window (VERDICT r8 #1, the committed r8 plan verbatim):
 # the 4 r8-new passage entries — never driver-checked, AND the
@@ -1579,6 +1588,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivfpq_appended_topk": _q_emb_ivfpq_appended_topk,
         "ann_recall_curve": _q_ann_recall_curve,
         "doc_lm_buckets": _q_doc_lm_buckets,
+        "doc_bigram_logprob": _q_doc_bigram_logprob,
     }
 
 
@@ -2323,6 +2333,41 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bucket = 2 THEN 'middle'
                     ELSE 'tail' END AS tier
         FROM tiered ORDER BY doc_id
+        """,
+        "doc_bigram_logprob": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , terms AS (
+          SELECT doc_id, unnest(tokens) AS term,
+                 generate_subscripts(tokens, 1) AS pos
+          FROM toks
+        ), pairs AS (
+          SELECT doc_id, prev, term FROM (
+            SELECT doc_id,
+                   lag(term) OVER (
+                     PARTITION BY doc_id ORDER BY pos) AS prev,
+                   term
+            FROM terms
+          ) WHERE prev IS NOT NULL
+        ), tf AS (
+          SELECT doc_id, prev, term, CAST(count(*) AS BIGINT) AS tf
+          FROM pairs GROUP BY 1, 2, 3
+        ), big AS (
+          SELECT prev, term, CAST(count(*) AS BIGINT) AS n_big
+          FROM pairs GROUP BY 1, 2
+        ), ctx AS (
+          SELECT prev, CAST(count(*) AS BIGINT) AS n_ctx
+          FROM pairs GROUP BY 1
+        ), scored AS (
+          SELECT t.doc_id, t.tf,
+            t.tf * CAST(round(ln(CAST(b.n_big AS DOUBLE) / c.n_ctx), 12)
+                        AS DECIMAL(20,12)) AS wlp
+          FROM tf t JOIN big b USING (prev, term) JOIN ctx c USING (prev)
+        )
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
+        FROM scored GROUP BY 1 ORDER BY 1
         """,
         "doc_tfidf_terms": "WITH "
         + _TOKS_CTE.format(src="documents")

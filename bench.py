@@ -148,9 +148,10 @@ def headline_queries():
         "doc_dedup_passages",
         "returns_autocorr",
         "conversion_latency",
-        # round-9: one-pass nprobe sweep + CCNet LM tiers
+        # round-9: one-pass nprobe sweep + CCNet LM tiers + bigram LM
         "ann_recall_curve",
         "doc_lm_buckets",
+        "doc_bigram_logprob",
     ):
         if name in q:
             out[name] = q[name]

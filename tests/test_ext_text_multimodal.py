@@ -226,3 +226,43 @@ def test_lm_quality_buckets_balanced_and_ordered(spark, sf_dir):
         r["avg_logprob"] for r in by_tier["tail"]
     )
     assert all(r["bucket"] in (1, 2, 3) for r in rows)
+
+
+def test_bigram_logprob_hand_computed(spark, tmp_path):
+    """Exact MLE bigram conditionals on a planted corpus, and the
+    word-order separation the unigram model cannot see: two docs with
+    IDENTICAL token bags but different orders score differently."""
+    import math
+
+    from trade_data_collection_service_spark.ext.text import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    rows = [
+        (0, "a b a b a b"),   # fluent: always a->b / b->a
+        (1, "a a a b b b"),   # same bag, rare transitions
+        (2, "a b a b a b"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r for r in bigram_logprob(spark, str(tmp_path)).collect()
+    }
+    assert all(r["n_bigrams"] == 5 for r in out.values())
+    # corpus pairs: a->b x7, b->a x4, a->a x2, b->b x2
+    # contexts: a x9, b x6
+    ab, ba = math.log(7 / 9), math.log(4 / 6)
+    aa, bb = math.log(2 / 9), math.log(2 / 6)
+    want0 = (3 * round(ab, 12) + 2 * round(ba, 12)) / 5
+    want1 = (2 * round(aa, 12) + round(ab, 12) + 2 * round(bb, 12)) / 5
+    assert abs(out[0]["avg_logprob"] - want0) < 1e-9
+    assert abs(out[1]["avg_logprob"] - want1) < 1e-9
+    assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
+    # the unigram model scores the two docs identically (same bag)
+    uni = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_logprob(spark, str(tmp_path)).collect()
+    }
+    assert uni[0] == uni[1]

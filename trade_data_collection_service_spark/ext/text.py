@@ -14,7 +14,7 @@ Shared token model: lowercase, split on whitespace.  3-word shingles
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Marker vocabularies for the language-ID heuristic.  The synthetic
@@ -409,6 +409,70 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average conditional bigram log-probability
+    ln P(w|prev) under the corpus's own MLE bigram model — one rung
+    up the KenLM ladder from :func:`unigram_logprob` (CCNet filters
+    on a 5-gram KenLM; the bigram is the distributed first step that
+    already separates fluent word order from bag-of-frequent-words
+    documents, which the unigram scores identically).
+
+    P(w|prev) = c(prev,w) / c(prev as context) — context counts, not
+    raw unigram counts, so probabilities sum to 1 per context.
+    Scoring the training corpus itself means every scored bigram was
+    observed (the backoff branch of stupid backoff / Brants et al.
+    2007 never fires here; serving unseen text would add the
+    ``0.4 · P_unigram`` fallback as a coalesce over the same join).
+
+    Scale shape: one posexplode + ONE per-doc window lag (partitioned
+    by doc_id — skew bounded by max document length, never global),
+    two map-side-combined groupBys for the bigram/context censuses,
+    and plain equi joins on (prev, term)/(prev) — the bigram table is
+    vocabulary², so it is never broadcast.  Determinism: the
+    repo-wide round-12 + decimal-weighted-sum discipline of
+    unigram_logprob."""
+    docs = with_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    terms = docs.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "term")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        terms.withColumn("prev", F.lag("term").over(wd))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "term")
+    )
+    tf = pairs.groupBy("doc_id", "prev", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    big = pairs.groupBy("prev", "term").agg(
+        F.count(F.lit(1)).alias("n_big")
+    )
+    ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("n_ctx"))
+    lp = F.round(
+        F.log(F.col("n_big").cast("double") / F.col("n_ctx")), 12
+    ).cast("decimal(20,12)")
+    scored = (
+        tf.join(big, ["prev", "term"])
+        .join(ctx, "prev")
+        .withColumn("wlp", F.col("tf") * lp)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum("wlp").alias("sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("sum_lp").cast("double") / F.col("n_bigrams")).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def lm_quality_buckets(
     spark: SparkSession, sf_dir: str, n_buckets: int = 3
 ) -> DataFrame:
@@ -433,8 +497,6 @@ def lm_quality_buckets(
     swap the exact ntile for CCNet's own procedure — percentile
     thresholds estimated on a sample, broadcast, and applied as a
     map-side comparison — at the cost of approximate tier sizes."""
-    from pyspark.sql import Window
-
     scored = unigram_logprob(spark, sf_dir)
     w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
     bucketed = scored.withColumn(
