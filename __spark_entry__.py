@@ -502,6 +502,18 @@ def _q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XT.bigram_logprob(spark, sf_dir)
 
 
+def _q_doc_lm_score_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff LM serving (ext/text.lm_score): train the
+    bigram LM on 2/3 of the corpus, score the UNSEEN 1/3 — unseen
+    bigrams fall back to ln(0.4·c(w)/total) with OOV counts floored
+    at 1, and n_backoff counts the fall-throughs (the domain-shift
+    diagnostic).  This exercises the backoff branch the in-corpus
+    doc_bigram_logprob never reaches."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = XT.train_bigram_lm(docs.filter(F.col("doc_id") % 3 != 0))
+    return XT.lm_score(docs.filter(F.col("doc_id") % 3 == 0), lm)
+
+
 def _q_doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail LM-quality tiers (Wenzek et al. 2020,
     ext/text.lm_quality_buckets): positional ntile over per-doc
@@ -1333,20 +1345,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
-# r10 ROTATION PLAN (write _R10_WINDOW next round): the 6 r9-new,
+# r10 ROTATION PLAN (write _R10_WINDOW next round): the 7 r9-new,
 # never-driver-checked entries (doc_grouped_split,
 # emb_ivfadc_rerank_topk, emb_ivfpq_appended_topk, ann_recall_curve,
-# doc_lm_buckets, doc_bigram_logprob — judge/local sweeps only so
-# far) first, then the 44 highest-priority entries whose latest
+# doc_lm_buckets, doc_bigram_logprob, doc_lm_score_backoff — judge/
+# local sweeps only so far) first, then the 43 highest-priority
+# entries whose latest
 # driver evidence is r7 (doc_repetition, minute_spread,
 # exchange_spread, donchian_20, event_transitions, event_paths_topk,
 # doc_ngram_topk, asof_price_tolerance, rolling_active_hll, then the
 # doc_dedup_keep_best…tpch_q2 block per CORRECTNESS_r07 minus r08
-# keys, displacing the 6 at that block's tail) = 50; anything r10
+# keys, displacing the 7 at that block's tail) = 50; anything r10
 # changes goes first and displaces further from the r7 block's tail
 # (ema_20/macd_12_26_9 have r8 evidence — they rotate in r11).
-# After r9 the evidence ledger is 50 r9 / 50 r8 / 48 r7 / 6 never —
-# the 6 never-checked are r10's first obligation.
+# After r9 the evidence ledger is 50 r9 / 50 r8 / 48 r7 / 7 never —
+# the 7 never-checked are r10's first obligation.
 #
 # r9 driver window (VERDICT r8 #1, the committed r8 plan verbatim):
 # the 4 r8-new passage entries — never driver-checked, AND the
@@ -1589,6 +1602,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_curve": _q_ann_recall_curve,
         "doc_lm_buckets": _q_doc_lm_buckets,
         "doc_bigram_logprob": _q_doc_bigram_logprob,
+        "doc_lm_score_backoff": _q_doc_lm_score_backoff,
     }
 
 
@@ -2366,6 +2380,78 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id,
                CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
+        FROM scored GROUP BY 1 ORDER BY 1
+        """,
+        "doc_lm_score_backoff": r"""WITH
+        train AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        score AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        ttoks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS tokens
+          FROM train
+        ), stoks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS tokens
+          FROM score
+        ), tterms AS (
+          SELECT doc_id, unnest(tokens) AS term,
+                 generate_subscripts(tokens, 1) AS pos
+          FROM ttoks
+        ), tpairs AS (
+          SELECT doc_id, prev, term FROM (
+            SELECT doc_id,
+                   lag(term) OVER (
+                     PARTITION BY doc_id ORDER BY pos) AS prev,
+                   term
+            FROM tterms
+          ) WHERE prev IS NOT NULL
+        ), big AS (
+          SELECT prev, term, CAST(count(*) AS BIGINT) AS n_big
+          FROM tpairs GROUP BY 1, 2
+        ), ctx AS (
+          SELECT prev, CAST(count(*) AS BIGINT) AS n_ctx
+          FROM tpairs GROUP BY 1
+        ), uni AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS n_uni
+          FROM (SELECT unnest(tokens) AS term FROM ttoks) GROUP BY 1
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_total
+          FROM (SELECT unnest(tokens) AS term FROM ttoks)
+        ), sterms AS (
+          SELECT doc_id, unnest(tokens) AS term,
+                 generate_subscripts(tokens, 1) AS pos
+          FROM stoks
+        ), spairs AS (
+          SELECT doc_id, prev, term FROM (
+            SELECT doc_id,
+                   lag(term) OVER (
+                     PARTITION BY doc_id ORDER BY pos) AS prev,
+                   term
+            FROM sterms
+          ) WHERE prev IS NOT NULL
+        ), tf AS (
+          SELECT doc_id, prev, term, CAST(count(*) AS BIGINT) AS tf
+          FROM spairs GROUP BY 1, 2, 3
+        ), joined AS (
+          SELECT t.doc_id, t.tf, b.n_big, c.n_ctx, u.n_uni, o.n_total
+          FROM tf t
+          LEFT JOIN big b USING (prev, term)
+          LEFT JOIN ctx c USING (prev)
+          LEFT JOIN uni u USING (term)
+          CROSS JOIN tot o
+        ), scored AS (
+          SELECT doc_id, tf,
+            CASE WHEN n_big IS NOT NULL
+              THEN tf * CAST(round(ln(CAST(n_big AS DOUBLE) / n_ctx), 12)
+                             AS DECIMAL(20,12))
+              ELSE tf * CAST(round(ln(0.4 * CAST(COALESCE(n_uni, 1)
+                             AS DOUBLE) / n_total), 12)
+                             AS DECIMAL(20,12)) END AS wlp,
+            CASE WHEN n_big IS NOT NULL THEN 0 ELSE tf END AS backoff_tf
+          FROM joined
+        )
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               CAST(sum(backoff_tf) AS BIGINT) AS n_backoff,
                CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
         FROM scored GROUP BY 1 ORDER BY 1
         """,

@@ -152,6 +152,7 @@ def headline_queries():
         "ann_recall_curve",
         "doc_lm_buckets",
         "doc_bigram_logprob",
+        "doc_lm_score_backoff",
     ):
         if name in q:
             out[name] = q[name]

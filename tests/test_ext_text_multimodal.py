@@ -266,3 +266,45 @@ def test_bigram_logprob_hand_computed(spark, tmp_path):
         for r in unigram_logprob(spark, str(tmp_path)).collect()
     }
     assert uni[0] == uni[1]
+
+
+def test_lm_score_backoff_and_stored_roundtrip(spark, sf_dir, tmp_path):
+    """The serving half of the LM filter: (1) scoring the training
+    corpus itself never backs off and reproduces bigram_logprob
+    exactly; (2) scoring UNSEEN docs fires the backoff branch;
+    (3) a stored LM (write/read_lm_index) scores identically to the
+    in-memory one."""
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.ext.text import (
+        bigram_logprob,
+        lm_score,
+        read_lm_index,
+        train_bigram_lm,
+        write_lm_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm_full = train_bigram_lm(docs)
+    self_scored = lm_score(docs, lm_full)
+    assert self_scored.filter(F.col("n_backoff") > 0).count() == 0
+    a = sorted(
+        (r["doc_id"], r["n_bigrams"], r["avg_logprob"])
+        for r in self_scored.collect()
+    )
+    b = sorted(tuple(r) for r in bigram_logprob(spark, sf_dir).collect())
+    assert a == b
+
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    unseen = docs.filter(F.col("doc_id") % 3 == 0)
+    lm = train_bigram_lm(train)
+    scored = lm_score(unseen, lm)
+    rows = scored.collect()
+    assert rows and any(r["n_backoff"] > 0 for r in rows)
+    assert all(0 <= r["n_backoff"] <= r["n_bigrams"] for r in rows)
+
+    write_lm_index(train, str(tmp_path / "lm"))
+    stored = lm_score(unseen, read_lm_index(spark, str(tmp_path / "lm")))
+    assert sorted(tuple(r) for r in stored.collect()) == sorted(
+        tuple(r) for r in rows
+    )

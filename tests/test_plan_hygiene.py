@@ -38,6 +38,8 @@ NESTED_LOOP_OK = {
     # across the whole nprobe sweep; the swept side joins equi on bucket
     "doc_lm_buckets",  # inherits doc_unigram_logprob's 1-row
     # total-token broadcast scalar
+    "doc_lm_score_backoff",  # 1-row trained-LM token total rides a
+    # broadcast crossJoin into the backoff branch
     "doc_unigram_logprob",  # 1-row total-token broadcast scalar
     "doc_source_mix",  # 1-row (n_total, n_sources) broadcast scalar
     "doc_neardup_quality",  # three 1-row count scalars crossJoined

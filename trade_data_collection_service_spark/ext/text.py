@@ -431,16 +431,7 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary², so it is never broadcast.  Determinism: the
     repo-wide round-12 + decimal-weighted-sum discipline of
     unigram_logprob."""
-    docs = with_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    terms = docs.select(
-        "doc_id", F.posexplode("tokens").alias("pos", "term")
-    )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = (
-        terms.withColumn("prev", F.lag("term").over(wd))
-        .filter(F.col("prev").isNotNull())
-        .select("doc_id", "prev", "term")
-    )
+    pairs = _doc_bigrams(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     tf = pairs.groupBy("doc_id", "prev", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -471,6 +462,130 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, prev, term) consecutive-token pairs — the shared
+    tokenize→posexplode→per-doc-lag front end of the bigram LM
+    trainer and scorer (one window per doc_id, skew bounded by max
+    document length)."""
+    terms = with_tokens(docs).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "term")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        terms.withColumn("prev", F.lag("term").over(wd))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "term")
+    )
+
+
+def train_bigram_lm(docs: DataFrame) -> dict[str, DataFrame]:
+    """Fit the corpus-side state of the stupid-backoff bigram LM
+    (Brants et al. 2007) on a CLEAN training corpus: the bigram
+    census, the context census, the unigram census, and the 1-row
+    token total — each a map-side-combined groupBy, all at rest as
+    plain tables (the LM "index"; persist with the usual parquet
+    writes).  Serving is :func:`lm_score`."""
+    pairs = _doc_bigrams(docs)
+    terms = with_tokens(docs).select(
+        "doc_id", F.explode("tokens").alias("term")
+    )
+    return {
+        "big": pairs.groupBy("prev", "term").agg(
+            F.count(F.lit(1)).alias("n_big")
+        ),
+        "ctx": pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("n_ctx")),
+        "uni": terms.groupBy("term").agg(F.count(F.lit(1)).alias("n_uni")),
+        "total": terms.agg(F.count(F.lit(1)).alias("n_total")),
+    }
+
+
+def lm_score(batch: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
+    """Score UNSEEN documents against a trained bigram LM with stupid
+    backoff — the serving half of the CCNet-style quality filter
+    (train on the clean corpus, gate incoming documents on
+    perplexity): ln P(w|prev) = ln(c(prev,w)/c(prev)) when the bigram
+    was observed in training, else ln(0.4 · c(w)/total) (Brants et
+    al. 2007's fixed α, no normalization — a score, not a
+    distribution), with unseen-word counts floored at 1 so OOV terms
+    score at the vocabulary floor instead of -inf.
+
+    Plan shape: the batch's pair table LEFT-joins the three censuses
+    (equi keys; the vocabulary² bigram table is never broadcast) and
+    the 1-row total rides a broadcast crossJoin — per batch the cost
+    is O(batch bigrams), training-corpus-size independent.  Output:
+    (doc_id, n_bigrams, n_backoff, avg_logprob); ``n_backoff`` (pair
+    instances that fell through to the unigram path) is the
+    domain-shift diagnostic."""
+    pairs = _doc_bigrams(batch)
+    tf = pairs.groupBy("doc_id", "prev", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    joined = (
+        tf.join(lm["big"], ["prev", "term"], "left")
+        .join(lm["ctx"], ["prev"], "left")
+        .join(
+            lm["uni"].select(F.col("term"), F.col("n_uni")),
+            ["term"],
+            "left",
+        )
+        .crossJoin(F.broadcast(lm["total"]))
+    )
+    seen = F.col("n_big").isNotNull()
+    lp = F.when(
+        seen,
+        F.round(
+            F.log(F.col("n_big").cast("double") / F.col("n_ctx")), 12
+        ),
+    ).otherwise(
+        F.round(
+            F.log(
+                F.lit(0.4)
+                * F.coalesce(F.col("n_uni"), F.lit(1)).cast("double")
+                / F.col("n_total")
+            ),
+            12,
+        )
+    ).cast("decimal(20,12)")
+    scored = joined.withColumn("wlp", F.col("tf") * lp).withColumn(
+        "backoff_tf", F.when(seen, F.lit(0)).otherwise(F.col("tf"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum("backoff_tf").cast("long").alias("n_backoff"),
+            F.sum("wlp").alias("sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_backoff",
+            (F.col("sum_lp").cast("double") / F.col("n_bigrams")).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def write_lm_index(docs: DataFrame, path: str) -> None:
+    """Persist the trained bigram LM at rest — four tables under
+    ``{path}/``; a scoring deployment reads them back with
+    :func:`read_lm_index` and never touches the training corpus
+    again."""
+    lm = train_bigram_lm(docs)
+    for name, df in lm.items():
+        df.write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def read_lm_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Load the stored bigram LM written by :func:`write_lm_index`."""
+    return {
+        name: spark.read.parquet(f"{path}/{name}")
+        for name in ("big", "ctx", "uni", "total")
+    }
 
 
 def lm_quality_buckets(
