@@ -2377,11 +2377,17 @@ def oracle_sql() -> dict[str, str]:
             t.tf * CAST(round(ln(CAST(b.n_big AS DOUBLE) / c.n_ctx), 12)
                         AS DECIMAL(20,12)) AS wlp
           FROM tf t JOIN big b USING (prev, term) JOIN ctx c USING (prev)
+        ), lp AS (
+          SELECT doc_id,
+                 CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                 CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
+          FROM scored GROUP BY 1
         )
-        SELECT doc_id,
-               CAST(sum(tf) AS BIGINT) AS n_bigrams,
-               CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
-        FROM scored GROUP BY 1 ORDER BY 1
+        SELECT d.doc_id,
+               CAST(COALESCE(l.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               l.avg_logprob
+        FROM documents d LEFT JOIN lp l USING (doc_id)
+        ORDER BY 1
         """,
         "doc_lm_score_backoff": r"""WITH
         train AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
@@ -2448,12 +2454,19 @@ def oracle_sql() -> dict[str, str]:
                              AS DECIMAL(20,12)) END AS wlp,
             CASE WHEN n_big IS NOT NULL THEN 0 ELSE tf END AS backoff_tf
           FROM joined
+        ), agg AS (
+          SELECT doc_id,
+                 CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                 CAST(sum(backoff_tf) AS BIGINT) AS n_backoff,
+                 CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
+          FROM scored GROUP BY 1
         )
-        SELECT doc_id,
-               CAST(sum(tf) AS BIGINT) AS n_bigrams,
-               CAST(sum(backoff_tf) AS BIGINT) AS n_backoff,
-               CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
-        FROM scored GROUP BY 1 ORDER BY 1
+        SELECT s.doc_id,
+               CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(a.n_backoff, 0) AS BIGINT) AS n_backoff,
+               a.avg_logprob
+        FROM score s LEFT JOIN agg a USING (doc_id)
+        ORDER BY 1
         """,
         "doc_tfidf_terms": "WITH "
         + _TOKS_CTE.format(src="documents")

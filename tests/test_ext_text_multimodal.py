@@ -308,3 +308,23 @@ def test_lm_score_backoff_and_stored_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in stored.collect()) == sorted(
         tuple(r) for r in rows
     )
+
+
+def test_lm_score_covers_short_docs(spark, sf_dir):
+    """A doc with fewer than 2 tokens has nothing to score but must
+    still appear in the output (n_bigrams=0, NULL score) — a gate
+    joining documents to scores must not silently lose coverage."""
+    from trade_data_collection_service_spark.ext.text import (
+        lm_score,
+        train_bigram_lm,
+    )
+
+    lm = train_bigram_lm(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    batch = spark.createDataFrame(
+        [(9001, "solo"), (9002, "the fast table")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in lm_score(batch, lm).collect()}
+    assert set(out) == {9001, 9002}
+    assert out[9001]["n_bigrams"] == 0 and out[9001]["n_backoff"] == 0
+    assert out[9001]["avg_logprob"] is None
+    assert out[9002]["n_bigrams"] == 2

@@ -424,44 +424,14 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     2007 never fires here; serving unseen text would add the
     ``0.4 · P_unigram`` fallback as a coalesce over the same join).
 
-    Scale shape: one posexplode + ONE per-doc window lag (partitioned
-    by doc_id — skew bounded by max document length, never global),
-    two map-side-combined groupBys for the bigram/context censuses,
-    and plain equi joins on (prev, term)/(prev) — the bigram table is
-    vocabulary², so it is never broadcast.  Determinism: the
-    repo-wide round-12 + decimal-weighted-sum discipline of
-    unigram_logprob."""
-    pairs = _doc_bigrams(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    tf = pairs.groupBy("doc_id", "prev", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    big = pairs.groupBy("prev", "term").agg(
-        F.count(F.lit(1)).alias("n_big")
-    )
-    ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("n_ctx"))
-    lp = F.round(
-        F.log(F.col("n_big").cast("double") / F.col("n_ctx")), 12
-    ).cast("decimal(20,12)")
-    scored = (
-        tf.join(big, ["prev", "term"])
-        .join(ctx, "prev")
-        .withColumn("wlp", F.col("tf") * lp)
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("n_bigrams"),
-            F.sum("wlp").alias("sum_lp"),
-        )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            (F.col("sum_lp").cast("double") / F.col("n_bigrams")).alias(
-                "avg_logprob"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    Implemented as train-on-self serving — :func:`lm_score` against
+    :func:`train_bigram_lm` of the same corpus (the backoff branch
+    never fires: every scored bigram was observed; pytest-proven
+    equivalent to the direct inner-join form), so the lp/rounding
+    discipline lives in exactly one place.  Scale shape and
+    determinism notes: see lm_score."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_score(docs, train_bigram_lm(docs)).drop("n_backoff")
 
 
 def _doc_bigrams(docs: DataFrame) -> DataFrame:
@@ -484,20 +454,29 @@ def train_bigram_lm(docs: DataFrame) -> dict[str, DataFrame]:
     """Fit the corpus-side state of the stupid-backoff bigram LM
     (Brants et al. 2007) on a CLEAN training corpus: the bigram
     census, the context census, the unigram census, and the 1-row
-    token total — each a map-side-combined groupBy, all at rest as
-    plain tables (the LM "index"; persist with the usual parquet
-    writes).  Serving is :func:`lm_score`."""
+    token total — persist with :func:`write_lm_index`.  Serving is
+    :func:`lm_score`.
+
+    Only TWO corpus passes: the bigram and unigram censuses
+    (map-side-combined groupBys over the pair/token explodes); the
+    context census and the token total are exact marginals of those —
+    c(prev as context) = Σ_w c(prev,w) and total = Σ_w c(w) — so they
+    re-aggregate the (much smaller) census tables instead of
+    re-tokenizing the corpus (r9 review finding: the independent
+    forms re-ran the tokenize+lag pass four times per action)."""
     pairs = _doc_bigrams(docs)
     terms = with_tokens(docs).select(
         "doc_id", F.explode("tokens").alias("term")
     )
+    big = pairs.groupBy("prev", "term").agg(
+        F.count(F.lit(1)).alias("n_big")
+    )
+    uni = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n_uni"))
     return {
-        "big": pairs.groupBy("prev", "term").agg(
-            F.count(F.lit(1)).alias("n_big")
-        ),
-        "ctx": pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("n_ctx")),
-        "uni": terms.groupBy("term").agg(F.count(F.lit(1)).alias("n_uni")),
-        "total": terms.agg(F.count(F.lit(1)).alias("n_total")),
+        "big": big,
+        "ctx": big.groupBy("prev").agg(F.sum("n_big").alias("n_ctx")),
+        "uni": uni,
+        "total": uni.agg(F.sum("n_uni").alias("n_total")),
     }
 
 
@@ -515,9 +494,12 @@ def lm_score(batch: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
     (equi keys; the vocabulary² bigram table is never broadcast) and
     the 1-row total rides a broadcast crossJoin — per batch the cost
     is O(batch bigrams), training-corpus-size independent.  Output:
-    (doc_id, n_bigrams, n_backoff, avg_logprob); ``n_backoff`` (pair
-    instances that fell through to the unigram path) is the
-    domain-shift diagnostic."""
+    ONE row per batch document — a doc with fewer than 2 tokens has
+    nothing to score and reports (n_bigrams=0, n_backoff=0,
+    avg_logprob=NULL) rather than silently disappearing (a gate that
+    joins documents to scores must not lose coverage relative to the
+    unigram rung below it); ``n_backoff`` (pair instances that fell
+    through to the unigram path) is the domain-shift diagnostic."""
     pairs = _doc_bigrams(batch)
     tf = pairs.groupBy("doc_id", "prev", "term").agg(
         F.count(F.lit(1)).alias("tf")
@@ -525,11 +507,7 @@ def lm_score(batch: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
     joined = (
         tf.join(lm["big"], ["prev", "term"], "left")
         .join(lm["ctx"], ["prev"], "left")
-        .join(
-            lm["uni"].select(F.col("term"), F.col("n_uni")),
-            ["term"],
-            "left",
-        )
+        .join(lm["uni"], ["term"], "left")
         .crossJoin(F.broadcast(lm["total"]))
     )
     seen = F.col("n_big").isNotNull()
@@ -551,17 +529,22 @@ def lm_score(batch: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
     scored = joined.withColumn("wlp", F.col("tf") * lp).withColumn(
         "backoff_tf", F.when(seen, F.lit(0)).otherwise(F.col("tf"))
     )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum("backoff_tf").cast("long").alias("n_backoff"),
+        F.sum("wlp").alias("sum_lp"),
+    )
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("n_bigrams"),
-            F.sum("backoff_tf").cast("long").alias("n_backoff"),
-            F.sum("wlp").alias("sum_lp"),
-        )
+        batch.select("doc_id")
+        .join(agg, "doc_id", "left")
         .select(
             "doc_id",
-            "n_bigrams",
-            "n_backoff",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.coalesce("n_backoff", F.lit(0)).cast("long").alias(
+                "n_backoff"
+            ),
             (F.col("sum_lp").cast("double") / F.col("n_bigrams")).alias(
                 "avg_logprob"
             ),
@@ -570,12 +553,14 @@ def lm_score(batch: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def write_lm_index(docs: DataFrame, path: str) -> None:
+def write_lm_index(source: DataFrame | dict[str, DataFrame], path: str) -> None:
     """Persist the trained bigram LM at rest — four tables under
     ``{path}/``; a scoring deployment reads them back with
     :func:`read_lm_index` and never touches the training corpus
-    again."""
-    lm = train_bigram_lm(docs)
+    again.  ``source`` is either the training corpus (trained here)
+    or an already-trained :func:`train_bigram_lm` dict — a caller
+    holding the LM must not pay a retrain just to persist it."""
+    lm = source if isinstance(source, dict) else train_bigram_lm(source)
     for name, df in lm.items():
         df.write.mode("overwrite").parquet(f"{path}/{name}")
 
