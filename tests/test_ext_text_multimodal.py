@@ -321,10 +321,16 @@ def test_lm_score_covers_short_docs(spark, sf_dir):
 
     lm = train_bigram_lm(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     batch = spark.createDataFrame(
-        [(9001, "solo"), (9002, "the fast table")], ["doc_id", "text"]
+        [(9001, "solo"), (9002, "the fast table"), (9002, "the fast table")],
+        ["doc_id", "text"],
     )
-    out = {r["doc_id"]: r for r in lm_score(batch, lm).collect()}
+    rows = lm_score(batch, lm).collect()
+    # duplicate batch doc_ids collapse to ONE copy BEFORE pair
+    # extraction (interleaved duplicates would corrupt the position
+    # lag) — one output row with single-copy counts, replay-idempotent
+    assert len(rows) == 2
+    out = {r["doc_id"]: r for r in rows}
     assert set(out) == {9001, 9002}
     assert out[9001]["n_bigrams"] == 0 and out[9001]["n_backoff"] == 0
     assert out[9001]["avg_logprob"] is None
-    assert out[9002]["n_bigrams"] == 2
+    assert out[9002]["n_bigrams"] == 2  # one copy's pairs, not pooled

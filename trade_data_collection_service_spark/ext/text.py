@@ -424,14 +424,19 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     2007 never fires here; serving unseen text would add the
     ``0.4 · P_unigram`` fallback as a coalesce over the same join).
 
-    Implemented as train-on-self serving — :func:`lm_score` against
-    :func:`train_bigram_lm` of the same corpus (the backoff branch
-    never fires: every scored bigram was observed; pytest-proven
-    equivalent to the direct inner-join form), so the lp/rounding
-    discipline lives in exactly one place.  Scale shape and
-    determinism notes: see lm_score."""
+    Implemented as train-on-self serving — :func:`lm_score` in
+    STRICT mode (only the big/ctx censuses; the backoff branch
+    cannot fire because every scored bigram was observed, so the
+    unigram census is never even evaluated — lazy frames cost
+    nothing unreferenced) against :func:`train_bigram_lm` of the
+    same corpus, so the lp/rounding discipline lives in exactly one
+    place.  Pytest-proven equivalent to full-dict serving.  Scale
+    shape and determinism notes: see lm_score."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return lm_score(docs, train_bigram_lm(docs)).drop("n_backoff")
+    lm = train_bigram_lm(docs)
+    return lm_score(
+        docs, {"big": lm["big"], "ctx": lm["ctx"]}
+    ).drop("n_backoff")
 
 
 def _doc_bigrams(docs: DataFrame) -> DataFrame:
@@ -494,40 +499,59 @@ def lm_score(batch: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
     (equi keys; the vocabulary² bigram table is never broadcast) and
     the 1-row total rides a broadcast crossJoin — per batch the cost
     is O(batch bigrams), training-corpus-size independent.  Output:
-    ONE row per batch document — a doc with fewer than 2 tokens has
-    nothing to score and reports (n_bigrams=0, n_backoff=0,
-    avg_logprob=NULL) rather than silently disappearing (a gate that
-    joins documents to scores must not lose coverage relative to the
-    unigram rung below it); ``n_backoff`` (pair instances that fell
-    through to the unigram path) is the domain-shift diagnostic."""
+    ONE row per batch document — duplicate batch doc_ids (a replayed
+    or un-deduped serving batch) are collapsed to one copy BEFORE
+    pair extraction: the per-doc position lag is undefined over
+    interleaved duplicate rows (ties on pos produce garbage
+    cross-copy pairs), so the first copy wins and scoring is
+    replay-idempotent.  A doc with fewer than 2 tokens has nothing
+    to score and reports
+    (n_bigrams=0, n_backoff=0, avg_logprob=NULL) rather than
+    silently disappearing (a gate that joins documents to scores
+    must not lose coverage relative to the unigram rung below it);
+    ``n_backoff`` (pair instances that fell through to the unigram
+    path) is the domain-shift diagnostic.
+
+    STRICT MODE: pass an ``lm`` dict WITHOUT the ``uni``/``total``
+    tables and the backoff branch is omitted entirely — no unigram
+    census evaluation, no uni join, no total crossJoin.  Correct
+    exactly when every scored bigram is known to be in the LM
+    (train-on-self: :func:`bigram_logprob`); an unseen bigram would
+    score NULL and poison its doc's sum, so serving unseen text must
+    pass the full dict."""
+    batch = batch.dropDuplicates(["doc_id"])
     pairs = _doc_bigrams(batch)
     tf = pairs.groupBy("doc_id", "prev", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    joined = (
-        tf.join(lm["big"], ["prev", "term"], "left")
-        .join(lm["ctx"], ["prev"], "left")
-        .join(lm["uni"], ["term"], "left")
-        .crossJoin(F.broadcast(lm["total"]))
+    has_backoff = "uni" in lm and "total" in lm
+    joined = tf.join(lm["big"], ["prev", "term"], "left").join(
+        lm["ctx"], ["prev"], "left"
     )
-    seen = F.col("n_big").isNotNull()
-    lp = F.when(
-        seen,
-        F.round(
-            F.log(F.col("n_big").cast("double") / F.col("n_ctx")), 12
-        ),
-    ).otherwise(
-        F.round(
-            F.log(
-                F.lit(0.4)
-                * F.coalesce(F.col("n_uni"), F.lit(1)).cast("double")
-                / F.col("n_total")
-            ),
-            12,
+    seen_lp = F.round(
+        F.log(F.col("n_big").cast("double") / F.col("n_ctx")), 12
+    )
+    if has_backoff:
+        joined = joined.join(lm["uni"], ["term"], "left").crossJoin(
+            F.broadcast(lm["total"])
         )
-    ).cast("decimal(20,12)")
+        seen = F.col("n_big").isNotNull()
+        lp = F.when(seen, seen_lp).otherwise(
+            F.round(
+                F.log(
+                    F.lit(0.4)
+                    * F.coalesce(F.col("n_uni"), F.lit(1)).cast("double")
+                    / F.col("n_total")
+                ),
+                12,
+            )
+        ).cast("decimal(20,12)")
+        backoff_tf = F.when(seen, F.lit(0)).otherwise(F.col("tf"))
+    else:
+        lp = seen_lp.cast("decimal(20,12)")
+        backoff_tf = F.lit(0)
     scored = joined.withColumn("wlp", F.col("tf") * lp).withColumn(
-        "backoff_tf", F.when(seen, F.lit(0)).otherwise(F.col("tf"))
+        "backoff_tf", backoff_tf
     )
     agg = scored.groupBy("doc_id").agg(
         F.sum("tf").alias("n_bigrams"),
