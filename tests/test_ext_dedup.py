@@ -1064,3 +1064,48 @@ def test_reserved_exclude_batch_rejected(spark, sf_dir, tmp_path):
     for bad in ("base", "legacy", "", "  "):
         with pytest.raises(ValueError, match="reserved|empty"):
             incremental_neardup_pairs(corpus, path, exclude_batch=bad)
+
+
+def test_compact_counts_nsh_rides_the_keyed_winner(spark, sf_dir, tmp_path):
+    """ADVICE r9: when the same doc_id was appended with DIFFERENT
+    content under two batch_ids, the compacted n_sh must come from the
+    same min-struct winner that resolves the shingles/bands tables
+    (smallest keyed batch) — an independent max() across partitions
+    could disagree with the retained postings and skew the jaccard
+    denominator."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_neardup_index,
+        compact_neardup_index,
+        documents_neardup,
+        exploded_shingles,
+        write_neardup_index,
+    )
+
+    corpus = documents_neardup(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    write_neardup_index(corpus.filter("doc_id % 2 = 0").limit(20), path)
+    short = (9_000_001, "one two three four five")
+    longer = (9_000_001, "alpha beta gamma delta epsilon zeta eta theta iota")
+    n_short = (
+        exploded_shingles(
+            spark.createDataFrame([short], ["doc_id", "text"])
+        ).count()
+    )
+    # batch=1 (the eventual winner) carries the SHORT content; batch=2
+    # the longer one — max(n_sh) would pick batch 2's count and
+    # contradict batch 1's surviving identity
+    append_to_neardup_index(
+        spark.createDataFrame([short], ["doc_id", "text"]), path, batch_id=1
+    )
+    append_to_neardup_index(
+        spark.createDataFrame([longer], ["doc_id", "text"]), path, batch_id=2
+    )
+    compact_neardup_index(spark, path)
+    row = (
+        spark.read.parquet(f"{path}/counts")
+        .filter(F.col("doc_id") == 9_000_001)
+        .collect()
+    )
+    assert len(row) == 1
+    assert row[0]["batch"] == "1"
+    assert row[0]["n_sh"] == n_short

@@ -334,3 +334,60 @@ def test_lm_score_covers_short_docs(spark, sf_dir):
     assert out[9001]["n_bigrams"] == 0 and out[9001]["n_backoff"] == 0
     assert out[9001]["avg_logprob"] is None
     assert out[9002]["n_bigrams"] == 2  # one copy's pairs, not pooled
+
+
+def test_lm_score_strict_mode_unseen_is_loud(spark):
+    """ADVICE r9: in strict mode (no uni/total tables) a doc scoring
+    an LM-unseen bigram must get a NULL avg_logprob — F.sum skips the
+    unseen pair's NULL lp, so the un-guarded form reported a silently
+    wrong (less-negative) average over the seen subset."""
+    from trade_data_collection_service_spark.ext.text import (
+        lm_score,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b c b c")], ["doc_id", "text"]
+    )
+    lm = train_bigram_lm(train)
+    strict = {"big": lm["big"], "ctx": lm["ctx"]}
+    batch = spark.createDataFrame(
+        [(10, "a b a b"), (11, "a b z b")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in lm_score(batch, strict).collect()}
+    # fully-seen doc scores normally
+    assert out[10]["avg_logprob"] is not None
+    # doc 11 contains unseen pairs (a->z, z->b): loud NULL, with the
+    # pair count still reporting what WAS there to score
+    assert out[11]["avg_logprob"] is None
+    assert out[11]["n_bigrams"] == 3 and out[11]["n_backoff"] == 0
+    # the full dict scores the same doc via backoff instead
+    full = {r["doc_id"]: r for r in lm_score(batch, lm).collect()}
+    assert full[11]["avg_logprob"] is not None
+    assert full[11]["n_backoff"] == 2
+
+
+def test_lm_score_duplicate_doc_ids_deterministic_winner(spark, sf_dir):
+    """ADVICE r9: duplicate batch doc_ids with DIVERGING text must
+    score deterministically (smallest text wins), not ride shuffle
+    order — byte-identical replays remain exact no-ops."""
+    from trade_data_collection_service_spark.ext.text import (
+        lm_score,
+        train_bigram_lm,
+    )
+
+    lm = train_bigram_lm(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    a, b = "apple apple banana", "zebra zebra zebra zebra"
+    dup = spark.createDataFrame(
+        [(1, a), (1, b), (2, b), (2, a)], ["doc_id", "text"]
+    )
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in lm_score(
+            spark.createDataFrame([(1, a), (2, a)], ["doc_id", "text"]), lm
+        ).collect()
+    }
+    got = {r["doc_id"]: tuple(r) for r in lm_score(dup, lm).collect()}
+    # both ids resolve to text a (lexicographically smaller), whatever
+    # order the duplicates arrived in
+    assert got == want

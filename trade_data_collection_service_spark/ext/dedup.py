@@ -857,14 +857,13 @@ def compact_neardup_index(spark: SparkSession, path: str) -> None:
     _staged_rewrite(
         spark, f"{path}/bands", _winner_tf(["doc_id", "band_id", "band_key"])
     )
+    # n_sh rides the SAME min-struct winner as the shingles/bands
+    # tables (not an independent max() across duplicate partitions):
+    # if a doc was ever appended with different content under two
+    # batch_ids, the count must come from the partition whose postings
+    # survived, or the jaccard denominator skews against them
     _staged_rewrite(
-        spark,
-        f"{path}/counts",
-        _winner_tf(
-            ["doc_id"],
-            extra=[F.max("n_sh").alias("n_sh")],
-            extra_names=["n_sh"],
-        ),
+        spark, f"{path}/counts", _winner_tf(["doc_id"], payload_cols=["n_sh"])
     )
 
 

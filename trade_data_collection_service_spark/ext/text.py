@@ -503,7 +503,10 @@ def lm_score(batch: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
     or un-deduped serving batch) are collapsed to one copy BEFORE
     pair extraction: the per-doc position lag is undefined over
     interleaved duplicate rows (ties on pos produce garbage
-    cross-copy pairs), so the first copy wins and scoring is
+    cross-copy pairs), so ONE copy wins deterministically (the
+    lexicographically smallest text — replays of byte-identical rows
+    are exact no-ops, and diverging duplicate payloads still score
+    stably instead of riding shuffle order) and scoring is
     replay-idempotent.  A doc with fewer than 2 tokens has nothing
     to score and reports
     (n_bigrams=0, n_backoff=0, avg_logprob=NULL) rather than
@@ -516,10 +519,12 @@ def lm_score(batch: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
     tables and the backoff branch is omitted entirely — no unigram
     census evaluation, no uni join, no total crossJoin.  Correct
     exactly when every scored bigram is known to be in the LM
-    (train-on-self: :func:`bigram_logprob`); an unseen bigram would
-    score NULL and poison its doc's sum, so serving unseen text must
-    pass the full dict."""
-    batch = batch.dropDuplicates(["doc_id"])
+    (train-on-self: :func:`bigram_logprob`).  Misuse is LOUD, not
+    silent: a doc containing any bigram the LM has never seen gets
+    ``avg_logprob = NULL`` (F.sum would otherwise skip the NULL lp
+    and report a wrong, less-negative average over the seen subset);
+    serving genuinely unseen text must pass the full dict."""
+    batch = batch.groupBy("doc_id").agg(F.min("text").alias("text"))
     pairs = _doc_bigrams(batch)
     tf = pairs.groupBy("doc_id", "prev", "term").agg(
         F.count(F.lit(1)).alias("tf")
@@ -547,15 +552,24 @@ def lm_score(batch: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
             )
         ).cast("decimal(20,12)")
         backoff_tf = F.when(seen, F.lit(0)).otherwise(F.col("tf"))
+        unseen_tf = F.lit(0)
     else:
         lp = seen_lp.cast("decimal(20,12)")
         backoff_tf = F.lit(0)
-    scored = joined.withColumn("wlp", F.col("tf") * lp).withColumn(
-        "backoff_tf", backoff_tf
+        # strict mode has no fallback: count the pair instances the
+        # LM never saw so the doc's score can fail LOUDLY below
+        unseen_tf = F.when(F.col("n_big").isNull(), F.col("tf")).otherwise(
+            F.lit(0)
+        )
+    scored = (
+        joined.withColumn("wlp", F.col("tf") * lp)
+        .withColumn("backoff_tf", backoff_tf)
+        .withColumn("unseen_tf", unseen_tf)
     )
     agg = scored.groupBy("doc_id").agg(
         F.sum("tf").alias("n_bigrams"),
         F.sum("backoff_tf").cast("long").alias("n_backoff"),
+        F.sum("unseen_tf").cast("long").alias("n_unseen"),
         F.sum("wlp").alias("sum_lp"),
     )
     return (
@@ -569,9 +583,17 @@ def lm_score(batch: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
             F.coalesce("n_backoff", F.lit(0)).cast("long").alias(
                 "n_backoff"
             ),
-            (F.col("sum_lp").cast("double") / F.col("n_bigrams")).alias(
-                "avg_logprob"
-            ),
+            # strict-mode unseen bigrams: NULL out the whole score —
+            # F.sum skipped their NULL lp, so sum_lp alone would be a
+            # silently wrong (less-negative) average over the seen
+            # subset of the doc's pairs
+            F.when(
+                F.coalesce("n_unseen", F.lit(0)) > 0, F.lit(None)
+            )
+            .otherwise(
+                F.col("sum_lp").cast("double") / F.col("n_bigrams")
+            )
+            .alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
