@@ -51,29 +51,60 @@ def _docs_only_since(stamp: str) -> bool:
     return all(_DOC_ONLY.match(p) for p in changed if p)
 
 
-def _expected_total() -> int:
+def _expected_total() -> int | None:
     """Size of the full oracle surface, so a subset run (or a stale
-    sweep of a smaller surface) can never satisfy the gate.  Falls
-    back to the r9 surface size if the entry module won't import."""
+    sweep of a smaller surface) can never satisfy the gate.  Returns
+    None when the entry module won't import — the gate FAILS rather
+    than falling back to a hardcoded size that goes stale every round
+    (ADVICE r9: a stale fallback would let an old sweep of a smaller
+    surface satisfy the gate from an env without PySpark)."""
     try:
         sys.path.insert(0, REPO)
         import __spark_entry__ as entrymod
 
         return len(entrymod._registry())
     except Exception:
-        return 148
+        return None
+
+
+def _blocking_dirt(porcelain_lines: list[str]) -> list[str]:
+    """Which ``git status --porcelain`` lines dirty the gate.  The
+    driver's own post-round flush leaves UNTRACKED round artifacts
+    (BENCH_r*/CORRECTNESS_r*/COPYCHECK/LEAKCHECK) — files the
+    ``_DOC_ONLY`` rule already deems unable to invalidate a sweep —
+    so those are exempt; ANY tracked modification and any other
+    untracked file (a stray ``.py`` especially) still block."""
+    out = []
+    for line in porcelain_lines:
+        line = line.strip()  # _git() strips the first line's XY pad
+        if not line:
+            continue
+        if line.startswith("?? ") and _DOC_ONLY.match(line[3:].strip()):
+            continue
+        out.append(line)
+    return out
 
 
 def main() -> int:
     head = _git("rev-parse", "--short", "HEAD")
-    if _git("status", "--porcelain"):
+    dirt = _blocking_dirt(_git("status", "--porcelain").splitlines())
+    if dirt:
         print(
             "sweep_gate: working tree is dirty — commit (or stash)"
-            " before gating the round.",
+            f" before gating the round: {dirt}",
             file=sys.stderr,
         )
         return 1
     expected = _expected_total()
+    if expected is None:
+        print(
+            "sweep_gate: cannot import __spark_entry__ to size the"
+            " oracle surface — run the gate from an environment with"
+            " PySpark (a hardcoded fallback would accept stale sweeps"
+            " of a smaller surface).",
+            file=sys.stderr,
+        )
+        return 1
     text = open(f"{REPO}/docs/COVERAGE.md").read()
     # every stamped sweep line in the log, e.g.
     #   SWEEP /root/testdata/sf0.01: 148/148 ok, 0 FAIL @ abc1234
