@@ -1,3 +1,5 @@
+import re
+
 from trade_data_collection_service_spark.ext.multimodal import (
     extract_features,
     media_from_documents,
@@ -391,3 +393,40 @@ def test_lm_score_duplicate_doc_ids_deterministic_winner(spark, sf_dir):
     # both ids resolve to text a (lexicographically smaller), whatever
     # order the duplicates arrived in
     assert got == want
+
+
+def test_lm_quality_buckets_sampled_matches_exact(spark, sf_dir):
+    """VERDICT r9 #2: the scale path (sampled_thresholds=True) must
+    (a) agree with the exact positional ntile on nearly every doc —
+    only boundary/tie docs may differ — and (b) plan WITHOUT a window
+    (the exact path's global Window.orderBy is a single-task sort at
+    corpus-doc cardinality; the sampled path replaces it with a
+    mergeable percentile sketch + broadcast + map-side compare)."""
+    from trade_data_collection_service_spark.ext.text import (
+        lm_quality_buckets,
+    )
+
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in lm_quality_buckets(spark, sf_dir).collect()
+    }
+    sampled_df = lm_quality_buckets(spark, sf_dir, sampled_thresholds=True)
+    plan = sampled_df._jdf.queryExecution().executedPlan().toString()
+    # no Window node (careful: "ntile" is a substring of the sketch's
+    # own "percentile_approx", so match the window fn call form)
+    assert "Window" not in plan
+    assert not re.search(r"(?<![a-z_])ntile\(", plan)
+    assert "percentile_approx" in plan  # the sketch is really there
+    sampled = {r["doc_id"]: r["bucket"] for r in sampled_df.collect()}
+    assert set(sampled) == set(exact)  # full coverage, no doc lost
+    agree = sum(1 for d in exact if exact[d] == sampled[d])
+    assert agree / len(exact) >= 0.9, f"only {agree}/{len(exact)} agree"
+    # every disagreement is off by at most one tier (a boundary doc)
+    assert all(abs(exact[d] - sampled[d]) <= 1 for d in exact)
+    # tier sizes stay roughly balanced (approximate by design)
+    from collections import Counter
+
+    sizes = Counter(sampled.values())
+    assert set(sizes) == {1, 2, 3}
+    n = len(sampled)
+    assert all(abs(c - n / 3) <= 0.15 * n for c in sizes.values())
