@@ -514,6 +514,19 @@ def _q_doc_lm_score_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XT.lm_score(docs.filter(F.col("doc_id") % 3 == 0), lm)
 
 
+def _q_doc_lm_score_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 stupid-backoff LM serving (ext/text.lm_score_tri,
+    Brants et al. 2007: tri → 0.4·bi → 0.16·uni with OOV floor 1):
+    train the trigram LM on 2/3 of the corpus, score the unseen 1/3 —
+    the next rung of CCNet's KenLM ladder above doc_lm_score_backoff,
+    with per-level fall-through counters.  One corpus tokenize pass
+    feeds all three censuses; contexts are census marginals; serving
+    is equi LEFT-joins (the vocabulary³ table is never broadcast)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = XT.train_trigram_lm(docs.filter(F.col("doc_id") % 3 != 0))
+    return XT.lm_score_tri(docs.filter(F.col("doc_id") % 3 == 0), lm)
+
+
 def _q_doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail LM-quality tiers (Wenzek et al. 2020,
     ext/text.lm_quality_buckets): positional ntile over per-doc
@@ -1603,6 +1616,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_buckets": _q_doc_lm_buckets,
         "doc_bigram_logprob": _q_doc_bigram_logprob,
         "doc_lm_score_backoff": _q_doc_lm_score_backoff,
+        "doc_lm_score_tri": _q_doc_lm_score_tri,
     }
 
 
@@ -2464,6 +2478,101 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.doc_id,
                CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                CAST(COALESCE(a.n_backoff, 0) AS BIGINT) AS n_backoff,
+               a.avg_logprob
+        FROM score s LEFT JOIN agg a USING (doc_id)
+        ORDER BY 1
+        """,
+        "doc_lm_score_tri": r"""WITH
+        train AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        score AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        ttoks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS tokens
+          FROM train
+        ), stoks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS tokens
+          FROM score
+        ), trows AS (
+          SELECT doc_id,
+                 lag(w3, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                 lag(w3, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                 w3
+          FROM (
+            SELECT doc_id, unnest(tokens) AS w3,
+                   generate_subscripts(tokens, 1) AS pos
+            FROM ttoks
+          )
+        ), tri AS (
+          SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n_tri
+          FROM trows WHERE w1 IS NOT NULL GROUP BY 1, 2, 3
+        ), tctx AS (
+          SELECT w1, w2, CAST(sum(n_tri) AS BIGINT) AS n_tctx
+          FROM tri GROUP BY 1, 2
+        ), big AS (
+          SELECT w2, w3, CAST(count(*) AS BIGINT) AS n_big
+          FROM trows WHERE w2 IS NOT NULL GROUP BY 1, 2
+        ), bctx AS (
+          SELECT w2, CAST(sum(n_big) AS BIGINT) AS n_bctx
+          FROM big GROUP BY 1
+        ), uni AS (
+          SELECT w3, CAST(count(*) AS BIGINT) AS n_uni
+          FROM trows GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n_uni) AS BIGINT) AS n_total FROM uni
+        ), srows AS (
+          SELECT doc_id,
+                 lag(w3, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                 lag(w3, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                 w3
+          FROM (
+            SELECT doc_id, unnest(tokens) AS w3,
+                   generate_subscripts(tokens, 1) AS pos
+            FROM stoks
+          )
+        ), tf AS (
+          SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS tf
+          FROM srows WHERE w1 IS NOT NULL GROUP BY 1, 2, 3, 4
+        ), joined AS (
+          SELECT t.doc_id, t.tf, r.n_tri, c.n_tctx, b.n_big, x.n_bctx,
+                 u.n_uni, o.n_total
+          FROM tf t
+          LEFT JOIN tri r USING (w1, w2, w3)
+          LEFT JOIN tctx c USING (w1, w2)
+          LEFT JOIN big b USING (w2, w3)
+          LEFT JOIN bctx x USING (w2)
+          LEFT JOIN uni u USING (w3)
+          CROSS JOIN tot o
+        ), scored AS (
+          SELECT doc_id, tf,
+            CASE
+              WHEN n_tri IS NOT NULL THEN
+                tf * CAST(round(ln(CAST(n_tri AS DOUBLE) / n_tctx), 12)
+                          AS DECIMAL(20,12))
+              WHEN n_big IS NOT NULL THEN
+                tf * CAST(round(ln(0.4 * CAST(n_big AS DOUBLE) / n_bctx),
+                                12) AS DECIMAL(20,12))
+              ELSE
+                tf * CAST(round(ln(0.16 * CAST(COALESCE(n_uni, 1)
+                                AS DOUBLE) / n_total), 12)
+                          AS DECIMAL(20,12))
+            END AS wlp,
+            CASE WHEN n_tri IS NULL AND n_big IS NOT NULL
+                 THEN tf ELSE 0 END AS bi_tf,
+            CASE WHEN n_tri IS NULL AND n_big IS NULL
+                 THEN tf ELSE 0 END AS uni_tf
+          FROM joined
+        ), agg AS (
+          SELECT doc_id,
+                 CAST(sum(tf) AS BIGINT) AS n_trigrams,
+                 CAST(sum(bi_tf) AS BIGINT) AS n_backoff_bi,
+                 CAST(sum(uni_tf) AS BIGINT) AS n_backoff_uni,
+                 CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
+          FROM scored GROUP BY 1
+        )
+        SELECT s.doc_id,
+               CAST(COALESCE(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+               CAST(COALESCE(a.n_backoff_bi, 0) AS BIGINT) AS n_backoff_bi,
+               CAST(COALESCE(a.n_backoff_uni, 0) AS BIGINT)
+                 AS n_backoff_uni,
                a.avg_logprob
         FROM score s LEFT JOIN agg a USING (doc_id)
         ORDER BY 1

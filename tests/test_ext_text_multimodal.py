@@ -1,4 +1,5 @@
 import re
+from pyspark.sql import functions as F
 
 from trade_data_collection_service_spark.ext.multimodal import (
     extract_features,
@@ -430,3 +431,82 @@ def test_lm_quality_buckets_sampled_matches_exact(spark, sf_dir):
     assert set(sizes) == {1, 2, 3}
     n = len(sampled)
     assert all(abs(c - n / 3) <= 0.15 * n for c in sizes.values())
+
+
+def test_lm_score_tri_hand_computed_backoff_ladder(spark):
+    """Exact hand-check of the three stupid-backoff branches
+    (Brants et al. 2007: tri → 0.4·bi → 0.16·uni, OOV floor 1) on a
+    planted corpus, plus coverage parity for sub-3-token docs."""
+    import math
+
+    from trade_data_collection_service_spark.ext.text import (
+        lm_score_tri,
+        train_trigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "b c d")], ["doc_id", "text"]
+    )
+    lm = train_trigram_lm(train)
+    # train censuses: tri — (a,b,c)x2, (b,c,a)x1, (c,a,b)x1, (b,c,d)x1
+    #   tctx — (a,b)=2, (b,c)=2, (c,a)=1
+    #   big — (a,b)x2, (b,c)x3, (c,a)x1, (c,d)x1; bctx — a=2, b=3, c=2
+    #   uni — a=2, b=3, c=3, d=1; total=9
+    batch = spark.createDataFrame(
+        [
+            (10, "a b c"),     # seen trigram: ln(2/2)
+            (11, "x b c"),     # unseen tri, seen bigram (b,c): 0.4*3/3
+            (12, "x y z"),     # unseen everything, OOV floor: 0.16*1/9
+            (13, "a b"),       # < 3 tokens: nothing to score
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in lm_score_tri(batch, lm).collect()}
+    assert abs(out[10]["avg_logprob"] - round(math.log(2 / 2), 12)) < 1e-9
+    assert (out[10]["n_backoff_bi"], out[10]["n_backoff_uni"]) == (0, 0)
+    assert abs(
+        out[11]["avg_logprob"] - round(math.log(0.4 * 3 / 3), 12)
+    ) < 1e-9
+    assert (out[11]["n_backoff_bi"], out[11]["n_backoff_uni"]) == (1, 0)
+    assert abs(
+        out[12]["avg_logprob"] - round(math.log(0.16 * 1 / 9), 12)
+    ) < 1e-9
+    assert (out[12]["n_backoff_bi"], out[12]["n_backoff_uni"]) == (0, 1)
+    assert out[13]["n_trigrams"] == 0 and out[13]["avg_logprob"] is None
+
+
+def test_lm_score_tri_stored_roundtrip_and_census_marginals(
+    spark, sf_dir, tmp_path
+):
+    """(1) The stored trigram LM (write_lm_index +
+    read_lm_index(tables=TRIGRAM_LM_TABLES)) scores identically to the
+    in-memory one; (2) the context tables really are census marginals
+    — every trigram's context count >= its own count (so the seen
+    branches can never divide by NULL/zero)."""
+    from trade_data_collection_service_spark.ext.text import (
+        TRIGRAM_LM_TABLES,
+        lm_score_tri,
+        read_lm_index,
+        train_trigram_lm,
+        write_lm_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    unseen = docs.filter(F.col("doc_id") % 3 == 0)
+    lm = train_trigram_lm(train)
+    want = sorted(tuple(r) for r in lm_score_tri(unseen, lm).collect())
+    assert want and any(r[2] > 0 or r[3] > 0 for r in want)  # backoff fires
+    write_lm_index(lm, str(tmp_path / "lm3"))
+    stored = read_lm_index(
+        spark, str(tmp_path / "lm3"), tables=TRIGRAM_LM_TABLES
+    )
+    got = sorted(tuple(r) for r in lm_score_tri(unseen, stored).collect())
+    assert got == want
+    bad = (
+        lm["tri"]
+        .join(lm["tctx"], ["w1", "w2"])
+        .filter(F.col("n_tctx") < F.col("n_tri"))
+        .count()
+    )
+    assert bad == 0

@@ -40,6 +40,8 @@ NESTED_LOOP_OK = {
     # total-token broadcast scalar
     "doc_lm_score_backoff",  # 1-row trained-LM token total rides a
     # broadcast crossJoin into the backoff branch
+    "doc_lm_score_tri",  # same 1-row token-total broadcast scalar in
+    # the order-3 backoff ladder; every census join is equi
     "doc_unigram_logprob",  # 1-row total-token broadcast scalar
     "doc_source_mix",  # 1-row (n_total, n_sources) broadcast scalar
     "doc_neardup_quality",  # three 1-row count scalars crossJoined

@@ -599,6 +599,176 @@ def lm_score(batch: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _doc_trigram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, w3) with w3 the token at each position, w2 its
+    predecessor and w1 the one before that (NULL at doc starts) — the
+    ONE tokenize→posexplode→per-doc-lag pass every census of the
+    trigram LM derives from (one window per doc_id, skew bounded by
+    max document length; same shape as :func:`_doc_bigrams`, one lag
+    wider)."""
+    terms = with_tokens(docs).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "w3")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    return terms.select(
+        "doc_id",
+        F.lag("w3", 2).over(wd).alias("w1"),
+        F.lag("w3", 1).over(wd).alias("w2"),
+        "w3",
+    )
+
+
+def train_trigram_lm(docs: DataFrame) -> dict[str, DataFrame]:
+    """Order-3 stupid-backoff LM state (Brants et al. 2007 — "Large
+    Language Models in Machine Translation" — the recipe CCNet's
+    KenLM filter descends from): trigram, bigram, and unigram
+    censuses plus their context marginals.  ONE corpus tokenize pass
+    feeds all three censuses (the lagged row table is lazily
+    localCheckpointed so the three groupBys share its materialization
+    instead of re-running the explode+window per census); both
+    context tables and the token total are exact marginals of the
+    censuses — c(w1,w2 as tri-context) = Σ_w3 c(w1,w2,w3) (bigram
+    occurrences WITH a following token, which is what the trigram
+    conditional's denominator must be — the raw bigram census would
+    overcount doc-final bigrams), c(w2 as bi-context) = Σ_w3
+    c(w2,w3), total = Σ c(w) — so they re-aggregate census tables,
+    never the corpus.  Serve with :func:`lm_score_tri`; persist with
+    :func:`write_lm_index` + ``read_lm_index(tables=TRIGRAM_LM_TABLES)``."""
+    rows = _doc_trigram_rows(docs).localCheckpoint(eager=False)
+    tri = (
+        rows.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    big = (
+        rows.filter(F.col("w2").isNotNull())
+        .groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    uni = rows.groupBy("w3").agg(F.count(F.lit(1)).alias("n_uni"))
+    return {
+        "tri": tri,
+        "tctx": tri.groupBy("w1", "w2").agg(
+            F.sum("n_tri").alias("n_tctx")
+        ),
+        "big": big,
+        "bctx": big.groupBy("w2").agg(F.sum("n_big").alias("n_bctx")),
+        "uni": uni,
+        "total": uni.agg(F.sum("n_uni").alias("n_total")),
+    }
+
+
+TRIGRAM_LM_TABLES = ("tri", "tctx", "big", "bctx", "uni", "total")
+
+
+def lm_score_tri(batch: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
+    """Score documents against a trained trigram LM with two-level
+    stupid backoff (Brants et al. 2007, α=0.4 per fallback):
+
+        S(w3|w1,w2) = c(w1,w2,w3)/c(w1,w2)            if trigram seen
+                    = 0.4 · c(w2,w3)/c(w2)            elif bigram seen
+                    = 0.4 · 0.4 · c(w3)/total          else (OOV count
+                                                       floored at 1)
+
+    Only trigram POSITIONS are scored (tokens with two predecessors
+    in their doc — n_trigrams = max(0, n_tokens−2)); a doc with fewer
+    than 3 tokens reports (0, 0, 0, NULL) rather than disappearing,
+    and duplicate batch doc_ids collapse to the deterministic
+    smallest-text winner exactly as in :func:`lm_score`.
+
+    Plan shape: the batch's (w1,w2,w3) tf table LEFT-joins the six
+    censuses on equi keys — the vocabulary³ trigram table is never
+    broadcast; the 1-row total rides a broadcast crossJoin — so per
+    batch the cost is O(batch trigrams), training-corpus-size
+    independent.  A seen trigram/bigram implies its context marginal
+    exists (the marginal includes that very occurrence), so neither
+    conditional can divide by NULL.  ``n_backoff_bi``/``n_backoff_uni``
+    count the pair instances that fell through to each level — the
+    domain-shift diagnostic, now with a depth axis."""
+    batch = batch.groupBy("doc_id").agg(F.min("text").alias("text"))
+    rows = _doc_trigram_rows(batch).filter(F.col("w1").isNotNull())
+    tf = rows.groupBy("doc_id", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    joined = (
+        tf.join(lm["tri"], ["w1", "w2", "w3"], "left")
+        .join(lm["tctx"], ["w1", "w2"], "left")
+        .join(lm["big"], ["w2", "w3"], "left")
+        .join(lm["bctx"], ["w2"], "left")
+        .join(lm["uni"], ["w3"], "left")
+        .crossJoin(F.broadcast(lm["total"]))
+    )
+    tri_seen = F.col("n_tri").isNotNull()
+    big_seen = F.col("n_big").isNotNull()
+    lp = (
+        F.when(
+            tri_seen,
+            F.round(
+                F.log(F.col("n_tri").cast("double") / F.col("n_tctx")), 12
+            ),
+        )
+        .when(
+            big_seen,
+            F.round(
+                F.log(
+                    F.lit(0.4)
+                    * F.col("n_big").cast("double")
+                    / F.col("n_bctx")
+                ),
+                12,
+            ),
+        )
+        .otherwise(
+            F.round(
+                F.log(
+                    F.lit(0.16)
+                    * F.coalesce(F.col("n_uni"), F.lit(1)).cast("double")
+                    / F.col("n_total")
+                ),
+                12,
+            )
+        )
+        .cast("decimal(20,12)")
+    )
+    scored = (
+        joined.withColumn("wlp", F.col("tf") * lp)
+        .withColumn(
+            "bi_tf",
+            F.when(~tri_seen & big_seen, F.col("tf")).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "uni_tf",
+            F.when(~tri_seen & ~big_seen, F.col("tf")).otherwise(F.lit(0)),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_trigrams"),
+        F.sum("bi_tf").cast("long").alias("n_backoff_bi"),
+        F.sum("uni_tf").cast("long").alias("n_backoff_uni"),
+        F.sum("wlp").alias("sum_lp"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).cast("long").alias(
+                "n_trigrams"
+            ),
+            F.coalesce("n_backoff_bi", F.lit(0)).cast("long").alias(
+                "n_backoff_bi"
+            ),
+            F.coalesce("n_backoff_uni", F.lit(0)).cast("long").alias(
+                "n_backoff_uni"
+            ),
+            (F.col("sum_lp").cast("double") / F.col("n_trigrams")).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def write_lm_index(source: DataFrame | dict[str, DataFrame], path: str) -> None:
     """Persist the trained bigram LM at rest — four tables under
     ``{path}/``; a scoring deployment reads them back with
@@ -611,11 +781,16 @@ def write_lm_index(source: DataFrame | dict[str, DataFrame], path: str) -> None:
         df.write.mode("overwrite").parquet(f"{path}/{name}")
 
 
-def read_lm_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
-    """Load the stored bigram LM written by :func:`write_lm_index`."""
+def read_lm_index(
+    spark: SparkSession,
+    path: str,
+    tables: tuple[str, ...] = ("big", "ctx", "uni", "total"),
+) -> dict[str, DataFrame]:
+    """Load a stored LM written by :func:`write_lm_index` — the
+    bigram tables by default; pass ``tables=TRIGRAM_LM_TABLES`` for
+    an order-3 model."""
     return {
-        name: spark.read.parquet(f"{path}/{name}")
-        for name in ("big", "ctx", "uni", "total")
+        name: spark.read.parquet(f"{path}/{name}") for name in tables
     }
 
 
