@@ -581,6 +581,68 @@ def run_doc_ingest_bench(spark, sf_dir: str, cleanup: list) -> dict:
     }
 
 
+def run_doc_ingest_lm_bench(spark, sf_dir: str, cleanup: list) -> dict:
+    """Dedup + LM-quality gate-on-arrival throughput (r10, VERDICT r9
+    #3): seed the near-dup index AND train+store the bigram LM on 2/3
+    of the corpus (untimed), then time ONE gated ingest_batch of the
+    remaining 1/3 — the full CCNet curation loop (near-dup reject +
+    perplexity-tier reject) as one micro-batch.  Compare against the
+    ungated doc_ingest row: the delta is the marginal cost of the LM
+    join (O(batch bigrams) LEFT-joins against the stored censuses)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        documents_neardup,
+        write_neardup_index,
+    )
+    from trade_data_collection_service_spark.ext.text import (
+        read_lm_index,
+        train_bigram_lm,
+        write_lm_index,
+    )
+    from trade_data_collection_service_spark.streaming.doc_ingest import (
+        ingest_batch,
+    )
+
+    corpus = documents_neardup(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bench_doc_ingest_lm_")
+    cleanup.append(tmp)
+    seed = corpus.filter(F.col("doc_id") % 3 != 0)
+    write_neardup_index(seed, f"{tmp}/idx")
+    write_lm_index(train_bigram_lm(seed), f"{tmp}/lm")
+    lm = read_lm_index(spark, f"{tmp}/lm")
+    # CCNet-style tier threshold, estimated on the TRAINING corpus
+    # (untimed setup, like the index/LM build): the seed's 1/3
+    # self-score quantile — CCNet's drop-the-tail boundary — so the
+    # gate demonstrably splits the batch instead of rubber-stamping it
+    from trade_data_collection_service_spark.ext.text import lm_score
+
+    thr = lm_score(seed, lm).approxQuantile(
+        "avg_logprob", [1.0 / 3.0], 0.01
+    )[0]
+    batch = corpus.filter(F.col("doc_id") % 3 == 0)
+    n_batch = batch.count()
+    t0 = time.perf_counter()
+    n_accepted = ingest_batch(
+        batch,
+        f"{tmp}/idx",
+        f"{tmp}/out",
+        "bench",
+        lm=lm,
+        lm_min_logprob=thr,
+    )
+    wall = time.perf_counter() - t0
+    return {
+        "batch_docs": int(n_batch),
+        "accepted": int(n_accepted),
+        "lm_min_logprob": round(thr, 6),
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_batch / wall, 1),
+    }
+
+
 def run_emb_ingest_bench(spark, sf_dir: str, cleanup: list) -> dict:
     """Searchable-on-arrival throughput (r9): seed the IVF-PQ store
     with 2/3 of the vectors (untimed, quantizers trained + persisted
@@ -643,6 +705,50 @@ def _current_round(root: str | None = None) -> int | None:
         return None
 
 
+def _write_full_bench_json(result: dict, root: str | None = None) -> None:
+    """VERDICT r9 #5: the driver's BENCH_r{N}.json stores only a
+    front-truncated stdout tail (its ``parsed`` field is null), so
+    per-query round-over-round diffs required archaeology in
+    COVERAGE.md prose.  Persist the COMPLETE result dict to
+    ``docs/bench/BENCH_r{N:02d}.full.json`` — committed with the
+    round, preferred by :func:`_latest_prior_bench` over the
+    truncated driver artifact.  Only driver-scale (sf0.1) runs are
+    recorded: local sf0.01 iteration runs must not overwrite the
+    round's canonical numbers."""
+    root = root or _repo_root()
+    rnd = _current_round(root)
+    sf = result.get("sf")
+    if rnd is None or not isinstance(sf, (int, float)) or abs(sf - 0.1) > 1e-9:
+        return
+    try:
+        dest = os.path.join(root, "docs", "bench")
+        os.makedirs(dest, exist_ok=True)
+        path = os.path.join(dest, f"BENCH_r{rnd:02d}.full.json")
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"bench: full JSON written to {path}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"bench: full JSON write failed: {e}", file=sys.stderr)
+
+
+def _full_bench_json(rnd: int, root: str) -> dict | None:
+    """Load docs/bench/BENCH_r{rnd}.full.json (written by
+    :func:`_write_full_bench_json`) as a prior-round document shaped
+    like the driver artifact: the complete dict rides the ``parsed``
+    field, so prior_query_timings/prior_headline_scalars read exact
+    per-query numbers instead of regexing a truncated tail."""
+    path = os.path.join(root, "docs", "bench", f"BENCH_r{rnd:02d}.full.json")
+    try:
+        with open(path) as f:
+            full = json.load(f)
+    except Exception:
+        return None
+    if not isinstance(full, dict):
+        return None
+    return {"sf": full.get("sf"), "parsed": full}
+
+
 def _latest_prior_bench(root: str | None = None) -> tuple[int, dict] | None:
     """Highest-round BENCH_r{N}.json STRICTLY BELOW the round being
     benchmarked (ADVICE r7) — the genuine prior round's recording.
@@ -655,11 +761,19 @@ def _latest_prior_bench(root: str | None = None) -> tuple[int, dict] | None:
 
     root = root or _repo_root()
     cur = _current_round(root)
-    rounds: dict[int, str] = {}
+    rounds: dict[int, str | None] = {}
     for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds[int(m.group(1))] = path
+    # rounds whose only recording is the committed full JSON (the
+    # driver artifact may lag a round or be missing entirely)
+    for path in glob.glob(
+        os.path.join(root, "docs", "bench", "BENCH_r*.full.json")
+    ):
+        m = re.search(r"BENCH_r(\d+)\.full\.json$", path)
+        if m:
+            rounds.setdefault(int(m.group(1)), None)
     if cur is None and rounds:
         cur = max(rounds)
         print(
@@ -673,10 +787,15 @@ def _latest_prior_bench(root: str | None = None) -> tuple[int, dict] | None:
             continue
         if best is not None and rnd <= best[0]:
             continue
-        try:
-            with open(path) as f:
-                doc = json.load(f)
-        except Exception:
+        # the committed full JSON beats the driver's truncated tail
+        doc = _full_bench_json(rnd, root)
+        if doc is None and path is not None:
+            try:
+                with open(path) as f:
+                    doc = json.load(f)
+            except Exception:
+                continue
+        if doc is None:
             continue
         best = (rnd, doc)
     return best
@@ -936,12 +1055,17 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             print(f"bench bpe encode failed: {e}", file=sys.stderr)
     ingest = None
+    ingest_lm = None
     emb_ingest = None
     if os.environ.get("SPARK_GRAFT_SKIP_INGEST") != "1":
         try:
             ingest = run_doc_ingest_bench(spark, sf_dir, cleanup)
         except Exception as e:  # pragma: no cover
             print(f"bench doc ingest failed: {e}", file=sys.stderr)
+        try:
+            ingest_lm = run_doc_ingest_lm_bench(spark, sf_dir, cleanup)
+        except Exception as e:  # pragma: no cover
+            print(f"bench doc ingest lm failed: {e}", file=sys.stderr)
         try:
             emb_ingest = run_emb_ingest_bench(spark, sf_dir, cleanup)
         except Exception as e:  # pragma: no cover
@@ -1006,30 +1130,29 @@ def main() -> None:
             spans_gram = run_spans_gram_bytes(spark, sf_dir)
         except Exception as e:  # pragma: no cover
             print(f"bench spans gram bytes failed: {e}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time (warm, noop-sink)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "candles_per_sec": throughput,
-                "streaming_candles_per_sec": streaming_cps,
-                "streaming_wall_sec": streaming_wall,
-                "calibration": calibration,
-                "prior_calibration": prior,
-                "host_factor": host_factor,
-                "value_host_normalized": value_host_normalized,
-                "re_measured": re_measured,
-                "spans_gram_shuffle": spans_gram,
-                "bpe_train": bpe,
-                "bpe_encode": bpe_enc,
-                "doc_ingest": ingest,
-                "emb_ingest": emb_ingest,
-            }
-        )
-    )
+    result = {
+        "metric": "headline-suite wall time (warm, noop-sink)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "candles_per_sec": throughput,
+        "streaming_candles_per_sec": streaming_cps,
+        "streaming_wall_sec": streaming_wall,
+        "calibration": calibration,
+        "prior_calibration": prior,
+        "host_factor": host_factor,
+        "value_host_normalized": value_host_normalized,
+        "re_measured": re_measured,
+        "spans_gram_shuffle": spans_gram,
+        "bpe_train": bpe,
+        "bpe_encode": bpe_enc,
+        "doc_ingest": ingest,
+        "doc_ingest_lm": ingest_lm,
+        "emb_ingest": emb_ingest,
+    }
+    print(json.dumps(result))
+    _write_full_bench_json(result)
     import shutil
 
     for path in cleanup:

@@ -150,3 +150,166 @@ def test_ingest_replay_after_crash_between_append_and_write(
     assert n == len(want)
     got = {r["doc_id"] for r in read_accepted(spark, out).collect()}
     assert got == want
+
+
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
+def test_ingest_lm_gate_excludes_low_quality(spark, sf_dir, tmp_path):
+    """VERDICT r9 #3 — the full CCNet loop in one stream: docs that
+    survive dedup but score below lm_min_logprob are excluded from
+    the accepted write AND from the index; unscorable (<2 token)
+    docs pass; the whole loop is replay-idempotent with the LM join
+    in place."""
+    from trade_data_collection_service_spark.ext.text import (
+        lm_score,
+        train_bigram_lm,
+        write_lm_index,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = corpus.filter(F.col("doc_id") % 3 == 0).unionByName(
+        spark.createDataFrame(
+            [(77_000_001, "solo", "en", "synthetic")], COLS
+        )
+    )
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    write_neardup_index(stored, index)
+    lm = train_bigram_lm(stored)
+    write_lm_index(lm, str(tmp_path / "lm"))
+
+    dedup_ok = _expected_accept(batch, index, 3)
+    scores = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm_score(
+            batch.join(
+                spark.createDataFrame(
+                    [(i,) for i in sorted(dedup_ok)], "doc_id long"
+                ),
+                "doc_id",
+                "left_semi",
+            ),
+            lm,
+        ).collect()
+    }
+    thr = _median(
+        [s[1] for s in scores.values() if s[1] is not None]
+    )
+    want = {
+        d
+        for d, (nb, lp) in scores.items()
+        if nb == 0 or (lp is not None and lp >= thr)
+    }
+    rejected = dedup_ok - want
+    assert rejected and want  # the gate must really split the batch
+    assert 77_000_001 in want  # unscorable doc passes
+
+    n = ingest_batch(
+        batch, index, out, batch_id=3, lm=lm, lm_min_logprob=thr
+    )
+    assert n == len(want)
+    got = {r["doc_id"] for r in read_accepted(spark, out).collect()}
+    assert got == want
+    # the index holds exactly the kept docs: a quality-rejected doc's
+    # own content must NOT match the index (it was never admitted)
+    rej_id = sorted(rejected)[0]
+    probe = batch.filter(F.col("doc_id") == rej_id).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000_000
+    )
+    self_hits = {
+        r["stored_id"]
+        for r in incremental_neardup_pairs(
+            probe, index, exclude_batch="probe"
+        ).collect()
+    }
+    assert rej_id not in self_hits
+    # replay with the LM join in the loop: byte-stable
+    n2 = ingest_batch(
+        batch, index, out, batch_id=3, lm=lm, lm_min_logprob=thr
+    )
+    assert n2 == n
+    got2 = {r["doc_id"] for r in read_accepted(spark, out).collect()}
+    assert got2 == want
+
+
+def test_ingest_lm_gate_requires_threshold(spark, sf_dir, tmp_path):
+    import pytest
+
+    from trade_data_collection_service_spark.ext.text import (
+        train_bigram_lm,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    index = str(tmp_path / "index")
+    write_neardup_index(corpus.filter(F.col("doc_id") % 3 != 0), index)
+    lm = train_bigram_lm(corpus)
+    with pytest.raises(ValueError, match="lm_min_logprob"):
+        ingest_batch(
+            corpus.filter(F.col("doc_id") % 3 == 0),
+            index,
+            str(tmp_path / "out"),
+            batch_id=1,
+            lm=lm,
+        )
+
+
+def test_doc_ingest_stream_with_lm_gate(spark, sf_dir, tmp_path):
+    """run_doc_ingest wires the stored-LM gate: the drained stream's
+    accepted table equals the direct ingest_batch result with the
+    same frozen LM and threshold."""
+    from trade_data_collection_service_spark.ext.text import (
+        train_bigram_lm,
+        write_lm_index,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = corpus.filter(F.col("doc_id") % 3 == 0)
+    index = str(tmp_path / "index")
+    index2 = str(tmp_path / "index2")
+    src = str(tmp_path / "src")
+    write_neardup_index(stored, index)
+    write_neardup_index(stored, index2)
+    lm = train_bigram_lm(stored)
+    lm_path = str(tmp_path / "lm")
+    write_lm_index(lm, lm_path)
+    thr = -8.0
+    batch.coalesce(1).write.parquet(f"{src}/f1")
+    import glob
+    import shutil
+
+    part = glob.glob(f"{src}/f1/part-*.parquet")[0]
+    shutil.move(part, f"{src}/f1.parquet")
+    shutil.rmtree(f"{src}/f1")
+
+    q = run_doc_ingest(
+        spark,
+        src,
+        index,
+        str(tmp_path / "out_stream"),
+        str(tmp_path / "ck"),
+        lm_path=lm_path,
+        lm_min_logprob=thr,
+    )
+    q.awaitTermination(300)
+    ingest_batch(
+        batch,
+        index2,
+        str(tmp_path / "out_direct"),
+        batch_id=0,
+        lm=lm,
+        lm_min_logprob=thr,
+    )
+    got = {
+        r["doc_id"]
+        for r in read_accepted(spark, str(tmp_path / "out_stream")).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in read_accepted(spark, str(tmp_path / "out_direct")).collect()
+    }
+    assert got == want and want

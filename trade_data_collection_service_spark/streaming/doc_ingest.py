@@ -10,8 +10,13 @@ operators).
              exclude_batch=batch_id) — near-dups vs the STORED corpus
           2. intra dedup: minhash_lsh_pairs(batch) — within-batch
              copies, keep-lowest-doc_id canonical
-          3. accepted = batch − (cross dups ∪ intra non-canonicals),
-             EAGERLY materialized (see the trap below)
+          2b. (optional, r10) LM quality gate: lm_score against the
+             FROZEN stored LM; keep docs clearing lm_min_logprob (or
+             with nothing to score) — dedup + CCNet LM filter as one
+             stream
+          3. accepted = batch − (cross dups ∪ intra non-canonicals
+             ∪ quality rejects), EAGERLY materialized (see the trap
+             below)
           4. append_to_neardup_index(accepted, batch_id=batch_id) —
              batch-keyed idempotent index growth
           5. accepted docs → {out}/documents partitionBy(batch) via
@@ -61,10 +66,31 @@ def ingest_batch(
     out_dir: str,
     batch_id: str | int,
     threshold: float = 0.5,
+    lm: dict[str, DataFrame] | None = None,
+    lm_min_logprob: float | None = None,
 ) -> int:
     """One micro-batch of dedup-on-arrival (the foreachBatch body,
     callable directly for tests and backfills).  Returns the number
-    of accepted documents."""
+    of accepted documents.
+
+    LM QUALITY GATE (r10, VERDICT r9 #3 — the full CCNet curation
+    loop as one stream; reference intent: the watchdog's continuous
+    quality gating, data_quality_check.py:672-681): pass ``lm`` (a
+    :func:`~trade_data_collection_service_spark.ext.text.read_lm_index`
+    dict — the FROZEN, stored model; never trained on the stream) and
+    ``lm_min_logprob``, and docs surviving the dedup are additionally
+    scored with ``lm_score``; a doc is kept iff its avg_logprob
+    clears the tier threshold OR it has nothing to score
+    (n_bigrams=0 — sub-2-token docs are unjudgeable, and a silent
+    drop would lose coverage; route them downstream and let a length
+    filter own that decision).  The gate runs BEFORE the index
+    append, so the near-dup index holds exactly the docs the corpus
+    kept — a re-arriving copy of a quality-rejected doc is re-judged
+    (by then possibly against a newer threshold), never shadow-
+    deduped against a doc the corpus never admitted.  Because the LM
+    is frozen, the gate decision is deterministic under replay; the
+    eager checkpoint below freezes it together with the dedup
+    decision."""
     cross = incremental_neardup_pairs(
         batch, index_path, threshold, exclude_batch=batch_id
     ).select(F.col("new_id").alias("doc_id"))
@@ -73,6 +99,23 @@ def ingest_batch(
     )
     dupes = cross.unionByName(intra).distinct()
     accepted = batch.join(dupes, "doc_id", "left_anti")
+    if lm is not None:
+        if lm_min_logprob is None:
+            raise ValueError(
+                "lm_min_logprob is required when an lm is passed —"
+                " a gate without a threshold would drop nothing"
+            )
+        from trade_data_collection_service_spark.ext.text import lm_score
+
+        keep = (
+            lm_score(accepted, lm)
+            .filter(
+                (F.col("n_bigrams") == 0)
+                | (F.col("avg_logprob") >= float(lm_min_logprob))
+            )
+            .select("doc_id")
+        )
+        accepted = accepted.join(keep, "doc_id", "left_semi")
     # EAGER: freeze the accept decision before the index append below
     # changes what incremental_neardup_pairs would return (see module
     # docstring — lazily, the doc write would re-run the dedup against
@@ -101,20 +144,40 @@ def run_doc_ingest(
     threshold: float = 0.5,
     schema: str = DOC_SCHEMA,
     available_now: bool = True,
+    lm_path: str | None = None,
+    lm_min_logprob: float | None = None,
 ):
-    """File-source document stream → dedup-on-arrival → accepted docs
-    + maintained near-dup index.  ``available_now`` drains the
-    backlog and stops (the replayable-test mode; production uses a
-    continuous trigger).  The index must exist (write_neardup_index
-    on the seed corpus) — an empty index is unreadable by design."""
+    """File-source document stream → dedup-on-arrival (+ optional
+    LM-quality gate-on-arrival: ``lm_path`` names a stored
+    ``write_lm_index`` model, read ONCE here — no driver-held state
+    beyond the path, restart-safe) → accepted docs + maintained
+    near-dup index.  ``available_now`` drains the backlog and stops
+    (the replayable-test mode; production uses a continuous
+    trigger).  The index must exist (write_neardup_index on the seed
+    corpus) — an empty index is unreadable by design."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
+    lm = None
+    if lm_path is not None:
+        from trade_data_collection_service_spark.ext.text import (
+            read_lm_index,
+        )
+
+        lm = read_lm_index(spark, lm_path)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        ingest_batch(batch, index_path, out_dir, batch_id, threshold)
+        ingest_batch(
+            batch,
+            index_path,
+            out_dir,
+            batch_id,
+            threshold,
+            lm=lm,
+            lm_min_logprob=lm_min_logprob,
+        )
 
     writer = stream.writeStream.option(
         "checkpointLocation", checkpoint_dir
