@@ -1109,3 +1109,196 @@ def test_compact_counts_nsh_rides_the_keyed_winner(spark, sf_dir, tmp_path):
     assert len(row) == 1
     assert row[0]["batch"] == "1"
     assert row[0]["n_sh"] == n_short
+
+
+def test_maybe_compact_cadence_neardup(spark, sf_dir, tmp_path):
+    """VERDICT r9 #7: below max_batches the helper is a metadata-only
+    no-op; above it, it compacts WITH batch folding (otherwise keyed
+    partitions survive by design and the cadence would re-trigger a
+    full rewrite every call), protecting the still-in-flight batch's
+    ledger partition — and query results are unchanged throughout."""
+    import os
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_neardup_index,
+        documents_neardup,
+        incremental_neardup_pairs,
+        maybe_compact,
+        write_neardup_index,
+    )
+
+    corpus = documents_neardup(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = corpus.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "idx")
+    write_neardup_index(stored.filter("doc_id % 2 = 0"), path)
+    tail = stored.filter("doc_id % 2 = 1")
+    groups = ("(1, 2)", "(4, 5)", "(7, 8)")  # disjoint, nonempty on
+    # tail's odd non-%3 ids: no cross-partition dupes
+    for i, g in enumerate(groups):
+        append_to_neardup_index(
+            tail.filter(f"doc_id % 9 IN {g}"), path, batch_id=i
+        )
+    want = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    parts = lambda: {  # noqa: E731
+        d
+        for d in os.listdir(f"{path}/shingles")
+        if d.startswith("batch=")
+    }
+    before = parts()
+    assert before == {"batch=base", "batch=0", "batch=1", "batch=2"}
+    # 4 partitions <= max_batches=10: no-op
+    assert maybe_compact(spark, path, "neardup", max_batches=10) is False
+    assert parts() == before
+    # above threshold: folds everything except the protected batch
+    assert (
+        maybe_compact(
+            spark, path, "neardup", max_batches=2, protect_batches=("2",)
+        )
+        is True
+    )
+    assert parts() == {"batch=base", "batch=2"}
+    assert not os.path.exists(f"{path}/shingles.stage")  # WAL retired
+    got = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    assert got == want
+    # the protected batch's replay is still idempotent after the fold
+    append_to_neardup_index(
+        tail.filter(f"doc_id % 9 IN {groups[2]}"), path, batch_id=2
+    )
+    got2 = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    assert got2 == want
+
+
+def test_maybe_compact_cadence_ivfpq_and_gram(spark, sf_dir, tmp_path):
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_gram_index,
+        maybe_compact,
+        write_gram_index,
+    )
+    from trade_data_collection_service_spark.ext.pq import (
+        append_to_ivfpq_index,
+        ivfpq_search_indexed,
+        read_ivfpq_quantizers,
+        write_ivfpq_index,
+        write_ivfpq_quantizers,
+    )
+    from trade_data_collection_service_spark.ext.similarity import vectors
+
+    vecs = vectors(spark, sf_dir)
+    base = vecs.filter(F.col("vec_id") % 3 != 0)
+    path = str(tmp_path / "pq")
+    cent, books = write_ivfpq_index(spark, sf_dir, path, source=base)
+    write_ivfpq_quantizers(cent, books, path)
+    cent, books = read_ivfpq_quantizers(spark, path)
+    for i in (0, 1):
+        append_to_ivfpq_index(
+            vecs.filter(F.col("vec_id") % 3 == 0).filter(
+                F.col("vec_id") % 2 == i
+            ),
+            path,
+            cent,
+            books,
+            batch_id=i,
+        )
+    queries = vecs.filter(F.col("vec_id") < 3)
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_search_indexed(
+            spark, path, cent, books, queries
+        ).collect()
+    )
+    assert maybe_compact(spark, path, "ivfpq", max_batches=8) is False
+    assert maybe_compact(spark, path, "ivfpq", max_batches=2) is True
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_search_indexed(
+            spark, path, cent, books, queries
+        ).collect()
+    )
+    assert got == want
+    batches = {
+        r["batch"]
+        for r in spark.read.parquet(path).select("batch").distinct().collect()
+    }
+    assert batches == {"base"}
+
+    docs = documents_neardup(spark, sf_dir).limit(60)
+    gpath = str(tmp_path / "grams")
+    write_gram_index(docs, gpath)
+    for i in range(3):
+        append_to_gram_index(docs.filter(f"doc_id % 3 = {i}"), gpath)
+    grams_want = {
+        (r["gram"], r["n_occ"])
+        for r in spark.read.parquet(f"{gpath}/grams")
+        .groupBy("gram")
+        .agg(F.sum("n_occ").alias("n_occ"))
+        .collect()
+    }
+    assert maybe_compact(spark, gpath, "gram", max_batches=10_000) is False
+    assert maybe_compact(spark, gpath, "gram", max_batches=1) is True
+    grams_got = {
+        (r["gram"], r["n_occ"])
+        for r in spark.read.parquet(f"{gpath}/grams").collect()
+    }
+    assert grams_got == grams_want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown index kind"):
+        maybe_compact(spark, gpath, "nonsense")
+
+
+def test_append_to_pre_ledger_layout_raises_migration_error(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r9 #8: appending to a pre-ledger (flat / bucket-only)
+    index must raise the documented rebuild rule up front, not die in
+    Spark partition discovery on the next read."""
+    import pytest
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_neardup_index,
+        documents_neardup,
+        exploded_shingles,
+        write_neardup_index,
+    )
+    from trade_data_collection_service_spark.ext.pq import (
+        append_to_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from trade_data_collection_service_spark.ext.similarity import vectors
+
+    docs = documents_neardup(spark, sf_dir).limit(40)
+    # legacy near-dup layout: flat tables, no batch partition column
+    legacy = str(tmp_path / "legacy_nd")
+    exploded_shingles(docs).write.parquet(f"{legacy}/shingles")
+    with pytest.raises(ValueError, match="write_neardup_index"):
+        append_to_neardup_index(docs, legacy, batch_id=1)
+
+    # legacy IVF-PQ layout: bucket partitions only
+    vecs = vectors(spark, sf_dir)
+    modern = str(tmp_path / "modern_pq")
+    cent, books = write_ivfpq_index(
+        spark, sf_dir, modern, source=vecs.filter("vec_id % 3 != 0")
+    )
+    legacy_pq = str(tmp_path / "legacy_pq")
+    (
+        spark.read.parquet(modern)
+        .drop("batch")
+        .write.partitionBy("bucket")
+        .parquet(legacy_pq)
+    )
+    with pytest.raises(ValueError, match="write_ivfpq_index"):
+        append_to_ivfpq_index(
+            vecs.filter("vec_id % 3 = 0"), legacy_pq, cent, books, batch_id=1
+        )
+    # the modern layout still appends fine (guard has no false alarm)
+    append_to_ivfpq_index(
+        vecs.filter("vec_id % 3 = 0"), modern, cent, books, batch_id=1
+    )

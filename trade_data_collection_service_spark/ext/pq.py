@@ -547,12 +547,16 @@ def append_to_ivfpq_index(
     same rule)."""
     from trade_data_collection_service_spark.ext.dedup import (
         _recover_compaction,
+        _require_ledger_layout,
         _validate_batch_id,
     )
 
     b = _validate_batch_id(batch_id)
     spark = new_vectors.sparkSession
     _recover_compaction(spark, path)
+    _require_ledger_layout(
+        spark, path, "append_to_ivfpq_index", "write_ivfpq_index"
+    )
     rows = (
         _ivfpq_rows(new_vectors, centroids, codebooks, m)
         .withColumn("batch", F.lit(b if b is not None else "legacy"))
@@ -599,7 +603,12 @@ def read_ivfpq_quantizers(
     )
 
 
-def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
+def compact_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    fold_batches: bool = False,
+    protect_batches: tuple = (),
+) -> None:
     """Repair/compact the stored IVF-PQ index: resolve every vec_id
     to ONE row — duplicates that un-keyed append replays accumulate
     make the vector vanish from search results (see
@@ -615,15 +624,27 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
     stage-WAL (``dedup._staged_rewrite``; recover-on-entry in
     append/compact, readers pure via ``dedup._authoritative``).
     Run at quiescence — maintenance is single-maintainer by
-    contract."""
+    contract.  ``fold_batches=True`` remaps unprotected batch
+    partitions to ``base`` after the winner pass (the
+    ``dedup.maybe_compact`` cadence; ledger trade-off documented at
+    ``dedup._fold_batches_tf``)."""
     from trade_data_collection_service_spark.ext.dedup import (
+        _fold_batches_tf,
         _staged_rewrite,
         _winner_tf,
     )
 
+    fold = (
+        _fold_batches_tf(protect_batches)
+        if fold_batches
+        else (lambda df: df)
+    )
+
     def _tf(df: DataFrame) -> DataFrame:
         code_cols = [c for c in df.columns if c.startswith("code")]
-        return _winner_tf(["vec_id"], payload_cols=[*code_cols, "bucket"])(df)
+        return fold(
+            _winner_tf(["vec_id"], payload_cols=[*code_cols, "bucket"])(df)
+        )
 
     _staged_rewrite(spark, path, _tf)
 
