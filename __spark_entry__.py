@@ -1358,91 +1358,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
-# r10 ROTATION PLAN (write _R10_WINDOW next round): the 7 r9-new,
-# never-driver-checked entries (doc_grouped_split,
-# emb_ivfadc_rerank_topk, emb_ivfpq_appended_topk, ann_recall_curve,
-# doc_lm_buckets, doc_bigram_logprob, doc_lm_score_backoff — judge/
-# local sweeps only so far) first, then the 43 highest-priority
-# entries whose latest
-# driver evidence is r7 (doc_repetition, minute_spread,
-# exchange_spread, donchian_20, event_transitions, event_paths_topk,
-# doc_ngram_topk, asof_price_tolerance, rolling_active_hll, then the
-# doc_dedup_keep_best…tpch_q2 block per CORRECTNESS_r07 minus r08
-# keys, displacing the 7 at that block's tail) = 50; anything r10
-# changes goes first and displaces further from the r7 block's tail
-# (ema_20/macd_12_26_9 have r8 evidence — they rotate in r11).
-# After r9 the evidence ledger is 50 r9 / 50 r8 / 48 r7 / 7 never —
-# the 7 never-checked are r10's first obligation.
+# r11 ROTATION PLAN (write _R11_WINDOW next round): first, anything
+# r11 changes; then ema_20 + macd_12_26_9 (r8-vintage driver
+# evidence, displaced since r9); then the entries displaced from the
+# r7-vintage block this round (tpch_q19, tpch_q22, tpch_q3, tpch_q4, tpch_q5, tpch_q7, tpch_q6, tpch_q2),
+# whose driver evidence stays r7 — they are r11's oldest debt; fill
+# the remaining slots with the oldest r8-vintage entries per
+# CORRECTNESS_r08 minus r09/r10 keys.  After r10 the evidence ledger
+# is 50 r10 / 50 r9 / 50 r8 / 8 r7 / 0 never.
 #
-# r9 driver window (VERDICT r8 #1, the committed r8 plan verbatim):
-# the 4 r8-new passage entries — never driver-checked, AND the
-# surface r9 changed (hot-gram guard + hashed gram keys) — then the
-# 46 entries whose last driver row was r5.  Exactly 50.  The full
-# 151-entry surface is swept locally via tools/check_oracle.py at
-# sf0.01 and sf0.1 each round (docs/COVERAGE.md; r9: sweep lines
-# carry the HEAD SHA) — the window is a budget cap, not the evidence.
-_R9_WINDOW = [
-    # r8-new, never driver-checked; r9 changed their detect path
-    # (hot-gram-safe census + 128-bit hashed gram keys)
-    "doc_duplicate_spans",
-    "doc_strip_spans",
-    "doc_dedup_passages",
-    "doc_incremental_spans",
-    # r5-vintage driver evidence (CORRECTNESS_r05 minus r07/r08 keys)
-    "doc_minhash_lsh",
-    "emb_ivfpq_indexed_topk",
-    "doc_bm25_topk",
-    "emb_pq_topk",
-    "emb_ivf_pq_topk",
-    "emb_ivfadc_topk",
-    "event_anomaly",
-    "events_hll_daily",
-    "emb_ivf_trained_topk",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
-    "event_sessions_native",
-    "doc_heavy_hitters",
-    "event_funnel",
-    "event_retention",
-    "twap_daily",
-    "emb_semdedup",
-    "candle_patterns",
+# r10 driver window (VERDICT r9 #1, the committed r9 plan): the 7
+# r9-new entries that were never driver-checked, then the three
+# entries r10 touches (doc_lm_score_tri is NEW — the trigram rung;
+# doc_incremental_neardup / doc_incremental_spans gained the
+# pre-ledger layout guard in their append path), then 40 r7-vintage
+# entries (CORRECTNESS_r07 minus r08/r09 keys, in recorded order —
+# the 8 at that block's tail are displaced to r11).  Exactly 50.
+# The full 156-entry surface is swept locally via
+# tools/check_oracle.py at sf0.01 and sf0.1 each round
+# (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
+# is a budget cap, not the evidence.
+_R10_WINDOW = [
+    "doc_grouped_split",
+    "emb_ivfadc_rerank_topk",
+    "emb_ivfpq_appended_topk",
+    "ann_recall_curve",
+    "doc_lm_buckets",
+    "doc_bigram_logprob",
+    "doc_lm_score_backoff",
+    "doc_lm_score_tri",
     "doc_incremental_neardup",
-    "rsi_14",
-    "stochastic_14",
-    "obv",
-    "returns_corr",
-    "rolling_active_users",
-    "doc_chunk_dupes",
-    "gap_filled_interp",
-    "doc_tfidf_terms",
-    "ann_recall",
-    "doc_unigram_logprob",
-    "symbol_beta",
-    "doc_source_mix",
-    "volume_profile",
-    "intraday_profile",
-    "doc_neardup_quality",
-    "event_funnel_rates",
-    "rolling_beta_60",
-    "rolling_sharpe_60",
-    "drawdown_curve",
-    "rolling_corr_60",
-    "doc_source_quality",
-    "cascade_15m",
-    "corpus_curated",
-    "doc_decontaminate",
-    "doc_dedup_exact",
+    "doc_incremental_spans",
+    "doc_repetition",
+    "minute_spread",
+    "exchange_spread",
+    "donchian_20",
+    "event_transitions",
+    "event_paths_topk",
+    "doc_ngram_topk",
+    "asof_price_tolerance",
+    "rolling_active_hll",
+    "doc_dedup_keep_best",
+    "doc_dup_clusters",
+    "doc_dup_clusters_star",
+    "doc_fingerprint",
+    "doc_importance_sample",
+    "doc_lang_id",
+    "doc_ngram_jaccard",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_quality",
+    "doc_reservoir",
+    "doc_sample_stratified",
+    "doc_simhash",
+    "doc_simhash_pairs",
+    "doc_token_stats",
+    "doc_train_split",
+    "doc_vocab_topk",
+    "earliest_per_symbol",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_neardup",
+    "emb_quantized_topk",
+    "event_attribution",
+    "events_json",
+    "multimodal_features",
+    "multimodal_frames",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q18",
 ]
 
 
 def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _registry()
-    missing = [k for k in _R9_WINDOW if k not in base]
+    missing = [k for k in _R10_WINDOW if k not in base]
     assert not missing, f"window names drifted from registry: {missing}"
-    out = {k: base[k] for k in _R9_WINDOW}
+    out = {k: base[k] for k in _R10_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 
