@@ -527,6 +527,17 @@ def _q_doc_lm_score_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XT.lm_score_tri(docs.filter(F.col("doc_id") % 3 == 0), lm)
 
 
+def _q_doc_source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes source/domain classifier
+    (ext/text.source_nb) — the domain-bucketing rung of the curation
+    ladder (CCNet tags domains before mixing; DCLM/DoReMi reweight
+    per-domain): Laplace-smoothed per-source term censuses, a tiny
+    broadcast source dimension, one equi LEFT-join, min-struct
+    argmax.  All logs rounded 12 dp + decimal-weighted so both
+    engines pick identical winners."""
+    return XT.source_nb(spark, sf_dir)
+
+
 def _q_doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail LM-quality tiers (Wenzek et al. 2020,
     ext/text.lm_quality_buckets): positional ntile over per-doc
@@ -1387,6 +1398,7 @@ _R10_WINDOW = [
     "doc_bigram_logprob",
     "doc_lm_score_backoff",
     "doc_lm_score_tri",
+    "doc_source_nb",
     "doc_incremental_neardup",
     "doc_incremental_spans",
     "doc_repetition",
@@ -1428,7 +1440,6 @@ _R10_WINDOW = [
     "tpch_q10",
     "tpch_q12",
     "tpch_q14",
-    "tpch_q18",
 ]
 
 
@@ -1611,6 +1622,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob": _q_doc_bigram_logprob,
         "doc_lm_score_backoff": _q_doc_lm_score_backoff,
         "doc_lm_score_tri": _q_doc_lm_score_tri,
+        "doc_source_nb": _q_doc_source_nb,
     }
 
 
@@ -2569,6 +2581,62 @@ def oracle_sql() -> dict[str, str]:
                  AS n_backoff_uni,
                a.avg_logprob
         FROM score s LEFT JOIN agg a USING (doc_id)
+        ORDER BY 1
+        """,
+        "doc_source_nb": r"""WITH
+        toks AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(text), '\s+') AS tokens
+          FROM documents
+        ), terms AS (
+          SELECT doc_id, source, unnest(tokens) AS term FROM toks
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM terms GROUP BY 1, 2
+        ), census AS (
+          SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
+          FROM terms GROUP BY 1, 2
+        ), src AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_s
+          FROM terms GROUP BY 1
+        ), sdocs AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs_s
+          FROM documents GROUP BY 1
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        ), voc AS (
+          SELECT CAST(count(DISTINCT term) AS BIGINT) AS v_size
+          FROM terms
+        ), pairs AS (
+          SELECT t.doc_id, s.source, t.tf,
+                 COALESCE(c.n_st, 0) AS n_st, s.n_s, v.v_size
+          FROM tf t
+          CROSS JOIN src s
+          CROSS JOIN voc v
+          LEFT JOIN census c ON c.source = s.source AND c.term = t.term
+        ), scored AS (
+          SELECT doc_id, source,
+                 sum(CAST(tf AS DECIMAL(12,0))
+                     * CAST(round(ln(CAST(n_st + 1 AS DOUBLE)
+                                     / (n_s + v_size)), 12)
+                            AS DECIMAL(20,12))) AS sum_lp
+          FROM pairs GROUP BY 1, 2
+        ), total AS (
+          SELECT sc.doc_id, sc.source,
+                 CAST(round(ln(CAST(d.n_docs_s AS DOUBLE) / t.n_docs), 12)
+                      AS DECIMAL(20,12)) + sc.sum_lp AS score
+          FROM scored sc JOIN sdocs d USING (source) CROSS JOIN tot t
+        ), best AS (
+          SELECT doc_id, source AS pred_source, score,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score DESC, source) AS rn
+          FROM total
+        )
+        SELECT d.doc_id, d.source AS actual_source, b.pred_source,
+               CAST(b.score AS DOUBLE) AS score,
+               (b.pred_source = d.source) AS correct
+        FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
         ORDER BY 1
         """,
         "doc_tfidf_terms": "WITH "

@@ -510,3 +510,35 @@ def test_lm_score_tri_stored_roundtrip_and_census_marginals(
         .count()
     )
     assert bad == 0
+
+
+def test_source_nb_planted_vocab_classifies_perfectly(spark, tmp_path):
+    """NB with Laplace smoothing on a corpus whose sources have
+    disjoint vocabularies must classify train-on-self perfectly, and
+    break score ties by source name ascending."""
+    rows = []
+    vocab = {"srcA": "alpha beta gamma", "srcB": "delta epsilon zeta",
+             "srcC": "eta theta iota"}
+    for i, (src, words) in enumerate(sorted(vocab.items())):
+        for j in range(3):
+            rows.append((i * 10 + j, words, "en", src))
+    # a doc equidistant from srcA and srcB: tie → srcA (asc tiebreak)
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from trade_data_collection_service_spark.ext.text import source_nb
+
+    out = {r["doc_id"]: r for r in source_nb(spark, str(tmp_path)).collect()}
+    assert len(out) == 9
+    assert all(r["correct"] for r in out.values())
+
+
+def test_source_nb_beats_chance_on_fixture(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.text import source_nb
+
+    rows = source_nb(spark, sf_dir).collect()
+    n_src = len({r["actual_source"] for r in rows})
+    acc = sum(1 for r in rows if r["correct"]) / len(rows)
+    assert acc >= 2.0 / n_src, f"accuracy {acc} vs chance {1 / n_src}"
+    # coverage parity: one prediction per document
+    assert len(rows) == len({r["doc_id"] for r in rows})

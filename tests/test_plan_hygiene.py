@@ -42,6 +42,9 @@ NESTED_LOOP_OK = {
     # broadcast crossJoin into the backoff branch
     "doc_lm_score_tri",  # same 1-row token-total broadcast scalar in
     # the order-3 backoff ladder; every census join is equi
+    "doc_source_nb",  # NB scoring expands tf x the broadcast source
+    # dimension (n_sources rows) + a 1-row vocab-size scalar; the
+    # census join itself is equi on (source, term)
     "doc_unigram_logprob",  # 1-row total-token broadcast scalar
     "doc_source_mix",  # 1-row (n_total, n_sources) broadcast scalar
     "doc_neardup_quality",  # three 1-row count scalars crossJoined

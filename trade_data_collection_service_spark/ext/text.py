@@ -876,6 +876,106 @@ def lm_quality_buckets(
     ).orderBy("doc_id")
 
 
+def source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes SOURCE/domain classifier, trained on
+    the corpus's own (source, term) census and served on the same
+    corpus — the domain-bucketing rung of the curation ladder (CCNet
+    tags documents by domain before mixing; DCLM/DoReMi reweight
+    training mixtures per domain; this is the distributed classifier
+    those loops need): score(d, s) = ln P(s) + Σ_t tf(d,t) ·
+    ln((c(s,t)+1)/(c(s)+V)) with Laplace smoothing over the GLOBAL
+    vocabulary V, predict argmax_s.
+
+    Plan shape: TWO corpus token passes feed the per-doc tf table and
+    the per-source census (both map-side-combined groupBys over the
+    same explode); source stats, priors, and V are census marginals or
+    1-row scalars.  Scoring expands tf × the (tiny, broadcast) source
+    dimension — O(doc terms × n_sources) rows by definition of NB
+    scoring — then ONE equi LEFT-join on (source, term) against the
+    census and one map-side-combinable min-struct argmax per doc
+    (score desc, source asc tiebreak — no window, no global sort).
+
+    Determinism: every ln is rounded to 12 dp and decimal-weighted
+    (the lm_score discipline), so per-(doc, source) sums are exact in
+    both engines and the argmax compares bit-identical decimals."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = with_tokens(docs).select(
+        "doc_id", "source", F.explode("tokens").alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    census = terms.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("n_st")
+    )
+    src_stats = (
+        terms.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .join(
+            docs.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs_s")
+            ),
+            "source",
+        )
+        .crossJoin(
+            F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+        )
+    )
+    vocab_v = terms.agg(
+        F.countDistinct("term").alias("v_size")
+    )
+    prior = F.round(
+        F.log(F.col("n_docs_s").cast("double") / F.col("n_docs")), 12
+    ).cast("decimal(20,12)")
+    pairs = (
+        tf.crossJoin(F.broadcast(src_stats))
+        .crossJoin(F.broadcast(vocab_v))
+        .join(census, ["source", "term"], "left")
+    )
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("n_st"), F.lit(0)) + 1).cast("double")
+            / (F.col("n_s") + F.col("v_size"))
+        ),
+        12,
+    ).cast("decimal(20,12)")
+    # tf rides as decimal(12,0) so the product is decimal(33,12) —
+    # within precision 38, so Spark cannot silently reduce the scale
+    # (bigint x decimal(20,12) would overflow to 41 and round at 9 dp
+    # under allowPrecisionLoss, diverging from the oracle's exact 12)
+    scored = pairs.groupBy("doc_id", "source", "n_docs_s", "n_docs").agg(
+        F.sum(F.col("tf").cast("decimal(12,0)") * lp).alias("sum_lp")
+    )
+    total = scored.select(
+        "doc_id",
+        "source",
+        (prior + F.col("sum_lp")).alias("score"),
+    )
+    best = total.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("neg"),
+                F.col("source").alias("pred_source"),
+                F.col("score").alias("score"),
+            )
+        ).alias("w")
+    )
+    return (
+        docs.select("doc_id", F.col("source").alias("actual_source"))
+        .join(best, "doc_id")
+        .select(
+            "doc_id",
+            "actual_source",
+            F.col("w.pred_source").alias("pred_source"),
+            F.col("w.score").cast("double").alias("score"),
+            (F.col("w.pred_source") == F.col("actual_source")).alias(
+                "correct"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality triage: the corpus-curation dashboard that
     decides which SOURCES to deprioritize — mean quality score, mean
