@@ -868,6 +868,16 @@ def _q_doc_neardup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.neardup_quality(spark, sf_dir)
 
 
+def _q_doc_neardup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall vs Jaccard threshold in ONE LSH+verify pass
+    (ext/dedup.neardup_quality_curve, the dedup twin of
+    ann_recall_curve): banding and the bucket cap are
+    threshold-independent, so the whole tuning curve is conditional
+    aggregates over pairs verified once at the loosest grid point;
+    dense grid — empty levels emit zero counts, precision NULL."""
+    return XD.neardup_quality_curve(spark, sf_dir)
+
+
 def _q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.ngram_jaccard_pairs(XD.documents_neardup(spark, sf_dir))
 
@@ -1399,6 +1409,7 @@ _R10_WINDOW = [
     "doc_lm_score_backoff",
     "doc_lm_score_tri",
     "doc_source_nb",
+    "doc_neardup_curve",
     "doc_incremental_neardup",
     "doc_incremental_spans",
     "doc_repetition",
@@ -1439,7 +1450,6 @@ _R10_WINDOW = [
     "tpch_q1",
     "tpch_q10",
     "tpch_q12",
-    "tpch_q14",
 ]
 
 
@@ -1557,6 +1567,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_profile": _q_volume_profile,
         "intraday_profile": _q_intraday_profile,
         "doc_neardup_quality": _q_doc_neardup_quality,
+        "doc_neardup_curve": _q_doc_neardup_curve,
         "event_funnel_rates": _q_event_funnel_rates,
         "rolling_beta_60": _q_rolling_beta_60,
         "rolling_sharpe_60": _q_rolling_sharpe_60,
@@ -2723,6 +2734,52 @@ def oracle_sql() -> dict[str, str]:
         + _LSH_CTES
         + """
         SELECT * FROM verified WHERE jaccard >= 0.5
+        """,
+        "doc_neardup_curve": XD.DOCS_NEARDUP_CTE
+        + _LSH_CTES
+        + """
+        , found AS (
+          SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.3
+        ), truth AS (
+          SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id, doc_id + 2000000
+          FROM documents WHERE doc_id % 25 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, doc_id + 2000000
+          FROM documents WHERE doc_id % 50 = 0
+        ), flagged AS (
+          SELECT f.doc_a, f.doc_b, f.jaccard,
+                 CASE WHEN EXISTS (SELECT 1 FROM truth t
+                                   WHERE t.doc_a = f.doc_a
+                                     AND t.doc_b = f.doc_b)
+                      THEN 1 ELSE 0 END AS planted
+          FROM found f
+        ), grid AS (
+          SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS DOUBLE)
+                 AS threshold
+        ), agg AS (
+          SELECT g.threshold,
+                 CAST(sum(CASE WHEN fl.jaccard >= g.threshold
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+                 CAST(sum(CASE WHEN fl.jaccard >= g.threshold
+                               THEN fl.planted ELSE 0 END) AS BIGINT)
+                   AS n_hit
+          FROM grid g CROSS JOIN flagged fl GROUP BY 1
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth
+        )
+        SELECT g.threshold,
+               CAST(COALESCE(a.n_found, 0) AS BIGINT) AS n_found,
+               CAST(COALESCE(a.n_hit, 0) AS BIGINT) AS n_hit,
+               t.n_truth,
+               CASE WHEN COALESCE(a.n_found, 0) > 0
+                    THEN CAST(a.n_hit AS DOUBLE) / a.n_found END
+                 AS precision,
+               CAST(COALESCE(a.n_hit, 0) AS DOUBLE) / t.n_truth AS recall
+        FROM grid g LEFT JOIN agg a USING (threshold) CROSS JOIN tot t
+        ORDER BY 1
         """,
         "doc_neardup_quality": XD.DOCS_NEARDUP_CTE
         + _LSH_CTES

@@ -1302,3 +1302,29 @@ def test_append_to_pre_ledger_layout_raises_migration_error(
     append_to_ivfpq_index(
         vecs.filter("vec_id % 3 = 0"), modern, cent, books, batch_id=1
     )
+
+
+def test_neardup_curve_consistent_with_point_quality(spark, sf_dir):
+    """The one-pass threshold curve must agree with the single-point
+    evaluator at its default threshold, and behave monotonically:
+    tightening the threshold can only shrink the found/hit sets."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        neardup_quality,
+        neardup_quality_curve,
+    )
+
+    curve = {
+        r["threshold"]: r
+        for r in neardup_quality_curve(spark, sf_dir).collect()
+    }
+    assert set(curve) == {0.3, 0.4, 0.5, 0.6, 0.7, 0.8}
+    point = neardup_quality(spark, sf_dir, threshold=0.5).collect()[0]
+    assert curve[0.5]["n_found"] == point["n_found"]
+    assert curve[0.5]["n_hit"] == point["n_hit"]
+    assert curve[0.5]["n_truth"] == point["n_truth"]
+    ts = sorted(curve)
+    for lo, hi in zip(ts, ts[1:]):
+        assert curve[hi]["n_found"] <= curve[lo]["n_found"]
+        assert curve[hi]["n_hit"] <= curve[lo]["n_hit"]
+    # n_truth is threshold-independent by construction
+    assert len({r["n_truth"] for r in curve.values()}) == 1

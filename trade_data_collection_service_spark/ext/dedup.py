@@ -1071,6 +1071,89 @@ def neardup_quality(
     )
 
 
+NEARDUP_CURVE_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+def neardup_quality_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    thresholds: tuple[float, ...] = NEARDUP_CURVE_THRESHOLDS,
+) -> DataFrame:
+    """Precision/recall of the LSH dedup pipeline ACROSS the Jaccard
+    threshold grid, in ONE pass — the tuning sweep a deployment runs
+    to pick its threshold (the dedup ladder's twin of
+    ``ann_recall_curve``, same one-pass trick): because the banding
+    scheme and bucket cap are threshold-independent, the pair set at
+    threshold t is exactly ``filter(jaccard >= t)`` over the pairs
+    verified at the loosest grid point — so the corpus is shingled,
+    banded, and exact-verified ONCE, and the whole curve falls out of
+    conditional aggregates over the (tiny) verified-pair table
+    crossJoined with the broadcast grid.
+
+    Dense-grid discipline (the r9 ann_recall_curve finding): every
+    threshold emits a row even when nothing survives it — the grid is
+    the base of a LEFT join, zero counts coalesced, precision NULL
+    when n_found = 0 (0/0 is not a measurement).  Truth is the
+    planted-duplicate scheme of :func:`neardup_quality`; its
+    precision lower-bound caveat applies at every grid point."""
+    corpus = documents_neardup(spark, sf_dir)
+    found = minhash_lsh_pairs(corpus, min(thresholds)).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1000000).alias("doc_b"),
+    )
+    exact = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 2000000).alias("doc_b"),
+    )
+    cross = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_a"),
+        (F.col("doc_id") + 2000000).alias("doc_b"),
+    )
+    truth = near.unionByName(exact).unionByName(cross)
+    flagged = found.join(
+        truth.withColumn("planted", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).withColumn("planted", F.coalesce("planted", F.lit(0)))
+    grid = spark.createDataFrame(
+        [(float(t),) for t in sorted(thresholds)], "threshold double"
+    )
+    ge = F.col("jaccard") >= F.col("threshold")
+    agg = (
+        flagged.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.sum(ge.cast("long")).alias("n_found"),
+            F.sum((ge.cast("long") * F.col("planted"))).alias("n_hit"),
+        )
+    )
+    counts = (
+        grid.join(agg, "threshold", "left")
+        .crossJoin(
+            F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        )
+        .select(
+            "threshold",
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            "n_truth",
+        )
+    )
+    return counts.select(
+        "threshold",
+        "n_found",
+        "n_hit",
+        "n_truth",
+        F.when(
+            F.col("n_found") > 0,
+            F.col("n_hit").cast("double") / F.col("n_found"),
+        ).alias("precision"),
+        (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
+    ).orderBy("threshold")
+
+
 def duplicate_spans(
     docs: DataFrame,
     k: int = 5,
