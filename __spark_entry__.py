@@ -527,6 +527,15 @@ def _q_doc_lm_score_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XT.lm_score_tri(docs.filter(F.col("doc_id") % 3 == 0), lm)
 
 
+def _q_emb_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
+    (ext/similarity.hybrid_rrf_topk, Cormack et al. 2009): per query
+    doc, BM25 top-depth over the corpus + exact-cosine top-depth over
+    the aligned embeddings, fused 1/(60+rank) per side — the RAG/
+    eval-mining retrieval stack as one declarative plan."""
+    return XS.hybrid_rrf_topk(spark, sf_dir)
+
+
 def _q_doc_source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive-Bayes source/domain classifier
     (ext/text.source_nb) — the domain-bucketing rung of the curation
@@ -1410,6 +1419,7 @@ _R10_WINDOW = [
     "doc_lm_score_tri",
     "doc_source_nb",
     "doc_neardup_curve",
+    "emb_hybrid_rrf",
     "doc_incremental_neardup",
     "doc_incremental_spans",
     "doc_repetition",
@@ -1449,7 +1459,6 @@ _R10_WINDOW = [
     "multimodal_frames",
     "tpch_q1",
     "tpch_q10",
-    "tpch_q12",
 ]
 
 
@@ -1634,6 +1643,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score_backoff": _q_doc_lm_score_backoff,
         "doc_lm_score_tri": _q_doc_lm_score_tri,
         "doc_source_nb": _q_doc_source_nb,
+        "emb_hybrid_rrf": _q_emb_hybrid_rrf,
     }
 
 
@@ -2593,6 +2603,93 @@ def oracle_sql() -> dict[str, str]:
                a.avg_logprob
         FROM score s LEFT JOIN agg a USING (doc_id)
         ORDER BY 1
+        """,
+        "emb_hybrid_rrf": r"""WITH
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS tokens
+          FROM documents
+        ), dl AS (
+          SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM toks
+        ), qterms AS (
+          SELECT doc_id AS q_id, unnest(list_distinct(tokens)) AS term
+          FROM toks WHERE doc_id < 3
+        ), tok AS (
+          SELECT doc_id, unnest(tokens) AS term FROM toks
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM tok WHERE term IN (SELECT DISTINCT term FROM qterms)
+          GROUP BY 1, 2
+        ), dft AS (
+          SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 round(avg(dl), 6) AS avgdl
+          FROM dl
+        ), sparse AS (
+          SELECT qt.q_id, tf.doc_id,
+                 round(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                 ), 6) AS bm25
+          FROM qterms qt
+          JOIN tf ON tf.term = qt.term AND tf.doc_id <> qt.q_id
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN dft ON dft.term = tf.term, stats
+          GROUP BY 1, 2
+        ), sd AS (
+          SELECT q_id, doc_id, r_s FROM (
+            SELECT q_id, doc_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY q_id ORDER BY bm25 DESC, doc_id)
+                     AS BIGINT) AS r_s
+            FROM sparse
+          ) WHERE r_s <= 20
+        ), e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ), nv AS (
+          SELECT vec_id, emb,
+                 sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+          FROM e
+        ), qv AS (
+          SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+          FROM nv WHERE vec_id < 3
+        ), dense AS (
+          SELECT qv.q_id, nv.vec_id AS doc_id,
+                 round(list_sum(list_transform(
+                         list_zip(nv.emb, qv.q_emb), p -> p[1] * p[2]))
+                       / (nv.nrm * qv.q_nrm), 6) AS sim
+          FROM nv CROSS JOIN qv WHERE nv.vec_id <> qv.q_id
+        ), dd AS (
+          SELECT q_id, doc_id, r_d FROM (
+            SELECT q_id, doc_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY q_id ORDER BY sim DESC, doc_id)
+                     AS BIGINT) AS r_d
+            FROM dense
+          ) WHERE r_d <= 20
+        ), fused AS (
+          SELECT COALESCE(s.q_id, d.q_id) AS q_id,
+                 COALESCE(s.doc_id, d.doc_id) AS doc_id,
+                 s.r_s, d.r_d,
+                 COALESCE(1.0 / (60 + s.r_s), 0)
+                   + COALESCE(1.0 / (60 + d.r_d), 0) AS rrf
+          FROM sd s FULL OUTER JOIN dd d
+            ON s.q_id = d.q_id AND s.doc_id = d.doc_id
+        )
+        SELECT q_id, doc_id, r_s AS sparse_rank, r_d AS dense_rank,
+               round(rrf, 6) AS rrf_score, rank
+        FROM (
+          SELECT q_id, doc_id, r_s, r_d, rrf,
+                 CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY rrf DESC, doc_id)
+                   AS BIGINT) AS rank
+          FROM fused
+        ) WHERE rank <= 10
+        ORDER BY q_id, rank
         """,
         "doc_source_nb": r"""WITH
         toks AS (

@@ -42,12 +42,18 @@ NESTED_LOOP_OK = {
     # broadcast crossJoin into the backoff branch
     "doc_lm_score_tri",  # same 1-row token-total broadcast scalar in
     # the order-3 backoff ladder; every census join is equi
+    "emb_hybrid_rrf",  # dense side is brute_force_topk's corpus x
+    # broadcast(query set) evaluation baseline; sparse/fusion joins
+    # are equi on (term) / (q_id, doc_id)
     "doc_source_nb",  # NB scoring expands tf x the broadcast source
     # dimension (n_sources rows) + a 1-row vocab-size scalar; the
     # census join itself is equi on (source, term)
     "doc_unigram_logprob",  # 1-row total-token broadcast scalar
     "doc_source_mix",  # 1-row (n_total, n_sources) broadcast scalar
     "doc_neardup_quality",  # three 1-row count scalars crossJoined
+    "doc_neardup_curve",  # the broadcast threshold grid (6 rows) and
+    # the 1-row n_truth scalar ride crossJoins over the tiny verified-
+    # pair table; the LSH/verify pipeline itself is all equi joins
     "doc_tfidf_terms",  # 1-row corpus-size broadcast scalar
     "emb_ivf_pq_topk",  # coarse-quantizer assignment: corpus × broadcast centroids
     "emb_ivfadc_topk",  # same coarse-assignment shape, residual variant

@@ -726,3 +726,132 @@ def ann_recall_curve(
         )
         .orderBy("q_id", "nprobe")
     )
+
+
+def hybrid_rrf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 3,
+    depth: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval with Reciprocal Rank Fusion
+    (Cormack et al. 2009, the fusion every RAG/eval-mining stack
+    runs): for each query DOCUMENT (doc_id < n_queries, its tokens
+    the sparse query, its aligned embedding the dense query),
+    retrieve the top-``depth`` candidates by BM25 over the corpus and
+    by exact cosine over the embedding table, then fuse —
+    rrf(d) = Σ_sides 1/(rrf_k + rank_side(d)) with an absent side
+    contributing 0 — and emit the fused top-``k``.
+
+    Plan shape: the sparse side is the proven ``text.bm25_topk``
+    pipeline with a query dimension (postings filtered to the query
+    vocabulary FIRST — only (doc, query-term) rows survive into the
+    shuffle; df/avgdl scalars broadcast); the dense side is
+    ``brute_force_topk``'s broadcast-queries scan (the evaluation
+    baseline — compose the same fusion over ``ivfpq_search_indexed``
+    for the indexed scale path); the fusion is one full-outer equi
+    join of two depth-bounded rank tables (≤ n_queries × depth rows
+    each) — the corpus is never touched again.  Per-query ranking
+    windows partition by q_id; each query's candidate set, not the
+    corpus, is the sort input.
+
+    Determinism: both scores round to 6 dp with doc_id tiebreaks, so
+    ranks are integers both engines agree on; rrf sums
+    1/(rrf_k + rank) in fixed side order over identical IEEE
+    doubles."""
+    from trade_data_collection_service_spark.ext.text import (
+        BM25_B,
+        BM25_K1,
+        with_tokens,
+    )
+
+    docs = with_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+    qterms = docs.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(F.array_distinct("tokens")).alias("term"),
+    )
+    tok = docs.select("doc_id", F.explode("tokens").alias("term"))
+    tf = (
+        tok.join(
+            broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+    w_term = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    ) * (
+        F.col("tf") * (BM25_K1 + 1.0)
+    ) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    sparse = (
+        broadcast(qterms)
+        .join(tf, "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(dl, "doc_id")
+        .join(broadcast(df_t), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("w", w_term)
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+    )
+    sw = Window.partitionBy("q_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    sd = (
+        sparse.withColumn("r_s", F.row_number().over(sw).cast("long"))
+        .filter(F.col("r_s") <= depth)
+        .select("q_id", "doc_id", "r_s")
+    )
+    v = vectors(spark, sf_dir)
+    qv = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dense = v.join(broadcast(qv), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            _dot("emb", "q_emb") / (F.col("nrm") * F.col("q_nrm")), 6
+        ).alias("sim"),
+    )
+    dw = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("doc_id")
+    )
+    dd = (
+        dense.withColumn("r_d", F.row_number().over(dw).cast("long"))
+        .filter(F.col("r_d") <= depth)
+        .select("q_id", "doc_id", "r_d")
+    )
+    fused = sd.join(dd, ["q_id", "doc_id"], "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("r_s")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("r_d")), F.lit(0.0)),
+    )
+    fw = Window.partitionBy("q_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(fw).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "doc_id",
+            F.col("r_s").alias("sparse_rank"),
+            F.col("r_d").alias("dense_rank"),
+            F.round("rrf", 6).alias("rrf_score"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
