@@ -1389,22 +1389,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # r11 ROTATION PLAN (write _R11_WINDOW next round): first, anything
-# r11 changes; then ema_20 + macd_12_26_9 (r8-vintage driver
-# evidence, displaced since r9); then the entries displaced from the
-# r7-vintage block this round (tpch_q19, tpch_q22, tpch_q3, tpch_q4, tpch_q5, tpch_q7, tpch_q6, tpch_q2),
-# whose driver evidence stays r7 — they are r11's oldest debt; fill
-# the remaining slots with the oldest r8-vintage entries per
+# r11 changes; then the 11 entries whose driver evidence stays r7 —
+# r11's oldest debt, the displaced tail of the r7-vintage block
+# (tpch_q12, tpch_q14, tpch_q18, tpch_q19, tpch_q22, tpch_q3,
+# tpch_q4, tpch_q5, tpch_q7, tpch_q6, tpch_q2); then ema_20 +
+# macd_12_26_9 (r8-vintage driver evidence, displaced since r9);
+# fill the remaining slots with the oldest r8-vintage entries per
 # CORRECTNESS_r08 minus r09/r10 keys.  After r10 the evidence ledger
-# is 50 r10 / 50 r9 / 50 r8 / 8 r7 / 0 never.
+# is 50 r10 / 48 r9 / 50 r8 / 11 r7 / 0 never (159 entries; the two
+# r9-keyed incremental queries re-proved in r10 move their evidence
+# forward, which is why r9 drops to 48).
 #
 # r10 driver window (VERDICT r9 #1, the committed r9 plan): the 7
-# r9-new entries that were never driver-checked, then the three
-# entries r10 touches (doc_lm_score_tri is NEW — the trigram rung;
+# r9-new entries that were never driver-checked, then the six
+# entries r10 touches (doc_lm_score_tri / doc_source_nb /
+# doc_neardup_curve / emb_hybrid_rrf are NEW this round;
 # doc_incremental_neardup / doc_incremental_spans gained the
-# pre-ledger layout guard in their append path), then 40 r7-vintage
+# pre-ledger layout guard in their append path), then 37 r7-vintage
 # entries (CORRECTNESS_r07 minus r08/r09 keys, in recorded order —
-# the 8 at that block's tail are displaced to r11).  Exactly 50.
-# The full 156-entry surface is swept locally via
+# the 11 at that block's tail are displaced to r11).  Exactly 50.
+# The full 159-entry surface is swept locally via
 # tools/check_oracle.py at sf0.01 and sf0.1 each round
 # (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
 # is a budget cap, not the evidence.

@@ -313,3 +313,19 @@ def test_doc_ingest_stream_with_lm_gate(spark, sf_dir, tmp_path):
         for r in read_accepted(spark, str(tmp_path / "out_direct")).collect()
     }
     assert got == want and want
+
+
+def test_run_doc_ingest_lm_path_requires_threshold(spark, tmp_path):
+    """The stream must fail fast at the call site, not as a
+    StreamingQueryException inside the first micro-batch."""
+    import pytest
+
+    with pytest.raises(ValueError, match="lm_min_logprob"):
+        run_doc_ingest(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "idx"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+            lm_path=str(tmp_path / "lm"),
+        )

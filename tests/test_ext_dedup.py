@@ -1328,3 +1328,48 @@ def test_neardup_curve_consistent_with_point_quality(spark, sf_dir):
         assert curve[hi]["n_hit"] <= curve[lo]["n_hit"]
     # n_truth is threshold-independent by construction
     assert len({r["n_truth"] for r in curve.values()}) == 1
+
+
+def test_fold_keeps_protected_batch_replayable_on_cross_dupes(
+    spark, sf_dir, tmp_path
+):
+    """r10 review finding: when a doc_id lives in BOTH a protected
+    and an unprotected batch, the folding compaction must keep its
+    row in the PROTECTED partition — otherwise the fold moves it to
+    base and the protected batch's crash-replay (dynamic overwrite of
+    its own partition) re-creates the duplication."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_neardup_index,
+        compact_neardup_index,
+        documents_neardup,
+        incremental_neardup_pairs,
+        write_neardup_index,
+    )
+
+    corpus = documents_neardup(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    write_neardup_index(corpus.filter("doc_id % 2 = 0").limit(30), path)
+    doc = spark.createDataFrame(
+        [(9_000_001, "one two three four five six seven")],
+        ["doc_id", "text"],
+    )
+    # the same doc under an unprotected batch AND the in-flight one
+    append_to_neardup_index(doc, path, batch_id=1)
+    append_to_neardup_index(doc, path, batch_id=2)
+    compact_neardup_index(
+        spark, path, fold_batches=True, protect_batches=("2",)
+    )
+    counts = (
+        spark.read.parquet(f"{path}/counts")
+        .filter(F.col("doc_id") == 9_000_001)
+        .collect()
+    )
+    assert len(counts) == 1 and counts[0]["batch"] == "2"
+    # the in-flight batch replays after a crash: must stay one copy
+    append_to_neardup_index(doc, path, batch_id=2)
+    probe = doc.withColumn("doc_id", F.lit(9_000_002))
+    pairs = incremental_neardup_pairs(
+        probe, path, exclude_batch="probe"
+    ).collect()
+    hits = [r for r in pairs if r["stored_id"] == 9_000_001]
+    assert len(hits) == 1 and abs(hits[0]["jaccard"] - 1.0) < 1e-9

@@ -509,30 +509,52 @@ def _authoritative(spark: SparkSession, src: str) -> DataFrame:
     return spark.read.parquet(src)
 
 
-def _winner_tf(key_cols, payload_cols=(), extra=(), extra_names=()):
+def _winner_tf(key_cols, payload_cols=(), extra=(), extra_names=(), protect=()):
     """THE cross-partition compaction winner rule, shared by every
     batch-ledger index compactor (near-dup tables, IVF-PQ index): one
     map-side-combinable pass resolves every logical key to its
-    winning partition — keyed beats base/legacy (keyed partitions are
-    the replay-idempotence ledger), then lexicographically smallest
-    batch; reserved winners merge into ``base``.  A NULL batch
-    (pre-guard empty-string batch_id appends) counts as reserved so
-    its rows merge into ``base`` instead of riding undefined
-    null-struct ordering.
+    winning partition — PROTECTED keyed batches beat other keyed
+    batches beat base/legacy, then lexicographically smallest batch
+    within a class; reserved winners merge into ``base``.  A NULL
+    batch (pre-guard empty-string batch_id appends) counts as
+    reserved so its rows merge into ``base`` instead of riding
+    undefined null-struct ordering.
+
+    ``protect`` (r10 review finding) exists for the folding cadence:
+    a key present in BOTH a protected (still-replayable) batch and
+    any other partition must keep its row IN the protected partition
+    — the plain keyed-min rule could hand the winner to the other
+    batch, whose fold into ``base`` would erase the key from the
+    protected partition; the protected batch's later crash-replay
+    would then dynamic-overwrite its partition and re-create the
+    duplication the compaction repaired.
 
     ``payload_cols`` ride the min-struct (for tables whose non-key
     columns are identical across duplicates — e.g. deterministic PQ
     codes — the winner's payload comes with its partition);
     ``extra``/``extra_names`` are separate aggregates for payloads
-    that need their own rule (e.g. ``max(n_sh)``)."""
+    that need their own rule."""
+    protect_ids = [str(p) for p in protect]
 
     def tf(df: DataFrame) -> DataFrame:
         reserved = (
             F.col("batch").isin(*_RESERVED_BATCHES) | F.col("batch").isNull()
         )
+        protected = (
+            F.col("batch").isin(*protect_ids)
+            if protect_ids
+            else F.lit(False)
+        )
+        # precedence class: protected keyed (0) < other keyed (1)
+        # < reserved/null (2)
+        klass = (
+            F.when(protected & ~reserved, F.lit(0))
+            .when(~reserved, F.lit(1))
+            .otherwise(F.lit(2))
+        )
         win = F.min(
             F.struct(
-                reserved.cast("int").alias("p"),
+                klass.alias("p"),
                 F.coalesce(F.col("batch"), F.lit("legacy")).alias("b"),
                 *[F.col(c).alias(c) for c in payload_cols],
             )
@@ -544,7 +566,7 @@ def _winner_tf(key_cols, payload_cols=(), extra=(), extra_names=()):
                 *key_cols,
                 *extra_names,
                 *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
-                F.when(F.col("__w.p") == 1, F.lit("base"))
+                F.when(F.col("__w.p") == 2, F.lit("base"))
                 .otherwise(F.col("__w.b"))
                 .alias("batch"),
             )
@@ -990,17 +1012,24 @@ def compact_neardup_index(
         if fold_batches
         else (lambda df: df)
     )
+    # the winner rule must see the protected set too: a key shared
+    # between a protected and an unprotected batch keeps its row in
+    # the PROTECTED partition, so the protected batch's replay stays
+    # idempotent after the fold (see _winner_tf)
+    prot = protect_batches if fold_batches else ()
 
     def _tf(winner):
         return lambda df: fold(winner(df))
 
     _staged_rewrite(
-        spark, f"{path}/shingles", _tf(_winner_tf(["doc_id", "sh"]))
+        spark,
+        f"{path}/shingles",
+        _tf(_winner_tf(["doc_id", "sh"], protect=prot)),
     )
     _staged_rewrite(
         spark,
         f"{path}/bands",
-        _tf(_winner_tf(["doc_id", "band_id", "band_key"])),
+        _tf(_winner_tf(["doc_id", "band_id", "band_key"], protect=prot)),
     )
     # n_sh rides the SAME min-struct winner as the shingles/bands
     # tables (not an independent max() across duplicate partitions):
@@ -1010,8 +1039,30 @@ def compact_neardup_index(
     _staged_rewrite(
         spark,
         f"{path}/counts",
-        _tf(_winner_tf(["doc_id"], payload_cols=["n_sh"])),
+        _tf(_winner_tf(["doc_id"], payload_cols=["n_sh"], protect=prot)),
     )
+
+
+def _planted_truth(d: DataFrame) -> DataFrame:
+    """The planted duplicate-pair truth of the documents_neardup
+    fixture, as (doc_a, doc_b) rows — the ONE home for the planting
+    scheme (%10 → +1M near copy, %25 → +2M exact copy, %50 → the
+    cross pair), shared by :func:`neardup_quality` and
+    :func:`neardup_quality_curve` so the point evaluator and the
+    curve can never disagree on n_truth."""
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1000000).alias("doc_b"),
+    )
+    exact = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 2000000).alias("doc_b"),
+    )
+    cross = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_a"),
+        (F.col("doc_id") + 2000000).alias("doc_b"),
+    )
+    return near.unionByName(exact).unionByName(cross)
 
 
 def neardup_quality(
@@ -1043,19 +1094,7 @@ def neardup_quality(
     corpus = documents_neardup(spark, sf_dir)
     found = minhash_lsh_pairs(corpus, threshold).select("doc_a", "doc_b")
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    near = d.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("doc_a"),
-        (F.col("doc_id") + 1000000).alias("doc_b"),
-    )
-    exact = d.filter(F.col("doc_id") % 25 == 0).select(
-        F.col("doc_id").alias("doc_a"),
-        (F.col("doc_id") + 2000000).alias("doc_b"),
-    )
-    cross = d.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_a"),
-        (F.col("doc_id") + 2000000).alias("doc_b"),
-    )
-    truth = near.unionByName(exact).unionByName(cross)
+    truth = _planted_truth(d)
     hit = found.join(truth, ["doc_a", "doc_b"], "left_semi")
     counts = (
         found.agg(F.count(F.lit(1)).alias("n_found"))
@@ -1101,19 +1140,7 @@ def neardup_quality_curve(
         "doc_a", "doc_b", "jaccard"
     )
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    near = d.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("doc_a"),
-        (F.col("doc_id") + 1000000).alias("doc_b"),
-    )
-    exact = d.filter(F.col("doc_id") % 25 == 0).select(
-        F.col("doc_id").alias("doc_a"),
-        (F.col("doc_id") + 2000000).alias("doc_b"),
-    )
-    cross = d.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_a"),
-        (F.col("doc_id") + 2000000).alias("doc_b"),
-    )
-    truth = near.unionByName(exact).unionByName(cross)
+    truth = _planted_truth(d)
     flagged = found.join(
         truth.withColumn("planted", F.lit(1)), ["doc_a", "doc_b"], "left"
     ).withColumn("planted", F.coalesce("planted", F.lit(0)))

@@ -639,11 +639,17 @@ def compact_ivfpq_index(
         if fold_batches
         else (lambda df: df)
     )
+    # protected batches win the min-struct too, so the fold cannot
+    # move a still-replayable batch's rows out of its own partition
+    # (dedup._winner_tf, r10 review finding)
+    prot = protect_batches if fold_batches else ()
 
     def _tf(df: DataFrame) -> DataFrame:
         code_cols = [c for c in df.columns if c.startswith("code")]
         return fold(
-            _winner_tf(["vec_id"], payload_cols=[*code_cols, "bucket"])(df)
+            _winner_tf(
+                ["vec_id"], payload_cols=[*code_cols, "bucket"], protect=prot
+            )(df)
         )
 
     _staged_rewrite(spark, path, _tf)

@@ -762,8 +762,7 @@ def hybrid_rrf_topk(
     1/(rrf_k + rank) in fixed side order over identical IEEE
     doubles."""
     from trade_data_collection_service_spark.ext.text import (
-        BM25_B,
-        BM25_K1,
+        bm25_weight,
         with_tokens,
     )
 
@@ -786,14 +785,6 @@ def hybrid_rrf_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("dl"), 6).alias("avgdl"),
     )
-    w_term = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    ) * (
-        F.col("tf") * (BM25_K1 + 1.0)
-    ) / (
-        F.col("tf")
-        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    )
     sparse = (
         broadcast(qterms)
         .join(tf, "term")
@@ -801,7 +792,7 @@ def hybrid_rrf_topk(
         .join(dl, "doc_id")
         .join(broadcast(df_t), "term")
         .crossJoin(broadcast(stats))
-        .withColumn("w", w_term)
+        .withColumn("w", bm25_weight())
         .groupBy("q_id", "doc_id")
         .agg(F.round(F.sum("w"), 6).alias("bm25"))
     )
@@ -813,26 +804,13 @@ def hybrid_rrf_topk(
         .filter(F.col("r_s") <= depth)
         .select("q_id", "doc_id", "r_s")
     )
-    v = vectors(spark, sf_dir)
-    qv = v.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    dense = v.join(broadcast(qv), F.col("vec_id") != F.col("q_id")).select(
+    # the dense side IS brute_force_topk — the evaluation-baseline
+    # scan, reused rather than re-implemented so the cosine/rounding
+    # discipline has one home
+    dd = brute_force_topk(spark, sf_dir, n_queries=n_queries, k=depth).select(
         "q_id",
         F.col("vec_id").alias("doc_id"),
-        F.round(
-            _dot("emb", "q_emb") / (F.col("nrm") * F.col("q_nrm")), 6
-        ).alias("sim"),
-    )
-    dw = Window.partitionBy("q_id").orderBy(
-        F.col("sim").desc(), F.col("doc_id")
-    )
-    dd = (
-        dense.withColumn("r_d", F.row_number().over(dw).cast("long"))
-        .filter(F.col("r_d") <= depth)
-        .select("q_id", "doc_id", "r_d")
+        F.col("rank").alias("r_d"),
     )
     fused = sd.join(dd, ["q_id", "doc_id"], "full_outer").withColumn(
         "rrf",

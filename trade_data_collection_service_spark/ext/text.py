@@ -156,6 +156,23 @@ BM25_B = 0.75
 BM25_QUERY = ("fast", "data", "stream")
 
 
+def bm25_weight() -> Column:
+    """THE BM25 term-weight expression (Robertson/Spärck Jones idf ×
+    K1/B saturation), shared by :func:`bm25_topk` and the hybrid
+    fusion retriever (ext/similarity.hybrid_rrf_topk) so the scoring
+    formula — and its oracle-proven float-op order — has exactly one
+    home.  Expects columns ``tf``, ``df``, ``dl`` and the broadcast
+    scalars ``n_docs``, ``avgdl`` in scope."""
+    return F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    ) * (
+        F.col("tf") * (BM25_K1 + 1.0)
+    ) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+
+
 def bm25_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -192,14 +209,7 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("dl"), 6).alias("avgdl"),
     )
-    w_term = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    ) * (
-        F.col("tf") * (BM25_K1 + 1.0)
-    ) / (
-        F.col("tf")
-        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    )
+    w_term = bm25_weight()
     scored = (
         tf.join(dl, "doc_id")
         .join(F.broadcast(df_t), "term")

@@ -155,6 +155,13 @@ def run_doc_ingest(
     (the replayable-test mode; production uses a continuous
     trigger).  The index must exist (write_neardup_index on the seed
     corpus) — an empty index is unreadable by design."""
+    if lm_path is not None and lm_min_logprob is None:
+        # fail at the call site, not as an obscure
+        # StreamingQueryException inside the first micro-batch
+        raise ValueError(
+            "lm_min_logprob is required when lm_path is passed —"
+            " a gate without a threshold would drop nothing"
+        )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
