@@ -153,6 +153,12 @@ def headline_queries():
         "doc_lm_buckets",
         "doc_bigram_logprob",
         "doc_lm_score_backoff",
+        # round-10: trigram backoff, NB domain classifier, one-pass
+        # LSH threshold curve, hybrid RRF retrieval
+        "doc_lm_score_tri",
+        "doc_source_nb",
+        "doc_neardup_curve",
+        "emb_hybrid_rrf",
     ):
         if name in q:
             out[name] = q[name]
