@@ -434,6 +434,18 @@ def _q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-sampled source mixture (ext/pipeline.temperature_mixture_
+    weights, Conneau et al. 2020 §3.1): target share q_s ∝ p_s^0.3 —
+    the multilingual-pretraining up-sample-the-tail recipe; the
+    uniform `doc_source_mix` is its α→0 limit.  Dimension-sized
+    groupBy + broadcast scalars; p^α rounded 12 dp and decimal-summed
+    so the normalizer is engine-exact."""
+    return XP.temperature_mixture_weights(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def _q_symbol_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trade_data_collection_service_spark.operators.analytics import (
         symbol_beta,
@@ -1424,6 +1436,7 @@ _R10_WINDOW = [
     "doc_source_nb",
     "doc_neardup_curve",
     "emb_hybrid_rrf",
+    "doc_temperature_mix",
     "doc_incremental_neardup",
     "doc_incremental_spans",
     "doc_repetition",
@@ -1462,7 +1475,6 @@ _R10_WINDOW = [
     "multimodal_features",
     "multimodal_frames",
     "tpch_q1",
-    "tpch_q10",
 ]
 
 
@@ -1577,6 +1589,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "symbol_beta": _q_symbol_beta,
         "doc_source_mix": _q_doc_source_mix,
+        "doc_temperature_mix": _q_doc_temperature_mix,
         "volume_profile": _q_volume_profile,
         "intraday_profile": _q_intraday_profile,
         "doc_neardup_quality": _q_doc_neardup_quality,
@@ -2319,6 +2332,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_copies
         FROM toks
         GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_temperature_mix": """
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per
+        ), powered AS (
+          SELECT source, n_docs, n_total,
+                 CAST(round(pow(CAST(n_docs AS DOUBLE) / n_total, 0.3),
+                            12) AS DECIMAL(20,12)) AS p_alpha
+          FROM per CROSS JOIN tot
+        ), norm AS (
+          SELECT sum(p_alpha) AS z FROM powered
+        )
+        SELECT source, n_docs,
+               CAST(n_docs AS DOUBLE) / n_total AS share,
+               CAST(p_alpha AS DOUBLE) / CAST(z AS DOUBLE)
+                 AS target_share,
+               (CAST(p_alpha AS DOUBLE) / CAST(z AS DOUBLE))
+                 / (CAST(n_docs AS DOUBLE) / n_total) AS weight,
+               (CAST(p_alpha AS DOUBLE) / CAST(z AS DOUBLE)) * n_total
+                 AS expected_docs
+        FROM powered CROSS JOIN norm ORDER BY source
         """,
         "doc_source_mix": """
         WITH per AS (

@@ -451,3 +451,37 @@ def test_grouped_split_is_leakage_safe(spark, sf_dir):
         for r in XP.grouped_train_split(docs).collect()
     }
     assert again == {(r["doc_id"], r["split"]) for r in out}
+
+
+def test_temperature_mixture_limits_and_mass(spark, sf_dir):
+    """α=1 reproduces the natural mix (weight 1 everywhere); α→0
+    approaches the uniform rebalance of mixture_weights; probability
+    mass and total volume are preserved at any α."""
+    from trade_data_collection_service_spark.ext.pipeline import (
+        mixture_weights,
+        temperature_mixture_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    natural = temperature_mixture_weights(docs, alpha=1.0).collect()
+    assert all(abs(r["weight"] - 1.0) < 1e-9 for r in natural)
+    assert abs(sum(r["target_share"] for r in natural) - 1.0) < 1e-9
+    n_total = sum(r["n_docs"] for r in natural)
+    assert (
+        abs(sum(r["expected_docs"] for r in natural) - n_total) < 1e-6
+    )
+    cold = {
+        r["source"]: r["weight"]
+        for r in temperature_mixture_weights(docs, alpha=0.001).collect()
+    }
+    uniform = {
+        r["source"]: r["weight"] for r in mixture_weights(docs).collect()
+    }
+    for src in uniform:
+        assert abs(cold[src] - uniform[src]) / uniform[src] < 0.05
+    # 0<α<1 up-samples the tail, down-samples the head
+    mid = temperature_mixture_weights(docs, alpha=0.3).collect()
+    smallest = min(mid, key=lambda r: r["n_docs"])
+    largest = max(mid, key=lambda r: r["n_docs"])
+    if smallest["n_docs"] < largest["n_docs"]:
+        assert smallest["weight"] > largest["weight"]

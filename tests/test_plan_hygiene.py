@@ -50,6 +50,8 @@ NESTED_LOOP_OK = {
     # census join itself is equi on (source, term)
     "doc_unigram_logprob",  # 1-row total-token broadcast scalar
     "doc_source_mix",  # 1-row (n_total, n_sources) broadcast scalar
+    "doc_temperature_mix",  # two 1-row broadcast scalars (total +
+    # alpha-power normalizer) over the dimension-sized source table
     "doc_neardup_quality",  # three 1-row count scalars crossJoined
     "doc_neardup_curve",  # the broadcast threshold grid (6 rows) and
     # the 1-row n_truth scalar ride crossJoins over the tiny verified-

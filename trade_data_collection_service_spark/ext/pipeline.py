@@ -779,6 +779,54 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
     )
 
 
+def temperature_mixture_weights(
+    docs: DataFrame, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-/α-sampled source mixture (Conneau et al. 2020,
+    XLM-R §3.1; the mT5/multilingual-pretraining recipe): the target
+    mix is q_s ∝ p_s^α — α=1 keeps the natural mix, α→0 approaches
+    uniform (:func:`mixture_weights` is exactly that limit), and the
+    usual 0.2–0.7 range up-samples the tail without letting a huge
+    head source drown it.  Emits per source the natural share p_s,
+    the target share q_s, the sampling weight q_s/p_s (multiply into
+    a sampler's keep-probability), and the expected post-sampling doc
+    count q_s·n_total (total volume preserved: Σ q_s = 1).
+
+    Scale shape: identical to ``mixture_weights`` — one
+    map-side-combined dimension-sized groupBy(source) plus 1-row
+    broadcast scalars; the α-power normalizer is a second aggregate
+    over the DIMENSION table (n_sources rows), never the corpus.
+
+    Determinism: pow is libm-class (like the ln family), so each
+    p_s^α is rounded to 12 dp and decimal-summed — the normalizer is
+    bit-identical across engines; every emitted double is a quotient
+    of exact operands."""
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("n_total"))
+    p = F.col("n_docs").cast("double") / F.col("n_total")
+    powered = per.crossJoin(F.broadcast(tot)).withColumn(
+        "p_alpha",
+        F.round(F.pow(p, F.lit(float(alpha))), 12).cast("decimal(20,12)"),
+    )
+    norm = powered.agg(F.sum("p_alpha").alias("z"))
+    # divide as DOUBLES of bit-identical decimal operands — decimal
+    # division scale rules differ between engines, double division
+    # of identical operands cannot
+    q = F.col("p_alpha").cast("double") / F.col("z").cast("double")
+    return (
+        powered.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            p.alias("share"),
+            q.alias("target_share"),
+            (q / p).alias("weight"),
+            (q * F.col("n_total")).alias("expected_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 def funnel_rates(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
