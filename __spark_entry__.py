@@ -548,6 +548,20 @@ def _q_emb_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XS.hybrid_rrf_topk(spark, sf_dir)
 
 
+def _q_doc_bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored BM25 posting index, written then searched
+    (ext/text.write_bm25_index / bm25_search_indexed) — the sparse
+    twin of emb_ivfpq_indexed_topk's index-at-rest story: serve time
+    touches only the query terms' posting lists (In-filter pushed to
+    the term-sorted parquet scan) + broadcast scalars, never the
+    corpus text.  Identical results to the from-text bm25_topk, so
+    the DuckDB twin is the same SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = _scratch_dir("bm25_idx_q_") + "/index"
+    XT.write_bm25_index(docs, path)
+    return XT.bm25_search_indexed(spark, path)
+
+
 def _q_doc_source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive-Bayes source/domain classifier
     (ext/text.source_nb) — the domain-bucketing rung of the curation
@@ -1437,6 +1451,7 @@ _R10_WINDOW = [
     "doc_neardup_curve",
     "emb_hybrid_rrf",
     "doc_temperature_mix",
+    "doc_bm25_indexed_topk",
     "doc_incremental_neardup",
     "doc_incremental_spans",
     "doc_repetition",
@@ -1474,7 +1489,6 @@ _R10_WINDOW = [
     "events_json",
     "multimodal_features",
     "multimodal_frames",
-    "tpch_q1",
 ]
 
 
@@ -1660,6 +1674,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score_backoff": _q_doc_lm_score_backoff,
         "doc_lm_score_tri": _q_doc_lm_score_tri,
         "doc_source_nb": _q_doc_source_nb,
+        "doc_bm25_indexed_topk": _q_doc_bm25_indexed_topk,
         "emb_hybrid_rrf": _q_emb_hybrid_rrf,
     }
 
@@ -5491,6 +5506,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM ranked WHERE rank <= 10", _RERANK_TAIL
     )
     assert "exact_d" in sql["emb_ivfadc_rerank_topk"]  # replace landed
+    # stored BM25 index search == from-text scorer by construction
+    # (the index tables ARE bm25_topk's censuses at rest) -> same twin
+    sql["doc_bm25_indexed_topk"] = sql["doc_bm25_topk"]
     # appended IVF-PQ == rebuild == inline composition (pytest-proven
     # chain, see _q_emb_ivfpq_appended_topk) -> same DuckDB twin
     sql["emb_ivfpq_appended_topk"] = sql["emb_ivf_pq_topk"]

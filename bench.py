@@ -159,6 +159,8 @@ def headline_queries():
         "doc_source_nb",
         "doc_neardup_curve",
         "emb_hybrid_rrf",
+        "doc_temperature_mix",
+        "doc_bm25_indexed_topk",
     ):
         if name in q:
             out[name] = q[name]

@@ -542,3 +542,28 @@ def test_source_nb_beats_chance_on_fixture(spark, sf_dir):
     assert acc >= 2.0 / n_src, f"accuracy {acc} vs chance {1 / n_src}"
     # coverage parity: one prediction per document
     assert len(rows) == len({r["doc_id"] for r in rows})
+
+
+def test_bm25_indexed_search_matches_from_text(spark, sf_dir, tmp_path):
+    """The stored posting index serves IDENTICAL results to the
+    from-text scorer (its tables are bm25_topk's censuses at rest),
+    with the query-term In-filter pushed into the posting scan."""
+    from trade_data_collection_service_spark.ext.text import (
+        bm25_search_indexed,
+        bm25_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs, path)
+    served = bm25_search_indexed(spark, path)
+    want = [tuple(r) for r in bm25_topk(spark, sf_dir).collect()]
+    assert [tuple(r) for r in served.collect()] == want
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term" in plan.replace("\n", "")
+    # a different query against the same stored index also matches
+    q2 = ("small", "group", "value")
+    a = [tuple(r) for r in bm25_search_indexed(spark, path, q2, 5).collect()]
+    b = [tuple(r) for r in bm25_topk(spark, sf_dir, q2, 5).collect()]
+    assert a == b and len(a) == 5

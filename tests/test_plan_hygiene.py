@@ -81,6 +81,8 @@ NESTED_LOOP_OK = {
     "tpch_q11",  # 1-row 3x-mean threshold broadcast scalar
     "doc_heavy_hitters",  # 1-row total-count broadcast scalar
     "doc_bm25_topk",  # 1-row (n_docs, avgdl) broadcast scalar pair
+    "doc_bm25_indexed_topk",  # same 1-row stats scalar, read from the
+    # stored index; postings/df joins are equi
 }
 ARROW_OK = {"multimodal_features", "multimodal_frames"}
 

@@ -1048,3 +1048,95 @@ def ngram_topk(docs: DataFrame, n: int = 3, k: int = 50) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def write_bm25_index(docs: DataFrame, path: str) -> None:
+    """Persist the sparse-retrieval index at rest — the Lucene-shaped
+    sibling of ``pq.write_ivfpq_index`` for the BM25 side of the
+    retrieval stack: ``{path}/postings`` (term, doc_id, tf) — the
+    inverted index, ``{path}/dl`` (doc_id, dl) document lengths,
+    ``{path}/df`` (term, df) document frequencies, and
+    ``{path}/stats`` (1 row: n_docs, avgdl).  Together these are
+    exactly the censuses :func:`bm25_topk` computes from text, so a
+    stored-index search is pytest-provably identical to the from-text
+    scorer — and the corpus TEXT is never read again at serve time:
+    per query the cost is the query terms' posting lists + broadcast
+    scalars, independent of corpus width (the text column dominates
+    the table's bytes).
+
+    The postings table is written sorted by term so parquet row-group
+    min/max statistics prune non-query terms at scan time (the poor
+    man's term partition — term-hash bucketing is the scale-up when
+    posting lists outgrow row groups)."""
+    tokened = with_tokens(docs)
+    dl = tokened.select(
+        "doc_id", F.size("tokens").cast("long").alias("dl")
+    )
+    tf = (
+        tokened.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    (
+        tf.repartition("term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    postings = docs.sparkSession.read.parquet(f"{path}/postings")
+    (
+        postings.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/df")
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/dl")
+    (
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dl"), 6).alias("avgdl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+
+
+def bm25_search_indexed(
+    spark: SparkSession,
+    path: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """Serve BM25 top-k from a STORED index (:func:`write_bm25_index`)
+    — the retrieval deployment's steady-state path: filter the
+    posting table to the query vocabulary (pushed to the parquet scan
+    — `PushedFilters: In(term, …)`; row-group stats prune because
+    postings are term-sorted at rest), join document lengths, apply
+    the shared :func:`bm25_weight` formula with the broadcast df rows
+    and the 1-row stats scalar, and take the top-k exactly like
+    :func:`bm25_topk` (TakeOrderedAndProject; rank attached over the
+    k-row result).  Identical results to the from-text scorer by
+    construction (pytest-proven); the documents table is never
+    touched."""
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("term").isin(*query)
+    )
+    dl = spark.read.parquet(f"{path}/dl")
+    df_t = spark.read.parquet(f"{path}/df").filter(
+        F.col("term").isin(*query)
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    scored = (
+        postings.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", bm25_weight())
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+    )
+    topk = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
+    rank_w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .orderBy("rank")
+    )
