@@ -276,3 +276,55 @@ def test_duplicate_spans_hot_gram_safe_shape(spark, sf_dir):
     assert len(joins) == 1, joins
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_source_nb_argmax_is_window_free(spark, sf_dir):
+    """The NB classifier's argmax must stay a map-side-combinable
+    min-struct aggregate — a per-doc rank window here would sort the
+    (doc × source) expansion through window state for no reason, and
+    the census aggregates must partially aggregate (map-side combine)
+    before their shuffles."""
+    from trade_data_collection_service_spark.ext.text import source_nb
+
+    plan = _plan(source_nb(spark, sf_dir))
+    assert not re.search(r"\(\d+\) Window", plan), "argmax became a window"
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_indexed_serve_prunes_to_query_terms(spark, sf_dir, tmp_path):
+    """The stored-index serve path must push the query-vocabulary
+    In-filter into BOTH posting-side scans (postings + df) and never
+    read the documents table — the whole point of the index is that
+    serve cost is independent of corpus text bytes."""
+    from trade_data_collection_service_spark.ext.text import (
+        bm25_search_indexed,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs, path)
+    plan = _plan(bm25_search_indexed(spark, path))
+    assert plan.count("PushedFilters: [In(term") >= 2, plan[:2000]
+    assert "documents.parquet" not in plan
+    # top-k is a bounded TakeOrderedAndProject, never a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_mix_never_reaggregates_the_corpus(spark, sf_dir):
+    """The α-power normalizer must aggregate the DIMENSION table, not
+    the corpus: the groupBy(source) census is a lazy localCheckpoint
+    boundary (Catalyst re-derives unshared subplans per reference —
+    un-checkpointed, the corpus scan ran once per census reference,
+    3× total; caught by this test's first version), so the plan shows
+    ZERO parquet scans (the one corpus scan runs at checkpoint
+    materialization) and only ExistingRDD feeds downstream."""
+    from trade_data_collection_service_spark.ext.pipeline import (
+        temperature_mixture_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(temperature_mixture_weights(docs))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan[:2000]
+    assert len(re.findall(r"Scan ExistingRDD", plan)) >= 1

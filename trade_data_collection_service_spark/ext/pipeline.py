@@ -755,9 +755,18 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
 
     Scale shape: one map-side-combined groupBy(source) — the result
     is dimension-sized — plus a 1-row broadcast scalar for the
-    totals.  All-integer inputs make every emitted double an exact
-    IEEE quotient in both engines."""
-    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals.  The census is a lazy localCheckpoint boundary: it is
+    referenced by both the totals aggregate and the output, and
+    Catalyst re-derives unshared subplans per reference — without the
+    boundary the CORPUS scan behind it runs once per reference
+    (plan-asserted in tests/test_plans.py for the α variant).
+    All-integer inputs make every emitted double an exact IEEE
+    quotient in both engines."""
+    per = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
     tot = per.agg(
         F.sum("n_docs").alias("n_total"),
         F.count(F.lit(1)).alias("n_sources"),
@@ -801,13 +810,20 @@ def temperature_mixture_weights(
     p_s^α is rounded to 12 dp and decimal-summed — the normalizer is
     bit-identical across engines; every emitted double is a quotient
     of exact operands."""
-    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # lazy checkpoint: per/powered are each referenced twice and the
+    # corpus census would otherwise be re-scanned per reference
+    per = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
     tot = per.agg(F.sum("n_docs").alias("n_total"))
     p = F.col("n_docs").cast("double") / F.col("n_total")
     powered = per.crossJoin(F.broadcast(tot)).withColumn(
         "p_alpha",
         F.round(F.pow(p, F.lit(float(alpha))), 12).cast("decimal(20,12)"),
     )
+    powered = powered.localCheckpoint(eager=False)
     norm = powered.agg(F.sum("p_alpha").alias("z"))
     # divide as DOUBLES of bit-identical decimal operands — decimal
     # division scale rules differ between engines, double division
