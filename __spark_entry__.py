@@ -1415,14 +1415,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # r11 ROTATION PLAN (write _R11_WINDOW next round): first, anything
-# r11 changes; then the 11 entries whose driver evidence stays r7 —
+# r11 changes; then the 13 entries whose driver evidence stays r7 —
 # r11's oldest debt, the displaced tail of the r7-vintage block
-# (tpch_q12, tpch_q14, tpch_q18, tpch_q19, tpch_q22, tpch_q3,
-# tpch_q4, tpch_q5, tpch_q7, tpch_q6, tpch_q2); then ema_20 +
-# macd_12_26_9 (r8-vintage driver evidence, displaced since r9);
-# fill the remaining slots with the oldest r8-vintage entries per
+# (tpch_q1, tpch_q10, tpch_q12, tpch_q14, tpch_q18, tpch_q19,
+# tpch_q22, tpch_q3, tpch_q4, tpch_q5, tpch_q7, tpch_q6, tpch_q2 —
+# RECOMPUTE this list as CORRECTNESS_r07 minus r08/r09 keys minus
+# the r10 window before trusting it; hand-edits drifted TWICE in
+# r10, both caught by review); then ema_20 + macd_12_26_9
+# (r8-vintage driver evidence, displaced since r9); fill the
+# remaining slots with the oldest r8-vintage entries per
 # CORRECTNESS_r08 minus r09/r10 keys.  After r10 the evidence ledger
-# is 50 r10 / 48 r9 / 50 r8 / 11 r7 / 0 never (159 entries; the two
+# is 50 r10 / 48 r9 / 50 r8 / 13 r7 / 0 never (161 entries; the two
 # r9-keyed incremental queries re-proved in r10 move their evidence
 # forward, which is why r9 drops to 48).
 #
@@ -1431,10 +1434,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # entries r10 touches (doc_lm_score_tri / doc_source_nb /
 # doc_neardup_curve / emb_hybrid_rrf are NEW this round;
 # doc_incremental_neardup / doc_incremental_spans gained the
-# pre-ledger layout guard in their append path), then 37 r7-vintage
-# entries (CORRECTNESS_r07 minus r08/r09 keys, in recorded order —
-# the 11 at that block's tail are displaced to r11).  Exactly 50.
-# The full 159-entry surface is swept locally via
+# pre-ledger layout guard in their append path; the late waves
+# doc_temperature_mix and doc_bm25_indexed_topk displaced two more),
+# then 35 r7-vintage entries (CORRECTNESS_r07 minus r08/r09 keys, in
+# recorded order — the 13 at that block's tail are displaced to
+# r11).  Exactly 50.
+# The full 161-entry surface is swept locally via
 # tools/check_oracle.py at sf0.01 and sf0.1 each round
 # (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
 # is a budget cap, not the evidence.

@@ -153,8 +153,9 @@ def headline_queries():
         "doc_lm_buckets",
         "doc_bigram_logprob",
         "doc_lm_score_backoff",
-        # round-10: trigram backoff, NB domain classifier, one-pass
-        # LSH threshold curve, hybrid RRF retrieval
+        # round-10 (six entries): trigram backoff, NB domain
+        # classifier, one-pass LSH threshold curve, hybrid RRF
+        # retrieval, alpha-sampled mixture, stored-BM25-index search
         "doc_lm_score_tri",
         "doc_source_nb",
         "doc_neardup_curve",

@@ -173,6 +173,32 @@ def bm25_weight() -> Column:
     )
 
 
+def _bm25_score_topk(tf, dl, df_t, stats, k: int):
+    """THE score-and-rank tail shared by :func:`bm25_topk` (from
+    text) and :func:`bm25_search_indexed` (from the stored index) —
+    one home (r10 review), so the 'identical results by construction'
+    guarantee their shared DuckDB twin relies on cannot drift: join
+    document lengths, broadcast the df rows and the 1-row stats
+    scalar, apply :func:`bm25_weight`, sum-round-6 per doc, take the
+    top-k as a TakeOrderedAndProject, and attach rank over the k-row
+    result only."""
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", bm25_weight())
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+    )
+    topk = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
+    # Rank over the k-row result only — bounded state, never corpus-sized.
+    rank_w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .orderBy("rank")
+    )
+
+
 def bm25_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -209,22 +235,7 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("dl"), 6).alias("avgdl"),
     )
-    w_term = bm25_weight()
-    scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("w", w_term)
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("w"), 6).alias("bm25"))
-    )
-    topk = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
-    # Rank over the k-row result only — bounded state, never corpus-sized.
-    rank_w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return (
-        topk.withColumn("rank", F.row_number().over(rank_w).cast("long"))
-        .orderBy("rank")
-    )
+    return _bm25_score_topk(tf, dl, df_t, stats, k)
 
 
 def repetition_of(raw_docs: DataFrame) -> DataFrame:
@@ -1067,13 +1078,18 @@ def write_bm25_index(docs: DataFrame, path: str) -> None:
     The postings table is written sorted by term so parquet row-group
     min/max statistics prune non-query terms at scan time (the poor
     man's term partition — term-hash bucketing is the scale-up when
-    posting lists outgrow row groups)."""
-    tokened = with_tokens(docs)
-    dl = tokened.select(
-        "doc_id", F.size("tokens").cast("long").alias("dl")
-    )
+    posting lists outgrow row groups).
+
+    The corpus TEXT is scanned exactly ONCE (r10 review): df, dl, and
+    stats are all marginals of the just-written postings table —
+    dl(doc) = Σ_term tf (every doc has ≥ 1 token, the tokenizer emits
+    [""] for empty text, so no doc vanishes from the marginal) — read
+    BACK from parquet rather than re-derived through the text-scan
+    lineage (the census-per-reference trap this round's review also
+    caught in mixture_weights)."""
     tf = (
-        tokened.select("doc_id", F.explode("tokens").alias("term"))
+        with_tokens(docs)
+        .select("doc_id", F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1090,7 +1106,13 @@ def write_bm25_index(docs: DataFrame, path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/df")
     )
-    dl.write.mode("overwrite").parquet(f"{path}/dl")
+    (
+        postings.groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/dl")
+    )
+    dl = docs.sparkSession.read.parquet(f"{path}/dl")
     (
         dl.agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1126,17 +1148,4 @@ def bm25_search_indexed(
         F.col("term").isin(*query)
     )
     stats = spark.read.parquet(f"{path}/stats")
-    scored = (
-        postings.join(dl, "doc_id")
-        .join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("w", bm25_weight())
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("w"), 6).alias("bm25"))
-    )
-    topk = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
-    rank_w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return (
-        topk.withColumn("rank", F.row_number().over(rank_w).cast("long"))
-        .orderBy("rank")
-    )
+    return _bm25_score_topk(postings, dl, df_t, stats, k)
