@@ -257,6 +257,34 @@ def test_ingest_lm_gate_requires_threshold(spark, sf_dir, tmp_path):
         )
 
 
+def test_ingest_lm_gate_rejects_strict_dict(spark, sf_dir, tmp_path):
+    """ADVICE r10: a STRICT lm dict (no uni/total backoff tables)
+    NULLs the score of any doc with an unseen bigram, and the gate's
+    keep-filter silently rejects NULLs — so the gate must refuse a
+    partial dict up front instead of quietly tightening from
+    'below threshold' to 'any OOV bigram'."""
+    import pytest
+
+    from trade_data_collection_service_spark.ext.text import (
+        train_bigram_lm,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    index = str(tmp_path / "index")
+    write_neardup_index(corpus.filter(F.col("doc_id") % 3 != 0), index)
+    lm = train_bigram_lm(corpus)
+    strict = {k: lm[k] for k in ("big", "ctx")}
+    with pytest.raises(ValueError, match="stupid-backoff dict"):
+        ingest_batch(
+            corpus.filter(F.col("doc_id") % 3 == 0),
+            index,
+            str(tmp_path / "out"),
+            batch_id=1,
+            lm=strict,
+            lm_min_logprob=-10.0,
+        )
+
+
 def test_doc_ingest_stream_with_lm_gate(spark, sf_dir, tmp_path):
     """run_doc_ingest wires the stored-LM gate: the drained stream's
     accepted table equals the direct ingest_batch result with the

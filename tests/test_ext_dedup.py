@@ -1250,8 +1250,71 @@ def test_maybe_compact_cadence_ivfpq_and_gram(spark, sf_dir, tmp_path):
 
     import pytest
 
+    # ADVICE r10: the gram index has no batch ledger — protecting a
+    # batch is unsatisfiable and must be loud, not silently ignored
+    with pytest.raises(ValueError, match="not supported for kind='gram'"):
+        maybe_compact(spark, gpath, "gram", protect_batches=("1",))
+
     with pytest.raises(ValueError, match="unknown index kind"):
         maybe_compact(spark, gpath, "nonsense")
+
+
+def test_maybe_compact_neardup_measures_all_three_tables(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r10: the fold compaction rewrites shingles → bands →
+    counts as three separate staged rewrites; a crash between them
+    leaves shingles folded but bands/counts fragmented.  The cadence
+    must measure the MAX across the three tables, or it would not
+    re-trigger until shingles re-fragments past the threshold."""
+    import os
+    import shutil
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        append_to_neardup_index,
+        documents_neardup,
+        incremental_neardup_pairs,
+        maybe_compact,
+        write_neardup_index,
+    )
+
+    corpus = documents_neardup(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = corpus.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "idx")
+    write_neardup_index(stored.filter("doc_id % 2 = 0"), path)
+    tail = stored.filter("doc_id % 2 = 1")
+    for i, g in enumerate(("(1, 2)", "(4, 5)", "(7, 8)")):
+        append_to_neardup_index(
+            tail.filter(f"doc_id % 9 IN {g}"), path, batch_id=i
+        )
+    want = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    # simulate the crash point: shingles already folded (all rows
+    # rewritten under batch=base), bands/counts still 4-way fragmented
+    folded = (
+        spark.read.parquet(f"{path}/shingles")
+        .withColumn("batch", F.lit("base"))
+    )
+    tmp = str(tmp_path / "folded_shingles")
+    folded.write.partitionBy("batch").parquet(tmp)
+    shutil.rmtree(f"{path}/shingles")
+    os.rename(tmp, f"{path}/shingles")
+    parts = lambda t: {  # noqa: E731
+        d for d in os.listdir(f"{path}/{t}") if d.startswith("batch=")
+    }
+    assert parts("shingles") == {"batch=base"}
+    assert len(parts("bands")) == 4
+    # a shingles-only measurement would see 1 <= 2 and no-op; the
+    # max-across-tables measurement sees bands/counts at 4 and folds
+    assert maybe_compact(spark, path, "neardup", max_batches=2) is True
+    assert parts("bands") == {"batch=base"}
+    assert parts("counts") == {"batch=base"}
+    got = sorted(
+        tuple(r) for r in incremental_neardup_pairs(batch, path).collect()
+    )
+    assert got == want
 
 
 def test_append_to_pre_ledger_layout_raises_migration_error(

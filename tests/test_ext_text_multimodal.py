@@ -433,6 +433,30 @@ def test_lm_quality_buckets_sampled_matches_exact(spark, sf_dir):
     assert all(abs(c - n / 3) <= 0.15 * n for c in sizes.values())
 
 
+def test_lm_quality_buckets_single_bucket_guard(spark, sf_dir):
+    """ADVICE r10: n_buckets=1 needs zero thresholds — the sampled
+    path must short-circuit (an empty percentile array fails
+    analysis) and agree with the exact ntile(1) path; n_buckets < 1
+    is rejected on both paths."""
+    import pytest
+
+    from trade_data_collection_service_spark.ext.text import (
+        lm_quality_buckets,
+    )
+
+    exact = lm_quality_buckets(spark, sf_dir, n_buckets=1).collect()
+    sampled = lm_quality_buckets(
+        spark, sf_dir, n_buckets=1, sampled_thresholds=True
+    ).collect()
+    assert {r["bucket"] for r in exact} == {1}
+    assert sorted(map(tuple, sampled)) == sorted(map(tuple, exact))
+    for flag in (False, True):
+        with pytest.raises(ValueError, match="n_buckets"):
+            lm_quality_buckets(
+                spark, sf_dir, n_buckets=0, sampled_thresholds=flag
+            )
+
+
 def test_lm_score_tri_hand_computed_backoff_ladder(spark):
     """Exact hand-check of the three stupid-backoff branches
     (Brants et al. 2007: tri → 0.4·bi → 0.16·uni, OOV floor 1) on a

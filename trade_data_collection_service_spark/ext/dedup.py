@@ -656,11 +656,20 @@ def maybe_compact(
     partitions keep their identity.  Same single-maintainer /
     quiescence contract as the compact_* functions themselves."""
     if kind == "neardup":
-        n = (
-            _authoritative(spark, f"{path}/shingles")
+        # cadence on the MAX fragmentation across the three tables
+        # (ADVICE r10): the fold compaction rewrites shingles, bands,
+        # and counts as three separate staged rewrites — a crash
+        # between them leaves the later tables un-folded, and a
+        # shingles-only measurement would not re-trigger until
+        # shingles itself re-fragments, letting bands/counts grow
+        # well past the threshold in the interim.  Still
+        # metadata-only: three partition-column distincts.
+        n = max(
+            _authoritative(spark, f"{path}/{t}")
             .select("batch")
             .distinct()
             .count()
+            for t in ("shingles", "bands", "counts")
         )
         if n <= max_batches:
             return False
@@ -681,6 +690,20 @@ def maybe_compact(
         )
         return True
     if kind == "gram":
+        if protect_batches:
+            # ADVICE r10: the gram index has no batch ledger, so
+            # compact_gram_index cannot fold around protected
+            # batches — silently ignoring the argument would give a
+            # streaming caller false confidence that its replayable
+            # batch survives the rewrite with its identity intact
+            raise ValueError(
+                "maybe_compact: protect_batches is not supported for"
+                " kind='gram' — the gram index's appends are un-keyed"
+                " census rows (no batch partition ledger), so its"
+                " compaction has no partitions to protect; drop the"
+                " argument (gram compaction preserves rows, just not"
+                " batch identity) or quiesce the stream first"
+            )
         n = len(_authoritative(spark, f"{path}/grams").inputFiles())
         if n <= max_batches:
             return False

@@ -849,8 +849,18 @@ def lm_quality_buckets(
     equal scores lands entirely in one tier where ntile would split
     it), which is exactly the trade CCNet makes.  Docs with a NULL
     score (no tokens) route to the last tier on both paths."""
+    if n_buckets < 1:
+        raise ValueError(
+            f"lm_quality_buckets: n_buckets must be >= 1, got {n_buckets}"
+        )
     scored = unigram_logprob(spark, sf_dir)
-    if sampled_thresholds:
+    if sampled_thresholds and n_buckets == 1:
+        # ADVICE r10: one bucket needs zero thresholds — the sketch
+        # path below would hand percentile_approx an EMPTY percentile
+        # array and fail analysis where the exact ntile(1) path works;
+        # short-circuit to the (trivially identical) constant tier
+        bucketed = scored.withColumn("bucket", F.lit(1).cast("long"))
+    elif sampled_thresholds:
         scored = scored.localCheckpoint(eager=False)
         # DESC tier b ends at the ascending (n-b)/n percentile:
         # head = top third ⇒ thresholds at asc-percentiles 2/3, 1/3

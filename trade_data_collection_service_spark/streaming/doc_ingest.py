@@ -105,6 +105,25 @@ def ingest_batch(
                 "lm_min_logprob is required when an lm is passed —"
                 " a gate without a threshold would drop nothing"
             )
+        # ADVICE r10: the gate's keep-filter treats a NULL
+        # avg_logprob with n_bigrams > 0 as a REJECT (NULL >= thr is
+        # NULL → filtered out) — under a STRICT lm dict (no
+        # uni/total backoff tables) every doc containing one unseen
+        # bigram scores NULL, so a partial dict would silently
+        # tighten the gate from "below threshold" to "any OOV
+        # bigram".  Require the full backoff dict up front; strict
+        # mode stays a train-on-self scoring optimization
+        # (ext/text.lm_score), never an ingest-gate mode.
+        missing = {"big", "ctx", "uni", "total"} - set(lm)
+        if missing:
+            raise ValueError(
+                "ingest_batch: the LM gate requires the full"
+                " stupid-backoff dict (big/ctx/uni/total) — a strict"
+                f" dict (missing {sorted(missing)}) NULLs the score"
+                " of any doc with an unseen bigram, and the"
+                " keep-filter would silently reject it instead of"
+                " judging it against the threshold"
+            )
         from trade_data_collection_service_spark.ext.text import lm_score
 
         keep = (
