@@ -562,6 +562,26 @@ def _q_doc_bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XT.bm25_search_indexed(spark, path)
 
 
+def _q_emb_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval served from STORED indexes
+    (ext/similarity.hybrid_rrf_indexed_rrf's serving twin — VERDICT
+    r10 #1): sparse side reads only the query terms' posting lists
+    from the BM25 index at rest, dense side reads only the probed
+    bucket partitions of the IVF-PQ index, fused by the shared RRF
+    tail.  The DuckDB twin composes the inline ivf_pq SQL (indexed
+    dense serve ≡ inline composition, pytest-proven) with the
+    from-text BM25 SQL (indexed sparse serve ≡ from-text scorer by
+    shared bm25_weight) and the same fusion."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sparse = _scratch_dir("bm25_hyb_q_") + "/index"
+    XT.write_bm25_index(docs, sparse)
+    dense = _scratch_dir("ivfpq_hyb_q_") + "/index"
+    centroids, books = XQ.write_ivfpq_index(spark, sf_dir, dense)
+    return XS.hybrid_rrf_indexed_topk(
+        spark, sf_dir, sparse, dense, centroids, books
+    )
+
+
 def _q_doc_source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive-Bayes source/domain classifier
     (ext/text.source_nb) — the domain-bucketing rung of the curation
@@ -1681,6 +1701,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_nb": _q_doc_source_nb,
         "doc_bm25_indexed_topk": _q_doc_bm25_indexed_topk,
         "emb_hybrid_rrf": _q_emb_hybrid_rrf,
+        # --- new in r11 ---
+        "emb_hybrid_indexed_rrf": _q_emb_hybrid_indexed_rrf,
     }
 
 
@@ -5517,6 +5539,90 @@ def oracle_sql() -> dict[str, str]:
     # appended IVF-PQ == rebuild == inline composition (pytest-proven
     # chain, see _q_emb_ivfpq_appended_topk) -> same DuckDB twin
     sql["emb_ivfpq_appended_topk"] = sql["emb_ivf_pq_topk"]
+    # Indexed-serving hybrid RRF (VERDICT r10 #1): the dense side is
+    # the inline ivf_pq composition (indexed serve == inline,
+    # pytest-proven) re-aimed at the hybrid's query set (vec_id < 3)
+    # and depth 20; the sparse side is the from-text BM25 SQL
+    # (indexed serve == from-text scorer — the index tables ARE its
+    # censuses at rest); the fusion tail is byte-identical to
+    # emb_hybrid_rrf's.  str.replace, not .format (struct literals).
+    _HYBRID_IDX_TAIL = r""", dd AS (
+          SELECT q_id, vec_id AS doc_id, r_d FROM (
+            SELECT q_id, vec_id,
+                   CAST(rank AS BIGINT) AS r_d
+            FROM ranked
+          ) WHERE r_d <= 20
+        ), toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS tokens
+          FROM documents
+        ), dl AS (
+          SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM toks
+        ), qterms AS (
+          SELECT doc_id AS q_id, unnest(list_distinct(tokens)) AS term
+          FROM toks WHERE doc_id < 3
+        ), tok AS (
+          SELECT doc_id, unnest(tokens) AS term FROM toks
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM tok WHERE term IN (SELECT DISTINCT term FROM qterms)
+          GROUP BY 1, 2
+        ), dft AS (
+          SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 round(avg(dl), 6) AS avgdl
+          FROM dl
+        ), sparse AS (
+          SELECT qt.q_id, tf.doc_id,
+                 round(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                 ), 6) AS bm25
+          FROM qterms qt
+          JOIN tf ON tf.term = qt.term AND tf.doc_id <> qt.q_id
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN dft ON dft.term = tf.term, stats
+          GROUP BY 1, 2
+        ), sd AS (
+          SELECT q_id, doc_id, r_s FROM (
+            SELECT q_id, doc_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY q_id ORDER BY bm25 DESC, doc_id)
+                     AS BIGINT) AS r_s
+            FROM sparse
+          ) WHERE r_s <= 20
+        ), fused AS (
+          SELECT COALESCE(s.q_id, d.q_id) AS q_id,
+                 COALESCE(s.doc_id, d.doc_id) AS doc_id,
+                 s.r_s, d.r_d,
+                 COALESCE(1.0 / (60 + s.r_s), 0)
+                   + COALESCE(1.0 / (60 + d.r_d), 0) AS rrf
+          FROM sd s FULL OUTER JOIN dd d
+            ON s.q_id = d.q_id AND s.doc_id = d.doc_id
+        )
+        SELECT q_id, doc_id, r_s AS sparse_rank, r_d AS dense_rank,
+               round(rrf, 6) AS rrf_score, rank
+        FROM (
+          SELECT q_id, doc_id, r_s, r_d, rrf,
+                 CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY rrf DESC, doc_id)
+                   AS BIGINT) AS rank
+          FROM fused
+        ) WHERE rank <= 10
+        ORDER BY q_id, rank
+        """
+    sql["emb_hybrid_indexed_rrf"] = (
+        sql["emb_ivf_pq_topk"]
+        .replace(
+            "FROM n WHERE vec_id >= 100 AND vec_id < 103",
+            "FROM n WHERE vec_id < 3",
+        )
+        .replace("SELECT * FROM ranked WHERE rank <= 10", _HYBRID_IDX_TAIL)
+    )
+    assert "rrf_score" in sql["emb_hybrid_indexed_rrf"]  # replace landed
+    assert "vec_id < 3" in sql["emb_hybrid_indexed_rrf"]
     # funnel conversion summary wraps the funnel oracle verbatim so
     # the two can never disagree on chain semantics
     sql["event_funnel_rates"] = (

@@ -83,6 +83,11 @@ NESTED_LOOP_OK = {
     "doc_bm25_topk",  # 1-row (n_docs, avgdl) broadcast scalar pair
     "doc_bm25_indexed_topk",  # same 1-row stats scalar, read from the
     # stored index; postings/df joins are equi
+    "emb_hybrid_indexed_rrf",  # the same two allowlisted scalars its
+    # components carry: the BM25 1-row stats crossJoin (sparse side)
+    # and probe_buckets_l2's queries × broadcast(centroids) pairing
+    # (dense side); every corpus-sized join is equi on
+    # term / doc_id / bucket / (q_id, subspace, code)
 }
 ARROW_OK = {"multimodal_features", "multimodal_frames"}
 

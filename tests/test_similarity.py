@@ -50,3 +50,70 @@ def test_hybrid_rrf_fuses_both_sides(spark, sf_dir, tmp_path):
     top = planted.collect()[0]
     assert top["q_id"] == 0 and top["doc_id"] == 5 and top["rank"] == 1
     assert top["sparse_rank"] == 1 and top["dense_rank"] == 1
+
+
+def test_hybrid_indexed_consistent_with_brute(spark, sf_dir, tmp_path):
+    """VERDICT r10 #1: the indexed-serving hybrid must agree with the
+    brute evaluation baseline on the fixture — EXACTLY on the sparse
+    side (stored postings are the from-text censuses at rest, scored
+    by the shared bm25_weight), recall-style on the fused top-k (the
+    dense side trades brute cosine for IVF-PQ approximation)."""
+    from trade_data_collection_service_spark.ext.pq import (
+        write_ivfpq_index,
+    )
+    from trade_data_collection_service_spark.ext.similarity import (
+        hybrid_rrf_indexed_topk,
+        hybrid_rrf_topk,
+    )
+    from trade_data_collection_service_spark.ext.text import (
+        bm25_ranks_indexed_multi,
+        with_tokens,
+        write_bm25_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sparse = str(tmp_path / "bm25")
+    write_bm25_index(docs, sparse)
+    dense = str(tmp_path / "ivfpq")
+    centroids, books = write_ivfpq_index(spark, sf_dir, dense)
+
+    # sparse side: indexed ranks == the brute hybrid's from-text ranks
+    qterms = with_tokens(docs.filter(F.col("doc_id") < 3)).select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(F.array_distinct("tokens")).alias("term"),
+    )
+    sd = bm25_ranks_indexed_multi(
+        spark, sparse, qterms, depth=20, exclude_self=True
+    )
+    brute = hybrid_rrf_topk(spark, sf_dir, depth=20)
+    brute_sparse = {
+        (r["q_id"], r["doc_id"]): r["sparse_rank"]
+        for r in brute.collect()
+        if r["sparse_rank"] is not None and r["sparse_rank"] <= 20
+    }
+    idx_sparse = {
+        (r["q_id"], r["doc_id"]): r["r_s"] for r in sd.collect()
+    }
+    # every sparse rank the brute fusion surfaced matches the index's
+    for key, rank in brute_sparse.items():
+        assert idx_sparse.get(key) == rank, (key, rank, idx_sparse.get(key))
+
+    # fused top-k: recall-style agreement (ANN dense side is
+    # approximate, so require strong but not exact overlap)
+    fused = hybrid_rrf_indexed_topk(
+        spark, sf_dir, sparse, dense, centroids, books
+    ).collect()
+    by_q_idx = {}
+    for r in fused:
+        by_q_idx.setdefault(r["q_id"], set()).add(r["doc_id"])
+        assert r["doc_id"] != r["q_id"]  # no self-retrieval
+    by_q_brute = {}
+    for r in brute.collect():
+        by_q_brute.setdefault(r["q_id"], set()).add(r["doc_id"])
+    assert set(by_q_idx) == set(by_q_brute)
+    for q in by_q_brute:
+        inter = len(by_q_idx[q] & by_q_brute[q])
+        assert inter / len(by_q_brute[q]) >= 0.5, (
+            q, sorted(by_q_idx[q]), sorted(by_q_brute[q])
+        )

