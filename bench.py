@@ -770,12 +770,76 @@ def _write_full_bench_json(result: dict, root: str | None = None) -> None:
         dest = os.path.join(root, "docs", "bench")
         os.makedirs(dest, exist_ok=True)
         path = os.path.join(dest, f"BENCH_r{rnd:02d}.full.json")
+        if _is_committed_recording(path, root):
+            # VERDICT r10 #3: the canonical round recording is the
+            # builder's COMMITTED run — a later re-run (the driver's
+            # own post-round bench, a judge's re-measure) must never
+            # clobber it; divert to a SHA-stamped sidecar the
+            # prior-round loader's `.full.json` regex ignores.
+            path = os.path.join(
+                dest, f"BENCH_r{rnd:02d}.full.rerun-{_head_sha(root)}.json"
+            )
         with open(path, "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)
             f.write("\n")
         print(f"bench: full JSON written to {path}", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"bench: full JSON write failed: {e}", file=sys.stderr)
+
+
+def _head_sha(root: str) -> str:
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+        return out or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _is_committed_recording(path: str, root: str) -> bool:
+    """True iff ``path`` exists, is git-tracked, and matches HEAD —
+    i.e. it is a round's committed canonical bench recording.  A
+    missing or uncommitted file is fair game (the builder iterating
+    on its own in-progress run); when git can't answer, refuse to
+    overwrite (the safe direction: a stray sidecar is recoverable, a
+    clobbered committed recording needed `git show` archaeology in
+    r10)."""
+    import subprocess
+
+    if not os.path.exists(path):
+        return False
+    rel = os.path.relpath(path, root)
+    try:
+        tracked = (
+            subprocess.run(
+                ["git", "ls-files", "--error-unmatch", rel],
+                cwd=root,
+                capture_output=True,
+                timeout=10,
+            ).returncode
+            == 0
+        )
+        if not tracked:
+            return False
+        unmodified = (
+            subprocess.run(
+                ["git", "diff", "--quiet", "HEAD", "--", rel],
+                cwd=root,
+                capture_output=True,
+                timeout=10,
+            ).returncode
+            == 0
+        )
+        return unmodified
+    except Exception:
+        return True
 
 
 def _full_bench_json(rnd: int, root: str) -> dict | None:

@@ -135,3 +135,52 @@ def test_repo_fixture_prior_is_round_seven():
         return
     prior = bench.prior_calibration()
     assert prior is not None and prior["round"] == 7
+
+
+def _git(tmp_path, *args):
+    import subprocess
+
+    return subprocess.run(
+        ["git", *args], cwd=str(tmp_path), capture_output=True, text=True
+    )
+
+
+def test_full_bench_write_protects_committed_recording(tmp_path):
+    """VERDICT r10 #3: a re-run against a COMMITTED canonical
+    recording lands in a SHA-stamped sidecar the prior loader
+    ignores; an uncommitted recording is overwritten in place."""
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — Round 7\n")
+    _git(tmp_path, "init", "-q")
+    _git(tmp_path, "config", "user.email", "t@t")
+    _git(tmp_path, "config", "user.name", "t")
+    doc = {"sf": 0.1, "calibration": {"median_sec": 0.5}, "queries": {}}
+    # first write: no recording yet -> canonical path
+    bench._write_full_bench_json(doc, str(tmp_path))
+    canon = tmp_path / "docs" / "bench" / "BENCH_r08.full.json"
+    assert canon.exists()
+    # uncommitted: a re-run overwrites in place, no sidecar
+    doc2 = dict(doc, calibration={"median_sec": 0.6})
+    bench._write_full_bench_json(doc2, str(tmp_path))
+    assert json.loads(canon.read_text())["calibration"]["median_sec"] == 0.6
+    siblings = list(canon.parent.glob("BENCH_r08.full.rerun-*.json"))
+    assert siblings == []
+    # committed: the canonical bytes are frozen, the re-run diverts
+    _git(tmp_path, "add", "-A")
+    _git(tmp_path, "commit", "-q", "-m", "record r08 bench")
+    doc3 = dict(doc, calibration={"median_sec": 0.9})
+    bench._write_full_bench_json(doc3, str(tmp_path))
+    assert json.loads(canon.read_text())["calibration"]["median_sec"] == 0.6
+    siblings = list(canon.parent.glob("BENCH_r08.full.rerun-*.json"))
+    assert len(siblings) == 1
+    assert (
+        json.loads(siblings[0].read_text())["calibration"]["median_sec"]
+        == 0.9
+    )
+    # the prior loader still reads the canonical recording only
+    loaded = bench._full_bench_json(8, str(tmp_path))
+    assert loaded["parsed"]["calibration"]["median_sec"] == 0.6
+    # and _latest_prior_bench's regex never picks up the sidecar
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — Round 8\n")
+    best = bench._latest_prior_bench(str(tmp_path))
+    assert best is not None and best[0] == 8
+    assert best[1]["parsed"]["calibration"]["median_sec"] == 0.6

@@ -109,14 +109,26 @@ def main() -> int:
             text=True,
             timeout=10,
         ).stdout.strip() or "unknown"
-        dirty = subprocess.run(
+        porcelain = subprocess.run(
             ["git", "status", "--porcelain"],
             cwd="/root/repo",
             capture_output=True,
             text=True,
             timeout=10,
         ).stdout.strip()
-        if dirty:
+        # VERDICT r10 #6: scope the +dirty stamp to files that could
+        # actually invalidate a sweep — the driver's own post-round
+        # flush leaves untracked round artifacts (BENCH_r*/
+        # CORRECTNESS_r*/…) that sweep_gate._blocking_dirt already
+        # exempts; a judge sweeping after that flush should stamp
+        # clean, while any tracked modification or stray .py still
+        # stamps +dirty.  One home for the exemption rule.
+        import os as _os
+
+        sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        import sweep_gate
+
+        if sweep_gate._blocking_dirt(porcelain.splitlines()):
             sha += "+dirty"
     except Exception:
         sha = "unknown"
