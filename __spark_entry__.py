@@ -582,6 +582,26 @@ def _q_emb_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_lm_score_hash4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-4 LM rung over a hash-bucketed census (ext/text.
+    hashed4_logprob — VERDICT r10 #4): the KenLM-at-scale shape for
+    n-gram orders >= 4 — census width bounded by the bucket count
+    (count-min with depth 1) instead of vocabulary⁴; per-doc MLE
+    conditional avg ln(c(b4)/c(b3)) with the lm_score rounding
+    discipline.  Both engines hash with the same md5-prefix bucket,
+    so counts and scores are bit-identical."""
+    return XT.hashed4_logprob(spark, sf_dir)
+
+
+def _q_doc_hash4_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed census's collision report (ext/text.
+    hashed4_collisions): distinct 4-grams vs occupied buckets at the
+    configured width — the measured approximation cost that makes the
+    fixed-width order-4 census an engineering trade instead of a
+    silent error."""
+    return XT.hashed4_collisions(spark, sf_dir)
+
+
 def _q_doc_source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive-Bayes source/domain classifier
     (ext/text.source_nb) — the domain-bucketing rung of the curation
@@ -1703,6 +1723,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hybrid_rrf": _q_emb_hybrid_rrf,
         # --- new in r11 ---
         "emb_hybrid_indexed_rrf": _q_emb_hybrid_indexed_rrf,
+        "doc_lm_score_hash4": _q_doc_lm_score_hash4,
+        "doc_hash4_collisions": _q_doc_hash4_collisions,
     }
 
 
@@ -1745,6 +1767,45 @@ toks AS (
   SELECT *, string_split_regex(lower(text), '\s+') AS tokens FROM {src}
 )
 """
+
+
+def _md5_bucket_sql(s: str, n_buckets: int) -> str:
+    """ext/text._hash_bucket's DuckDB twin: fold the first 8 md5 hex
+    digits to an integer (every 16^k term and the sum are exact in a
+    double up to 2^32 — the importance_sample draw idiom) and mod the
+    bucket count.  Matches Spark's conv(substr(md5(s),1,8),16,10)
+    bit-for-bit."""
+    return (
+        "(CAST(list_sum(list_transform(range(1, 9),"
+        " i -> (strpos('0123456789abcdef',"
+        f" substr(md5({s}), CAST(i AS INTEGER), 1)) - 1)"
+        f" * (16.0 ** (8 - i)))) AS BIGINT) % {n_buckets})"
+    )
+
+
+# the shared tokenize -> triple-lag -> 4-gram/context front of the
+# hashed order-4 LM twins (doc_lm_score_hash4 / doc_hash4_collisions)
+_HASH4_QUAD_CTE = """
+        , terms AS (
+          SELECT doc_id, unnest(tokens) AS term,
+                 generate_subscripts(tokens, 1) AS pos
+          FROM toks
+        ), lagged AS (
+          SELECT doc_id,
+                 lag(term, 3) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS w1,
+                 lag(term, 2) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS w2,
+                 lag(term, 1) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS w3,
+                 term AS w4
+          FROM terms
+        ), quadg AS (
+          SELECT doc_id,
+                 w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS gram,
+                 w1 || ' ' || w2 || ' ' || w3 AS ctx
+          FROM lagged WHERE w1 IS NOT NULL
+        )"""
 
 # duplicate-passage span chain (doc_duplicate_spans /
 # doc_strip_spans twins of ext/dedup.py::duplicate_spans, k=5):
@@ -2512,6 +2573,54 @@ def oracle_sql() -> dict[str, str]:
                l.avg_logprob
         FROM documents d LEFT JOIN lp l USING (doc_id)
         ORDER BY 1
+        """,
+        "doc_lm_score_hash4": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + _HASH4_QUAD_CTE
+        + f"""
+        , quad AS (
+          SELECT doc_id,
+                 {_md5_bucket_sql('gram', 1 << 18)} AS b4,
+                 {_md5_bucket_sql('ctx', 1 << 18)} AS b3
+          FROM quadg
+        ), c4 AS (
+          SELECT b4, CAST(count(*) AS BIGINT) AS n4
+          FROM quad GROUP BY 1
+        ), c3 AS (
+          SELECT b3, CAST(count(*) AS BIGINT) AS n3
+          FROM quad GROUP BY 1
+        ), tf AS (
+          SELECT doc_id, b4, b3, CAST(count(*) AS BIGINT) AS tf
+          FROM quad GROUP BY 1, 2, 3
+        ), scored AS (
+          SELECT t.doc_id, t.tf,
+            t.tf * CAST(round(ln(CAST(c4.n4 AS DOUBLE) / c3.n3), 12)
+                        AS DECIMAL(20,12)) AS wlp
+          FROM tf t JOIN c4 USING (b4) JOIN c3 USING (b3)
+        ), lp AS (
+          SELECT doc_id,
+                 CAST(sum(tf) AS BIGINT) AS n_quadgrams,
+                 CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
+          FROM scored GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(l.n_quadgrams, 0) AS BIGINT) AS n_quadgrams,
+               l.avg_logprob
+        FROM documents d LEFT JOIN lp l USING (doc_id)
+        ORDER BY 1
+        """,
+        "doc_hash4_collisions": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + _HASH4_QUAD_CTE
+        + f"""
+        SELECT CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_grams,
+               CAST(count(DISTINCT {_md5_bucket_sql('gram', 1 << 18)})
+                    AS BIGINT) AS n_buckets_used,
+               CAST({1 << 18} AS BIGINT) AS n_bucket_capacity,
+               round(1.0
+                 - count(DISTINCT {_md5_bucket_sql('gram', 1 << 18)}) * 1.0
+                   / count(DISTINCT gram), 6) AS collision_rate
+        FROM quadg
         """,
         "doc_lm_score_backoff": r"""WITH
         train AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),

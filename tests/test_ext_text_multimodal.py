@@ -591,3 +591,56 @@ def test_bm25_indexed_search_matches_from_text(spark, sf_dir, tmp_path):
     a = [tuple(r) for r in bm25_search_indexed(spark, path, q2, 5).collect()]
     b = [tuple(r) for r in bm25_topk(spark, sf_dir, q2, 5).collect()]
     assert a == b and len(a) == 5
+
+
+def test_hashed4_logprob_hand_computed(spark, tmp_path):
+    """Exact hand-check of the hashed order-4 MLE conditional on a
+    planted collision-free corpus (2^18 buckets, <5 distinct grams —
+    a collision would need an md5 32-bit prefix clash), plus coverage
+    parity for sub-4-token docs and the all-in-one-bucket degenerate
+    width (every ratio collapses to 1 -> score 0)."""
+    import math
+
+    from trade_data_collection_service_spark.ext.text import (
+        hashed4_collisions,
+        hashed4_logprob,
+    )
+
+    docs = [
+        (0, "a b c d e", "en", "s"),
+        (1, "b c d f", "en", "s"),
+        (2, "x y", "en", "s"),
+    ]
+    spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_quadgrams"], r["avg_logprob"])
+        for r in hashed4_logprob(spark, str(tmp_path)).collect()
+    }
+    # 4-gram census: abcd=1, bcde=1, bcdf=1; context census counts
+    # trigrams WITH a following token: abc=1, bcd=2 (doc0's bcde +
+    # doc1's bcdf — doc-final trigrams never enter the denominator)
+    lp_half = round(math.log(1 / 2), 12)
+    assert got[1] == (1, lp_half)  # ln(c4(bcdf)/c3(bcd)) = ln(1/2)
+    assert got[0][0] == 2
+    assert abs(got[0][1] - (0.0 + lp_half) / 2) < 1e-12
+    assert got[2] == (0, None)  # sub-4-token doc: coverage, not loss
+
+    col = hashed4_collisions(spark, str(tmp_path)).collect()[0]
+    assert col["n_distinct_grams"] == 3
+    assert col["n_buckets_used"] == 3
+    assert col["collision_rate"] == 0.0
+
+    # degenerate width: one bucket merges every gram AND context, so
+    # each ratio is total/total = 1 and every scored doc reads 0.0 —
+    # the count-min inflation made total
+    one = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in hashed4_logprob(spark, str(tmp_path), n_buckets=1).collect()
+    }
+    # one bucket: every gram and every context merge, each ratio is
+    # total/total = 1 and every scored doc reads 0.0 — count-min
+    # inflation made total
+    assert one[0] == 0.0 and one[1] == 0.0 and one[2] is None

@@ -328,3 +328,25 @@ def test_temperature_mix_never_reaggregates_the_corpus(spark, sf_dir):
     plan = _plan(temperature_mixture_weights(docs))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan[:2000]
     assert len(re.findall(r"Scan ExistingRDD", plan)) >= 1
+
+
+def test_hashed4_logprob_scans_corpus_once(spark, sf_dir):
+    """The hashed order-4 LM's bucket-row table feeds BOTH censuses
+    and the scoring join — it must be a lazy localCheckpoint boundary
+    (Catalyst re-derives unshared subplans per reference: without it
+    the corpus tokenize+lag pass runs three times).  Plan shows zero
+    parquet scans of documents beyond the output's own doc_id join
+    and at least one ExistingRDD feed."""
+    from trade_data_collection_service_spark.ext.text import (
+        hashed4_logprob,
+    )
+
+    plan = _plan(hashed4_logprob(spark, sf_dir))
+    # the only parquet scan allowed is the 1-column doc_id coverage
+    # join; the tokenize+lag pass is behind the checkpoint boundary
+    scans = re.findall(r"\(\d+\) Scan parquet[^\n]*", plan)
+    assert len(scans) <= 1, scans
+    assert len(re.findall(r"Scan ExistingRDD", plan)) >= 1
+    # no window beyond the (pre-checkpoint) per-doc lag: the serving
+    # plan itself is join + aggregate only
+    assert "ntile" not in plan

@@ -790,6 +790,168 @@ def lm_score_tri(batch: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _hash_bucket(col: Column, n_buckets: int) -> Column:
+    """Deterministic cross-engine hash bucket: the first 32 md5 bits
+    of the string, mod ``n_buckets`` — the importance_sample draw's
+    integer sibling (both engines compute md5 identically; the 8-hex
+    prefix is exact in a double, so DuckDB's digit-fold and Spark's
+    conv() agree bit-for-bit)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def _doc_quadgram_buckets(
+    docs: DataFrame, n_buckets: int
+) -> DataFrame:
+    """(doc_id, b4, b3) per 4-gram instance — b4 the hash bucket of
+    the full 4-gram, b3 of its 3-token context — from ONE
+    tokenize→posexplode→triple-lag pass (the _doc_trigram_rows shape,
+    one lag wider).  The gram STRINGS never leave this projection:
+    downstream censuses and joins carry only the two bucket ids."""
+    terms = with_tokens(docs).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "w4")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    rows = terms.select(
+        "doc_id",
+        F.lag("w4", 3).over(wd).alias("w1"),
+        F.lag("w4", 2).over(wd).alias("w2"),
+        F.lag("w4", 1).over(wd).alias("w3"),
+        "w4",
+    ).filter(F.col("w1").isNotNull())
+    return rows.select(
+        "doc_id",
+        _hash_bucket(
+            F.concat_ws(" ", "w1", "w2", "w3", "w4"), n_buckets
+        ).alias("b4"),
+        _hash_bucket(F.concat_ws(" ", "w1", "w2", "w3"), n_buckets).alias(
+            "b3"
+        ),
+    )
+
+
+HASH4_BUCKETS = 1 << 18
+
+
+def hashed4_logprob(
+    spark: SparkSession, sf_dir: str, n_buckets: int = HASH4_BUCKETS
+) -> DataFrame:
+    """Order-4 LM rung over a HASH-BUCKETED census — the 100 TB shape
+    for n-gram orders ≥ 4 (VERDICT r10 #4): CCNet's actual filter is
+    a 5-gram KenLM, but an exact order-n census is a vocabularyⁿ
+    table — already join-only (never broadcast) at order 3, and at
+    orders 4-5 the census itself becomes the storage problem.  KenLM
+    at scale (and the count-min family) bound it by hashing grams
+    into a FIXED-width count table; this operator is that shape with
+    ONE hash row per gram (count-min with depth 1): census width is
+    ≤ ``n_buckets`` rows per order no matter the vocabulary, and the
+    collision cost is a measured, reported approximation
+    (:func:`hashed4_collisions`) instead of an unbounded table.
+
+    Score = per-doc average of ln(c(b₄)/c(b₃)) over the doc's 4-gram
+    instances, where b₄/b₃ are the md5 buckets of the 4-gram and its
+    3-token context and both counts come from the bucketed censuses —
+    the MLE conditional of :func:`bigram_logprob` two rungs up, on
+    hashed keys.  Train-on-self (the census IS the corpus), so every
+    scored gram exists in both censuses; collisions only INFLATE
+    counts (a count-min property), and because numerator and
+    denominator hash independently a colliding context can push a
+    single gram's ratio above 1 — the honest artifact of the
+    fixed-width trade, visible as a less-negative score.
+
+    Plan shape: one tokenize+lag pass feeds both censuses and the
+    scoring join (the bucket-row table is a lazy localCheckpoint
+    boundary — Catalyst re-derives unshared subplans per reference,
+    so without it the corpus would be re-scanned three times); both
+    censuses are map-side-combined groupBys bounded by n_buckets
+    rows; scoring is two equi joins on bucket ids.  No window beyond
+    the per-doc lag, no broadcast of anything census-sized.
+
+    Determinism: ln rounded 12 dp, decimal-weighted, summed as
+    decimal, divided as double — the lm_score discipline.  Docs with
+    fewer than 4 tokens report (n_quadgrams=0, avg_logprob=NULL) —
+    coverage parity with every other rung of the ladder."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quad = _doc_quadgram_buckets(docs, n_buckets).localCheckpoint(
+        eager=False
+    )
+    c4 = quad.groupBy("b4").agg(F.count(F.lit(1)).alias("n4"))
+    c3 = quad.groupBy("b3").agg(F.count(F.lit(1)).alias("n3"))
+    tf = quad.groupBy("doc_id", "b4", "b3").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    lp = F.round(
+        F.log(F.col("n4").cast("double") / F.col("n3")), 12
+    ).cast("decimal(20,12)")
+    scored = (
+        tf.join(c4, "b4")
+        .join(c3, "b3")
+        .withColumn("wlp", F.col("tf").cast("decimal(12,0)") * lp)
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_quadgrams"),
+        F.sum("wlp").alias("sum_lp"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_quadgrams", F.lit(0))
+            .cast("long")
+            .alias("n_quadgrams"),
+            (F.col("sum_lp").cast("double") / F.col("n_quadgrams")).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def hashed4_collisions(
+    spark: SparkSession, sf_dir: str, n_buckets: int = HASH4_BUCKETS
+) -> DataFrame:
+    """The collision report the hashed census owes its users
+    (VERDICT r10 #4: "collision rate reported"): distinct 4-gram
+    strings vs distinct occupied buckets at the configured width.
+    collision_rate = 1 − buckets_used/grams — the fraction of
+    distinct grams whose count is merged into some other gram's
+    bucket; size ``n_buckets`` so this stays in single digits and
+    the order-4 scores stay honest.  One corpus pass, one aggregate
+    (two count-distincts — a Spark expand over the same scan); the
+    1-row output is the operator."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = with_tokens(docs).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "w4")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        terms.select(
+            "doc_id",
+            F.lag("w4", 3).over(wd).alias("w1"),
+            F.lag("w4", 2).over(wd).alias("w2"),
+            F.lag("w4", 1).over(wd).alias("w3"),
+            "w4",
+        )
+        .filter(F.col("w1").isNotNull())
+        .select(F.concat_ws(" ", "w1", "w2", "w3", "w4").alias("gram"))
+        .withColumn("bucket", _hash_bucket(F.col("gram"), n_buckets))
+    )
+    return grams.agg(
+        F.countDistinct("gram").alias("n_distinct_grams"),
+        F.countDistinct("bucket").alias("n_buckets_used"),
+        F.lit(int(n_buckets)).cast("long").alias("n_bucket_capacity"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("bucket").cast("double")
+            / F.countDistinct("gram"),
+            6,
+        ).alias("collision_rate"),
+    )
+
+
 def write_lm_index(source: DataFrame | dict[str, DataFrame], path: str) -> None:
     """Persist the trained bigram LM at rest — four tables under
     ``{path}/``; a scoring deployment reads them back with
