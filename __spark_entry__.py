@@ -602,6 +602,26 @@ def _q_doc_hash4_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XT.hashed4_collisions(spark, sf_dir)
 
 
+def _q_doc_source_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(actual_source × pred_source) confusion counts over the NB
+    classifier (ext/text.source_nb_confusion — VERDICT r10 #7): the
+    per-class evaluation surface; dimension²-bounded groupBy on top
+    of the same scoring pass."""
+    return XT.source_nb_confusion(spark, sf_dir)
+
+
+def _q_doc_resampled_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled corpus mix (ext/pipeline.
+    resampled_mixture — VERDICT r10 #8): per-doc keep-probability =
+    min(1, base_rate · weight_source) drawn with the deterministic
+    md5 coin; reports target vs achieved share per source — the
+    oracle-proven composition of temperature_mixture_weights and
+    importance_sample."""
+    return XP.resampled_mixture(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def _q_doc_source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive-Bayes source/domain classifier
     (ext/text.source_nb) — the domain-bucketing rung of the curation
@@ -1725,6 +1745,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hybrid_indexed_rrf": _q_emb_hybrid_indexed_rrf,
         "doc_lm_score_hash4": _q_doc_lm_score_hash4,
         "doc_hash4_collisions": _q_doc_hash4_collisions,
+        "doc_source_nb_confusion": _q_doc_source_nb_confusion,
+        "doc_resampled_mix": _q_doc_resampled_mix,
     }
 
 
@@ -2473,6 +2495,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_docs AS DOUBLE) / n_total AS share,
                CAST(n_total AS DOUBLE) / (n_sources * n_docs) AS weight
         FROM per CROSS JOIN tot ORDER BY source
+        """,
+        "doc_resampled_mix": """
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per
+        ), powered AS (
+          SELECT source, n_docs, n_total,
+                 CAST(round(pow(CAST(n_docs AS DOUBLE) / n_total, 0.3),
+                            12) AS DECIMAL(20,12)) AS p_alpha
+          FROM per CROSS JOIN tot
+        ), norm AS (
+          SELECT sum(p_alpha) AS z FROM powered
+        ), w AS (
+          SELECT source, n_docs,
+                 CAST(p_alpha AS DOUBLE) / CAST(z AS DOUBLE)
+                   AS target_share,
+                 (CAST(p_alpha AS DOUBLE) / CAST(z AS DOUBLE))
+                   / (CAST(n_docs AS DOUBLE) / n_total) AS weight
+          FROM powered CROSS JOIN norm
+        ), drawn AS (
+          SELECT d.source,
+            list_sum(list_transform(range(1, 9),
+              i -> (strpos('0123456789abcdef',
+                     substr(md5('mix-v1|' || CAST(d.doc_id AS VARCHAR)),
+                            CAST(i AS INTEGER), 1)) - 1)
+                   * (16.0 ** (8 - i)))) / 4294967296.0 AS u,
+            least(1.0, 0.5 * w.weight) AS p
+          FROM documents d JOIN w USING (source)
+        ), kept AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+          FROM drawn WHERE u < p GROUP BY 1
+        ), filled AS (
+          SELECT w.source, w.n_docs, w.target_share,
+                 CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+          FROM w LEFT JOIN kept k USING (source)
+        ), ktot AS (
+          SELECT sum(n_kept) AS total_kept FROM filled
+        )
+        SELECT source, n_docs, n_kept, target_share,
+               CAST(n_kept AS DOUBLE) / total_kept AS achieved_share
+        FROM filled CROSS JOIN ktot ORDER BY source
         """,
         "doc_unigram_logprob": "WITH "
         + _TOKS_CTE.format(src="documents")
@@ -5645,6 +5710,14 @@ def oracle_sql() -> dict[str, str]:
     # stored BM25 index search == from-text scorer by construction
     # (the index tables ARE bm25_topk's censuses at rest) -> same twin
     sql["doc_bm25_indexed_topk"] = sql["doc_bm25_topk"]
+    # confusion matrix wraps the NB twin verbatim so the two can
+    # never disagree on classifier semantics
+    sql["doc_source_nb_confusion"] = (
+        "SELECT actual_source, pred_source,"
+        " CAST(count(*) AS BIGINT) AS n_docs FROM ("
+        + sql["doc_source_nb"]
+        + ") GROUP BY 1, 2 ORDER BY 1, 2"
+    )
     # appended IVF-PQ == rebuild == inline composition (pytest-proven
     # chain, see _q_emb_ivfpq_appended_topk) -> same DuckDB twin
     sql["emb_ivfpq_appended_topk"] = sql["emb_ivf_pq_topk"]

@@ -485,3 +485,34 @@ def test_temperature_mixture_limits_and_mass(spark, sf_dir):
     largest = max(mid, key=lambda r: r["n_docs"])
     if smallest["n_docs"] < largest["n_docs"]:
         assert smallest["weight"] > largest["weight"]
+
+
+def test_resampled_mixture_rebalances_and_clips(spark):
+    """The composition operator really moves the mix toward the
+    α-tempered target: a planted 20:1 head/tail corpus resamples to a
+    tail share well above natural, achieved shares sum to 1, and a
+    base_rate·weight > 1 tail source is visibly clipped (achieved <
+    target — sampling without replacement cannot over-sample)."""
+    from trade_data_collection_service_spark.ext.pipeline import (
+        resampled_mixture,
+    )
+
+    rows = [(i, "t", "en", "head") for i in range(400)]
+    rows += [(1000 + i, "t", "en", "tail") for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source"]
+    )
+    out = {r["source"]: r.asDict() for r in resampled_mixture(docs).collect()}
+    assert set(out) == {"head", "tail"}
+    assert out["head"]["n_docs"] == 400 and out["tail"]["n_docs"] == 20
+    total_kept = out["head"]["n_kept"] + out["tail"]["n_kept"]
+    assert total_kept > 0
+    shares = out["head"]["achieved_share"] + out["tail"]["achieved_share"]
+    assert abs(shares - 1.0) < 1e-9
+    natural_tail = 20 / 420
+    assert out["tail"]["achieved_share"] > 2 * natural_tail
+    # the tail's weight at alpha=0.3 on a 20:1 skew exceeds 2, so
+    # base_rate 0.5 clips its keep-probability at 1: every tail doc
+    # survives, and achieved still undershoots the target share
+    assert out["tail"]["n_kept"] == 20
+    assert out["tail"]["achieved_share"] < out["tail"]["target_share"]

@@ -48,6 +48,11 @@ NESTED_LOOP_OK = {
     "doc_source_nb",  # NB scoring expands tf x the broadcast source
     # dimension (n_sources rows) + a 1-row vocab-size scalar; the
     # census join itself is equi on (source, term)
+    "doc_source_nb_confusion",  # the same NB scoring pass (same
+    # allowlisted scalars) under a dimension²-bounded groupBy
+    "doc_resampled_mix",  # two 1-row broadcast scalars (the α-power
+    # normalizer + the kept-total); the weight join onto the corpus
+    # is equi on source
     "doc_unigram_logprob",  # 1-row total-token broadcast scalar
     "doc_source_mix",  # 1-row (n_total, n_sources) broadcast scalar
     "doc_temperature_mix",  # two 1-row broadcast scalars (total +

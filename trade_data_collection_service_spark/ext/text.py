@@ -1169,6 +1169,25 @@ def source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix over the Naive-Bayes source classifier
+    (VERDICT r10 #7): (actual_source × pred_source) document counts —
+    the evaluation surface that makes the domain tagger TUNABLE the
+    way doc_neardup_curve made LSH tunable: off-diagonal mass shows
+    which domains the term censuses cannot separate (merge them or
+    add features), the diagonal is per-class recall's numerator.
+    One dimension²-bounded groupBy over :func:`source_nb`'s output —
+    the expensive NB scoring pass is the same; the matrix is free on
+    top of it.  Only observed cells are emitted (both engines
+    aggregate the same rows, so the sparsity agrees)."""
+    return (
+        source_nb(spark, sf_dir)
+        .groupBy("actual_source", "pred_source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual_source", "pred_source")
+    )
+
+
 def source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality triage: the corpus-curation dashboard that
     decides which SOURCES to deprioritize — mean quality score, mean
