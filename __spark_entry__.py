@@ -1474,94 +1474,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
-# r11 ROTATION PLAN (write _R11_WINDOW next round): first, anything
-# r11 changes; then the 13 entries whose driver evidence stays r7 —
-# r11's oldest debt, the displaced tail of the r7-vintage block
-# (tpch_q1, tpch_q10, tpch_q12, tpch_q14, tpch_q18, tpch_q19,
-# tpch_q22, tpch_q3, tpch_q4, tpch_q5, tpch_q7, tpch_q6, tpch_q2 —
-# RECOMPUTE this list as CORRECTNESS_r07 minus r08/r09 keys minus
-# the r10 window before trusting it; hand-edits drifted TWICE in
-# r10, both caught by review); then ema_20 + macd_12_26_9
-# (r8-vintage driver evidence, displaced since r9); fill the
-# remaining slots with the oldest r8-vintage entries per
-# CORRECTNESS_r08 minus r09/r10 keys.  After r10 the evidence ledger
-# is 50 r10 / 48 r9 / 50 r8 / 13 r7 / 0 never (161 entries; the two
-# r9-keyed incremental queries re-proved in r10 move their evidence
-# forward, which is why r9 drops to 48).
+# r12 ROTATION PLAN (write _R12_WINDOW next round): first, anything
+# r12 changes; then the 20 entries whose driver evidence stays r8 —
+# the displaced tail of the r8-vintage block (gap_filled,
+# gap_filled_ffill, sma_20, vwap_daily, price_percentiles,
+# price_bands, gap_missing_count, gap_islands, backfill_plan,
+# validate_quarantine, doc_chunks, doc_token_cms, tpch_q17, tpch_q21,
+# tpch_q8, tpch_q13, tpch_q15, candles_1m, dedup_latest, rollup_5m —
+# RECOMPUTE this list as CORRECTNESS_r08 minus r09/r10/r11 keys
+# before trusting it; hand-edits drifted twice in r10); fill the
+# remaining ~30 slots with the oldest r9-vintage entries per
+# CORRECTNESS_r09 minus r10/r11 keys, in recorded order.  After r11
+# the evidence ledger is 50 r11 / 48 r10 / 48 r9 / 20 r8 / 0 never
+# (166 entries; ema_20 + macd + the 13 tpch displacees + 28
+# r8-vintage re-proved this round move r8's count from 50 to 20, and
+# the two touched r10-window entries move their evidence forward,
+# which is why r10 drops to 48).
 #
-# r10 driver window (VERDICT r9 #1, the committed r9 plan): the 7
-# r9-new entries that were never driver-checked, then the six
-# entries r10 touches (doc_lm_score_tri / doc_source_nb /
-# doc_neardup_curve / emb_hybrid_rrf are NEW this round;
-# doc_incremental_neardup / doc_incremental_spans gained the
-# pre-ledger layout guard in their append path; the late waves
-# doc_temperature_mix and doc_bm25_indexed_topk displaced two more),
-# then 35 r7-vintage entries (CORRECTNESS_r07 minus r08/r09 keys, in
-# recorded order — the 13 at that block's tail are displaced to
-# r11).  Exactly 50.
-# The full 161-entry surface is swept locally via
+# r11 driver window (VERDICT r10 #2, computed EXACTLY per the
+# committed r10 plan comment — recomputed from the CORRECTNESS_r*
+# files, not hand-edited): the 5 r11-new entries, the 2 entries r11
+# touches (emb_hybrid_rrf refactored onto the shared _rrf_fuse tail;
+# doc_lm_buckets gained the n_buckets guard), the 13 r7-vintage
+# displacees (CORRECTNESS_r07 minus r08/r09/r10 keys, recorded
+# order), ema_20 + macd_12_26_9 (r8-vintage since r9), then the
+# oldest r8-vintage entries (CORRECTNESS_r08 minus r09/r10 keys,
+# recorded order) to exactly 50.
+# The full 165-entry surface is swept locally via
 # tools/check_oracle.py at sf0.01 and sf0.1 each round
 # (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
 # is a budget cap, not the evidence.
-_R10_WINDOW = [
-    "doc_grouped_split",
-    "emb_ivfadc_rerank_topk",
-    "emb_ivfpq_appended_topk",
-    "ann_recall_curve",
-    "doc_lm_buckets",
-    "doc_bigram_logprob",
-    "doc_lm_score_backoff",
-    "doc_lm_score_tri",
-    "doc_source_nb",
-    "doc_neardup_curve",
+_R11_WINDOW = [
+    "emb_hybrid_indexed_rrf",
+    "doc_lm_score_hash4",
+    "doc_hash4_collisions",
+    "doc_source_nb_confusion",
+    "doc_resampled_mix",
     "emb_hybrid_rrf",
-    "doc_temperature_mix",
-    "doc_bm25_indexed_topk",
-    "doc_incremental_neardup",
-    "doc_incremental_spans",
-    "doc_repetition",
-    "minute_spread",
-    "exchange_spread",
-    "donchian_20",
-    "event_transitions",
-    "event_paths_topk",
-    "doc_ngram_topk",
-    "asof_price_tolerance",
-    "rolling_active_hll",
-    "doc_dedup_keep_best",
-    "doc_dup_clusters",
-    "doc_dup_clusters_star",
-    "doc_fingerprint",
-    "doc_importance_sample",
-    "doc_lang_id",
-    "doc_ngram_jaccard",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_quality",
-    "doc_reservoir",
-    "doc_sample_stratified",
-    "doc_simhash",
-    "doc_simhash_pairs",
-    "doc_token_stats",
-    "doc_train_split",
-    "doc_vocab_topk",
-    "earliest_per_symbol",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_neardup",
-    "emb_quantized_topk",
-    "event_attribution",
-    "events_json",
-    "multimodal_features",
-    "multimodal_frames",
+    "doc_lm_buckets",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q6",
+    "tpch_q2",
+    "ema_20",
+    "macd_12_26_9",
+    "emb_ivf_appended_topk",
+    "returns_autocorr",
+    "conversion_latency",
+    "listing_stable",
+    "price_quantile_sketch",
+    "pivot_volume",
+    "volume_rollup_sets",
+    "volume_cube_sets",
+    "max_drawdown",
+    "top_volume_per_symbol",
+    "bollinger_20",
+    "daily_volatility",
+    "atr_14",
+    "watchdog_cycle",
+    "asof_price_forward",
+    "volume_bars",
+    "event_sessions",
+    "asof_price",
+    "repair_window",
+    "minmax_window",
+    "count_distinct_window",
+    "latest_per_symbol",
+    "distinct_pairs",
+    "recent_topn",
+    "symbol_filter",
+    "readme_window",
+    "freshness",
+    "listing_diff",
 ]
 
 
 def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _registry()
-    missing = [k for k in _R10_WINDOW if k not in base]
+    missing = [k for k in _R11_WINDOW if k not in base]
     assert not missing, f"window names drifted from registry: {missing}"
-    out = {k: base[k] for k in _R10_WINDOW}
+    out = {k: base[k] for k in _R11_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 
