@@ -584,13 +584,21 @@ def _q_emb_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_doc_lm_score_hash4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-4 LM rung over a hash-bucketed census (ext/text.
-    hashed4_logprob — VERDICT r10 #4): the KenLM-at-scale shape for
-    n-gram orders >= 4 — census width bounded by the bucket count
+    hashed_ngram_logprob — VERDICT r10 #4): the KenLM-at-scale shape
+    for n-gram orders >= 4 — census width bounded by the bucket count
     (count-min with depth 1) instead of vocabulary⁴; per-doc MLE
     conditional avg ln(c(b4)/c(b3)) with the lm_score rounding
     discipline.  Both engines hash with the same md5-prefix bucket,
     so counts and scores are bit-identical."""
     return XT.hashed4_logprob(spark, sf_dir)
+
+
+def _q_doc_lm_score_hash5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order-5 rung — CCNet's actual KenLM order — at the same
+    bounded census width (ext/text.hashed_ngram_logprob, n=5): the
+    hashed-census machinery generalizes by one more lag; an exact
+    5-gram census would be a vocabulary⁵ table."""
+    return XT.hashed_ngram_logprob(spark, sf_dir, n=5)
 
 
 def _q_doc_hash4_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,38 +1483,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # r12 ROTATION PLAN (write _R12_WINDOW next round): first, anything
-# r12 changes; then the 20 entries whose driver evidence stays r8 —
+# r12 changes; then the 21 entries whose driver evidence stays r8 —
 # the displaced tail of the r8-vintage block (gap_filled,
 # gap_filled_ffill, sma_20, vwap_daily, price_percentiles,
 # price_bands, gap_missing_count, gap_islands, backfill_plan,
 # validate_quarantine, doc_chunks, doc_token_cms, tpch_q17, tpch_q21,
-# tpch_q8, tpch_q13, tpch_q15, candles_1m, dedup_latest, rollup_5m —
-# RECOMPUTE this list as CORRECTNESS_r08 minus r09/r10/r11 keys
-# before trusting it; hand-edits drifted twice in r10); fill the
-# remaining ~30 slots with the oldest r9-vintage entries per
-# CORRECTNESS_r09 minus r10/r11 keys, in recorded order.  After r11
-# the evidence ledger is 50 r11 / 48 r10 / 48 r9 / 20 r8 / 0 never
-# (166 entries; ema_20 + macd + the 13 tpch displacees + 28
-# r8-vintage re-proved this round move r8's count from 50 to 20, and
-# the two touched r10-window entries move their evidence forward,
-# which is why r10 drops to 48).
+# tpch_q8, tpch_q13, tpch_q15, candles_1m, dedup_latest, rollup_5m,
+# plus listing_diff, displaced by the late hash5 wave — RECOMPUTE
+# this list as CORRECTNESS_r08 minus r09/r10/r11 keys before
+# trusting it; hand-edits drifted twice in r10); fill the remaining
+# ~27 slots with the oldest r9-vintage entries per CORRECTNESS_r09
+# minus r10/r11 keys, in recorded order.  After r11 the evidence
+# ledger is 50 r11 / 48 r10 / 48 r9 / 21 r8 / 0 never (167 entries;
+# ema_20 + macd + the 13 tpch displacees + 27 r8-vintage re-proved
+# this round move r8's count from 50 to 21, and the two touched
+# r10-window entries move their evidence forward, which is why r10
+# drops to 48).
 #
 # r11 driver window (VERDICT r10 #2, computed EXACTLY per the
 # committed r10 plan comment — recomputed from the CORRECTNESS_r*
-# files, not hand-edited): the 5 r11-new entries, the 2 entries r11
+# files, not hand-edited): the 6 r11-new entries, the 2 entries r11
 # touches (emb_hybrid_rrf refactored onto the shared _rrf_fuse tail;
 # doc_lm_buckets gained the n_buckets guard), the 13 r7-vintage
 # displacees (CORRECTNESS_r07 minus r08/r09/r10 keys, recorded
 # order), ema_20 + macd_12_26_9 (r8-vintage since r9), then the
 # oldest r8-vintage entries (CORRECTNESS_r08 minus r09/r10 keys,
 # recorded order) to exactly 50.
-# The full 165-entry surface is swept locally via
+# The full 167-entry surface is swept locally via
 # tools/check_oracle.py at sf0.01 and sf0.1 each round
 # (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
 # is a budget cap, not the evidence.
 _R11_WINDOW = [
     "emb_hybrid_indexed_rrf",
     "doc_lm_score_hash4",
+    "doc_lm_score_hash5",
     "doc_hash4_collisions",
     "doc_source_nb_confusion",
     "doc_resampled_mix",
@@ -1554,7 +1564,6 @@ _R11_WINDOW = [
     "symbol_filter",
     "readme_window",
     "freshness",
-    "listing_diff",
 ]
 
 
@@ -1745,6 +1754,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r11 ---
         "emb_hybrid_indexed_rrf": _q_emb_hybrid_indexed_rrf,
         "doc_lm_score_hash4": _q_doc_lm_score_hash4,
+        "doc_lm_score_hash5": _q_doc_lm_score_hash5,
         "doc_hash4_collisions": _q_doc_hash4_collisions,
         "doc_source_nb_confusion": _q_doc_source_nb_confusion,
         "doc_resampled_mix": _q_doc_resampled_mix,
@@ -1806,29 +1816,74 @@ def _md5_bucket_sql(s: str, n_buckets: int) -> str:
     )
 
 
-# the shared tokenize -> triple-lag -> 4-gram/context front of the
-# hashed order-4 LM twins (doc_lm_score_hash4 / doc_hash4_collisions)
-_HASH4_QUAD_CTE = """
+def _hashn_gram_cte(n: int) -> str:
+    """The shared tokenize -> (n−1)-lag -> n-gram/context front of
+    the hashed order-n LM twins (ext/text._doc_ngram_lagged's DuckDB
+    twin): produces CTE ``ngrams`` with (doc_id, gram, ctx)."""
+    lags = "".join(
+        f"""
+                 lag(term, {n - j}) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS w{j},"""
+        for j in range(1, n)
+    )
+    gram = " || ' ' || ".join(f"w{j}" for j in range(1, n + 1))
+    ctx = " || ' ' || ".join(f"w{j}" for j in range(1, n))
+    return f"""
         , terms AS (
           SELECT doc_id, unnest(tokens) AS term,
                  generate_subscripts(tokens, 1) AS pos
           FROM toks
         ), lagged AS (
-          SELECT doc_id,
-                 lag(term, 3) OVER (
-                   PARTITION BY doc_id ORDER BY pos) AS w1,
-                 lag(term, 2) OVER (
-                   PARTITION BY doc_id ORDER BY pos) AS w2,
-                 lag(term, 1) OVER (
-                   PARTITION BY doc_id ORDER BY pos) AS w3,
-                 term AS w4
+          SELECT doc_id,{lags}
+                 term AS w{n}
           FROM terms
-        ), quadg AS (
+        ), ngrams AS (
           SELECT doc_id,
-                 w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS gram,
-                 w1 || ' ' || w2 || ' ' || w3 AS ctx
+                 {gram} AS gram,
+                 {ctx} AS ctx
           FROM lagged WHERE w1 IS NOT NULL
         )"""
+
+
+def _hashn_logprob_sql(n: int, n_buckets: int) -> str:
+    """Full DuckDB twin of ext/text.hashed_ngram_logprob at order n."""
+    return (
+        "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + _hashn_gram_cte(n)
+        + f"""
+        , quad AS (
+          SELECT doc_id,
+                 {_md5_bucket_sql('gram', n_buckets)} AS bn,
+                 {_md5_bucket_sql('ctx', n_buckets)} AS bc
+          FROM ngrams
+        ), cn AS (
+          SELECT bn, CAST(count(*) AS BIGINT) AS n_gram
+          FROM quad GROUP BY 1
+        ), cc AS (
+          SELECT bc, CAST(count(*) AS BIGINT) AS n_ctx
+          FROM quad GROUP BY 1
+        ), tf AS (
+          SELECT doc_id, bn, bc, CAST(count(*) AS BIGINT) AS tf
+          FROM quad GROUP BY 1, 2, 3
+        ), scored AS (
+          SELECT t.doc_id, t.tf,
+            t.tf * CAST(round(ln(CAST(cn.n_gram AS DOUBLE) / cc.n_ctx), 12)
+                        AS DECIMAL(20,12)) AS wlp
+          FROM tf t JOIN cn USING (bn) JOIN cc USING (bc)
+        ), lp AS (
+          SELECT doc_id,
+                 CAST(sum(tf) AS BIGINT) AS n_ngrams,
+                 CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
+          FROM scored GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(l.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+               l.avg_logprob
+        FROM documents d LEFT JOIN lp l USING (doc_id)
+        ORDER BY 1
+        """
+    )
 
 # duplicate-passage span chain (doc_duplicate_spans /
 # doc_strip_spans twins of ext/dedup.py::duplicate_spans, k=5):
@@ -2640,44 +2695,11 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN lp l USING (doc_id)
         ORDER BY 1
         """,
-        "doc_lm_score_hash4": "WITH "
-        + _TOKS_CTE.format(src="documents")
-        + _HASH4_QUAD_CTE
-        + f"""
-        , quad AS (
-          SELECT doc_id,
-                 {_md5_bucket_sql('gram', 1 << 18)} AS b4,
-                 {_md5_bucket_sql('ctx', 1 << 18)} AS b3
-          FROM quadg
-        ), c4 AS (
-          SELECT b4, CAST(count(*) AS BIGINT) AS n4
-          FROM quad GROUP BY 1
-        ), c3 AS (
-          SELECT b3, CAST(count(*) AS BIGINT) AS n3
-          FROM quad GROUP BY 1
-        ), tf AS (
-          SELECT doc_id, b4, b3, CAST(count(*) AS BIGINT) AS tf
-          FROM quad GROUP BY 1, 2, 3
-        ), scored AS (
-          SELECT t.doc_id, t.tf,
-            t.tf * CAST(round(ln(CAST(c4.n4 AS DOUBLE) / c3.n3), 12)
-                        AS DECIMAL(20,12)) AS wlp
-          FROM tf t JOIN c4 USING (b4) JOIN c3 USING (b3)
-        ), lp AS (
-          SELECT doc_id,
-                 CAST(sum(tf) AS BIGINT) AS n_quadgrams,
-                 CAST(sum(wlp) AS DOUBLE) / sum(tf) AS avg_logprob
-          FROM scored GROUP BY 1
-        )
-        SELECT d.doc_id,
-               CAST(COALESCE(l.n_quadgrams, 0) AS BIGINT) AS n_quadgrams,
-               l.avg_logprob
-        FROM documents d LEFT JOIN lp l USING (doc_id)
-        ORDER BY 1
-        """,
+        "doc_lm_score_hash4": _hashn_logprob_sql(4, 1 << 18),
+        "doc_lm_score_hash5": _hashn_logprob_sql(5, 1 << 18),
         "doc_hash4_collisions": "WITH "
         + _TOKS_CTE.format(src="documents")
-        + _HASH4_QUAD_CTE
+        + _hashn_gram_cte(4)
         + f"""
         SELECT CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_grams,
                CAST(count(DISTINCT {_md5_bucket_sql('gram', 1 << 18)})
@@ -2686,7 +2708,7 @@ def oracle_sql() -> dict[str, str]:
                round(1.0
                  - count(DISTINCT {_md5_bucket_sql('gram', 1 << 18)}) * 1.0
                    / count(DISTINCT gram), 6) AS collision_rate
-        FROM quadg
+        FROM ngrams
         """,
         "doc_lm_score_backoff": r"""WITH
         train AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),

@@ -616,7 +616,7 @@ def test_hashed4_logprob_hand_computed(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
 
     got = {
-        r["doc_id"]: (r["n_quadgrams"], r["avg_logprob"])
+        r["doc_id"]: (r["n_ngrams"], r["avg_logprob"])
         for r in hashed4_logprob(spark, str(tmp_path)).collect()
     }
     # 4-gram census: abcd=1, bcde=1, bcdf=1; context census counts

@@ -802,32 +802,38 @@ def _hash_bucket(col: Column, n_buckets: int) -> Column:
     )
 
 
-def _doc_quadgram_buckets(
-    docs: DataFrame, n_buckets: int
-) -> DataFrame:
-    """(doc_id, b4, b3) per 4-gram instance — b4 the hash bucket of
-    the full 4-gram, b3 of its 3-token context — from ONE
-    tokenize→posexplode→triple-lag pass (the _doc_trigram_rows shape,
-    one lag wider).  The gram STRINGS never leave this projection:
-    downstream censuses and joins carry only the two bucket ids."""
+def _doc_ngram_lagged(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, w1..wn) per n-gram instance from ONE
+    tokenize→posexplode→(n−1)-lag pass (the _doc_trigram_rows shape,
+    generalized): wn is the token at each position, w1..w(n−1) its
+    predecessors; rows whose w1 is NULL (doc starts) are dropped, so
+    every emitted row is a complete n-gram."""
     terms = with_tokens(docs).select(
-        "doc_id", F.posexplode("tokens").alias("pos", "w4")
+        "doc_id", F.posexplode("tokens").alias("pos", f"w{n}")
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")
-    rows = terms.select(
+    cols = [
+        F.lag(f"w{n}", n - j).over(wd).alias(f"w{j}")
+        for j in range(1, n)
+    ]
+    return terms.select("doc_id", *cols, f"w{n}").filter(
+        F.col("w1").isNotNull()
+    )
+
+
+def _doc_ngram_buckets(
+    docs: DataFrame, n: int, n_buckets: int
+) -> DataFrame:
+    """(doc_id, bn, bc) per n-gram instance — bn the hash bucket of
+    the full n-gram, bc of its (n−1)-token context.  The gram STRINGS
+    never leave this projection: downstream censuses and joins carry
+    only the two bucket ids."""
+    words = [f"w{j}" for j in range(1, n + 1)]
+    return _doc_ngram_lagged(docs, n).select(
         "doc_id",
-        F.lag("w4", 3).over(wd).alias("w1"),
-        F.lag("w4", 2).over(wd).alias("w2"),
-        F.lag("w4", 1).over(wd).alias("w3"),
-        "w4",
-    ).filter(F.col("w1").isNotNull())
-    return rows.select(
-        "doc_id",
-        _hash_bucket(
-            F.concat_ws(" ", "w1", "w2", "w3", "w4"), n_buckets
-        ).alias("b4"),
-        _hash_bucket(F.concat_ws(" ", "w1", "w2", "w3"), n_buckets).alias(
-            "b3"
+        _hash_bucket(F.concat_ws(" ", *words), n_buckets).alias("bn"),
+        _hash_bucket(F.concat_ws(" ", *words[:-1]), n_buckets).alias(
+            "bc"
         ),
     )
 
@@ -835,10 +841,13 @@ def _doc_quadgram_buckets(
 HASH4_BUCKETS = 1 << 18
 
 
-def hashed4_logprob(
-    spark: SparkSession, sf_dir: str, n_buckets: int = HASH4_BUCKETS
+def hashed_ngram_logprob(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 4,
+    n_buckets: int = HASH4_BUCKETS,
 ) -> DataFrame:
-    """Order-4 LM rung over a HASH-BUCKETED census — the 100 TB shape
+    """Order-n LM rung over a HASH-BUCKETED census — the 100 TB shape
     for n-gram orders ≥ 4 (VERDICT r10 #4): CCNet's actual filter is
     a 5-gram KenLM, but an exact order-n census is a vocabularyⁿ
     table — already join-only (never broadcast) at order 3, and at
@@ -848,16 +857,16 @@ def hashed4_logprob(
     ONE hash row per gram (count-min with depth 1): census width is
     ≤ ``n_buckets`` rows per order no matter the vocabulary, and the
     collision cost is a measured, reported approximation
-    (:func:`hashed4_collisions`) instead of an unbounded table.
+    (:func:`hashed_ngram_collisions`) instead of an unbounded table.
 
-    Score = per-doc average of ln(c(b₄)/c(b₃)) over the doc's 4-gram
-    instances, where b₄/b₃ are the md5 buckets of the 4-gram and its
-    3-token context and both counts come from the bucketed censuses —
-    the MLE conditional of :func:`bigram_logprob` two rungs up, on
-    hashed keys.  Train-on-self (the census IS the corpus), so every
-    scored gram exists in both censuses; collisions only INFLATE
-    counts (a count-min property), and because numerator and
-    denominator hash independently a colliding context can push a
+    Score = per-doc average of ln(c(bₙ)/c(b꜀)) over the doc's n-gram
+    instances, where bₙ/b꜀ are the md5 buckets of the n-gram and its
+    (n−1)-token context and both counts come from the bucketed
+    censuses — the MLE conditional of :func:`bigram_logprob` n−2
+    rungs up, on hashed keys.  Train-on-self (the census IS the
+    corpus), so every scored gram exists in both censuses; collisions
+    only INFLATE counts (a count-min property), and because numerator
+    and denominator hash independently a colliding context can push a
     single gram's ratio above 1 — the honest artifact of the
     fixed-width trade, visible as a less-negative score.
 
@@ -871,27 +880,33 @@ def hashed4_logprob(
 
     Determinism: ln rounded 12 dp, decimal-weighted, summed as
     decimal, divided as double — the lm_score discipline.  Docs with
-    fewer than 4 tokens report (n_quadgrams=0, avg_logprob=NULL) —
+    fewer than n tokens report (n_ngrams=0, avg_logprob=NULL) —
     coverage parity with every other rung of the ladder."""
+    if n < 2:
+        raise ValueError(
+            f"hashed_ngram_logprob: n must be >= 2, got {n} — the"
+            " conditional needs a non-empty context (order 1 is"
+            " unigram_logprob)"
+        )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    quad = _doc_quadgram_buckets(docs, n_buckets).localCheckpoint(
+    rows = _doc_ngram_buckets(docs, n, n_buckets).localCheckpoint(
         eager=False
     )
-    c4 = quad.groupBy("b4").agg(F.count(F.lit(1)).alias("n4"))
-    c3 = quad.groupBy("b3").agg(F.count(F.lit(1)).alias("n3"))
-    tf = quad.groupBy("doc_id", "b4", "b3").agg(
+    cn = rows.groupBy("bn").agg(F.count(F.lit(1)).alias("n_gram"))
+    cc = rows.groupBy("bc").agg(F.count(F.lit(1)).alias("n_ctx"))
+    tf = rows.groupBy("doc_id", "bn", "bc").agg(
         F.count(F.lit(1)).alias("tf")
     )
     lp = F.round(
-        F.log(F.col("n4").cast("double") / F.col("n3")), 12
+        F.log(F.col("n_gram").cast("double") / F.col("n_ctx")), 12
     ).cast("decimal(20,12)")
     scored = (
-        tf.join(c4, "b4")
-        .join(c3, "b3")
+        tf.join(cn, "bn")
+        .join(cc, "bc")
         .withColumn("wlp", F.col("tf").cast("decimal(12,0)") * lp)
     )
     agg = scored.groupBy("doc_id").agg(
-        F.sum("tf").alias("n_quadgrams"),
+        F.sum("tf").alias("n_ngrams"),
         F.sum("wlp").alias("sum_lp"),
     )
     return (
@@ -899,10 +914,10 @@ def hashed4_logprob(
         .join(agg, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_quadgrams", F.lit(0))
+            F.coalesce("n_ngrams", F.lit(0))
             .cast("long")
-            .alias("n_quadgrams"),
-            (F.col("sum_lp").cast("double") / F.col("n_quadgrams")).alias(
+            .alias("n_ngrams"),
+            (F.col("sum_lp").cast("double") / F.col("n_ngrams")).alias(
                 "avg_logprob"
             ),
         )
@@ -910,35 +925,33 @@ def hashed4_logprob(
     )
 
 
-def hashed4_collisions(
+def hashed4_logprob(
     spark: SparkSession, sf_dir: str, n_buckets: int = HASH4_BUCKETS
 ) -> DataFrame:
+    """The order-4 rung — :func:`hashed_ngram_logprob` at n=4."""
+    return hashed_ngram_logprob(spark, sf_dir, n=4, n_buckets=n_buckets)
+
+
+def hashed_ngram_collisions(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 4,
+    n_buckets: int = HASH4_BUCKETS,
+) -> DataFrame:
     """The collision report the hashed census owes its users
-    (VERDICT r10 #4: "collision rate reported"): distinct 4-gram
+    (VERDICT r10 #4: "collision rate reported"): distinct n-gram
     strings vs distinct occupied buckets at the configured width.
     collision_rate = 1 − buckets_used/grams — the fraction of
     distinct grams whose count is merged into some other gram's
     bucket; size ``n_buckets`` so this stays in single digits and
-    the order-4 scores stay honest.  One corpus pass, one aggregate
+    the order-n scores stay honest.  One corpus pass, one aggregate
     (two count-distincts — a Spark expand over the same scan); the
     1-row output is the operator."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    terms = with_tokens(docs).select(
-        "doc_id", F.posexplode("tokens").alias("pos", "w4")
-    )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        terms.select(
-            "doc_id",
-            F.lag("w4", 3).over(wd).alias("w1"),
-            F.lag("w4", 2).over(wd).alias("w2"),
-            F.lag("w4", 1).over(wd).alias("w3"),
-            "w4",
-        )
-        .filter(F.col("w1").isNotNull())
-        .select(F.concat_ws(" ", "w1", "w2", "w3", "w4").alias("gram"))
-        .withColumn("bucket", _hash_bucket(F.col("gram"), n_buckets))
-    )
+    words = [f"w{j}" for j in range(1, n + 1)]
+    grams = _doc_ngram_lagged(docs, n).select(
+        F.concat_ws(" ", *words).alias("gram")
+    ).withColumn("bucket", _hash_bucket(F.col("gram"), n_buckets))
     return grams.agg(
         F.countDistinct("gram").alias("n_distinct_grams"),
         F.countDistinct("bucket").alias("n_buckets_used"),
@@ -949,6 +962,15 @@ def hashed4_collisions(
             / F.countDistinct("gram"),
             6,
         ).alias("collision_rate"),
+    )
+
+
+def hashed4_collisions(
+    spark: SparkSession, sf_dir: str, n_buckets: int = HASH4_BUCKETS
+) -> DataFrame:
+    """The order-4 report — :func:`hashed_ngram_collisions` at n=4."""
+    return hashed_ngram_collisions(
+        spark, sf_dir, n=4, n_buckets=n_buckets
     )
 
 
