@@ -564,7 +564,7 @@ def _q_doc_bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_emb_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid sparse+dense retrieval served from STORED indexes
-    (ext/similarity.hybrid_rrf_indexed_rrf's serving twin — VERDICT
+    (ext/similarity.hybrid_rrf_indexed_topk's serving twin — VERDICT
     r10 #1): sparse side reads only the query terms' posting lists
     from the BM25 index at rest, dense side reads only the probed
     bucket partitions of the IVF-PQ index, fused by the shared RRF
@@ -608,6 +608,15 @@ def _q_doc_hash4_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width order-4 census an engineering trade instead of a
     silent error."""
     return XT.hashed4_collisions(spark, sf_dir)
+
+
+def _q_doc_hash5_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order-5 collision readout (ext/text.hashed_ngram_collisions,
+    n=5): at sparse orders most gram counts are 1, so even a
+    single-digit collision rate surfaces as positive per-doc scores —
+    this 1-row report is the alarm the hashed rung owes its users at
+    EVERY registered order."""
+    return XT.hashed_ngram_collisions(spark, sf_dir, n=5)
 
 
 def _q_doc_source_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1483,33 +1492,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # r12 ROTATION PLAN (write _R12_WINDOW next round): first, anything
-# r12 changes; then the 21 entries whose driver evidence stays r8 —
+# r12 changes; then the 22 entries whose driver evidence stays r8 —
 # the displaced tail of the r8-vintage block (gap_filled,
 # gap_filled_ffill, sma_20, vwap_daily, price_percentiles,
 # price_bands, gap_missing_count, gap_islands, backfill_plan,
 # validate_quarantine, doc_chunks, doc_token_cms, tpch_q17, tpch_q21,
 # tpch_q8, tpch_q13, tpch_q15, candles_1m, dedup_latest, rollup_5m,
-# plus listing_diff, displaced by the late hash5 wave — RECOMPUTE
-# this list as CORRECTNESS_r08 minus r09/r10/r11 keys before
-# trusting it; hand-edits drifted twice in r10); fill the remaining
-# ~27 slots with the oldest r9-vintage entries per CORRECTNESS_r09
-# minus r10/r11 keys, in recorded order.  After r11 the evidence
-# ledger is 50 r11 / 48 r10 / 48 r9 / 21 r8 / 0 never (167 entries;
-# ema_20 + macd + the 13 tpch displacees + 27 r8-vintage re-proved
-# this round move r8's count from 50 to 21, and the two touched
-# r10-window entries move their evidence forward, which is why r10
-# drops to 48).
+# plus listing_diff and freshness, displaced by the late hash5 waves
+# — RECOMPUTE this list as CORRECTNESS_r08 minus r09/r10/r11 keys
+# before trusting it; hand-edits drifted twice in r10); fill the
+# remaining ~26 slots with the oldest r9-vintage entries per
+# CORRECTNESS_r09 minus r10/r11 keys, in recorded order.  After r11
+# the evidence ledger is 50 r11 / 48 r10 / 48 r9 / 22 r8 / 0 never
+# (168 entries; ema_20 + macd + the 13 tpch displacees + 26
+# r8-vintage re-proved this round move r8's count from 50 to 22, and
+# the two touched r10-window entries move their evidence forward,
+# which is why r10 drops to 48).
 #
 # r11 driver window (VERDICT r10 #2, computed EXACTLY per the
 # committed r10 plan comment — recomputed from the CORRECTNESS_r*
-# files, not hand-edited): the 6 r11-new entries, the 2 entries r11
+# files, not hand-edited): the 7 r11-new entries, the 2 entries r11
 # touches (emb_hybrid_rrf refactored onto the shared _rrf_fuse tail;
 # doc_lm_buckets gained the n_buckets guard), the 13 r7-vintage
 # displacees (CORRECTNESS_r07 minus r08/r09/r10 keys, recorded
 # order), ema_20 + macd_12_26_9 (r8-vintage since r9), then the
 # oldest r8-vintage entries (CORRECTNESS_r08 minus r09/r10 keys,
 # recorded order) to exactly 50.
-# The full 167-entry surface is swept locally via
+# The full 168-entry surface is swept locally via
 # tools/check_oracle.py at sf0.01 and sf0.1 each round
 # (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
 # is a budget cap, not the evidence.
@@ -1518,6 +1527,7 @@ _R11_WINDOW = [
     "doc_lm_score_hash4",
     "doc_lm_score_hash5",
     "doc_hash4_collisions",
+    "doc_hash5_collisions",
     "doc_source_nb_confusion",
     "doc_resampled_mix",
     "emb_hybrid_rrf",
@@ -1563,7 +1573,6 @@ _R11_WINDOW = [
     "recent_topn",
     "symbol_filter",
     "readme_window",
-    "freshness",
 ]
 
 
@@ -1756,6 +1765,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score_hash4": _q_doc_lm_score_hash4,
         "doc_lm_score_hash5": _q_doc_lm_score_hash5,
         "doc_hash4_collisions": _q_doc_hash4_collisions,
+        "doc_hash5_collisions": _q_doc_hash5_collisions,
         "doc_source_nb_confusion": _q_doc_source_nb_confusion,
         "doc_resampled_mix": _q_doc_resampled_mix,
     }
@@ -1882,6 +1892,25 @@ def _hashn_logprob_sql(n: int, n_buckets: int) -> str:
                l.avg_logprob
         FROM documents d LEFT JOIN lp l USING (doc_id)
         ORDER BY 1
+        """
+    )
+
+
+def _hashn_collisions_sql(n: int, n_buckets: int) -> str:
+    """DuckDB twin of ext/text.hashed_ngram_collisions at order n."""
+    return (
+        "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + _hashn_gram_cte(n)
+        + f"""
+        SELECT CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_grams,
+               CAST(count(DISTINCT {_md5_bucket_sql('gram', n_buckets)})
+                    AS BIGINT) AS n_buckets_used,
+               CAST({n_buckets} AS BIGINT) AS n_bucket_capacity,
+               round(1.0
+                 - count(DISTINCT {_md5_bucket_sql('gram', n_buckets)})
+                   * 1.0 / count(DISTINCT gram), 6) AS collision_rate
+        FROM ngrams
         """
     )
 
@@ -2697,19 +2726,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_lm_score_hash4": _hashn_logprob_sql(4, 1 << 18),
         "doc_lm_score_hash5": _hashn_logprob_sql(5, 1 << 18),
-        "doc_hash4_collisions": "WITH "
-        + _TOKS_CTE.format(src="documents")
-        + _hashn_gram_cte(4)
-        + f"""
-        SELECT CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_grams,
-               CAST(count(DISTINCT {_md5_bucket_sql('gram', 1 << 18)})
-                    AS BIGINT) AS n_buckets_used,
-               CAST({1 << 18} AS BIGINT) AS n_bucket_capacity,
-               round(1.0
-                 - count(DISTINCT {_md5_bucket_sql('gram', 1 << 18)}) * 1.0
-                   / count(DISTINCT gram), 6) AS collision_rate
-        FROM ngrams
-        """,
+        "doc_hash4_collisions": _hashn_collisions_sql(4, 1 << 18),
+        "doc_hash5_collisions": _hashn_collisions_sql(5, 1 << 18),
         "doc_lm_score_backoff": r"""WITH
         train AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
         score AS (SELECT * FROM documents WHERE doc_id % 3 = 0),

@@ -775,10 +775,16 @@ def _write_full_bench_json(result: dict, root: str | None = None) -> None:
             # builder's COMMITTED run — a later re-run (the driver's
             # own post-round bench, a judge's re-measure) must never
             # clobber it; divert to a SHA-stamped sidecar the
-            # prior-round loader's `.full.json` regex ignores.
-            path = os.path.join(
-                dest, f"BENCH_r{rnd:02d}.full.rerun-{_head_sha(root)}.json"
-            )
+            # prior-round loader's `.full.json` regex ignores.  The
+            # sidecar itself is append-only too (r11 review): a
+            # second re-run at the same SHA (or two 'unknown'-SHA
+            # runs) counts up instead of clobbering the first.
+            stem = f"BENCH_r{rnd:02d}.full.rerun-{_head_sha(root)}"
+            path = os.path.join(dest, f"{stem}.json")
+            k = 2
+            while os.path.exists(path):
+                path = os.path.join(dest, f"{stem}-{k}.json")
+                k += 1
         with open(path, "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)
             f.write("\n")

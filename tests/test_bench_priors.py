@@ -176,6 +176,17 @@ def test_full_bench_write_protects_committed_recording(tmp_path):
         json.loads(siblings[0].read_text())["calibration"]["median_sec"]
         == 0.9
     )
+    # the sidecar is append-only too: a second re-run at the same SHA
+    # counts up instead of clobbering the first recording
+    doc4 = dict(doc, calibration={"median_sec": 1.1})
+    bench._write_full_bench_json(doc4, str(tmp_path))
+    siblings = sorted(canon.parent.glob("BENCH_r08.full.rerun-*.json"))
+    assert len(siblings) == 2
+    medians = {
+        json.loads(p.read_text())["calibration"]["median_sec"]
+        for p in siblings
+    }
+    assert medians == {0.9, 1.1}
     # the prior loader still reads the canonical recording only
     loaded = bench._full_bench_json(8, str(tmp_path))
     assert loaded["parsed"]["calibration"]["median_sec"] == 0.6

@@ -422,6 +422,27 @@ def pack_sequences(
     )
 
 
+def _md5_uniform(key: Column, salt: str) -> Column:
+    """The deterministic uniform coin every sampler here shares: the
+    first 32 md5 bits of ``salt|key`` scaled to [0,1) — exact
+    integer-valued double arithmetic, bit-identical across engines,
+    runs, and partitionings.  ONE home (r11 review): the expression
+    is exactness-critical, and a fork between two samplers would
+    silently decorrelate their draws."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), key.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+
+
 def importance_sample(
     scored_docs: DataFrame,
     prob_col: str = "quality_score",
@@ -437,18 +458,7 @@ def importance_sample(
     integer-valued double arithmetic, so the SAME docs are kept on any
     engine, run, or partitioning.  Map-only: fuses into the scan,
     zero shuffle."""
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(4294967296.0)
-    )
+    u = _md5_uniform(F.col("doc_id"), salt)
     p = F.least(F.greatest(F.col(prob_col), F.lit(0.0)), F.lit(1.0))
     return (
         scored_docs.withColumn("u", F.round(u, 6))
@@ -877,22 +887,7 @@ def resampled_mixture(
     w = temperature_mixture_weights(docs, alpha).select(
         "source", "n_docs", "target_share", "weight"
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt + "|"), F.col("doc_id").cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(4294967296.0)
-    )
+    u = _md5_uniform(F.col("doc_id"), salt)
     p = F.least(F.lit(1.0), F.lit(float(base_rate)) * F.col("weight"))
     kept = (
         docs.select("doc_id", "source")

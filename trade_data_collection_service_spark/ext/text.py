@@ -868,7 +868,14 @@ def hashed_ngram_logprob(
     only INFLATE counts (a count-min property), and because numerator
     and denominator hash independently a colliding context can push a
     single gram's ratio above 1 — the honest artifact of the
-    fixed-width trade, visible as a less-negative score.
+    fixed-width trade, visible as a less-negative score.  At high
+    orders most gram counts are 1, so even a single-digit collision
+    rate is VISIBLE: a count-1 gram whose bucket absorbs one other
+    gram scores ln(2/1) ≈ +0.69 at that position, and some docs'
+    averages go positive — an impossible log-probability that is
+    itself the collision alarm; watch the per-order
+    :func:`hashed_ngram_collisions` readout and widen ``n_buckets``
+    until the rate fits the fidelity the gate needs.
 
     Plan shape: one tokenize+lag pass feeds both censuses and the
     scoring join (the bucket-row table is a lazy localCheckpoint
