@@ -582,6 +582,23 @@ def _q_emb_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_bm25_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally grown BM25 posting index, searched (ext/text.
+    append_to_bm25_index — r11): base 2/3 of the corpus written, the
+    remaining 1/3 appended as a batch-keyed ledger partition (df/dl/
+    stats ride as per-batch PARTIALS, additive because the doc sets
+    are disjoint), then served.  Append ≡ rebuild ≡ the from-text
+    scorer (pytest-proven), so the DuckDB twin is doc_bm25_topk's
+    own SQL — the sparse sibling of emb_ivfpq_appended_topk."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = _scratch_dir("bm25_app_q_") + "/index"
+    XT.write_bm25_index(docs.filter(F.col("doc_id") % 3 != 0), path)
+    XT.append_to_bm25_index(
+        docs.filter(F.col("doc_id") % 3 == 0), path, batch_id=1
+    )
+    return XT.bm25_search_indexed(spark, path)
+
+
 def _q_doc_lm_score_hash4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-4 LM rung over a hash-bucketed census (ext/text.
     hashed_ngram_logprob — VERDICT r10 #4): the KenLM-at-scale shape
@@ -1492,33 +1509,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # r12 ROTATION PLAN (write _R12_WINDOW next round): first, anything
-# r12 changes; then the 22 entries whose driver evidence stays r8 —
-# the displaced tail of the r8-vintage block (gap_filled,
+# r12 changes; then the 24 entries whose driver evidence stays r8 —
+# the displaced tail of the r8-vintage block (symbol_filter,
+# readme_window, freshness, listing_diff, gap_filled,
 # gap_filled_ffill, sma_20, vwap_daily, price_percentiles,
 # price_bands, gap_missing_count, gap_islands, backfill_plan,
 # validate_quarantine, doc_chunks, doc_token_cms, tpch_q17, tpch_q21,
-# tpch_q8, tpch_q13, tpch_q15, candles_1m, dedup_latest, rollup_5m,
-# plus listing_diff and freshness, displaced by the late hash5 waves
-# — RECOMPUTE this list as CORRECTNESS_r08 minus r09/r10/r11 keys
-# before trusting it; hand-edits drifted twice in r10); fill the
-# remaining ~26 slots with the oldest r9-vintage entries per
-# CORRECTNESS_r09 minus r10/r11 keys, in recorded order.  After r11
-# the evidence ledger is 50 r11 / 48 r10 / 48 r9 / 22 r8 / 0 never
-# (168 entries; ema_20 + macd + the 13 tpch displacees + 26
-# r8-vintage re-proved this round move r8's count from 50 to 22, and
-# the two touched r10-window entries move their evidence forward,
-# which is why r10 drops to 48).
+# tpch_q8, tpch_q13, tpch_q15, candles_1m, dedup_latest, rollup_5m —
+# displaced by the late hash5/BM25-ledger waves; RECOMPUTE this list
+# as CORRECTNESS_r08 minus r09/r10/r11 keys before trusting it;
+# hand-edits drifted twice in r10); fill the remaining ~24 slots
+# with the oldest r9-vintage entries per CORRECTNESS_r09 minus
+# r10/r11 keys, in recorded order.  After r11 the evidence ledger is
+# 50 r11 / 47 r10 / 48 r9 / 24 r8 / 0 never (169 entries; ema_20 +
+# macd + the 13 tpch displacees + 24 r8-vintage re-proved this round
+# move r8's count from 50 to 24, and the three touched r10-window
+# entries move their evidence forward, which is why r10 drops to
+# 47).
 #
 # r11 driver window (VERDICT r10 #2, computed EXACTLY per the
 # committed r10 plan comment — recomputed from the CORRECTNESS_r*
-# files, not hand-edited): the 7 r11-new entries, the 2 entries r11
+# files, not hand-edited): the 8 r11-new entries, the 3 entries r11
 # touches (emb_hybrid_rrf refactored onto the shared _rrf_fuse tail;
-# doc_lm_buckets gained the n_buckets guard), the 13 r7-vintage
+# doc_lm_buckets gained the n_buckets guard; doc_bm25_indexed_topk
+# now serves the batch-ledgered layout), the 13 r7-vintage
 # displacees (CORRECTNESS_r07 minus r08/r09/r10 keys, recorded
 # order), ema_20 + macd_12_26_9 (r8-vintage since r9), then the
 # oldest r8-vintage entries (CORRECTNESS_r08 minus r09/r10 keys,
 # recorded order) to exactly 50.
-# The full 168-entry surface is swept locally via
+# The full 169-entry surface is swept locally via
 # tools/check_oracle.py at sf0.01 and sf0.1 each round
 # (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
 # is a budget cap, not the evidence.
@@ -1530,6 +1549,8 @@ _R11_WINDOW = [
     "doc_hash5_collisions",
     "doc_source_nb_confusion",
     "doc_resampled_mix",
+    "doc_bm25_appended_topk",
+    "doc_bm25_indexed_topk",
     "emb_hybrid_rrf",
     "doc_lm_buckets",
     "tpch_q1",
@@ -1571,8 +1592,6 @@ _R11_WINDOW = [
     "latest_per_symbol",
     "distinct_pairs",
     "recent_topn",
-    "symbol_filter",
-    "readme_window",
 ]
 
 
@@ -1759,6 +1778,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score_tri": _q_doc_lm_score_tri,
         "doc_source_nb": _q_doc_source_nb,
         "doc_bm25_indexed_topk": _q_doc_bm25_indexed_topk,
+        "doc_bm25_appended_topk": _q_doc_bm25_appended_topk,
         "emb_hybrid_rrf": _q_emb_hybrid_rrf,
         # --- new in r11 ---
         "emb_hybrid_indexed_rrf": _q_emb_hybrid_indexed_rrf,
@@ -5751,6 +5771,9 @@ def oracle_sql() -> dict[str, str]:
     # stored BM25 index search == from-text scorer by construction
     # (the index tables ARE bm25_topk's censuses at rest) -> same twin
     sql["doc_bm25_indexed_topk"] = sql["doc_bm25_topk"]
+    # appended BM25 == rebuild == from-text scorer (pytest-proven
+    # chain, see _q_doc_bm25_appended_topk) -> same DuckDB twin
+    sql["doc_bm25_appended_topk"] = sql["doc_bm25_topk"]
     # confusion matrix wraps the NB twin verbatim so the two can
     # never disagree on classifier semantics
     sql["doc_source_nb_confusion"] = (

@@ -425,3 +425,51 @@ def test_doc_ingest_stream_compaction_cadence(spark, sf_dir, tmp_path):
         batches[-1], index_a, out_a, batch_id=2, compact_max_batches=1
     )
     assert rows(out_a) == rows(out_b)
+
+
+def test_doc_ingest_maintains_bm25_index(spark, sf_dir, tmp_path):
+    """Searchable-on-arrival, sparse side (r11): with bm25_index_path
+    set, accepted docs are appended to the BM25 posting index — the
+    served index equals a fresh build over (seed ∪ accepted), and a
+    replay of the batch leaves it byte-identical."""
+    from trade_data_collection_service_spark.ext.text import (
+        append_to_bm25_index,
+        bm25_search_indexed,
+        write_bm25_index,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = corpus.filter(F.col("doc_id") % 3 == 0)
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    bm25 = str(tmp_path / "bm25")
+    write_neardup_index(stored, index)
+    write_bm25_index(stored, bm25)
+    n = ingest_batch(
+        batch, index, out, batch_id=4, bm25_index_path=bm25
+    )
+    assert n > 0
+    accepted = {r["doc_id"] for r in read_accepted(spark, out).collect()}
+    # reference: fresh build over seed + exactly the accepted docs
+    ref = str(tmp_path / "ref")
+    write_bm25_index(
+        stored.unionByName(
+            batch.join(
+                spark.createDataFrame(
+                    [(i,) for i in sorted(accepted)], "doc_id long"
+                ),
+                "doc_id",
+                "left_semi",
+            )
+        ),
+        ref,
+    )
+    q = ("fast", "data", "stream")
+    got = [tuple(r) for r in bm25_search_indexed(spark, bm25, q).collect()]
+    want = [tuple(r) for r in bm25_search_indexed(spark, ref, q).collect()]
+    assert got == want and got
+    # replay: byte-identical serve
+    ingest_batch(batch, index, out, batch_id=4, bm25_index_path=bm25)
+    again = [tuple(r) for r in bm25_search_indexed(spark, bm25, q).collect()]
+    assert again == got

@@ -644,3 +644,89 @@ def test_hashed4_logprob_hand_computed(spark, tmp_path):
     # total/total = 1 and every scored doc reads 0.0 — count-min
     # inflation made total
     assert one[0] == 0.0 and one[1] == 0.0 and one[2] is None
+
+
+def test_bm25_append_equals_rebuild_and_from_text(spark, sf_dir, tmp_path):
+    """The BM25 ledger (r11): base 2/3 + keyed append 1/3 serves
+    IDENTICAL results to a full rebuild AND to the from-text scorer;
+    a replay of the same batch_id is a byte-level no-op on results;
+    folding compaction (protecting a still-replayable batch) changes
+    nothing; and appending to a pre-ledger layout raises the
+    migration error."""
+    import pytest
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        maybe_compact,
+    )
+    from trade_data_collection_service_spark.ext.text import (
+        append_to_bm25_index,
+        bm25_search_indexed,
+        bm25_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs.filter(F.col("doc_id") % 3 != 0), path)
+    for i in (0, 1):  # two appends -> two ledger partitions
+        append_to_bm25_index(
+            docs.filter(F.col("doc_id") % 3 == 0).filter(
+                F.col("doc_id") % 2 == i
+            ),
+            path,
+            batch_id=i,
+        )
+    want = [tuple(r) for r in bm25_topk(spark, sf_dir).collect()]
+    got = lambda: [  # noqa: E731
+        tuple(r) for r in bm25_search_indexed(spark, path).collect()
+    ]
+    assert got() == want
+    # replay of batch 1 is idempotent (dynamic overwrite, not append)
+    append_to_bm25_index(
+        docs.filter(F.col("doc_id") % 3 == 0).filter(
+            F.col("doc_id") % 2 == 1
+        ),
+        path,
+        batch_id=1,
+    )
+    assert got() == want
+    # cadence: no-op below threshold, folds above, protected batch
+    # keeps its identity, results unchanged
+    import os
+
+    parts = lambda: {  # noqa: E731
+        d for d in os.listdir(f"{path}/postings") if d.startswith("batch=")
+    }
+    assert parts() == {"batch=base", "batch=0", "batch=1"}
+    assert maybe_compact(spark, path, "bm25", max_batches=8) is False
+    assert (
+        maybe_compact(spark, path, "bm25", max_batches=1, protect_batches=("1",))
+        is True
+    )
+    assert parts() == {"batch=base", "batch=1"}
+    assert got() == want
+    # the protected batch is still replayable after the fold
+    append_to_bm25_index(
+        docs.filter(F.col("doc_id") % 3 == 0).filter(
+            F.col("doc_id") % 2 == 1
+        ),
+        path,
+        batch_id=1,
+    )
+    assert got() == want
+    # a second query agrees too (df/stats partials combine correctly)
+    q2 = ("small", "group", "value")
+    a = [tuple(r) for r in bm25_search_indexed(spark, path, q2, 5).collect()]
+    b = [tuple(r) for r in bm25_topk(spark, sf_dir, q2, 5).collect()]
+    assert a == b
+    # pre-ledger layout is rejected with the migration rule
+    legacy = str(tmp_path / "legacy")
+    tf = docs.limit(5).select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    for t in ("postings", "dl", "df", "stats"):
+        tf.write.mode("overwrite").parquet(f"{legacy}/{t}")
+    with pytest.raises(ValueError, match="write_bm25_index"):
+        append_to_bm25_index(docs.limit(3), legacy, batch_id=2)
+    with pytest.raises(ValueError, match="pre-ledger"):
+        bm25_search_indexed(spark, legacy)

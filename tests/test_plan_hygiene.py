@@ -88,6 +88,9 @@ NESTED_LOOP_OK = {
     "doc_bm25_topk",  # 1-row (n_docs, avgdl) broadcast scalar pair
     "doc_bm25_indexed_topk",  # same 1-row stats scalar, read from the
     # stored index; postings/df joins are equi
+    "doc_bm25_appended_topk",  # identical serve plan over the
+    # ledgered (base + appended-batch) layout — the same 1-row
+    # combined-stats scalar
     "emb_hybrid_indexed_rrf",  # the same two allowlisted scalars its
     # components carry: the BM25 1-row stats crossJoin (sparse side)
     # and probe_buckets_l2's queries × broadcast(centroids) pairing

@@ -640,9 +640,9 @@ def maybe_compact(
     the index at ``path`` is and compact it only when the count
     exceeds ``max_batches``.  Returns True iff a compaction ran.
 
-    ``kind``: ``'neardup'`` / ``'ivfpq'`` count distinct batch
-    partitions (each keyed append adds one); ``'gram'`` counts data
-    files (its appends are un-keyed census rows by design).  The
+    ``kind``: ``'neardup'`` / ``'ivfpq'`` / ``'bm25'`` count distinct
+    batch partitions (each keyed append adds one); ``'gram'`` counts
+    data files (its appends are un-keyed census rows by design).  The
     measurements are metadata-only — a partition-column distinct and
     an inputFiles listing; no data is scanned below the threshold, so
     calling this after every batch is cheap.
@@ -689,6 +689,28 @@ def maybe_compact(
             spark, path, fold_batches=True, protect_batches=protect_batches
         )
         return True
+    if kind == "bm25":
+        from trade_data_collection_service_spark.ext.text import (
+            BM25_TABLES,
+            compact_bm25_index,
+        )
+
+        # same max-across-tables measure as 'neardup' (ADVICE r10):
+        # a crash between the four staged rewrites leaves the later
+        # tables fragmented
+        n = max(
+            _authoritative(spark, f"{path}/{t}")
+            .select("batch")
+            .distinct()
+            .count()
+            for t in BM25_TABLES
+        )
+        if n <= max_batches:
+            return False
+        compact_bm25_index(
+            spark, path, fold_batches=True, protect_batches=protect_batches
+        )
+        return True
     if kind == "gram":
         if protect_batches:
             # ADVICE r10: the gram index has no batch ledger, so
@@ -711,7 +733,7 @@ def maybe_compact(
         return True
     raise ValueError(
         f"maybe_compact: unknown index kind {kind!r}"
-        " (expected 'neardup', 'ivfpq', or 'gram')"
+        " (expected 'neardup', 'ivfpq', 'bm25', or 'gram')"
     )
 
 

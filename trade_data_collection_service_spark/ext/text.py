@@ -1306,7 +1306,28 @@ def write_bm25_index(docs: DataFrame, path: str) -> None:
     [""] for empty text, so no doc vanishes from the marginal) — read
     BACK from parquet rather than re-derived through the text-scan
     lineage (the census-per-reference trap this round's review also
-    caught in mixture_weights)."""
+    caught in mixture_weights).
+
+    LEDGER LAYOUT (r11): all four tables are ``partitionBy(batch)``
+    with the base build owning ``batch=base`` — the same
+    replay-idempotence ledger as the near-dup/IVF-PQ/vector indexes,
+    so :func:`append_to_bm25_index` grows the index O(batch) and a
+    crash-replayed append rewrites instead of corrupting.  df and
+    stats are stored as PER-BATCH PARTIALS — (term, df) and
+    (n_docs, sum_dl) rows — combined at serve time (tiny: query-term
+    df rows + one stats row per batch); correct because appended
+    batches hold NEW documents (doc_ingest dedups before indexing),
+    making df and dl additive across batches."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        _retire_stage,
+    )
+
+    spark = docs.sparkSession
+    # a fresh build supersedes any crashed-compaction stage; clear
+    # them (marker-first) so a later recover cannot clobber the new
+    # tables
+    for t in BM25_TABLES:
+        _retire_stage(spark, f"{path}/{t}.stage")
     tf = (
         with_tokens(docs)
         .select("doc_id", F.explode("tokens").alias("term"))
@@ -1314,33 +1335,238 @@ def write_bm25_index(docs: DataFrame, path: str) -> None:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     (
-        tf.repartition("term")
+        tf.withColumn("batch", F.lit("base"))
+        .repartition("term")
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
+        .partitionBy("batch")
         .parquet(f"{path}/postings")
     )
-    postings = docs.sparkSession.read.parquet(f"{path}/postings")
+    postings = spark.read.parquet(f"{path}/postings")
     (
         postings.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn("batch", F.lit("base"))
         .write.mode("overwrite")
+        .partitionBy("batch")
         .parquet(f"{path}/df")
     )
     (
         postings.groupBy("doc_id")
         .agg(F.sum("tf").cast("long").alias("dl"))
+        .withColumn("batch", F.lit("base"))
         .write.mode("overwrite")
+        .partitionBy("batch")
         .parquet(f"{path}/dl")
     )
-    dl = docs.sparkSession.read.parquet(f"{path}/dl")
+    dl = spark.read.parquet(f"{path}/dl")
     (
         dl.agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("dl"), 6).alias("avgdl"),
+            F.sum("dl").cast("long").alias("sum_dl"),
         )
+        .withColumn("batch", F.lit("base"))
         .write.mode("overwrite")
+        .partitionBy("batch")
         .parquet(f"{path}/stats")
     )
+
+
+BM25_TABLES = ("postings", "dl", "df", "stats")
+
+
+def append_to_bm25_index(
+    new_docs: DataFrame, path: str, batch_id: str | int | None = None
+) -> None:
+    """Grow a stored BM25 index incrementally — searchable-on-arrival
+    for the SPARSE retrieval side (the Lucene segment-append analog;
+    twin of ``pq.append_to_ivfpq_index`` and
+    ``dedup.append_to_neardup_index``): tokenize ONLY the new batch
+    and append its posting rows plus its df/dl/stats PARTIALS to the
+    batch's own ledger partitions.  The existing index is never
+    re-read or rewritten; per batch the cost is the batch's own
+    token census — corpus-size independent.
+
+    CONTRACT: appended documents must be NEW (not already indexed) —
+    df and dl are additive across batches only for disjoint doc sets;
+    doc_ingest guarantees this by near-dup-gating before the append.
+    Replays of the SAME batch_id are idempotent (dynamic overwrite of
+    the batch's partitions — the engine's idempotent-sink
+    discipline); un-keyed appends (batch_id=None) land in a shared
+    ``legacy`` partition and a replay would double-count — repair
+    with :func:`compact_bm25_index`."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        _recover_compaction,
+        _require_ledger_layout,
+        _validate_batch_id,
+    )
+
+    b = _validate_batch_id(batch_id)
+    spark = new_docs.sparkSession
+    for t in BM25_TABLES:
+        _recover_compaction(spark, f"{path}/{t}")
+        _require_ledger_layout(
+            spark,
+            f"{path}/{t}",
+            "append_to_bm25_index",
+            "write_bm25_index",
+        )
+    batch = b if b is not None else "legacy"
+    tf = (
+        with_tokens(new_docs)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _write(df: DataFrame, table: str) -> None:
+        w = df.withColumn("batch", F.lit(batch)).write.partitionBy("batch")
+        if batch_id is not None:
+            (
+                w.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(f"{path}/{table}")
+            )
+        else:
+            w.mode("append").parquet(f"{path}/{table}")
+
+    _write(
+        tf.repartition("term").sortWithinPartitions("term", "doc_id"),
+        "postings",
+    )
+    _write(
+        tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")),
+        "df",
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    _write(dl, "dl")
+    _write(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        ),
+        "stats",
+    )
+
+
+def compact_bm25_index(
+    spark: SparkSession,
+    path: str,
+    fold_batches: bool = False,
+    protect_batches: tuple = (),
+) -> None:
+    """Compact the stored BM25 index — the ``OPTIMIZE`` analog,
+    sibling of ``compact_neardup_index``: consolidate files and (with
+    ``fold_batches``) remap unprotected ledger partitions into
+    ``base``, re-aggregating the df/stats PARTIALS so the folded
+    tables look exactly like a fresh build of the combined corpus.
+    ``protect_batches`` keep their partition identity (a stream's
+    current, still-replayable batch).  Postings are re-sorted by term
+    at every rewrite so parquet row-group pruning survives many
+    appends.  Crash safety is the shared stage-WAL
+    (:func:`~trade_data_collection_service_spark.ext.dedup._staged_rewrite`)."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        _staged_rewrite,
+    )
+
+    protect = [str(b) for b in protect_batches]
+
+    def _split(df: DataFrame):
+        if not fold_batches:
+            return df, None
+        if protect:
+            return (
+                df.filter(~F.col("batch").isin(protect)),
+                df.filter(F.col("batch").isin(protect)),
+            )
+        return df, None
+
+    def t_postings(df: DataFrame) -> DataFrame:
+        fold, keep = _split(df)
+        out = fold.withColumn("batch", F.lit("base")) if fold_batches else fold
+        if keep is not None:
+            out = out.unionByName(keep)
+        return out.repartition("term").sortWithinPartitions(
+            "term", "doc_id"
+        )
+
+    def t_dl(df: DataFrame) -> DataFrame:
+        fold, keep = _split(df)
+        out = fold.withColumn("batch", F.lit("base")) if fold_batches else fold
+        return out.unionByName(keep) if keep is not None else out
+
+    def t_df(df: DataFrame) -> DataFrame:
+        fold, keep = _split(df)
+        if fold_batches:
+            fold = (
+                fold.groupBy("term")
+                .agg(F.sum("df").cast("long").alias("df"))
+                .withColumn("batch", F.lit("base"))
+            )
+        return fold.unionByName(keep) if keep is not None else fold
+
+    def t_stats(df: DataFrame) -> DataFrame:
+        fold, keep = _split(df)
+        if fold_batches:
+            fold = (
+                fold.agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("sum_dl").cast("long").alias("sum_dl"),
+                )
+                .withColumn("batch", F.lit("base"))
+                # an all-protected index folds an EMPTY frame: the
+                # aggregate still emits one all-NULL row — drop it
+                .filter(F.col("n_docs").isNotNull())
+            )
+        return fold.unionByName(keep) if keep is not None else fold
+
+    for table, transform in (
+        ("postings", t_postings),
+        ("dl", t_dl),
+        ("df", t_df),
+        ("stats", t_stats),
+    ):
+        _staged_rewrite(spark, f"{path}/{table}", transform)
+
+
+def _read_bm25_index(spark: SparkSession, path: str, vocab):
+    """Serve-side reads of the stored BM25 index, shared by the
+    single-query and multi-query fronts: crash-aware
+    (``_SUCCESS``-marked compaction stages are authoritative), prunes
+    postings and df to the query vocabulary at the scan, and combines
+    the per-batch df/stats PARTIALS (query-term df rows + one stats
+    row per batch — both tiny).  avgdl = Σ sum_dl / Σ n_docs rounded
+    6 is exactly the from-text round(avg(dl), 6): integer sums are
+    exact in a double."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        _authoritative,
+    )
+
+    postings = _authoritative(spark, f"{path}/postings")
+    if "batch" not in postings.columns:
+        raise ValueError(
+            f"the BM25 index at {path!r} uses the pre-ledger (flat)"
+            " layout — rebuild it once with write_bm25_index to get"
+            " the batch-partitioned tables this engine serves from"
+        )
+    postings = postings.filter(F.col("term").isin(*vocab)).select(
+        "term", "doc_id", "tf"
+    )
+    dl = _authoritative(spark, f"{path}/dl").select("doc_id", "dl")
+    df_t = (
+        _authoritative(spark, f"{path}/df")
+        .filter(F.col("term").isin(*vocab))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    stats = _authoritative(spark, f"{path}/stats").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.sum("sum_dl").cast("double") / F.sum("n_docs"), 6
+        ).alias("avgdl"),
+    )
+    return postings, dl, df_t, stats
 
 
 def bm25_search_indexed(
@@ -1360,14 +1586,7 @@ def bm25_search_indexed(
     k-row result).  Identical results to the from-text scorer by
     construction (pytest-proven); the documents table is never
     touched."""
-    postings = spark.read.parquet(f"{path}/postings").filter(
-        F.col("term").isin(*query)
-    )
-    dl = spark.read.parquet(f"{path}/dl")
-    df_t = spark.read.parquet(f"{path}/df").filter(
-        F.col("term").isin(*query)
-    )
-    stats = spark.read.parquet(f"{path}/stats")
+    postings, dl, df_t, stats = _read_bm25_index(spark, path, list(query))
     return _bm25_score_topk(postings, dl, df_t, stats, k)
 
 
@@ -1404,14 +1623,7 @@ def bm25_ranks_indexed_multi(
     vocab = [
         r["term"] for r in qterms.select("term").distinct().collect()
     ]
-    postings = spark.read.parquet(f"{path}/postings").filter(
-        F.col("term").isin(*vocab)
-    )
-    dl = spark.read.parquet(f"{path}/dl")
-    df_t = spark.read.parquet(f"{path}/df").filter(
-        F.col("term").isin(*vocab)
-    )
-    stats = spark.read.parquet(f"{path}/stats")
+    postings, dl, df_t, stats = _read_bm25_index(spark, path, vocab)
     pairs = F.broadcast(qterms).join(postings, "term")
     if exclude_self:
         pairs = pairs.filter(F.col("doc_id") != F.col("q_id"))

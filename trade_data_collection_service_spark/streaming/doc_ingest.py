@@ -70,10 +70,21 @@ def ingest_batch(
     lm: dict[str, DataFrame] | None = None,
     lm_min_logprob: float | None = None,
     compact_max_batches: int | None = 32,
+    bm25_index_path: str | None = None,
 ) -> int:
     """One micro-batch of dedup-on-arrival (the foreachBatch body,
     callable directly for tests and backfills).  Returns the number
     of accepted documents.
+
+    SEARCHABLE-ON-ARRIVAL, sparse side (r11): pass
+    ``bm25_index_path`` (a :func:`~trade_data_collection_service_spark.ext.text.write_bm25_index`
+    root) and the accepted docs are also appended to the BM25 posting
+    index — one trigger later they are retrievable by
+    ``bm25_search_indexed`` / the indexed hybrid, the sparse twin of
+    ``emb_ingest``'s IVF-PQ maintenance.  The dedup gate runs FIRST,
+    which is exactly the disjoint-new-docs contract the BM25 ledger's
+    additive df/dl partials require; the append is batch-keyed, so
+    the whole loop stays replay-idempotent.
 
     LM QUALITY GATE (r10, VERDICT r9 #3 — the full CCNet curation
     loop as one stream; reference intent: the watchdog's continuous
@@ -146,6 +157,12 @@ def ingest_batch(
     if n == 0:
         return 0
     append_to_neardup_index(accepted, index_path, batch_id=batch_id)
+    if bm25_index_path is not None:
+        from trade_data_collection_service_spark.ext.text import (
+            append_to_bm25_index,
+        )
+
+        append_to_bm25_index(accepted, bm25_index_path, batch_id=batch_id)
     (
         accepted.withColumn("batch", F.lit(str(batch_id)))
         .write.partitionBy("batch")
@@ -170,6 +187,14 @@ def ingest_batch(
             max_batches=compact_max_batches,
             protect_batches=(str(batch_id),),
         )
+        if bm25_index_path is not None:
+            maybe_compact(
+                batch.sparkSession,
+                bm25_index_path,
+                "bm25",
+                max_batches=compact_max_batches,
+                protect_batches=(str(batch_id),),
+            )
     return n
 
 
@@ -185,6 +210,7 @@ def run_doc_ingest(
     lm_path: str | None = None,
     lm_min_logprob: float | None = None,
     compact_max_batches: int | None = 32,
+    bm25_index_path: str | None = None,
 ):
     """File-source document stream → dedup-on-arrival (+ optional
     LM-quality gate-on-arrival: ``lm_path`` names a stored
@@ -224,6 +250,7 @@ def run_doc_ingest(
             lm=lm,
             lm_min_logprob=lm_min_logprob,
             compact_max_batches=compact_max_batches,
+            bm25_index_path=bm25_index_path,
         )
 
     writer = stream.writeStream.option(
