@@ -582,6 +582,22 @@ def _q_emb_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_hybrid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality readout for the hybrid retriever
+    (ext/similarity.retrieval_eval — r11): recall@10 / MRR / nDCG@10
+    of the fused ranking against the exact-cosine top-10 ground truth
+    (the brute dense pass, self-excluded) — the per-query evaluation
+    surface that makes rrf_k/depth tunable the way doc_neardup_curve
+    made LSH thresholds tunable."""
+    results = XS.hybrid_rrf_topk(spark, sf_dir).select(
+        "q_id", "doc_id", "rank"
+    )
+    truth = XS.brute_force_topk(spark, sf_dir, n_queries=3, k=10).select(
+        "q_id", F.col("vec_id").alias("doc_id")
+    )
+    return XS.retrieval_eval(results, truth, k=10)
+
+
 def _q_doc_bm25_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally grown BM25 posting index, searched (ext/text.
     append_to_bm25_index — r11): base 2/3 of the corpus written, the
@@ -1509,27 +1525,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # r12 ROTATION PLAN (write _R12_WINDOW next round): first, anything
-# r12 changes; then the 24 entries whose driver evidence stays r8 —
-# the displaced tail of the r8-vintage block (symbol_filter,
-# readme_window, freshness, listing_diff, gap_filled,
+# r12 changes; then the 25 entries whose driver evidence stays r8 —
+# the displaced tail of the r8-vintage block (recent_topn,
+# symbol_filter, readme_window, freshness, listing_diff, gap_filled,
 # gap_filled_ffill, sma_20, vwap_daily, price_percentiles,
 # price_bands, gap_missing_count, gap_islands, backfill_plan,
 # validate_quarantine, doc_chunks, doc_token_cms, tpch_q17, tpch_q21,
 # tpch_q8, tpch_q13, tpch_q15, candles_1m, dedup_latest, rollup_5m —
-# displaced by the late hash5/BM25-ledger waves; RECOMPUTE this list
-# as CORRECTNESS_r08 minus r09/r10/r11 keys before trusting it;
-# hand-edits drifted twice in r10); fill the remaining ~24 slots
-# with the oldest r9-vintage entries per CORRECTNESS_r09 minus
-# r10/r11 keys, in recorded order.  After r11 the evidence ledger is
-# 50 r11 / 47 r10 / 48 r9 / 24 r8 / 0 never (169 entries; ema_20 +
-# macd + the 13 tpch displacees + 24 r8-vintage re-proved this round
-# move r8's count from 50 to 24, and the three touched r10-window
-# entries move their evidence forward, which is why r10 drops to
-# 47).
+# displaced by the late hash5/BM25-ledger/retrieval-eval waves;
+# RECOMPUTE this list as CORRECTNESS_r08 minus r09/r10/r11 keys
+# before trusting it; hand-edits drifted twice in r10); fill the
+# remaining ~25 slots with the oldest r9-vintage entries per
+# CORRECTNESS_r09 minus r10/r11 keys, in recorded order.  After r11
+# the evidence ledger is 50 r11 / 47 r10 / 48 r9 / 25 r8 / 0 never
+# (170 entries; ema_20 + macd + the 13 tpch displacees + 23
+# r8-vintage re-proved this round move r8's count from 50 to 25, and
+# the three touched r10-window entries move their evidence forward,
+# which is why r10 drops to 47).
 #
 # r11 driver window (VERDICT r10 #2, computed EXACTLY per the
 # committed r10 plan comment — recomputed from the CORRECTNESS_r*
-# files, not hand-edited): the 8 r11-new entries, the 3 entries r11
+# files, not hand-edited): the 9 r11-new entries, the 3 entries r11
 # touches (emb_hybrid_rrf refactored onto the shared _rrf_fuse tail;
 # doc_lm_buckets gained the n_buckets guard; doc_bm25_indexed_topk
 # now serves the batch-ledgered layout), the 13 r7-vintage
@@ -1537,7 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # order), ema_20 + macd_12_26_9 (r8-vintage since r9), then the
 # oldest r8-vintage entries (CORRECTNESS_r08 minus r09/r10 keys,
 # recorded order) to exactly 50.
-# The full 169-entry surface is swept locally via
+# The full 170-entry surface is swept locally via
 # tools/check_oracle.py at sf0.01 and sf0.1 each round
 # (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
 # is a budget cap, not the evidence.
@@ -1551,6 +1567,7 @@ _R11_WINDOW = [
     "doc_resampled_mix",
     "doc_bm25_appended_topk",
     "doc_bm25_indexed_topk",
+    "emb_hybrid_eval",
     "emb_hybrid_rrf",
     "doc_lm_buckets",
     "tpch_q1",
@@ -1591,7 +1608,6 @@ _R11_WINDOW = [
     "count_distinct_window",
     "latest_per_symbol",
     "distinct_pairs",
-    "recent_topn",
 ]
 
 
@@ -1779,6 +1795,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_nb": _q_doc_source_nb,
         "doc_bm25_indexed_topk": _q_doc_bm25_indexed_topk,
         "doc_bm25_appended_topk": _q_doc_bm25_appended_topk,
+        "emb_hybrid_eval": _q_emb_hybrid_eval,
         "emb_hybrid_rrf": _q_emb_hybrid_rrf,
         # --- new in r11 ---
         "emb_hybrid_indexed_rrf": _q_emb_hybrid_indexed_rrf,
@@ -5774,6 +5791,51 @@ def oracle_sql() -> dict[str, str]:
     # appended BM25 == rebuild == from-text scorer (pytest-proven
     # chain, see _q_doc_bm25_appended_topk) -> same DuckDB twin
     sql["doc_bm25_appended_topk"] = sql["doc_bm25_topk"]
+    # retrieval-quality readout wraps the hybrid twin verbatim: the
+    # fused ranking is re-derived as a CTE, truth = the dense exact
+    # top-10 (dd at r_d <= 10, already self-excluded), metrics are
+    # decimal-summed 12-dp log2 gains — the lm_score discipline
+    sql["emb_hybrid_eval"] = (
+        sql["emb_hybrid_rrf"].rsplit("SELECT q_id, doc_id, r_s AS sparse_rank", 1)[0]
+        + """, results AS (
+          SELECT q_id, doc_id, rank FROM (
+            SELECT q_id, doc_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY q_id ORDER BY rrf DESC, doc_id)
+                     AS BIGINT) AS rank
+            FROM fused
+          ) WHERE rank <= 10
+        ), truth AS (
+          SELECT q_id, doc_id FROM dd WHERE r_d <= 10
+        ), hits AS (
+          SELECT r.q_id, r.rank
+          FROM results r JOIN truth t USING (q_id, doc_id)
+        ), dcg AS (
+          SELECT q_id, CAST(count(*) AS BIGINT) AS n_found,
+                 sum(CAST(round(1.0 / log2(rank + 1.0), 12)
+                          AS DECIMAL(20,12))) AS dcg,
+                 CAST(min(rank) AS BIGINT) AS first_hit
+          FROM hits GROUP BY 1
+        ), ideal AS (
+          SELECT sum(CAST(round(1.0 / log2(i + 1.0), 12)
+                          AS DECIMAL(20,12))) AS idcg
+          FROM range(1, 11) t(i)
+        ), qdim AS (
+          SELECT DISTINCT q_id FROM results
+        )
+        SELECT q.q_id,
+               CAST(COALESCE(d.n_found, 0) AS BIGINT)
+                 AS n_relevant_found,
+               CAST(COALESCE(d.n_found, 0) AS DOUBLE) / 10
+                 AS recall_at_k,
+               COALESCE(1.0 / d.first_hit, 0.0) AS mrr,
+               COALESCE(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE),
+                        0.0) AS ndcg_at_k
+        FROM qdim q LEFT JOIN dcg d USING (q_id) CROSS JOIN ideal i
+        ORDER BY q_id
+        """
+    )
+    assert "ndcg_at_k" in sql["emb_hybrid_eval"]
     # confusion matrix wraps the NB twin verbatim so the two can
     # never disagree on classifier semantics
     sql["doc_source_nb_confusion"] = (

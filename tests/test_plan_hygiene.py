@@ -45,6 +45,9 @@ NESTED_LOOP_OK = {
     "emb_hybrid_rrf",  # dense side is brute_force_topk's corpus x
     # broadcast(query set) evaluation baseline; sparse/fusion joins
     # are equi on (term) / (q_id, doc_id)
+    "emb_hybrid_eval",  # wraps the same brute evaluation baselines
+    # (results + ground truth) plus a 1-row broadcast IDCG scalar;
+    # the hits join and metric groupBy are equi over k-bounded tables
     "doc_source_nb",  # NB scoring expands tf x the broadcast source
     # dimension (n_sources rows) + a 1-row vocab-size scalar; the
     # census join itself is equi on (source, term)

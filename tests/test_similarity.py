@@ -117,3 +117,38 @@ def test_hybrid_indexed_consistent_with_brute(spark, sf_dir, tmp_path):
         assert inter / len(by_q_brute[q]) >= 0.5, (
             q, sorted(by_q_idx[q]), sorted(by_q_brute[q])
         )
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """Exact metric check on planted rankings: q1 has relevant docs at
+    ranks 1 and 3 of k=3 (recall 2/3, MRR 1, nDCG hand-computed), q2
+    has none (all-zero row emitted, not dropped)."""
+    import math
+
+    from trade_data_collection_service_spark.ext.similarity import (
+        retrieval_eval,
+    )
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2),
+         (2, 22, 3)],
+        ["q_id", "doc_id", "rank"],
+    )
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 77), (2, 78), (2, 79)],
+        ["q_id", "doc_id"],
+    )
+    out = {r["q_id"]: r.asDict() for r in retrieval_eval(results, truth, k=3).collect()}
+    g = lambda r: round(1.0 / math.log2(r + 1.0), 12)  # noqa: E731
+    idcg = g(1) + g(2) + g(3)
+    assert out[1]["n_relevant_found"] == 2
+    assert abs(out[1]["recall_at_k"] - 2 / 3) < 1e-12
+    assert out[1]["mrr"] == 1.0
+    assert abs(out[1]["ndcg_at_k"] - (g(1) + g(3)) / idcg) < 1e-12
+    assert out[2] == {
+        "q_id": 2,
+        "n_relevant_found": 0,
+        "recall_at_k": 0.0,
+        "mrr": 0.0,
+        "ndcg_at_k": 0.0,
+    }

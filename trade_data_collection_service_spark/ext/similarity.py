@@ -846,6 +846,79 @@ def _rrf_fuse(sd: DataFrame, dd: DataFrame, k: int, rrf_k: int) -> DataFrame:
     )
 
 
+def retrieval_eval(
+    results: DataFrame, truth: DataFrame, k: int = 10
+) -> DataFrame:
+    """Standard retrieval-quality metrics for any ranked result table
+    against a ground-truth relevant set — the readout that makes a
+    retriever TUNABLE (the `doc_neardup_curve`/`source_nb_confusion`
+    pattern applied to ranking): per query, recall@k, MRR (reciprocal
+    rank of the first relevant hit), and binary-gain nDCG@k.
+
+    ``results``: (q_id, doc_id, rank); ``truth``: (q_id, doc_id) —
+    the relevant set (e.g. the exact top-k a brute-force pass
+    produces; |truth per query| is taken as k for recall/IDCG, the
+    exact-top-k evaluation convention).
+
+    Scale shape: one equi join of two (queries × k)-bounded rank
+    tables, one groupBy(q_id), a k-row broadcast IDCG scalar —
+    nothing corpus-sized anywhere; queries with zero hits emit 0.0
+    rows via the LEFT join from the query dimension (coverage, not
+    silent drops).
+
+    Determinism: each 1/log₂(rank+1) gain is rounded to 12 dp and
+    decimal-summed (the lm_score discipline — log2 is libm-class),
+    ratios divide as doubles of engine-identical operands."""
+    spark = results.sparkSession
+    gain = F.round(
+        F.lit(1.0) / F.log2(F.col("rank") + F.lit(1.0)), 12
+    ).cast("decimal(20,12)")
+    hits = (
+        results.filter(F.col("rank") <= k)
+        .join(truth.select("q_id", "doc_id"), ["q_id", "doc_id"])
+        .select("q_id", "rank")
+    )
+    dcg = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_found"),
+        F.sum(gain).alias("dcg"),
+        F.min("rank").cast("long").alias("first_hit"),
+    )
+    ideal = (
+        spark.range(1, k + 1)
+        .select(
+            F.round(
+                F.lit(1.0) / F.log2(F.col("id") + F.lit(1.0)), 12
+            )
+            .cast("decimal(20,12)")
+            .alias("g")
+        )
+        .agg(F.sum("g").alias("idcg"))
+    )
+    qs = results.select("q_id").distinct()
+    return (
+        qs.join(dcg, "q_id", "left")
+        .crossJoin(F.broadcast(ideal))
+        .select(
+            "q_id",
+            F.coalesce("n_found", F.lit(0))
+            .cast("long")
+            .alias("n_relevant_found"),
+            (
+                F.coalesce("n_found", F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall_at_k"),
+            F.coalesce(
+                F.lit(1.0) / F.col("first_hit"), F.lit(0.0)
+            ).alias("mrr"),
+            F.coalesce(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double"),
+                F.lit(0.0),
+            ).alias("ndcg_at_k"),
+        )
+        .orderBy("q_id")
+    )
+
+
 def hybrid_rrf_indexed_topk(
     spark: SparkSession,
     sf_dir: str,
