@@ -730,3 +730,35 @@ def test_bm25_append_equals_rebuild_and_from_text(spark, sf_dir, tmp_path):
         append_to_bm25_index(docs.limit(3), legacy, batch_id=2)
     with pytest.raises(ValueError, match="pre-ledger"):
         bm25_search_indexed(spark, legacy)
+
+
+def test_bm25_compact_repairs_unkeyed_replay(spark, sf_dir, tmp_path):
+    """r11 review: the docstring promises compact_bm25_index repairs
+    un-keyed replay duplication — prove it: a double-delivered
+    batch_id=None append corrupts scores (doubled tf rows multiply
+    through the dl join; doubled partials inflate df/avgdl), and the
+    compaction restores exactly the from-text results."""
+    from trade_data_collection_service_spark.ext.text import (
+        append_to_bm25_index,
+        bm25_search_indexed,
+        bm25_topk,
+        compact_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs.filter(F.col("doc_id") % 3 != 0), path)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    append_to_bm25_index(batch, path, batch_id=None)
+    append_to_bm25_index(batch, path, batch_id=None)  # un-keyed replay
+    want = [tuple(r) for r in bm25_topk(spark, sf_dir).collect()]
+    corrupted = [
+        tuple(r) for r in bm25_search_indexed(spark, path).collect()
+    ]
+    assert corrupted != want  # the corruption is real, not cosmetic
+    compact_bm25_index(spark, path)
+    repaired = [
+        tuple(r) for r in bm25_search_indexed(spark, path).collect()
+    ]
+    assert repaired == want

@@ -655,62 +655,45 @@ def maybe_compact(
     ids that can still replay (a stream's current batch id); their
     partitions keep their identity.  Same single-maintainer /
     quiescence contract as the compact_* functions themselves."""
-    if kind == "neardup":
-        # cadence on the MAX fragmentation across the three tables
-        # (ADVICE r10): the fold compaction rewrites shingles, bands,
-        # and counts as three separate staged rewrites — a crash
-        # between them leaves the later tables un-folded, and a
-        # shingles-only measurement would not re-trigger until
-        # shingles itself re-fragments, letting bands/counts grow
-        # well past the threshold in the interim.  Still
-        # metadata-only: three partition-column distincts.
+    def _ledgered(table_paths, compact_fn):
+        # ONE home for the ledgered-kind cadence (r11 review): the
+        # fragmentation measure is the MAX distinct-batch count
+        # across every table of the index (ADVICE r10 — a crash
+        # between the staged per-table rewrites leaves the later
+        # tables un-folded, and a first-table-only measurement would
+        # not re-trigger until that table re-fragments).  Still
+        # metadata-only: one partition-column distinct per table.
         n = max(
-            _authoritative(spark, f"{path}/{t}")
-            .select("batch")
-            .distinct()
-            .count()
-            for t in ("shingles", "bands", "counts")
+            _authoritative(spark, p).select("batch").distinct().count()
+            for p in table_paths
         )
         if n <= max_batches:
             return False
-        compact_neardup_index(
+        compact_fn(
             spark, path, fold_batches=True, protect_batches=protect_batches
         )
         return True
+
+    if kind == "neardup":
+        return _ledgered(
+            [f"{path}/{t}" for t in ("shingles", "bands", "counts")],
+            compact_neardup_index,
+        )
     if kind == "ivfpq":
         from trade_data_collection_service_spark.ext.pq import (
             compact_ivfpq_index,
         )
 
-        n = _authoritative(spark, path).select("batch").distinct().count()
-        if n <= max_batches:
-            return False
-        compact_ivfpq_index(
-            spark, path, fold_batches=True, protect_batches=protect_batches
-        )
-        return True
+        return _ledgered([path], compact_ivfpq_index)
     if kind == "bm25":
         from trade_data_collection_service_spark.ext.text import (
             BM25_TABLES,
             compact_bm25_index,
         )
 
-        # same max-across-tables measure as 'neardup' (ADVICE r10):
-        # a crash between the four staged rewrites leaves the later
-        # tables fragmented
-        n = max(
-            _authoritative(spark, f"{path}/{t}")
-            .select("batch")
-            .distinct()
-            .count()
-            for t in BM25_TABLES
+        return _ledgered(
+            [f"{path}/{t}" for t in BM25_TABLES], compact_bm25_index
         )
-        if n <= max_batches:
-            return False
-        compact_bm25_index(
-            spark, path, fold_batches=True, protect_batches=protect_batches
-        )
-        return True
     if kind == "gram":
         if protect_batches:
             # ADVICE r10: the gram index has no batch ledger, so
@@ -787,9 +770,12 @@ def write_neardup_index(docs: DataFrame, path: str) -> None:
     # (marker-first) so a later recover cannot clobber the new table
     for t in ("shingles", "bands", "counts"):
         _retire_stage(spark, f"{path}/{t}.stage")
-    ex.write.partitionBy("batch").mode("overwrite").parquet(
-        f"{path}/shingles"
-    )
+    # explicit STATIC overwrite (r11 review): a rebuild must wipe
+    # stale batch partitions even when another component has set the
+    # session-global partitionOverwriteMode to dynamic
+    ex.write.partitionBy("batch").mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).parquet(f"{path}/shingles")
     ex_r = docs.sparkSession.read.parquet(f"{path}/shingles")
     sig = minhash_signatures(docs, ex=ex_r)
     bands = sig.select(
@@ -808,6 +794,7 @@ def write_neardup_index(docs: DataFrame, path: str) -> None:
         bands.withColumn("batch", F.lit("base"))
         .write.partitionBy("batch")
         .mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .parquet(f"{path}/bands")
     )
     (
@@ -815,6 +802,7 @@ def write_neardup_index(docs: DataFrame, path: str) -> None:
         .withColumn("batch", F.lit("base"))
         .write.partitionBy("batch")
         .mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .parquet(f"{path}/counts")
     )
 

@@ -497,6 +497,9 @@ def write_ivfpq_index(
         rows.repartition("bucket")
         .sortWithinPartitions("vec_id")
         .write.mode("overwrite")
+        # explicit STATIC overwrite (r11 review): wipe stale batch
+        # partitions even under a session-global dynamic mode
+        .option("partitionOverwriteMode", "static")
         .partitionBy("bucket", "batch")
         .parquet(path)
     )

@@ -1286,8 +1286,9 @@ def write_bm25_index(docs: DataFrame, path: str) -> None:
     sibling of ``pq.write_ivfpq_index`` for the BM25 side of the
     retrieval stack: ``{path}/postings`` (term, doc_id, tf) — the
     inverted index, ``{path}/dl`` (doc_id, dl) document lengths,
-    ``{path}/df`` (term, df) document frequencies, and
-    ``{path}/stats`` (1 row: n_docs, avgdl).  Together these are
+    ``{path}/df`` (term, df) per-batch document-frequency partials,
+    and ``{path}/stats`` (one (n_docs, sum_dl) partial row per
+    batch — avgdl is combined at serve).  Together these are
     exactly the censuses :func:`bm25_topk` computes from text, so a
     stored-index search is pytest-provably identical to the from-text
     scorer — and the corpus TEXT is never read again at serve time:
@@ -1323,52 +1324,59 @@ def write_bm25_index(docs: DataFrame, path: str) -> None:
     )
 
     spark = docs.sparkSession
+    if docs.select("doc_id").isEmpty():
+        raise ValueError(
+            "write_bm25_index: docs is empty — a partitioned write of"
+            " zero rows leaves no schema-bearing files, so every"
+            " later read would die on schema inference"
+        )
     # a fresh build supersedes any crashed-compaction stage; clear
     # them (marker-first) so a later recover cannot clobber the new
     # tables
     for t in BM25_TABLES:
         _retire_stage(spark, f"{path}/{t}.stage")
+
+    def _write_base(df: DataFrame, table: str) -> None:
+        # explicit STATIC overwrite: a rebuild must wipe stale batch
+        # partitions even in a session where some other component set
+        # the global partitionOverwriteMode to dynamic (r11 review —
+        # sources/tables.compact does exactly that)
+        (
+            df.withColumn("batch", F.lit("base"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("batch")
+            .parquet(f"{path}/{table}")
+        )
+
     tf = (
         with_tokens(docs)
         .select("doc_id", F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    (
-        tf.withColumn("batch", F.lit("base"))
-        .repartition("term")
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("batch")
-        .parquet(f"{path}/postings")
+    _write_base(
+        tf.repartition("term").sortWithinPartitions("term", "doc_id"),
+        "postings",
     )
     postings = spark.read.parquet(f"{path}/postings")
-    (
-        postings.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .withColumn("batch", F.lit("base"))
-        .write.mode("overwrite")
-        .partitionBy("batch")
-        .parquet(f"{path}/df")
+    _write_base(
+        postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df")),
+        "df",
     )
-    (
-        postings.groupBy("doc_id")
-        .agg(F.sum("tf").cast("long").alias("dl"))
-        .withColumn("batch", F.lit("base"))
-        .write.mode("overwrite")
-        .partitionBy("batch")
-        .parquet(f"{path}/dl")
+    _write_base(
+        postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("dl")
+        ),
+        "dl",
     )
     dl = spark.read.parquet(f"{path}/dl")
-    (
+    _write_base(
         dl.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").cast("long").alias("sum_dl"),
-        )
-        .withColumn("batch", F.lit("base"))
-        .write.mode("overwrite")
-        .partitionBy("batch")
-        .parquet(f"{path}/stats")
+        ),
+        "stats",
     )
 
 
@@ -1456,16 +1464,24 @@ def compact_bm25_index(
     fold_batches: bool = False,
     protect_batches: tuple = (),
 ) -> None:
-    """Compact the stored BM25 index — the ``OPTIMIZE`` analog,
-    sibling of ``compact_neardup_index``: consolidate files and (with
+    """Compact/REPAIR the stored BM25 index — the ``OPTIMIZE FINAL``
+    analog, sibling of ``compact_neardup_index``: collapse the exact
+    duplicate posting rows an un-keyed append replay accumulates,
+    rebuild the non-protected df/dl/stats partitions as MARGINALS of
+    the compacted postings (the write_bm25_index discipline — so
+    duplicated partials are recomputed, never summed), and (with
     ``fold_batches``) remap unprotected ledger partitions into
-    ``base``, re-aggregating the df/stats PARTIALS so the folded
-    tables look exactly like a fresh build of the combined corpus.
-    ``protect_batches`` keep their partition identity (a stream's
-    current, still-replayable batch).  Postings are re-sorted by term
-    at every rewrite so parquet row-group pruning survives many
-    appends.  Crash safety is the shared stage-WAL
-    (:func:`~trade_data_collection_service_spark.ext.dedup._staged_rewrite`)."""
+    ``base``.  ``protect_batches`` keep their partition identity and
+    their own partial rows (a stream's current, still-replayable
+    batch — its next keyed replay overwrites them wholesale).
+    Postings are re-sorted by term at every rewrite so parquet
+    row-group pruning survives many appends.  Crash safety is the
+    shared stage-WAL
+    (:func:`~trade_data_collection_service_spark.ext.dedup._staged_rewrite`);
+    a crash between the four table rewrites leaves a state that still
+    SERVES correctly (relabeled postings keep every row, and stale
+    per-batch partials keep their correct sums) and re-triggers via
+    maybe_compact's max-across-tables measure."""
     from trade_data_collection_service_spark.ext.dedup import (
         _staged_rewrite,
     )
@@ -1473,8 +1489,6 @@ def compact_bm25_index(
     protect = [str(b) for b in protect_batches]
 
     def _split(df: DataFrame):
-        if not fold_batches:
-            return df, None
         if protect:
             return (
                 df.filter(~F.col("batch").isin(protect)),
@@ -1484,50 +1498,65 @@ def compact_bm25_index(
 
     def t_postings(df: DataFrame) -> DataFrame:
         fold, keep = _split(df)
-        out = fold.withColumn("batch", F.lit("base")) if fold_batches else fold
-        if keep is not None:
-            out = out.unionByName(keep)
+        if fold_batches:
+            fold = fold.withColumn("batch", F.lit("base"))
+        # a replayed UN-KEYED append duplicates its rows exactly
+        # ((term, doc_id, tf) copies in one partition) — distinct IS
+        # the repair (r11 review: the docstring promised it; keyed
+        # partitions are already exact by dynamic overwrite and pass
+        # through distinct unchanged)
+        fold = fold.distinct()
+        out = fold.unionByName(keep) if keep is not None else fold
         return out.repartition("term").sortWithinPartitions(
             "term", "doc_id"
         )
 
-    def t_dl(df: DataFrame) -> DataFrame:
-        fold, keep = _split(df)
-        out = fold.withColumn("batch", F.lit("base")) if fold_batches else fold
-        return out.unionByName(keep) if keep is not None else out
+    _staged_rewrite(spark, f"{path}/postings", t_postings)
 
-    def t_df(df: DataFrame) -> DataFrame:
-        fold, keep = _split(df)
-        if fold_batches:
-            fold = (
-                fold.groupBy("term")
-                .agg(F.sum("df").cast("long").alias("df"))
-                .withColumn("batch", F.lit("base"))
+    # df / dl / stats: the non-protected scope is REBUILT as marginals
+    # of the just-compacted postings (the write_bm25_index discipline)
+    # — so compaction repairs duplicated partials instead of summing
+    # them; protected partitions keep their own rows (their next
+    # keyed replay overwrites them wholesale anyway)
+    def _from_postings(build):
+        def t(df: DataFrame) -> DataFrame:
+            _, keep = _split(df)
+            src = spark.read.parquet(f"{path}/postings")
+            if protect:
+                src = src.filter(~F.col("batch").isin(protect))
+            base = build(src)
+            return base.unionByName(keep) if keep is not None else base
+
+        return t
+
+    _staged_rewrite(
+        spark,
+        f"{path}/df",
+        _from_postings(
+            lambda src: src.groupBy("batch", "term").agg(
+                F.countDistinct("doc_id").alias("df")
             )
-        return fold.unionByName(keep) if keep is not None else fold
-
-    def t_stats(df: DataFrame) -> DataFrame:
-        fold, keep = _split(df)
-        if fold_batches:
-            fold = (
-                fold.agg(
-                    F.sum("n_docs").cast("long").alias("n_docs"),
-                    F.sum("sum_dl").cast("long").alias("sum_dl"),
-                )
-                .withColumn("batch", F.lit("base"))
-                # an all-protected index folds an EMPTY frame: the
-                # aggregate still emits one all-NULL row — drop it
-                .filter(F.col("n_docs").isNotNull())
+        ),
+    )
+    _staged_rewrite(
+        spark,
+        f"{path}/dl",
+        _from_postings(
+            lambda src: src.groupBy("batch", "doc_id").agg(
+                F.sum("tf").cast("long").alias("dl")
             )
-        return fold.unionByName(keep) if keep is not None else fold
-
-    for table, transform in (
-        ("postings", t_postings),
-        ("dl", t_dl),
-        ("df", t_df),
-        ("stats", t_stats),
-    ):
-        _staged_rewrite(spark, f"{path}/{table}", transform)
+        ),
+    )
+    _staged_rewrite(
+        spark,
+        f"{path}/stats",
+        _from_postings(
+            lambda src: src.groupBy("batch").agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.sum("tf").cast("long").alias("sum_dl"),
+            )
+        ),
+    )
 
 
 def _read_bm25_index(spark: SparkSession, path: str, vocab):
