@@ -1009,6 +1009,33 @@ def _q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.minhash_lsh_pairs(XD.documents_neardup(spark, sf_dir))
 
 
+def _q_doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact rung of the dedup ladder (ext/dedup.py::
+    normalized_dedup): case/punctuation/whitespace variants fold via
+    the normalizing digest; runs over the normdup fixture so the
+    byte-exact digest provably misses what this one catches
+    (n_variants > 1 groups)."""
+    return XD.normalized_dedup(XD.documents_normdup(spark, sf_dir))
+
+
+def _q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (ext/pipeline.py::source_cap): top-25 docs
+    per source by quality — Catalyst's WindowGroupLimit keeps each
+    map task's local top-25 before the shuffle (plan-asserted in
+    tests/test_plans.py)."""
+    return XP.source_cap(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), cap=25
+    )
+
+
+def _q_doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit (ext/pipeline.py::split_leakage):
+    LSH-verified near-dup pairs that straddle the per-doc train/val/
+    test split, with the grouped-split verdict showing provenance
+    hashing closes the leak."""
+    return XP.split_leakage(XD.documents_neardup(spark, sf_dir))
+
+
 def _q_doc_neardup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.neardup_quality(spark, sf_dir)
 
@@ -1805,6 +1832,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash5_collisions": _q_doc_hash5_collisions,
         "doc_source_nb_confusion": _q_doc_source_nb_confusion,
         "doc_resampled_mix": _q_doc_resampled_mix,
+        # --- new in r11, second wave: curation compositions ---
+        "doc_dedup_normalized": _q_doc_dedup_normalized,
+        "doc_source_cap": _q_doc_source_cap,
+        "doc_split_leakage": _q_doc_split_leakage,
     }
 
 
@@ -1847,6 +1878,18 @@ toks AS (
   SELECT *, string_split_regex(lower(text), '\s+') AS tokens FROM {src}
 )
 """
+
+
+def _split_case_sql(key: str) -> str:
+    """ext/pipeline._split_expr's DuckDB twin over an arbitrary key
+    expression — the ONE hash-range train/val/test rule, SQL side
+    (doc ids give train_split's assignment, sources
+    grouped_train_split's)."""
+    p = f"substr(md5('split-v1|' || CAST({key} AS VARCHAR)), 1, 2)"
+    return (
+        f"CASE WHEN {p} < '0a' THEN 'test'"
+        f" WHEN {p} < '14' THEN 'val' ELSE 'train' END"
+    )
 
 
 def _md5_bucket_sql(s: str, n_buckets: int) -> str:
@@ -2579,6 +2622,68 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_copies
         FROM toks
         GROUP BY 1 HAVING count(*) > 1
+        """,
+        # fuzzy-exact rung: DuckDB regexp_replace needs the 'g' flag
+        # (Spark's is global by default — the one-match trap)
+        "doc_dedup_normalized": XD.DOCS_NORMDUP_CTE
+        + r"""
+        , n AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                         ' ', 'g'))) AS digest,
+                 md5(text) AS raw_digest
+          FROM docs
+        )
+        SELECT digest, min(doc_id) AS canonical_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(DISTINCT raw_digest) AS BIGINT) AS n_variants
+        FROM n GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_source_cap": "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + """
+        , q AS (
+          SELECT doc_id, source,
+            round(0.5 * (len(list_distinct(tokens)) / len(tokens))
+              + 0.3 * (1.0 - (len(list_filter(tokens,
+                                t -> t IN ('the','a'))) / len(tokens)))
+              + 0.2 * (CASE WHEN len(tokens) >= 10
+                             AND len(tokens) <= 10000
+                       THEN 1.0 ELSE 0.0 END), 6) AS quality_score
+          FROM toks
+        ), ranked AS (
+          SELECT doc_id, source, quality_score,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY quality_score DESC, doc_id
+                 ) AS BIGINT) AS src_rank
+          FROM q
+        )
+        SELECT doc_id, source, quality_score, src_rank
+        FROM ranked WHERE src_rank <= 25
+        ORDER BY source, src_rank
+        """,
+        "doc_split_leakage": XD.DOCS_NEARDUP_CTE
+        + _LSH_CTES
+        + f"""
+        , pairs AS (
+          SELECT doc_a, doc_b, jaccard FROM verified
+          WHERE jaccard >= 0.5
+        ), sided AS (
+          SELECT p.doc_a, p.doc_b, p.jaccard,
+                 {_split_case_sql('p.doc_a')} AS split_a,
+                 {_split_case_sql('p.doc_b')} AS split_b,
+                 ({_split_case_sql('sa.source')}
+                  <> {_split_case_sql('sb.source')})
+                   AS grouped_would_leak
+          FROM pairs p
+          JOIN docs sa ON sa.doc_id = p.doc_a
+          JOIN docs sb ON sb.doc_id = p.doc_b
+        )
+        SELECT doc_a, doc_b, jaccard, split_a, split_b,
+               grouped_would_leak
+        FROM sided WHERE split_a <> split_b
+        ORDER BY doc_a, doc_b
         """,
         "doc_temperature_mix": """
         WITH per AS (

@@ -516,3 +516,69 @@ def test_resampled_mixture_rebalances_and_clips(spark):
     # survives, and achieved still undershoots the target share
     assert out["tail"]["n_kept"] == 20
     assert out["tail"]["achieved_share"] < out["tail"]["target_share"]
+
+
+def test_normalized_dedup_folds_variants_exact_misses(spark, sf_dir):
+    """The planted case/punctuation variants are invisible to the
+    byte-exact digest but fold under the normalizing one, and the
+    canonical is always the original (lowest) doc id."""
+    from trade_data_collection_service_spark.ext import dedup as XD
+
+    docs = XD.documents_normdup(spark, sf_dir)
+    out = XD.normalized_dedup(docs).collect()
+    by_canon = {r["canonical_doc_id"]: r for r in out}
+    # every 10th doc has an uppercased+punctuated twin: the group
+    # exists, holds >= 2 copies, and needed normalization to fold
+    # (two distinct raw texts)
+    assert 0 in by_canon and by_canon[0]["n_copies"] >= 2
+    assert by_canon[0]["n_variants"] >= 2
+    # exact dedup on the same corpus must NOT fold the cased twin
+    exact = XD.exact_dedup(docs)
+    assert (
+        exact.filter(
+            (F.col("canonical_doc_id") == 0) & (F.col("n_copies") > 1)
+        ).count()
+        == 0
+    )
+
+
+def test_source_cap_quota_and_ordering(spark, sf_dir):
+    """At most `cap` docs per source, ranked best-quality-first with
+    doc_id tiebreak, and the kept set is exactly the top of each
+    source's quality ordering."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = XP.source_cap(docs, cap=5).collect()
+    per_src: dict = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r)
+    for src, rows in per_src.items():
+        assert len(rows) <= 5
+        assert [r["src_rank"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+        qualities = [(-r["quality_score"], r["doc_id"]) for r in rows]
+        assert qualities == sorted(qualities)
+
+
+def test_split_leakage_flags_only_crossing_pairs(spark, sf_dir):
+    """Every reported pair straddles the per-doc split; the planted
+    duplicates (same source as their original) can never leak under
+    the grouped (provenance-hashed) split — only organic cross-source
+    near-dups can, so the grouped split strictly shrinks the leak."""
+    from trade_data_collection_service_spark.ext import dedup as XD
+
+    docs = XD.documents_neardup(spark, sf_dir)
+    out = XP.split_leakage(docs).collect()
+    assert out, "fixture must produce crossing near-dup pairs"
+    assert all(r["split_a"] != r["split_b"] for r in out)
+    planted = [
+        r for r in out if r["doc_b"] - r["doc_a"] in (1000000, 2000000)
+    ]
+    assert planted and not any(r["grouped_would_leak"] for r in planted)
+    assert sum(r["grouped_would_leak"] for r in out) < len(out)
+    # leak pairs are a subset of the verified near-dup pairs
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in XD.minhash_lsh_pairs(docs).collect()
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in out} <= pairs

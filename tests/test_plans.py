@@ -350,3 +350,14 @@ def test_hashed4_logprob_scans_corpus_once(spark, sf_dir):
     # no window beyond the (pre-checkpoint) per-doc lag: the serving
     # plan itself is join + aggregate only
     assert "ntile" not in plan
+
+
+def test_source_cap_uses_window_group_limit(spark, sf_dir):
+    from trade_data_collection_service_spark.ext.pipeline import source_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(source_cap(docs, cap=25))
+    # the per-source quota must push into WindowGroupLimit (local
+    # top-cap per map task BEFORE the shuffle) — the property that
+    # makes a viral domain ship `cap` rows per task, not its corpus
+    assert "WindowGroupLimit" in plan

@@ -71,6 +71,88 @@ def documents_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(near).unionByName(exact)
 
 
+# DuckDB twin of documents_normdup: every 10th doc gets an
+# uppercased copy with a punctuation tail, every 25th a
+# comma-injected copy — both NORMALIZED-equal to the original but
+# byte-distinct, so only the normalizing digest can fold them.
+DOCS_NORMDUP_CTE = """
+WITH docs AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, upper(text) || ' !!', lang, source,
+         n_chars + 3
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, replace(text, ' ', ', '), lang, source,
+         n_chars
+  FROM documents WHERE doc_id % 25 = 0
+)
+"""
+
+
+def documents_normdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of DOCS_NORMDUP_CTE — planted case/punctuation
+    variants so the normalizing dedup has positives the byte-exact
+    digest cannot fold (FIXTURES.md pattern)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cased = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 3000000)
+        .withColumn("text", F.concat(F.upper("text"), F.lit(" !!")))
+        .withColumn("n_chars", F.col("n_chars") + 3)
+    )
+    punct = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 4000000)
+        .withColumn("text", F.regexp_replace("text", " ", ", "))
+    )
+    return d.unionByName(cased).unionByName(punct)
+
+
+def normalized_text() -> Column:
+    """THE normalization every fuzzy-exact consumer shares (one home,
+    like bm25_weight): lowercase, collapse every non-alphanumeric run
+    to a single space, trim.  Folds case, punctuation, and whitespace
+    variants — the Gopher/C4 "fuzzy exact" equivalence — while
+    staying a pure codegen expression.  Spark's regexp_replace is
+    global by default; the DuckDB twin must pass the 'g' flag or it
+    rewrites only the first match."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+
+
+def normalized_dedup(docs: DataFrame) -> DataFrame:
+    """Fuzzy-exact dedup (the Gopher/C4 normalization rung between
+    byte-exact and MinHash): group by the md5 of NORMALIZED text, so
+    case-, punctuation-, and whitespace-variant copies fold into one
+    group that ``exact_dedup``'s byte digest misses.
+
+    Same scale shape as exact dedup — the normalization fuses into
+    the scan and one (digest, doc_id, is-variant) tuple shuffles per
+    doc, never the text.  ``n_variants`` counts distinct RAW texts in
+    the group: >1 proves the group is held together by normalization
+    alone (reference parity: the reference dedups byte-identical rows
+    only — ReplacingMergeTree ORDER BY keys,
+    clickhouse_schema.py:20-60; this rung is corpus-curation
+    standard practice instead)."""
+    d = docs.select(
+        "doc_id",
+        F.md5(normalized_text()).alias("digest"),
+        F.md5(F.col("text")).alias("raw_digest"),
+    )
+    return (
+        d.groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("raw_digest").alias("n_variants"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("canonical_doc_id")
+    )
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup via content digest: one row per distinct normalized
     text, canonical = min doc_id, with the duplicate count."""

@@ -104,6 +104,104 @@ def grouped_train_split(
     ).orderBy("doc_id")
 
 
+def source_cap(docs: DataFrame, cap: int = 50) -> DataFrame:
+    """Per-source quota (the C4/CCNet domain cap): keep at most
+    ``cap`` docs per source, best quality first (ties → lowest
+    doc_id), so no single domain dominates the training mix.
+
+    Scale shape: the rank filter is a ``row_number() <= cap`` over
+    (source | quality desc, doc_id), which Catalyst rewrites to a
+    WindowGroupLimit — each map task keeps only its local top-``cap``
+    per source BEFORE the shuffle (plan-asserted in
+    tests/test_plans.py), so the exchange carries O(cap × sources ×
+    partitions) rows, not the corpus.  That is exactly the per-domain
+    selection a 100 TB curation run needs: a viral domain with 10⁹
+    docs ships ``cap`` rows per map task, never 10⁹.
+
+    Quality is :func:`~trade_data_collection_service_spark.ext.text.
+    quality_of`'s score; the doc_id↔doc_id join to recover ``source``
+    is key-aligned and pre-cap (the scorer's token arrays never cross
+    the exchange — only (doc_id, score) pairs do)."""
+    from trade_data_collection_service_spark.ext.text import quality_of
+
+    q = quality_of(docs).select("doc_id", "quality_score")
+    sided = docs.select("doc_id", "source").join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        sided.withColumn(
+            "src_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("src_rank") <= cap)
+        .select("doc_id", "source", "quality_score", "src_rank")
+        .orderBy("source", "src_rank")
+    )
+
+
+def split_leakage(
+    docs: DataFrame, threshold: float = 0.5, salt: str = SPLIT_SALT
+) -> DataFrame:
+    """Train/test contamination audit: which near-duplicate pairs
+    STRADDLE the per-doc train/val/test split?  Composes the LSH
+    pair-finder with :func:`train_split`'s hash rule — the eval-leak
+    check every curation run should close with (a test doc whose
+    near-twin sits in train inflates the eval).
+
+    Per-doc split sides are pure hash expressions on the pair columns
+    (zero joins); recovering each side's ``source`` for the
+    ``grouped_would_leak`` verdict joins the (tiny) verified-pair
+    table to (doc_id, source) twice — candidate pairs, not the
+    corpus, cross the exchange.  ``grouped_would_leak`` applies
+    :func:`grouped_train_split`'s group-hash rule to both sources:
+    same-source duplicate pairs (the common case — mirrors, reposts,
+    boilerplate within a domain) can never straddle the grouped
+    split, so the False rows quantify exactly how much leakage the
+    provenance-hashed split closes; the residual True rows are
+    cross-source duplicates, which only dedup (not split design)
+    can fix."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(docs, threshold=threshold)
+
+    def side(c: str) -> Column:
+        # the ONE split rule, applied to a pair column — doc ids get
+        # train_split's assignment, sources grouped_train_split's
+        return _split_expr(_hash_prefix(F.col(c).cast("string"), salt))
+
+    ids = docs.select("doc_id", "source")
+    crossing = (
+        pairs.withColumn("split_a", side("doc_a"))
+        .withColumn("split_b", side("doc_b"))
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return (
+        crossing.join(
+            ids.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            ids.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "split_a",
+            "split_b",
+            (side("src_a") != side("src_b")).alias("grouped_would_leak"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     """Corpus vocabulary: top-k tokens by total occurrences (ties →
     lexicographic), with document frequency — the tokenizer-training /
