@@ -1036,6 +1036,104 @@ def _q_doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XP.split_leakage(XD.documents_neardup(spark, sf_dir))
 
 
+def _q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout + 2-D box query
+    (functions/zorder.py): writes lineitem Morton-clustered on
+    (l_partkey, l_suppkey), then answers the box via driver-derived
+    covering-cell partition pruning + pushed min/max row-group
+    pruning.  The DuckDB twin queries the UNCLUSTERED table — the
+    layout must be invisible in the results (pruning correctness,
+    not just pruning speed)."""
+    from trade_data_collection_service_spark.functions.zorder import (
+        write_zordered,
+        zorder_range_query,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+    )
+    path = _scratch_dir("zorder-") + "/li"
+    write_zordered(li, path, "l_partkey", "l_suppkey")
+    out = zorder_range_query(spark, path, (40, 159), (2, 15))
+    return (
+        out.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q_doc_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter, the MODEL: 5 full-batch GD steps of
+    hard-sigmoid logistic regression run as engine aggregates
+    (ext/lr.py) — the DuckDB twin replays the identical trajectory
+    as 5 chained CTEs, so the hash match proves the distributed
+    training loop step-for-step."""
+    from trade_data_collection_service_spark.ext.lr import (
+        quality_lr_weights,
+    )
+
+    return quality_lr_weights(spark, sf_dir)
+
+
+def _q_doc_quality_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter, the SERVE path: score every doc with
+    the learned weights (map-only once trained)."""
+    from trade_data_collection_service_spark.ext.lr import (
+        quality_lr_scores,
+    )
+
+    return quality_lr_scores(spark, sf_dir)
+
+
+def _q_doc_quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter, the EVAL: confusion counts + accuracy/
+    precision/recall against the training labels."""
+    from trade_data_collection_service_spark.ext.lr import quality_lr_eval
+
+    return quality_lr_eval(spark, sf_dir)
+
+
+def _q_bloom_semijoin_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (functions/bloom.py): lineitem
+    pre-filtered map-side by a Bloom built from a selective supplier
+    subset, then exactly joined — the DuckDB twin is the PLAIN join,
+    so a single false negative (a dropped true match) would flip the
+    hash.  Revenue uses the decimal-exact per-row-round idiom
+    (ext/tpch.py q6)."""
+    from trade_data_collection_service_spark.functions.bloom import (
+        bloom_semijoin,
+    )
+
+    fact = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_nationkey") % 5 == 3)
+        .select("s_suppkey")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    return (
+        bloom_semijoin(fact, dim, "l_suppkey", "s_suppkey")
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def _q_doc_neardup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.neardup_quality(spark, sf_dir)
 
@@ -1836,6 +1934,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_normalized": _q_doc_dedup_normalized,
         "doc_source_cap": _q_doc_source_cap,
         "doc_split_leakage": _q_doc_split_leakage,
+        "zorder_range_scan": _q_zorder_range_scan,
+        "bloom_semijoin_scan": _q_bloom_semijoin_scan,
+        "doc_quality_lr": _q_doc_quality_lr,
+        "doc_quality_lr_scores": _q_doc_quality_lr_scores,
+        "doc_quality_lr_eval": _q_doc_quality_lr_eval,
     }
 
 
@@ -1890,6 +1993,58 @@ def _split_case_sql(key: str) -> str:
         f"CASE WHEN {p} < '0a' THEN 'test'"
         f" WHEN {p} < '14' THEN 'val' ELSE 'train' END"
     )
+
+
+def _lr_sql(iters: int = 20, lr: float = 4.0, tau: float = 0.75) -> dict:
+    """DuckDB twin of ext/lr.py's GD trajectory: the same feature
+    CTE, then one CTE per gradient step chaining the previous step's
+    weights.  Every expression mirrors the Spark op ORDER exactly
+    (left-assoc dot product, least-then-greatest hard sigmoid,
+    12-dp-rounded DECIMAL(20,12) gradient sums, round-12 update) —
+    that is what makes an iterative TRAINING loop hash-checkable.
+    Returns the shared CTE prefix plus the final-scoring sigma
+    expression (over ``feats CROSS JOIN it{iters} p``)."""
+    quality = """round(0.5 * (len(list_distinct(tokens)) / len(tokens))
+            + 0.3 * (1.0 - (len(list_filter(tokens,
+                              t -> t IN ('the','a'))) / len(tokens)))
+            + 0.2 * (CASE WHEN len(tokens) >= 10 AND len(tokens) <= 10000
+                     THEN 1.0 ELSE 0.0 END), 6)"""
+    ctes = (
+        "WITH "
+        + _TOKS_CTE.format(src="documents")
+        + f"""
+        , feats AS (
+          SELECT doc_id,
+            1.0 AS x0,
+            len(tokens) / 1000.0 AS x1,
+            round(len(list_distinct(tokens)) / len(tokens), 6) AS x2,
+            round(len(list_filter(tokens, t -> t IN ('the','a')))
+              / len(tokens), 6) AS x3,
+            CASE WHEN {quality} >= {tau} THEN 1.0 ELSE 0.0 END AS y
+          FROM toks
+        ), it0 AS (
+          SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3
+        )"""
+    )
+    sig = (
+        "greatest(least(0.25 * ((((p.w0 * x0) + (p.w1 * x1))"
+        " + (p.w2 * x2)) + (p.w3 * x3)) + 0.5, 1.0), 0.0)"
+    )
+    for t in range(1, iters + 1):
+        ws = ",\n            ".join(
+            f"round(p.w{j} - {lr} * (CAST(sum(CAST(round(({sig} - y)"
+            f" * x{j}, 12) AS DECIMAL(20,12))) AS DOUBLE)"
+            f" / count(*)), 12) AS w{j}"
+            for j in range(4)
+        )
+        ctes += f"""
+        , it{t} AS (
+          SELECT
+            {ws}
+          FROM feats CROSS JOIN it{t - 1} p
+          GROUP BY p.w0, p.w1, p.w2, p.w3
+        )"""
+    return {"ctes": ctes, "sig": sig, "last": f"it{iters}"}
 
 
 def _md5_bucket_sql(s: str, n_buckets: int) -> str:
@@ -2662,6 +2817,82 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, quality_score, src_rank
         FROM ranked WHERE src_rank <= 25
         ORDER BY source, src_rank
+        """,
+        # layout-independence contract: the twin queries the RAW
+        # (unclustered) lineitem — z-order must change plans, never
+        # results
+        "zorder_range_scan": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        WHERE l_partkey BETWEEN 40 AND 159
+          AND l_suppkey BETWEEN 2 AND 15
+        GROUP BY 1 ORDER BY 1
+        """,
+        # GD-trained quality filter: the twin replays the identical
+        # 5-step training trajectory (see _lr_sql)
+        "doc_quality_lr": _lr_sql()["ctes"]
+        + f"""
+        SELECT f.feature, f.weight FROM (
+          SELECT 'x0_intercept' AS feature, w0 AS weight
+          FROM {_lr_sql()['last']}
+          UNION ALL SELECT 'x1_kilo_tokens', w1 FROM {_lr_sql()['last']}
+          UNION ALL SELECT 'x2_distinct_ratio', w2
+          FROM {_lr_sql()['last']}
+          UNION ALL SELECT 'x3_stopword_ratio', w3
+          FROM {_lr_sql()['last']}
+        ) f ORDER BY f.feature
+        """,
+        "doc_quality_lr_scores": _lr_sql()["ctes"]
+        + f"""
+        SELECT doc_id,
+               round({_lr_sql()['sig']}, 6) AS lr_score,
+               ({_lr_sql()['sig']} >= 0.5) AS pred_keep,
+               (y >= 0.5) AS label_keep
+        FROM feats CROSS JOIN {_lr_sql()['last']} p
+        ORDER BY doc_id
+        """,
+        "doc_quality_lr_eval": _lr_sql()["ctes"]
+        + f"""
+        , scored AS (
+          SELECT ({_lr_sql()['sig']} >= 0.5) AS pk, (y >= 0.5) AS lk
+          FROM feats CROSS JOIN {_lr_sql()['last']} p
+        ), conf AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN pk AND lk THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN pk AND NOT lk THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN NOT pk AND lk THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fn,
+            CAST(sum(CASE WHEN NOT pk AND NOT lk THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tn
+          FROM scored
+        )
+        SELECT n_docs, tp, fp, fn, tn,
+               round((tp + tn) / CAST(n_docs AS DOUBLE), 6)
+                 AS accuracy,
+               CASE WHEN tp + fp > 0
+                 THEN round(tp / CAST(tp + fp AS DOUBLE), 6)
+               END AS precision,
+               CASE WHEN tp + fn > 0
+                 THEN round(tp / CAST(tp + fn AS DOUBLE), 6)
+               END AS recall
+        FROM conf
+        """,
+        # the twin is the PLAIN join — the Bloom pre-filter must be
+        # invisible in results (false positives re-verified, no
+        # false negatives by construction)
+        "bloom_semijoin_scan": """
+        SELECT s_suppkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount),
+                 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey % 5 = 3
+        GROUP BY 1 ORDER BY 1
         """,
         "doc_split_leakage": XD.DOCS_NEARDUP_CTE
         + _LSH_CTES

@@ -1,0 +1,184 @@
+"""Trainable quality filter: full-batch gradient-descent logistic
+regression, trained INSIDE the engine with data-parallel gradients —
+the learned upgrade to the heuristic quality threshold (CCNet/GPT-3
+style "quality classifier" curation, distilled to its Spark shape).
+
+Scale shape — the textbook data-parallel GD:
+- each step is ONE map-side-combined aggregate over the feature
+  table (4 decimal gradient sums + a count); nothing but those 5
+  scalars ever reaches the driver;
+- the driver holds the weight vector (dimension-sized) between
+  steps — there is no per-row state, no collect of data;
+- the feature projection is computed once and localCheckpointed;
+  ``iters`` steps = ``iters`` scans of a 5-column table (at 100 TB
+  you'd persist the projection to scratch parquet, exactly the
+  minhash_lsh_pairs ``scratch_path`` pattern).
+
+Cross-engine exactness (what lets a DuckDB twin replay the IDENTICAL
+training trajectory CTE-for-CTE, oracle-hash-checked):
+- **hard sigmoid** σ̂(z) = clamp(z/4 + 0.5, 0, 1) instead of
+  1/(1+exp(−z)): exp() is libm and its final ulp differs across
+  engines; the hard sigmoid is piecewise-rational, so every op is
+  IEEE-deterministic.  (It is also a legitimate logistic surrogate —
+  the quantized/hardware-friendly variant.)
+- per-row gradient contributions rounded to 12 dp and summed as
+  DECIMAL(20,12) — the temperature_mixture_weights idiom, so the
+  gradient SUM is engine-exact regardless of row order;
+- the weight update runs as a Spark ``round(…, 12)`` expression
+  INSIDE the aggregate (never Python's banker-rounding ``round``),
+  matching DuckDB's round half-away-from-zero;
+- features reuse quality_of's 6-dp-rounded ratios, already
+  oracle-proven expressions.
+
+The label is self-supervised for the oracle fixture: y = 1 when the
+heuristic quality score clears ``tau`` — in production you'd swap in
+human/LLM labels; the training machinery is label-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trade_data_collection_service_spark.ext.text import quality_of
+
+FEATURE_NAMES = (
+    "x0_intercept",
+    "x1_kilo_tokens",
+    "x2_distinct_ratio",
+    "x3_stopword_ratio",
+)
+DEFAULT_TAU = 0.75
+# chosen so the hard-sigmoid model genuinely separates the fixture
+# (tp>0 with clean precision) — see docs/COVERAGE.md r11 notes
+DEFAULT_LR = 4.0
+DEFAULT_ITERS = 20
+
+
+def lr_features(docs: DataFrame, tau: float = DEFAULT_TAU) -> DataFrame:
+    """(doc_id, x0..x3, y): intercept, tokens/1000, the two 6-dp
+    quality ratios, and the self-supervised label."""
+    q = quality_of(docs)
+    return q.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        (F.col("n_tokens") / F.lit(1000.0)).alias("x1"),
+        F.col("distinct_ratio").alias("x2"),
+        F.col("stopword_ratio").alias("x3"),
+        F.when(F.col("quality_score") >= tau, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
+def _sigma_hat(z):
+    # hard sigmoid: clamp(z/4 + 0.5, 0, 1) — least-then-greatest, the
+    # exact op order the SQL twin mirrors
+    return F.greatest(
+        F.least(F.lit(0.25) * z + F.lit(0.5), F.lit(1.0)), F.lit(0.0)
+    )
+
+
+def train_quality_lr(
+    docs: DataFrame,
+    iters: int = DEFAULT_ITERS,
+    lr: float = DEFAULT_LR,
+    tau: float = DEFAULT_TAU,
+) -> list[float]:
+    """``iters`` full-batch GD steps; returns the weight vector.
+    w ← round(w − lr · Σround((σ̂(w·x)−y)·xj, 12) / n, 12), the sum
+    decimal-exact, the update evaluated JVM-side."""
+    feats = lr_features(docs, tau).localCheckpoint(eager=False)
+    xs = [F.col(f"x{j}") for j in range(4)]
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(iters):
+        z = (
+            (F.lit(w[0]) * xs[0] + F.lit(w[1]) * xs[1])
+            + F.lit(w[2]) * xs[2]
+        ) + F.lit(w[3]) * xs[3]
+        err = _sigma_hat(z) - F.col("y")
+        updates = [
+            F.round(
+                F.lit(w[j])
+                - F.lit(lr)
+                * (
+                    F.sum(
+                        F.round(err * xs[j], 12).cast("decimal(20,12)")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                12,
+            ).alias(f"w{j}")
+            for j in range(4)
+        ]
+        row = feats.agg(*updates).collect()[0]
+        w = [row[f"w{j}"] for j in range(4)]
+    return w
+
+
+def _scored(docs: DataFrame, w: list[float], tau: float) -> DataFrame:
+    feats = lr_features(docs, tau)
+    xs = [F.col(f"x{j}") for j in range(4)]
+    z = (
+        (F.lit(w[0]) * xs[0] + F.lit(w[1]) * xs[1]) + F.lit(w[2]) * xs[2]
+    ) + F.lit(w[3]) * xs[3]
+    p = _sigma_hat(z)
+    return feats.select(
+        "doc_id",
+        F.round(p, 6).alias("lr_score"),
+        (p >= F.lit(0.5)).alias("pred_keep"),
+        (F.col("y") >= F.lit(0.5)).alias("label_keep"),
+    )
+
+
+def quality_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train on the documents table; one row per learned weight."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = train_quality_lr(docs)
+    return spark.createDataFrame(
+        list(zip(FEATURE_NAMES, w)), "feature string, weight double"
+    ).orderBy("feature")
+
+
+def quality_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train, then score every doc with the learned model: the
+    serve-side of the trained filter (one map-only pass once the
+    weights exist)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = train_quality_lr(docs)
+    return _scored(docs, w, DEFAULT_TAU).orderBy("doc_id")
+
+
+def quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts + accuracy/precision/recall of the trained
+    filter against its labels — one aggregate over the scored table
+    (the classifier twin of doc_neardup_curve's tuning readout)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = train_quality_lr(docs)
+    s = _scored(docs, w, DEFAULT_TAU)
+    tp = F.sum((F.col("pred_keep") & F.col("label_keep")).cast("long"))
+    fp = F.sum(
+        (F.col("pred_keep") & ~F.col("label_keep")).cast("long")
+    )
+    fn = F.sum(
+        (~F.col("pred_keep") & F.col("label_keep")).cast("long")
+    )
+    tn = F.sum(
+        (~F.col("pred_keep") & ~F.col("label_keep")).cast("long")
+    )
+    return s.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        tn.alias("tn"),
+        F.round(
+            (tp + tn) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("accuracy"),
+        F.when(
+            (tp + fp) > 0, F.round(tp / (tp + fp).cast("double"), 6)
+        ).alias("precision"),
+        F.when(
+            (tp + fn) > 0, F.round(tp / (tp + fn).cast("double"), 6)
+        ).alias("recall"),
+    )
