@@ -1650,23 +1650,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # r12 ROTATION PLAN (write _R12_WINDOW next round): first, anything
-# r12 changes; then the 25 entries whose driver evidence stays r8 —
-# the displaced tail of the r8-vintage block (recent_topn,
-# symbol_filter, readme_window, freshness, listing_diff, gap_filled,
-# gap_filled_ffill, sma_20, vwap_daily, price_percentiles,
-# price_bands, gap_missing_count, gap_islands, backfill_plan,
-# validate_quarantine, doc_chunks, doc_token_cms, tpch_q17, tpch_q21,
-# tpch_q8, tpch_q13, tpch_q15, candles_1m, dedup_latest, rollup_5m —
-# displaced by the late hash5/BM25-ledger/retrieval-eval waves;
-# RECOMPUTE this list as CORRECTNESS_r08 minus r09/r10/r11 keys
-# before trusting it; hand-edits drifted twice in r10); fill the
-# remaining ~25 slots with the oldest r9-vintage entries per
-# CORRECTNESS_r09 minus r10/r11 keys, in recorded order.  After r11
-# the evidence ledger is 50 r11 / 47 r10 / 48 r9 / 25 r8 / 0 never
-# (170 entries; ema_20 + macd + the 13 tpch displacees + 23
-# r8-vintage re-proved this round move r8's count from 50 to 25, and
-# the three touched r10-window entries move their evidence forward,
-# which is why r10 drops to 47).
+# r12 changes; then the 33 entries whose driver evidence stays r8 —
+# the 8 entries the r11 second wave displaced from this window's
+# tail (volume_bars, event_sessions, asof_price, repair_window,
+# minmax_window, count_distinct_window, latest_per_symbol,
+# distinct_pairs) followed by the 25 never-rotated r8-vintage
+# entries (recent_topn … rollup_5m, recorded order); RECOMPUTE the
+# list as CORRECTNESS_r08 minus r09/r10/r11 keys before trusting it
+# (hand-edits drifted twice in r10); fill any remaining slots with
+# the oldest r9-vintage entries per CORRECTNESS_r09 minus r10/r11
+# keys, in recorded order.  After r11 the evidence ledger is
+# 50 r11 / 47 r10 / 48 r9 / 33 r8 / 0 never (178 entries; the
+# second-wave additions claim 8 window slots, so 8 of the r8-vintage
+# tail wait one more round — they lead the r12 list above).
 #
 # r11 driver window (VERDICT r10 #2, computed EXACTLY per the
 # committed r10 plan comment — recomputed from the CORRECTNESS_r*
@@ -1677,12 +1673,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # displacees (CORRECTNESS_r07 minus r08/r09/r10 keys, recorded
 # order), ema_20 + macd_12_26_9 (r8-vintage since r9), then the
 # oldest r8-vintage entries (CORRECTNESS_r08 minus r09/r10 keys,
-# recorded order) to exactly 50.
+# recorded order) to exactly 50.  The r11 SECOND wave (8 new
+# oracle entries) then claimed the window's first 8 slots,
+# displacing the last 8 r8-vintage fillers to the r12 plan below.
 # The full 170-entry surface is swept locally via
 # tools/check_oracle.py at sf0.01 and sf0.1 each round
 # (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
 # is a budget cap, not the evidence.
 _R11_WINDOW = [
+    # r11 second wave (newest first): curation compositions, layout/
+    # join scale features, trained quality filter
+    "doc_dedup_normalized",
+    "doc_source_cap",
+    "doc_split_leakage",
+    "zorder_range_scan",
+    "bloom_semijoin_scan",
+    "doc_quality_lr",
+    "doc_quality_lr_scores",
+    "doc_quality_lr_eval",
     "emb_hybrid_indexed_rrf",
     "doc_lm_score_hash4",
     "doc_lm_score_hash5",
@@ -1725,14 +1733,6 @@ _R11_WINDOW = [
     "atr_14",
     "watchdog_cycle",
     "asof_price_forward",
-    "volume_bars",
-    "event_sessions",
-    "asof_price",
-    "repair_window",
-    "minmax_window",
-    "count_distinct_window",
-    "latest_per_symbol",
-    "distinct_pairs",
 ]
 
 

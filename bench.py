@@ -162,6 +162,15 @@ def headline_queries():
         "emb_hybrid_rrf",
         "doc_temperature_mix",
         "doc_bm25_indexed_topk",
+        # round-11 second wave: curation compositions, layout/join
+        # scale features, and the GD-trained quality filter (the
+        # eval entry runs the full train+score+confusion composition)
+        "doc_dedup_normalized",
+        "doc_source_cap",
+        "doc_split_leakage",
+        "zorder_range_scan",
+        "bloom_semijoin_scan",
+        "doc_quality_lr_eval",
     ):
         if name in q:
             out[name] = q[name]
@@ -344,6 +353,94 @@ def skew_join_queries():
         return _agg(salted_join(left, right, ["k"], salt=8))
 
     return {"skew_join_plain": plain, "skew_join_salted": salted}
+
+
+def bloom_join_queries():
+    """Bloom semi-join reduction pair (functions/bloom.py): the same
+    selective fact⋈dim + aggregate, plain vs Bloom-prefiltered, both
+    merge-hinted so the measurement is the sort-merge-join shape the
+    pre-filter exists for (a broadcast join would filter for free and
+    hide the claim).  Identical result; the delta is the shuffle the
+    Bloom filter deleted.  The filter is built ONCE and reused (a
+    dim's Bloom is as reusable as its broadcast — the serving shape);
+    building inline costs two dim-sized jobs, which at bench scale
+    would dominate the tiny fact shuffle it deletes."""
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.functions.bloom import (
+        bloom_build,
+        bloom_semijoin,
+    )
+
+    def _frames(spark, sf_dir):
+        fact = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_suppkey", "l_extendedprice"
+        )
+        dim = (
+            spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .filter(F.col("s_nationkey") % 5 == 3)
+            .select("s_suppkey")
+            .hint("merge")
+        )
+        return fact, dim
+
+    def _agg(joined):
+        v = F.round(F.col("l_extendedprice"), 2).cast("decimal(38,2)")
+        return joined.groupBy().agg(
+            F.sum(v).alias("s"), F.count(F.lit(1)).alias("n")
+        )
+
+    def plain(spark, sf_dir):
+        fact, dim = _frames(spark, sf_dir)
+        return _agg(
+            fact.join(dim, fact["l_suppkey"] == dim["s_suppkey"])
+        )
+
+    built = {}
+
+    def bloomed(spark, sf_dir):
+        fact, dim = _frames(spark, sf_dir)
+        if sf_dir not in built:
+            built[sf_dir] = bloom_build(dim, "s_suppkey")
+        return _agg(
+            bloom_semijoin(
+                fact, dim, "l_suppkey", "s_suppkey", bloom=built[sf_dir]
+            )
+        )
+
+    return {"bloom_join_plain": plain, "bloom_join_bloomed": bloomed}
+
+
+def run_bloom_bytes(spark, sf_dir: str) -> dict | None:
+    """The Bloom semi-join claim as a number: shuffle-write bytes of
+    the plain vs pre-filtered merge join (bloom_join_queries pair,
+    filter pre-built outside the measurement).  Wall time at bench
+    scale is a wash — the deleted shuffle is tiny here — so the
+    BYTES ratio is the honest evidence that the reduction scales
+    with the fact, not the host."""
+    pair = bloom_join_queries()
+    out: dict = {}
+    for label, name in (
+        ("plain", "bloom_join_plain"),
+        ("bloomed", "bloom_join_bloomed"),
+    ):
+        fn = pair[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        b0 = _shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        b1 = _shuffle_write_bytes(spark)
+        delta = b1 - b0 if (b0 is not None and b1 is not None) else None
+        out[label] = {
+            "wall_sec": round(wall, 4),
+            "shuffle_bytes": delta if delta and delta > 0 else None,
+        }
+    pb = out["plain"]["shuffle_bytes"]
+    bb = out["bloomed"]["shuffle_bytes"]
+    if pb and bb:
+        out["bytes_ratio"] = round(bb / pb, 4)
+    return out
 
 
 def run_streaming(spark, sf_dir: str):
@@ -1073,6 +1170,7 @@ def main() -> None:
         **headline_queries(),
         **steady_state_queries(cleanup),
         **skew_join_queries(),
+        **bloom_join_queries(),
     }
     for name, fn in suite.items():
         try:
@@ -1246,6 +1344,12 @@ def main() -> None:
             spans_gram = run_spans_gram_bytes(spark, sf_dir)
         except Exception as e:  # pragma: no cover
             print(f"bench spans gram bytes failed: {e}", file=sys.stderr)
+    bloom_bytes = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SPANSBYTES") != "1":
+        try:
+            bloom_bytes = run_bloom_bytes(spark, sf_dir)
+        except Exception as e:  # pragma: no cover
+            print(f"bench bloom bytes failed: {e}", file=sys.stderr)
     result = {
         "metric": "headline-suite wall time (warm, noop-sink)",
         "value": total,
@@ -1261,6 +1365,7 @@ def main() -> None:
         "value_host_normalized": value_host_normalized,
         "re_measured": re_measured,
         "spans_gram_shuffle": spans_gram,
+        "bloom_join_shuffle": bloom_bytes,
         "bpe_train": bpe,
         "bpe_encode": bpe_enc,
         "doc_ingest": ingest,
