@@ -1071,10 +1071,10 @@ def _q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained quality filter, the MODEL: 5 full-batch GD steps of
+    """Trained quality filter, the MODEL: 20 full-batch GD steps of
     hard-sigmoid logistic regression run as engine aggregates
     (ext/lr.py) — the DuckDB twin replays the identical trajectory
-    as 5 chained CTEs, so the hash match proves the distributed
+    as 20 chained CTEs, so the hash match proves the distributed
     training loop step-for-step."""
     from trade_data_collection_service_spark.ext.lr import (
         quality_lr_weights,
@@ -1676,7 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # recorded order) to exactly 50.  The r11 SECOND wave (8 new
 # oracle entries) then claimed the window's first 8 slots,
 # displacing the last 8 r8-vintage fillers to the r12 plan below.
-# The full 170-entry surface is swept locally via
+# The full 178-entry surface is swept locally via
 # tools/check_oracle.py at sf0.01 and sf0.1 each round
 # (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
 # is a budget cap, not the evidence.
@@ -2501,6 +2501,9 @@ def _pq_ctes(
 
 
 def oracle_sql() -> dict[str, str]:
+    # the 20-CTE LR training trajectory is built ONCE per call, not
+    # once per f-string reference (review finding)
+    lrq = _lr_sql()
     sql = {
         # --- general relational surface ---
         "tpch_q1": """
@@ -2832,33 +2835,33 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1 ORDER BY 1
         """,
         # GD-trained quality filter: the twin replays the identical
-        # 5-step training trajectory (see _lr_sql)
-        "doc_quality_lr": _lr_sql()["ctes"]
+        # 20-step training trajectory (see _lr_sql)
+        "doc_quality_lr": lrq["ctes"]
         + f"""
         SELECT f.feature, f.weight FROM (
           SELECT 'x0_intercept' AS feature, w0 AS weight
-          FROM {_lr_sql()['last']}
-          UNION ALL SELECT 'x1_kilo_tokens', w1 FROM {_lr_sql()['last']}
+          FROM {lrq['last']}
+          UNION ALL SELECT 'x1_kilo_tokens', w1 FROM {lrq['last']}
           UNION ALL SELECT 'x2_distinct_ratio', w2
-          FROM {_lr_sql()['last']}
+          FROM {lrq['last']}
           UNION ALL SELECT 'x3_stopword_ratio', w3
-          FROM {_lr_sql()['last']}
+          FROM {lrq['last']}
         ) f ORDER BY f.feature
         """,
-        "doc_quality_lr_scores": _lr_sql()["ctes"]
+        "doc_quality_lr_scores": lrq["ctes"]
         + f"""
         SELECT doc_id,
-               round({_lr_sql()['sig']}, 6) AS lr_score,
-               ({_lr_sql()['sig']} >= 0.5) AS pred_keep,
+               round({lrq['sig']}, 6) AS lr_score,
+               ({lrq['sig']} >= 0.5) AS pred_keep,
                (y >= 0.5) AS label_keep
-        FROM feats CROSS JOIN {_lr_sql()['last']} p
+        FROM feats CROSS JOIN {lrq['last']} p
         ORDER BY doc_id
         """,
-        "doc_quality_lr_eval": _lr_sql()["ctes"]
+        "doc_quality_lr_eval": lrq["ctes"]
         + f"""
         , scored AS (
-          SELECT ({_lr_sql()['sig']} >= 0.5) AS pk, (y >= 0.5) AS lk
-          FROM feats CROSS JOIN {_lr_sql()['last']} p
+          SELECT ({lrq['sig']} >= 0.5) AS pk, (y >= 0.5) AS lk
+          FROM feats CROSS JOIN {lrq['last']} p
         ), conf AS (
           SELECT CAST(count(*) AS BIGINT) AS n_docs,
             CAST(sum(CASE WHEN pk AND lk THEN 1 ELSE 0 END)

@@ -1345,7 +1345,7 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             print(f"bench spans gram bytes failed: {e}", file=sys.stderr)
     bloom_bytes = None
-    if os.environ.get("SPARK_GRAFT_SKIP_SPANSBYTES") != "1":
+    if os.environ.get("SPARK_GRAFT_SKIP_BLOOMBYTES") != "1":
         try:
             bloom_bytes = run_bloom_bytes(spark, sf_dir)
         except Exception as e:  # pragma: no cover

@@ -111,3 +111,24 @@ def test_prefilter_stays_jvm_side(fact_dim):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan  # literal path: pure codegen
+
+
+def test_cross_type_keys_no_false_negatives(spark):
+    """xxhash64 hashes by physical type (int 7 != bigint 7), so the
+    probe must cast to the build side's type — a mismatch would drop
+    TRUE matches map-side, the one failure a Bloom pre-filter must
+    never have (review finding, fixed in BloomFilter.positions)."""
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k")  # bigint build side
+    )
+    fact = spark.createDataFrame(
+        [(i,) for i in range(100)], "k_int int"  # int probe side
+    )
+    bloom = bloom_build(dim, "k")
+    kept = {
+        r["k_int"]
+        for r in fact.filter(
+            bloom.might_contain(F.col("k_int"))
+        ).collect()
+    }
+    assert set(range(50)) <= kept

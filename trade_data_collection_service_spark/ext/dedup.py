@@ -84,7 +84,7 @@ WITH docs AS (
   FROM documents WHERE doc_id % 10 = 0
   UNION ALL
   SELECT doc_id + 4000000, replace(text, ' ', ', '), lang, source,
-         n_chars
+         CAST(length(replace(text, ' ', ', ')) AS BIGINT)
   FROM documents WHERE doc_id % 25 = 0
 )
 """
@@ -105,6 +105,9 @@ def documents_normdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 25 == 0)
         .withColumn("doc_id", F.col("doc_id") + 4000000)
         .withColumn("text", F.regexp_replace("text", " ", ", "))
+        # keep the n_chars invariant (n_chars == length(text)) true
+        # for the injected commas too, not just the cased variant
+        .withColumn("n_chars", F.length("text").cast("long"))
     )
     return d.unionByName(cased).unionByName(punct)
 

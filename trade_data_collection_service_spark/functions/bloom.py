@@ -56,19 +56,28 @@ def _one() -> Column:
 
 
 class BloomFilter:
-    """m bits in m/64 longs + k seeds.  Plain driver object — build
-    once per dim, reuse across any number of fact filters."""
+    """m bits in m/64 longs + k seeds + the build-side key type.
+    Plain driver object — build once per dim, reuse across any
+    number of fact filters."""
 
-    def __init__(self, m: int, k: int, words: list[int]):
+    def __init__(self, m: int, k: int, words: list[int], key_type: str):
         assert m % 64 == 0 and len(words) == m // 64
         self.m, self.k, self.words = m, k, words
+        self.key_type = key_type
 
     def positions(self, key: Column) -> list[Column]:
         """The k probe lanes: xxhash64(seed-token, key) mod m —
         JVM-side, shared verbatim by build and BOTH membership
-        paths (pmod keeps lanes non-negative)."""
+        paths (pmod keeps lanes non-negative).  The probe key is
+        CAST to the build side's type first: xxhash64 hashes by
+        physical type (int 7 and bigint 7 hash differently), and a
+        type-mismatched probe would silently drop TRUE matches —
+        the one failure mode a Bloom pre-filter must never have."""
         return [
-            F.pmod(F.xxhash64(F.lit(s), key), F.lit(self.m))
+            F.pmod(
+                F.xxhash64(F.lit(s), key.cast(self.key_type)),
+                F.lit(self.m),
+            )
             for s in range(self.k)
         ]
 
@@ -103,11 +112,19 @@ class BloomFilter:
         from pyspark.sql.types import BooleanType
 
         sc = df.sparkSession.sparkContext
-        bc = sc.broadcast(np.array(self.words, dtype=np.uint64))
+        # words carry bit 63 (negative as JVM longs): view the int64
+        # bit pattern as uint64 — a direct uint64 conversion of a
+        # negative Python int is rejected by numpy >= 2.0
+        bc = sc.broadcast(
+            np.array(self.words, dtype=np.int64).view(np.uint64)
+        )
 
         @F.pandas_udf(BooleanType())
         def member(pos: pd.Series) -> pd.Series:
             words = bc.value
+            if not len(pos):
+                return pd.Series([], dtype=bool)
+            # positions are pmod-non-negative longs: safe as uint64
             mat = np.array(pos.tolist(), dtype=np.uint64)  # (n, k)
             hit = (
                 words[(mat >> np.uint64(6)).astype(np.int64)]
@@ -137,7 +154,8 @@ def bloom_build(
             f"bloom of {n} keys needs m={m} bits > {BLOOM_MAX_BITS}; "
             "pass large_ok=True and probe with might_contain_pandas"
         )
-    probe = BloomFilter(m, k, [0] * (m // 64))
+    key_type = dict(dim.dtypes)[key]
+    probe = BloomFilter(m, k, [0] * (m // 64), key_type)
     rows = (
         dim.select(F.col(key)).na.drop()
         .select(
@@ -156,7 +174,7 @@ def bloom_build(
     words = [0] * (m // 64)
     for r in rows:
         words[r["w"]] = r["bits"]
-    return BloomFilter(m, k, words)
+    return BloomFilter(m, k, words, key_type)
 
 
 def bloom_semijoin(
