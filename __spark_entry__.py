@@ -1101,6 +1101,25 @@ def _q_doc_quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_lr_eval(spark, sf_dir)
 
 
+def _q_doc_lr_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter composed INTO the pipeline
+    (ext/lr.py::quality_lr_filter): importance-sample with the
+    learned score as keep-probability, per-source keep report —
+    the learned analog of doc_importance_sample."""
+    from trade_data_collection_service_spark.ext.lr import (
+        quality_lr_filter,
+    )
+
+    return quality_lr_filter(spark, sf_dir)
+
+
+def _q_doc_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate flow matrix (ext/dedup.py::dup_flow):
+    verified near-dup pairs by unordered source pair — the
+    provenance readout behind per-domain dedup policy."""
+    return XD.dup_flow(XD.documents_neardup(spark, sf_dir))
+
+
 def _q_bloom_semijoin_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join reduction (functions/bloom.py): lineitem
     pre-filtered map-side by a Bloom built from a selective supplier
@@ -1650,19 +1669,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # r12 ROTATION PLAN (write _R12_WINDOW next round): first, anything
-# r12 changes; then the 33 entries whose driver evidence stays r8 —
-# the 8 entries the r11 second wave displaced from this window's
+# r12 changes; then the 35 entries whose driver evidence stays r8 —
+# the 10 entries the r11 second wave displaced from this window's
 # tail (volume_bars, event_sessions, asof_price, repair_window,
 # minmax_window, count_distinct_window, latest_per_symbol,
-# distinct_pairs) followed by the 25 never-rotated r8-vintage
-# entries (recent_topn … rollup_5m, recorded order); RECOMPUTE the
-# list as CORRECTNESS_r08 minus r09/r10/r11 keys before trusting it
-# (hand-edits drifted twice in r10); fill any remaining slots with
-# the oldest r9-vintage entries per CORRECTNESS_r09 minus r10/r11
-# keys, in recorded order.  After r11 the evidence ledger is
-# 50 r11 / 47 r10 / 48 r9 / 33 r8 / 0 never (178 entries; the
-# second-wave additions claim 8 window slots, so 8 of the r8-vintage
-# tail wait one more round — they lead the r12 list above).
+# distinct_pairs, watchdog_cycle, asof_price_forward) followed by
+# the 25 never-rotated r8-vintage entries (recent_topn … rollup_5m,
+# recorded order); RECOMPUTE the list as CORRECTNESS_r08 minus
+# r09/r10/r11 keys before trusting it (hand-edits drifted twice in
+# r10); fill any remaining slots with the oldest r9-vintage entries
+# per CORRECTNESS_r09 minus r10/r11 keys, in recorded order.  After
+# r11 the evidence ledger is 50 r11 / 47 r10 / 48 r9 / 35 r8 /
+# 0 never (180 entries; the second-wave additions claim 10 window
+# slots, so 10 of the r8-vintage tail wait one more round — they
+# lead the r12 list above).
 #
 # r11 driver window (VERDICT r10 #2, computed EXACTLY per the
 # committed r10 plan comment — recomputed from the CORRECTNESS_r*
@@ -1676,13 +1696,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # recorded order) to exactly 50.  The r11 SECOND wave (8 new
 # oracle entries) then claimed the window's first 8 slots,
 # displacing the last 8 r8-vintage fillers to the r12 plan below.
-# The full 178-entry surface is swept locally via
+# The full 180-entry surface is swept locally via
 # tools/check_oracle.py at sf0.01 and sf0.1 each round
 # (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
 # is a budget cap, not the evidence.
 _R11_WINDOW = [
     # r11 second wave (newest first): curation compositions, layout/
     # join scale features, trained quality filter
+    "doc_lr_filtered",
+    "doc_dup_flow",
     "doc_dedup_normalized",
     "doc_source_cap",
     "doc_split_leakage",
@@ -1731,8 +1753,6 @@ _R11_WINDOW = [
     "bollinger_20",
     "daily_volatility",
     "atr_14",
-    "watchdog_cycle",
-    "asof_price_forward",
 ]
 
 
@@ -1939,6 +1959,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_lr": _q_doc_quality_lr,
         "doc_quality_lr_scores": _q_doc_quality_lr_scores,
         "doc_quality_lr_eval": _q_doc_quality_lr_eval,
+        "doc_lr_filtered": _q_doc_lr_filtered,
+        "doc_dup_flow": _q_doc_dup_flow,
     }
 
 
@@ -2884,6 +2906,57 @@ def oracle_sql() -> dict[str, str]:
                  THEN round(tp / CAST(tp + fn AS DOUBLE), 6)
                END AS recall
         FROM conf
+        """,
+        # the learned filter composed into the sampler: lr CTEs + the
+        # shared md5 coin (salt lr-imp-v1), per-source keep report
+        "doc_lr_filtered": lrq["ctes"]
+        + f"""
+        , kept AS (
+          SELECT f.doc_id,
+                 round({lrq['sig']}, 6) AS lr_score,
+                 list_sum(list_transform(range(1, 9),
+                   i -> (strpos('0123456789abcdef',
+                          substr(md5('lr-imp-v1|'
+                                 || CAST(f.doc_id AS VARCHAR)),
+                                 CAST(i AS INTEGER), 1)) - 1)
+                        * (16.0 ** (8 - i)))) / 4294967296.0 AS u
+          FROM feats f CROSS JOIN {lrq['last']} p
+        ), agg AS (
+          SELECT d.source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN k.u < least(greatest(k.lr_score,
+                        0.0), 1.0) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 sum(CAST(k.lr_score AS DECIMAL(18,6))) AS s
+          FROM kept k JOIN documents d USING (doc_id)
+          GROUP BY 1
+        )
+        SELECT source, n_docs, n_kept,
+               n_kept / CAST(n_docs AS DOUBLE) AS kept_rate,
+               CAST(s AS DOUBLE) / n_docs AS mean_score
+        FROM agg ORDER BY source
+        """,
+        # provenance flow matrix over the verified LSH pairs
+        "doc_dup_flow": XD.DOCS_NEARDUP_CTE
+        + _LSH_CTES
+        + """
+        , pairs AS (
+          SELECT doc_a, doc_b, jaccard FROM verified
+          WHERE jaccard >= 0.5
+        ), sided AS (
+          SELECT p.jaccard, sa.source AS sa, sb.source AS sb
+          FROM pairs p
+          JOIN docs sa ON sa.doc_id = p.doc_a
+          JOIN docs sb ON sb.doc_id = p.doc_b
+        ), agg AS (
+          SELECT least(sa, sb) AS src_lo, greatest(sa, sb) AS src_hi,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 sum(CAST(jaccard AS DECIMAL(18,6))) AS s
+          FROM sided GROUP BY 1, 2
+        )
+        SELECT src_lo, src_hi, n_pairs,
+               CAST(s AS DOUBLE) / n_pairs AS mean_jaccard
+        FROM agg ORDER BY src_lo, src_hi
         """,
         # the twin is the PLAIN join — the Bloom pre-filter must be
         # invisible in results (false positives re-verified, no

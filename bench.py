@@ -171,6 +171,8 @@ def headline_queries():
         "zorder_range_scan",
         "bloom_semijoin_scan",
         "doc_quality_lr_eval",
+        "doc_lr_filtered",
+        "doc_dup_flow",
     ):
         if name in q:
             out[name] = q[name]

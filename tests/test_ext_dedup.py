@@ -1436,3 +1436,24 @@ def test_fold_keeps_protected_batch_replayable_on_cross_dupes(
     ).collect()
     hits = [r for r in pairs if r["stored_id"] == 9_000_001]
     assert len(hits) == 1 and abs(hits[0]["jaccard"] - 1.0) < 1e-9
+
+
+def test_dup_flow_matrix_accounts_for_every_pair(spark, sf_dir):
+    """The flow matrix is an unordered-source-pair partition of the
+    verified pair set: cell counts sum to the pair count, the planted
+    duplicates dominate the diagonal (same-source), and the key is
+    canonical (src_lo <= src_hi)."""
+    from trade_data_collection_service_spark.ext import dedup as XD
+
+    docs = XD.documents_neardup(spark, sf_dir)
+    pairs = XD.minhash_lsh_pairs(docs)
+    flow = XD.dup_flow(docs).collect()
+    assert flow
+    assert sum(r["n_pairs"] for r in flow) == pairs.count()
+    assert all(r["src_lo"] <= r["src_hi"] for r in flow)
+    diag = sum(r["n_pairs"] for r in flow if r["src_lo"] == r["src_hi"])
+    # the planted twins copy their original's source, so the
+    # diagonal holds at least those pairs
+    assert diag >= 1
+    for r in flow:
+        assert 0.0 <= r["mean_jaccard"] <= 1.0

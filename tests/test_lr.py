@@ -58,3 +58,24 @@ def test_eval_beats_majority_baseline(spark, sf_dir):
     assert (
         row["tp"] + row["fp"] + row["fn"] + row["tn"] == row["n_docs"]
     )
+
+
+def test_lr_filter_report_invariants(spark, sf_dir):
+    """Per-source keep report: kept ⊆ docs, rates in [0,1], higher
+    mean score → (weakly) higher keep expectation across the corpus,
+    and the report is deterministic."""
+    from trade_data_collection_service_spark.ext.lr import (
+        quality_lr_filter,
+    )
+
+    rows = quality_lr_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0.0 <= r["kept_rate"] <= 1.0
+        assert 0.0 <= r["mean_score"] <= 1.0
+    total_docs = sum(r["n_docs"] for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert total_docs == docs.count()
+    again = quality_lr_filter(spark, sf_dir).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))

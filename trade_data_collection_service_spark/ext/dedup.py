@@ -1718,3 +1718,48 @@ def incremental_dedup_passages(
         .select("doc_id", "start")
     )
     return _strip(new_docs, _merge_spans(hits, k))
+
+
+def dup_flow(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Cross-source duplicate FLOW matrix: which sources mirror each
+    other?  Verified near-dup pairs grouped by the unordered source
+    pair — the provenance readout behind per-domain dedup policy
+    (a domain pair with heavy flow is a mirror/scraper relationship;
+    heavy diagonal is within-domain boilerplate).
+
+    Source sides come from two pair-table joins (candidates only,
+    never the corpus); the matrix is dimension²-bounded.  Mean
+    Jaccard is decimal-summed over the 6-dp verified scores, so the
+    readout is engine-exact."""
+    pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    ids = docs.select("doc_id", "source")
+    sided = pairs.join(
+        ids.select(
+            F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+        ),
+        "doc_a",
+    ).join(
+        ids.select(
+            F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+        ),
+        "doc_b",
+    )
+    return (
+        sided.groupBy(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("jaccard").cast("decimal(18,6)")).alias("_s"),
+        )
+        .select(
+            "src_lo",
+            "src_hi",
+            "n_pairs",
+            (F.col("_s").cast("double") / F.col("n_pairs")).alias(
+                "mean_jaccard"
+            ),
+        )
+        .orderBy("src_lo", "src_hi")
+    )

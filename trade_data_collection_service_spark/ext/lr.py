@@ -182,3 +182,53 @@ def quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (tp + fn) > 0, F.round(tp / (tp + fn).cast("double"), 6)
         ).alias("recall"),
     )
+
+
+def quality_lr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained filter IN the curation pipeline: importance-sample
+    the corpus with the learned score as keep-probability (soft
+    filtering — better docs survive more often), reported per source.
+
+    Composes :func:`train_quality_lr` with pipeline.importance_sample
+    (the shared md5 coin, salt ``lr-imp-v1``) — the learned analog of
+    doc_importance_sample's heuristic-score sampling, and the
+    composition the trained filter exists for.  Per-source means are
+    decimal-summed over the 6-dp scores (engine-exact); the whole
+    report is one aggregate over (docs ⋈ scores) — the kept flag is
+    an expression, not a second sampling pass."""
+    from trade_data_collection_service_spark.ext.pipeline import (
+        _md5_uniform,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = train_quality_lr(docs)
+    scored = _scored(docs, w, DEFAULT_TAU).select("doc_id", "lr_score")
+    u = _md5_uniform(F.col("doc_id"), "lr-imp-v1")
+    p = F.least(F.greatest(F.col("lr_score"), F.lit(0.0)), F.lit(1.0))
+    per = (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .withColumn("kept", (u < p).cast("long"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("lr_score").cast("decimal(18,6)")).alias(
+                "_sum"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_kept") / F.col("n_docs").cast("double")).alias(
+                "kept_rate"
+            ),
+            (F.col("_sum").cast("double") / F.col("n_docs")).alias(
+                "mean_score"
+            ),
+        )
+        .orderBy("source")
+    )
