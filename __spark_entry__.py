@@ -1059,12 +1059,21 @@ def _q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch_dir("zorder-") + "/li"
     write_zordered(li, path, "l_partkey", "l_suppkey")
     out = zorder_range_query(spark, path, (40, 159), (2, 15))
+    # per-row-round -> decimal sums: a raw double sum is addition-
+    # order-dependent (partitioning- and engine-visible at the ulp),
+    # the one nondeterminism the oracle contract forbids
     return (
         out.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.sum(
+                F.round(F.col("l_quantity"), 2).cast("decimal(18,2)")
+            ).cast("double").alias("sum_qty"),
+            F.sum(
+                F.round(F.col("l_extendedprice"), 2).cast(
+                    "decimal(18,2)"
+                )
+            ).cast("double").alias("sum_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -2849,8 +2858,10 @@ def oracle_sql() -> dict[str, str]:
         "zorder_range_scan": """
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT) AS n_rows,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_price
+               CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+                 AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice, 2)
+                 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM lineitem
         WHERE l_partkey BETWEEN 40 AND 159
           AND l_suppkey BETWEEN 2 AND 15

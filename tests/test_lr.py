@@ -79,3 +79,23 @@ def test_lr_filter_report_invariants(spark, sf_dir):
     assert total_docs == docs.count()
     again = quality_lr_filter(spark, sf_dir).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_precomputed_weights_skip_training_same_results(spark, sf_dir):
+    """Serve/eval accept precomputed weights (training is
+    deterministic, so sharing cannot change results) — the serving
+    split that saves the 20 training aggregates per consumer."""
+    from trade_data_collection_service_spark.ext.lr import (
+        quality_lr_eval,
+        quality_lr_scores,
+        train_quality_lr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = train_quality_lr(docs)
+    with_w = quality_lr_scores(spark, sf_dir, weights=w).collect()
+    trained = quality_lr_scores(spark, sf_dir).collect()
+    assert sorted(map(str, with_w)) == sorted(map(str, trained))
+    e1 = quality_lr_eval(spark, sf_dir, weights=w).collect()[0]
+    e2 = quality_lr_eval(spark, sf_dir).collect()[0]
+    assert e1 == e2

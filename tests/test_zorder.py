@@ -118,3 +118,19 @@ def test_negative_keys_rejected(spark):
             write_zordered(df, f"{tmp}/t", "x", "y")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_zvalue_31_bit_parity_and_32_rejected(spark):
+    """Bit 30 of y lands at position 61 (sign-safe); bits=31 must
+    stay positive and agree with the Python twin at the domain edge,
+    and bits=32 (whose y bit 31 would hit the sign bit) is rejected
+    (review finding)."""
+    big = (1 << 31) - 1
+    rows = [(big, big), (big, 0), (0, big), (1 << 30, (1 << 30) + 7)]
+    df = spark.createDataFrame(rows, ["x", "y"]).withColumn(
+        "z", zvalue(F.col("x"), F.col("y"), 31)
+    )
+    for r in df.collect():
+        assert r["z"] == _interleave(r["x"], r["y"], 31) >= 0
+    with pytest.raises(ValueError, match="31"):
+        zvalue(F.col("x"), F.col("y"), 32)

@@ -89,6 +89,16 @@ def train_quality_lr(
     w ← round(w − lr · Σround((σ̂(w·x)−y)·xj, 12) / n, 12), the sum
     decimal-exact, the update evaluated JVM-side."""
     feats = lr_features(docs, tau).localCheckpoint(eager=False)
+    return _gd(feats, iters, lr)
+
+
+def _gd(
+    feats: DataFrame, iters: int = DEFAULT_ITERS, lr: float = DEFAULT_LR
+) -> list[float]:
+    """The GD loop over an already-built (ideally checkpointed)
+    feature table — split out so the serve/eval/filter entries can
+    train and score off ONE feature projection instead of building
+    it twice (review finding)."""
     xs = [F.col(f"x{j}") for j in range(4)]
     w = [0.0, 0.0, 0.0, 0.0]
     for _ in range(iters):
@@ -116,8 +126,7 @@ def train_quality_lr(
     return w
 
 
-def _scored(docs: DataFrame, w: list[float], tau: float) -> DataFrame:
-    feats = lr_features(docs, tau)
+def _scored(feats: DataFrame, w: list[float]) -> DataFrame:
     xs = [F.col(f"x{j}") for j in range(4)]
     z = (
         (F.lit(w[0]) * xs[0] + F.lit(w[1]) * xs[1]) + F.lit(w[2]) * xs[2]
@@ -140,22 +149,32 @@ def quality_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("feature")
 
 
-def quality_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train, then score every doc with the learned model: the
-    serve-side of the trained filter (one map-only pass once the
-    weights exist)."""
+def quality_lr_scores(
+    spark: SparkSession, sf_dir: str, weights: list[float] | None = None
+) -> DataFrame:
+    """Score every doc with the learned model — the serve side (one
+    map-only pass once the weights exist).  Trains in-query when
+    ``weights`` is None (the oracle contract, like the in-query ANN
+    codebooks); pass precomputed weights to skip the 20 training
+    aggregates — training is deterministic, so sharing cannot change
+    results."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = train_quality_lr(docs)
-    return _scored(docs, w, DEFAULT_TAU).orderBy("doc_id")
+    feats = lr_features(docs, DEFAULT_TAU).localCheckpoint(eager=False)
+    w = weights or _gd(feats)
+    return _scored(feats, w).orderBy("doc_id")
 
 
-def quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_lr_eval(
+    spark: SparkSession, sf_dir: str, weights: list[float] | None = None
+) -> DataFrame:
     """Confusion counts + accuracy/precision/recall of the trained
     filter against its labels — one aggregate over the scored table
-    (the classifier twin of doc_neardup_curve's tuning readout)."""
+    (the classifier twin of doc_neardup_curve's tuning readout).
+    ``weights`` as in quality_lr_scores."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = train_quality_lr(docs)
-    s = _scored(docs, w, DEFAULT_TAU)
+    feats = lr_features(docs, DEFAULT_TAU).localCheckpoint(eager=False)
+    w = weights or _gd(feats)
+    s = _scored(feats, w)
     tp = F.sum((F.col("pred_keep") & F.col("label_keep")).cast("long"))
     fp = F.sum(
         (F.col("pred_keep") & ~F.col("label_keep")).cast("long")
@@ -184,7 +203,9 @@ def quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_lr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_lr_filter(
+    spark: SparkSession, sf_dir: str, weights: list[float] | None = None
+) -> DataFrame:
     """The trained filter IN the curation pipeline: importance-sample
     the corpus with the learned score as keep-probability (soft
     filtering — better docs survive more often), reported per source.
@@ -201,8 +222,9 @@ def quality_lr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = train_quality_lr(docs)
-    scored = _scored(docs, w, DEFAULT_TAU).select("doc_id", "lr_score")
+    feats = lr_features(docs, DEFAULT_TAU).localCheckpoint(eager=False)
+    w = weights or _gd(feats)
+    scored = _scored(feats, w).select("doc_id", "lr_score")
     u = _md5_uniform(F.col("doc_id"), "lr-imp-v1")
     p = F.least(F.greatest(F.col("lr_score"), F.lit(0.0)), F.lit(1.0))
     per = (

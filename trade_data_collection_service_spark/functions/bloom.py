@@ -64,6 +64,10 @@ class BloomFilter:
         assert m % 64 == 0 and len(words) == m // 64
         self.m, self.k, self.words = m, k, words
         self.key_type = key_type
+        # (appId, Broadcast) — the pandas path broadcasts the word
+        # array ONCE per filter per application, not once per probe
+        # (review finding: per-call broadcasts leak for the session)
+        self._bc: tuple | None = None
 
     def positions(self, key: Column) -> list[Column]:
         """The k probe lanes: xxhash64(seed-token, key) mod m —
@@ -112,12 +116,20 @@ class BloomFilter:
         from pyspark.sql.types import BooleanType
 
         sc = df.sparkSession.sparkContext
-        # words carry bit 63 (negative as JVM longs): view the int64
-        # bit pattern as uint64 — a direct uint64 conversion of a
-        # negative Python int is rejected by numpy >= 2.0
-        bc = sc.broadcast(
-            np.array(self.words, dtype=np.int64).view(np.uint64)
-        )
+        if self._bc is None or self._bc[0] != sc.applicationId:
+            # words carry bit 63 (negative as JVM longs): view the
+            # int64 bit pattern as uint64 — a direct uint64
+            # conversion of a negative Python int is rejected by
+            # numpy >= 2.0
+            self._bc = (
+                sc.applicationId,
+                sc.broadcast(
+                    np.array(self.words, dtype=np.int64).view(
+                        np.uint64
+                    )
+                ),
+            )
+        bc = self._bc[1]
 
         @F.pandas_udf(BooleanType())
         def member(pos: pd.Series) -> pd.Series:

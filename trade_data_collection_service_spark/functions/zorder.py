@@ -48,14 +48,15 @@ _META_FILE = "_zorder_layout.json"
 def zvalue(x: Column, y: Column, bits: int) -> Column:
     """Morton key: interleave the low ``bits`` bits of x (even
     positions) and y (odd) — a pure codegen expression (2·bits
-    shift/mask/or terms), no UDF.  ``bits`` is capped at 32: two
-    b-bit dimensions need 2b result bits, and past a long's 64 the
-    JVM would silently wrap shift counts mod 64, scrambling the sort
-    key (and diverging from the Python ``_interleave`` twin, which
-    does not wrap).  Wider domains must be pre-scaled (``>> s``)
+    shift/mask/or terms), no UDF.  ``bits`` is capped at 31: the
+    y dimension's bit b lands at result position 2b+1, so bit 31
+    would hit the long's SIGN bit (position 63) — z-values would go
+    negative (breaking Morton order and diverging from the Python
+    ``_interleave`` twin), and past 64 the JVM silently wraps shift
+    counts mod 64.  Wider domains must be pre-scaled (``>> s``)
     upstream — exactly what write_zordered's bucket derivation does."""
-    if bits > 32:
-        raise ValueError(f"zvalue supports at most 32 bits/dim: {bits}")
+    if bits > 31:
+        raise ValueError(f"zvalue supports at most 31 bits/dim: {bits}")
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = z.bitwiseOR(
@@ -122,10 +123,10 @@ def write_zordered(
         )
     bits_x = max(int(mx).bit_length(), prefix_bits)
     bits_y = max(int(my).bit_length(), prefix_bits)
-    if max(bits_x, bits_y) > 32:
+    if max(bits_x, bits_y) > 31:
         # zvalue's hard cap: pre-scale wider domains upstream
         raise ValueError(
-            f"zorder domain too wide ({bits_x}/{bits_y} bits; max 32"
+            f"zorder domain too wide ({bits_x}/{bits_y} bits; max 31"
             " per dimension) — shift the keys down before clustering"
         )
     shift_x, shift_y = bits_x - prefix_bits, bits_y - prefix_bits
