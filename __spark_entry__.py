@@ -1129,6 +1129,16 @@ def _q_doc_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XD.dup_flow(XD.documents_neardup(spark, sf_dir))
 
 
+def _q_event_ab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis (ext/pipeline.py::ab_conversion_chisq):
+    hash-assigned A/B over click events, attribution-window
+    conversion, 2×2 chi-square — chi² ≈ 0 expected (the fixture's
+    assignment is null by construction)."""
+    from trade_data_collection_service_spark.candles import events_df
+
+    return XP.ab_conversion_chisq(events_df(spark, sf_dir))
+
+
 def _q_bloom_semijoin_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join reduction (functions/bloom.py): lineitem
     pre-filtered map-side by a Bloom built from a selective supplier
@@ -1678,19 +1688,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # r12 ROTATION PLAN (write _R12_WINDOW next round): first, anything
-# r12 changes; then the 35 entries whose driver evidence stays r8 —
-# the 10 entries the r11 second wave displaced from this window's
+# r12 changes; then the 36 entries whose driver evidence stays r8 —
+# the 11 entries the r11 second wave displaced from this window's
 # tail (volume_bars, event_sessions, asof_price, repair_window,
 # minmax_window, count_distinct_window, latest_per_symbol,
-# distinct_pairs, watchdog_cycle, asof_price_forward) followed by
-# the 25 never-rotated r8-vintage entries (recent_topn … rollup_5m,
-# recorded order); RECOMPUTE the list as CORRECTNESS_r08 minus
-# r09/r10/r11 keys before trusting it (hand-edits drifted twice in
-# r10); fill any remaining slots with the oldest r9-vintage entries
-# per CORRECTNESS_r09 minus r10/r11 keys, in recorded order.  After
-# r11 the evidence ledger is 50 r11 / 47 r10 / 48 r9 / 35 r8 /
-# 0 never (180 entries; the second-wave additions claim 10 window
-# slots, so 10 of the r8-vintage tail wait one more round — they
+# distinct_pairs, watchdog_cycle, asof_price_forward, atr_14)
+# followed by the 25 never-rotated r8-vintage entries (recent_topn …
+# rollup_5m, recorded order); RECOMPUTE the list as CORRECTNESS_r08
+# minus r09/r10/r11 keys before trusting it (hand-edits drifted
+# twice in r10); fill any remaining slots with the oldest r9-vintage
+# entries per CORRECTNESS_r09 minus r10/r11 keys, in recorded order.
+# After r11 the evidence ledger is 50 r11 / 47 r10 / 48 r9 / 36 r8 /
+# 0 never (181 entries; the second-wave additions claim 11 window
+# slots, so 11 of the r8-vintage tail wait one more round — they
 # lead the r12 list above).
 #
 # r11 driver window (VERDICT r10 #2, computed EXACTLY per the
@@ -1705,13 +1715,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # recorded order) to exactly 50.  The r11 SECOND wave (8 new
 # oracle entries) then claimed the window's first 8 slots,
 # displacing the last 8 r8-vintage fillers to the r12 plan below.
-# The full 180-entry surface is swept locally via
+# The full 181-entry surface is swept locally via
 # tools/check_oracle.py at sf0.01 and sf0.1 each round
 # (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
 # is a budget cap, not the evidence.
 _R11_WINDOW = [
     # r11 second wave (newest first): curation compositions, layout/
-    # join scale features, trained quality filter
+    # join scale features, trained quality filter, experiment readout
+    "event_ab_chisq",
     "doc_lr_filtered",
     "doc_dup_flow",
     "doc_dedup_normalized",
@@ -1761,7 +1772,6 @@ _R11_WINDOW = [
     "top_volume_per_symbol",
     "bollinger_20",
     "daily_volatility",
-    "atr_14",
 ]
 
 
@@ -1970,6 +1980,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_lr_eval": _q_doc_quality_lr_eval,
         "doc_lr_filtered": _q_doc_lr_filtered,
         "doc_dup_flow": _q_doc_dup_flow,
+        "event_ab_chisq": _q_event_ab_chisq,
     }
 
 
@@ -2946,6 +2957,73 @@ def oracle_sql() -> dict[str, str]:
                n_kept / CAST(n_docs AS DOUBLE) AS kept_rate,
                CAST(s AS DOUBLE) / n_docs AS mean_score
         FROM agg ORDER BY source
+        """,
+        # null-assignment A/B chi-square: twin mirrors the double
+        # arithmetic's exact expression order
+        "event_ab_chisq": """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'
+        ), per_click AS (
+          SELECT c.event_id,
+                 max(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END)
+                   AS conv
+          FROM clicks c
+          LEFT JOIN events p
+            ON p.event_type = 'purchase'
+           AND p.user_id = c.user_id
+           AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+          GROUP BY 1
+        ), tagged AS (
+          SELECT CASE WHEN substr(md5('ab-v1|'
+                   || CAST(event_id AS VARCHAR)), 1, 2) < '80'
+                 THEN 'A' ELSE 'B' END AS v, conv
+          FROM per_click
+        ), cont AS (
+          SELECT
+            CAST(sum(CASE WHEN v = 'A' THEN conv END) AS BIGINT)
+              AS conv_a,
+            CAST(sum(CASE WHEN v = 'A' THEN 1 - conv END) AS BIGINT)
+              AS miss_a,
+            CAST(sum(CASE WHEN v = 'B' THEN conv END) AS BIGINT)
+              AS conv_b,
+            CAST(sum(CASE WHEN v = 'B' THEN 1 - conv END) AS BIGINT)
+              AS miss_b
+          FROM tagged
+        )
+        SELECT conv_a + miss_a AS n_a, conv_a,
+               conv_b + miss_b AS n_b, conv_b,
+               round(CAST(conv_a AS DOUBLE)
+                 / (CAST(conv_a AS DOUBLE) + CAST(miss_a AS DOUBLE)),
+                 6) AS rate_a,
+               round(CAST(conv_b AS DOUBLE)
+                 / (CAST(conv_b AS DOUBLE) + CAST(miss_b AS DOUBLE)),
+                 6) AS rate_b,
+               CASE WHEN ((CAST(conv_a AS DOUBLE)
+                           + CAST(miss_a AS DOUBLE))
+                          * (CAST(conv_b AS DOUBLE)
+                             + CAST(miss_b AS DOUBLE)))
+                        * ((CAST(conv_a AS DOUBLE)
+                            + CAST(conv_b AS DOUBLE))
+                           * (CAST(miss_a AS DOUBLE)
+                              + CAST(miss_b AS DOUBLE))) > 0
+                 THEN round(
+                   ((((CAST(conv_a AS DOUBLE) + CAST(miss_a AS DOUBLE))
+                      + CAST(conv_b AS DOUBLE)) + CAST(miss_b AS DOUBLE))
+                    * ((CAST(conv_a AS DOUBLE) * CAST(miss_b AS DOUBLE)
+                        - CAST(miss_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
+                       * (CAST(conv_a AS DOUBLE) * CAST(miss_b AS DOUBLE)
+                          - CAST(miss_a AS DOUBLE)
+                            * CAST(conv_b AS DOUBLE))))
+                   / (((CAST(conv_a AS DOUBLE) + CAST(miss_a AS DOUBLE))
+                       * (CAST(conv_b AS DOUBLE)
+                          + CAST(miss_b AS DOUBLE)))
+                      * ((CAST(conv_a AS DOUBLE)
+                          + CAST(conv_b AS DOUBLE))
+                         * (CAST(miss_a AS DOUBLE)
+                            + CAST(miss_b AS DOUBLE)))), 6)
+               END AS chi2
+        FROM cont
         """,
         # provenance flow matrix over the verified LSH pairs
         "doc_dup_flow": XD.DOCS_NEARDUP_CTE

@@ -582,3 +582,44 @@ def test_split_leakage_flags_only_crossing_pairs(spark, sf_dir):
         for r in XD.minhash_lsh_pairs(docs).collect()
     }
     assert {(r["doc_a"], r["doc_b"]) for r in out} <= pairs
+
+
+def test_ab_chisq_hand_computed(spark):
+    """Engineered clicks/purchases: the contingency is reproduced in
+    plain Python (same md5 coin), and chi² matches the closed-form
+    2×2 statistic."""
+    import datetime as _dt
+    import hashlib
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    # 40 clicks by users 0..39; users 0..19 purchase 1h later
+    for i in range(40):
+        rows.append((i, base, i, "click", 1.0, "{}"))
+        if i < 20:
+            rows.append(
+                (1000 + i, base + _dt.timedelta(hours=1), i,
+                 "purchase", 5.0, "{}")
+            )
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = XP.ab_conversion_chisq(events).collect()[0]
+    # reproduce the contingency with the same coin
+    cont = {"A": [0, 0], "B": [0, 0]}
+    for i in range(40):
+        v = (
+            "A"
+            if hashlib.md5(f"ab-v1|{i}".encode()).hexdigest()[:2] < "80"
+            else "B"
+        )
+        cont[v][0 if i < 20 else 1] += 1
+    a, b = cont["A"]
+    c, d = cont["B"]
+    assert (out["n_a"], out["conv_a"]) == (a + b, a)
+    assert (out["n_b"], out["conv_b"]) == (c + d, c)
+    n = a + b + c + d
+    chi2 = n * (a * d - b * c) ** 2 / (
+        (a + b) * (c + d) * (a + c) * (b + d)
+    )
+    assert abs(out["chi2"] - chi2) < 1e-6

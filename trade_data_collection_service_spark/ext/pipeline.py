@@ -202,6 +202,81 @@ def split_leakage(
     )
 
 
+def ab_conversion_chisq(
+    events: DataFrame, window_hours: int = 4, salt: str = "ab-v1"
+) -> DataFrame:
+    """Experiment analysis: deterministic 50/50 A/B assignment of
+    click events (md5 coin on event_id — the split/sampler idiom),
+    conversion = a purchase by the same user within ``window_hours``
+    (the event_attribution window), and the 2×2 chi-square statistic
+    — the readout an experimentation pipeline runs per variant.
+
+    The fixture's assignment is null (the coin ignores everything
+    real), so chi² ≈ 0 is the EXPECTED reading — the operator proves
+    the machinery, a real experiment supplies a real assignment
+    column instead of the coin.  Only the statistic is emitted, not
+    a p-value: the chi² CDF needs the incomplete gamma function,
+    which is libm territory (engine-varying ulps) — at 1 dof the
+    usual significance cutoffs (3.84 → p<.05) are constants the
+    caller compares against.
+
+    Scale shape: one user-equi range join (clicks ⋈ purchases, the
+    attribution shape — SortMergeJoin on user with the time bound as
+    residual), one per-click max, one global aggregate; the chi²
+    arithmetic happens on four scalars.  All counts are exact
+    integers; the statistic divides doubles in one fixed expression
+    order, identical in the DuckDB twin."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("ts") + F.expr(f"INTERVAL {window_hours} HOURS")
+        ),
+        "left",
+    )
+    per_click = joined.groupBy("event_id").agg(
+        F.max(F.col("p_ts").isNotNull().cast("long")).alias("conv")
+    )
+    variant = F.when(
+        _hash_prefix(F.col("event_id").cast("string"), salt) < "80",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    cont = per_click.select(variant.alias("v"), "conv").agg(
+        F.sum(F.when(F.col("v") == "A", F.col("conv"))).alias("conv_a"),
+        F.sum(
+            F.when(F.col("v") == "A", 1 - F.col("conv"))
+        ).alias("miss_a"),
+        F.sum(F.when(F.col("v") == "B", F.col("conv"))).alias("conv_b"),
+        F.sum(
+            F.when(F.col("v") == "B", 1 - F.col("conv"))
+        ).alias("miss_b"),
+    )
+    a, b = F.col("conv_a").cast("double"), F.col("miss_a").cast("double")
+    c, d = F.col("conv_b").cast("double"), F.col("miss_b").cast("double")
+    n = ((a + b) + c) + d
+    num = a * d - b * c
+    denom = ((a + b) * (c + d)) * ((a + c) * (b + d))
+    return cont.select(
+        (F.col("conv_a") + F.col("miss_a")).alias("n_a"),
+        F.col("conv_a"),
+        (F.col("conv_b") + F.col("miss_b")).alias("n_b"),
+        F.col("conv_b"),
+        F.round(a / (a + b), 6).alias("rate_a"),
+        F.round(c / (c + d), 6).alias("rate_b"),
+        F.when(
+            denom > 0, F.round((n * (num * num)) / denom, 6)
+        ).alias("chi2"),
+    )
+
+
 def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     """Corpus vocabulary: top-k tokens by total occurrences (ties →
     lexicographic), with document frequency — the tokenizer-training /
