@@ -1712,9 +1712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # displacees (CORRECTNESS_r07 minus r08/r09/r10 keys, recorded
 # order), ema_20 + macd_12_26_9 (r8-vintage since r9), then the
 # oldest r8-vintage entries (CORRECTNESS_r08 minus r09/r10 keys,
-# recorded order) to exactly 50.  The r11 SECOND wave (8 new
-# oracle entries) then claimed the window's first 8 slots,
-# displacing the last 8 r8-vintage fillers to the r12 plan below.
+# recorded order) to exactly 50.  The r11 SECOND wave (11 new
+# oracle entries) then claimed the window's first 11 slots,
+# displacing the last 11 r8-vintage fillers to the r12 plan below.
 # The full 181-entry surface is swept locally via
 # tools/check_oracle.py at sf0.01 and sf0.1 each round
 # (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
@@ -2542,6 +2542,80 @@ def _pq_ctes(
     return "".join(parts)
 
 
+def _ab_chisq_sql(window_hours: int = 4, salt: str = "ab-v1") -> str:
+    """DuckDB twin for ``ab_conversion_chisq``, generated from the
+    SAME parameters as the Spark operator (ADVICE r11: a hardcoded
+    INTERVAL 4 HOUR / 'ab-v1' twin would silently desynchronize if a
+    registry caller ever changed either default) — the _lr_sql
+    pattern.  Mirrors the double arithmetic's exact expression
+    order."""
+    return f"""
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'
+        ), per_click AS (
+          SELECT c.event_id,
+                 max(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END)
+                   AS conv
+          FROM clicks c
+          LEFT JOIN events p
+            ON p.event_type = 'purchase'
+           AND p.user_id = c.user_id
+           AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL {window_hours} HOUR
+          GROUP BY 1
+        ), tagged AS (
+          SELECT CASE WHEN substr(md5('{salt}|'
+                   || CAST(event_id AS VARCHAR)), 1, 2) < '80'
+                 THEN 'A' ELSE 'B' END AS v, conv
+          FROM per_click
+        ), cont AS (
+          SELECT
+            CAST(sum(CASE WHEN v = 'A' THEN conv END) AS BIGINT)
+              AS conv_a,
+            CAST(sum(CASE WHEN v = 'A' THEN 1 - conv END) AS BIGINT)
+              AS miss_a,
+            CAST(sum(CASE WHEN v = 'B' THEN conv END) AS BIGINT)
+              AS conv_b,
+            CAST(sum(CASE WHEN v = 'B' THEN 1 - conv END) AS BIGINT)
+              AS miss_b
+          FROM tagged
+        )
+        SELECT conv_a + miss_a AS n_a, conv_a,
+               conv_b + miss_b AS n_b, conv_b,
+               round(CAST(conv_a AS DOUBLE)
+                 / (CAST(conv_a AS DOUBLE) + CAST(miss_a AS DOUBLE)),
+                 6) AS rate_a,
+               round(CAST(conv_b AS DOUBLE)
+                 / (CAST(conv_b AS DOUBLE) + CAST(miss_b AS DOUBLE)),
+                 6) AS rate_b,
+               CASE WHEN ((CAST(conv_a AS DOUBLE)
+                           + CAST(miss_a AS DOUBLE))
+                          * (CAST(conv_b AS DOUBLE)
+                             + CAST(miss_b AS DOUBLE)))
+                        * ((CAST(conv_a AS DOUBLE)
+                            + CAST(conv_b AS DOUBLE))
+                           * (CAST(miss_a AS DOUBLE)
+                              + CAST(miss_b AS DOUBLE))) > 0
+                 THEN round(
+                   ((((CAST(conv_a AS DOUBLE) + CAST(miss_a AS DOUBLE))
+                      + CAST(conv_b AS DOUBLE)) + CAST(miss_b AS DOUBLE))
+                    * ((CAST(conv_a AS DOUBLE) * CAST(miss_b AS DOUBLE)
+                        - CAST(miss_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
+                       * (CAST(conv_a AS DOUBLE) * CAST(miss_b AS DOUBLE)
+                          - CAST(miss_a AS DOUBLE)
+                            * CAST(conv_b AS DOUBLE))))
+                   / (((CAST(conv_a AS DOUBLE) + CAST(miss_a AS DOUBLE))
+                       * (CAST(conv_b AS DOUBLE)
+                          + CAST(miss_b AS DOUBLE)))
+                      * ((CAST(conv_a AS DOUBLE)
+                          + CAST(conv_b AS DOUBLE))
+                         * (CAST(miss_a AS DOUBLE)
+                            + CAST(miss_b AS DOUBLE)))), 6)
+               END AS chi2
+        FROM cont
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     # the 20-CTE LR training trajectory is built ONCE per call, not
     # once per f-string reference (review finding)
@@ -2958,73 +3032,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(s AS DOUBLE) / n_docs AS mean_score
         FROM agg ORDER BY source
         """,
-        # null-assignment A/B chi-square: twin mirrors the double
-        # arithmetic's exact expression order
-        "event_ab_chisq": """
-        WITH clicks AS (
-          SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'click'
-        ), per_click AS (
-          SELECT c.event_id,
-                 max(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END)
-                   AS conv
-          FROM clicks c
-          LEFT JOIN events p
-            ON p.event_type = 'purchase'
-           AND p.user_id = c.user_id
-           AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
-          GROUP BY 1
-        ), tagged AS (
-          SELECT CASE WHEN substr(md5('ab-v1|'
-                   || CAST(event_id AS VARCHAR)), 1, 2) < '80'
-                 THEN 'A' ELSE 'B' END AS v, conv
-          FROM per_click
-        ), cont AS (
-          SELECT
-            CAST(sum(CASE WHEN v = 'A' THEN conv END) AS BIGINT)
-              AS conv_a,
-            CAST(sum(CASE WHEN v = 'A' THEN 1 - conv END) AS BIGINT)
-              AS miss_a,
-            CAST(sum(CASE WHEN v = 'B' THEN conv END) AS BIGINT)
-              AS conv_b,
-            CAST(sum(CASE WHEN v = 'B' THEN 1 - conv END) AS BIGINT)
-              AS miss_b
-          FROM tagged
-        )
-        SELECT conv_a + miss_a AS n_a, conv_a,
-               conv_b + miss_b AS n_b, conv_b,
-               round(CAST(conv_a AS DOUBLE)
-                 / (CAST(conv_a AS DOUBLE) + CAST(miss_a AS DOUBLE)),
-                 6) AS rate_a,
-               round(CAST(conv_b AS DOUBLE)
-                 / (CAST(conv_b AS DOUBLE) + CAST(miss_b AS DOUBLE)),
-                 6) AS rate_b,
-               CASE WHEN ((CAST(conv_a AS DOUBLE)
-                           + CAST(miss_a AS DOUBLE))
-                          * (CAST(conv_b AS DOUBLE)
-                             + CAST(miss_b AS DOUBLE)))
-                        * ((CAST(conv_a AS DOUBLE)
-                            + CAST(conv_b AS DOUBLE))
-                           * (CAST(miss_a AS DOUBLE)
-                              + CAST(miss_b AS DOUBLE))) > 0
-                 THEN round(
-                   ((((CAST(conv_a AS DOUBLE) + CAST(miss_a AS DOUBLE))
-                      + CAST(conv_b AS DOUBLE)) + CAST(miss_b AS DOUBLE))
-                    * ((CAST(conv_a AS DOUBLE) * CAST(miss_b AS DOUBLE)
-                        - CAST(miss_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
-                       * (CAST(conv_a AS DOUBLE) * CAST(miss_b AS DOUBLE)
-                          - CAST(miss_a AS DOUBLE)
-                            * CAST(conv_b AS DOUBLE))))
-                   / (((CAST(conv_a AS DOUBLE) + CAST(miss_a AS DOUBLE))
-                       * (CAST(conv_b AS DOUBLE)
-                          + CAST(miss_b AS DOUBLE)))
-                      * ((CAST(conv_a AS DOUBLE)
-                          + CAST(conv_b AS DOUBLE))
-                         * (CAST(miss_a AS DOUBLE)
-                            + CAST(miss_b AS DOUBLE)))), 6)
-               END AS chi2
-        FROM cont
-        """,
+        # null-assignment A/B chi-square (twin generated by _ab_chisq_sql
+        # from the operator defaults)
+        "event_ab_chisq": _ab_chisq_sql(),
         # provenance flow matrix over the verified LSH pairs
         "doc_dup_flow": XD.DOCS_NEARDUP_CTE
         + _LSH_CTES

@@ -308,11 +308,11 @@ def steady_state_queries(cleanup: list):
             train_quality_lr,
         )
 
-        if "w" not in state5:
-            state5["w"] = train_quality_lr(
+        if sf_dir not in state5:
+            state5[sf_dir] = train_quality_lr(
                 spark.read.parquet(f"{sf_dir}/documents.parquet")
             )
-        return quality_lr_eval(spark, sf_dir, weights=state5["w"])
+        return quality_lr_eval(spark, sf_dir, weights=state5[sf_dir])
 
     return {
         "doc_incremental_neardup_steady": steady,
@@ -376,6 +376,88 @@ def skew_join_queries():
         return _agg(salted_join(left, right, ["k"], salt=8))
 
     return {"skew_join_plain": plain, "skew_join_salted": salted}
+
+
+def run_skew_probe(sf_dir: str, reps: int = 3) -> dict | None:
+    """Measure the skew pair in a FRESH subprocess JVM (VERDICT r11
+    what's-wrong #1): measured inside the main bench session the
+    salted reps grew monotonically (r11 recording: 2.33 → 7.20 →
+    17.88 s) while the identical pair is rep-stable in a clean JVM
+    (plain ~3.3 s, salted ~2.5 s over 5 reps) — the growth is
+    suite-tail driver-JVM state, not the operator.  Isolating the
+    probe in its own process measures the JOIN, and records the
+    median of ``reps`` for BOTH sides so neither number is a single
+    arbitrary rep."""
+    import subprocess
+
+    code = (
+        "import json, bench\n"
+        "from trade_data_collection_service_spark.session import get_spark\n"
+        "spark = get_spark('skew-probe')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "q = bench.skew_join_queries()\n"
+        "out = {}\n"
+        "for name in ('skew_join_plain', 'skew_join_salted'):\n"
+        f"    bench.run_one(spark, q[name], {sf_dir!r})\n"
+        "    out[name] = sorted(\n"
+        f"        round(bench.run_one(spark, q[name], {sf_dir!r}), 4)\n"
+        f"        for _ in range({int(reps)})\n"
+        "    )\n"
+        "print('SKEWPROBE ' + json.dumps(out))\n"
+        "spark.stop()\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=_repo_root(),
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("SKEWPROBE "):
+                reps_map = json.loads(line[len("SKEWPROBE "):])
+                return {
+                    "isolation": "fresh subprocess JVM",
+                    "reps_sec": reps_map,
+                    "median_sec": {
+                        k: v[len(v) // 2] for k, v in reps_map.items()
+                    },
+                }
+        print(
+            f"bench skew probe: no result line (rc={proc.returncode}):"
+            f" {proc.stderr[-500:]}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"bench skew probe failed: {e}", file=sys.stderr)
+    return None
+
+
+def run_skew_pollution_diag(spark, sf_dir: str, reps: int = 3) -> dict:
+    """Optional diagnostic (SPARK_GRAFT_SKEW_DIAG=1): re-run the skew
+    pair inside the MAIN bench session after the whole suite, with
+    driver GC time sampled around it, so the r11 growth has a named
+    cause on the record instead of a hand-wave."""
+    q = skew_join_queries()
+
+    def _gc_ms() -> int:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return sum(
+            beans.get(i).getCollectionTime() for i in range(beans.size())
+        )
+
+    out: dict = {"context": "main bench session, post-suite"}
+    for name in ("skew_join_plain", "skew_join_salted"):
+        g0 = _gc_ms()
+        out[name] = [
+            round(run_one(spark, q[name], sf_dir), 4) for _ in range(reps)
+        ]
+        out[name + "_gc_ms"] = _gc_ms() - g0
+    return out
 
 
 def bloom_join_queries():
@@ -980,7 +1062,7 @@ def _write_full_bench_json(result: dict, root: str | None = None) -> None:
     rnd = _current_round(root)
     sf = result.get("sf")
     if rnd is None or not isinstance(sf, (int, float)) or abs(sf - 0.1) > 1e-9:
-        return
+        return None
     try:
         dest = os.path.join(root, "docs", "bench")
         os.makedirs(dest, exist_ok=True)
@@ -1004,8 +1086,58 @@ def _write_full_bench_json(result: dict, root: str | None = None) -> None:
             json.dump(result, f, indent=1, sort_keys=True)
             f.write("\n")
         print(f"bench: full JSON written to {path}", file=sys.stderr)
+        return path
     except Exception as e:  # pragma: no cover
         print(f"bench: full JSON write failed: {e}", file=sys.stderr)
+        return None
+
+
+# Flagship queries pinned into the compact stdout summary — a stable
+# taste of the suite the driver can diff without the full sidecar.
+_SUMMARY_QUERIES = (
+    "candles_1m",
+    "cascade_1d",
+    "tpch_q1",
+    "doc_dedup_exact",
+    "doc_minhash_lsh",
+    "emb_cosine_topk",
+    "watchdog_cycle",
+    "skew_join_salted",
+)
+
+
+def summary_line(result: dict, full_json: str | None) -> str:
+    """The FINAL stdout line, sized for the driver's tail capture.
+
+    VERDICT r11 #1: since r6 the driver's BENCH_r{N}.json has carried
+    ``"parsed": null`` because the single-line full-result JSON
+    outgrew its tail capture (the full dict is >10 kB at 100+ benched
+    queries).  The driver parses the LAST stdout line as the round's
+    bench record, so that line must stay compact: headline scalars, a
+    pinned flagship subset of the per-query map, and a pointer to the
+    committed full sidecar.  test_bench_summary.py asserts <1 kB on a
+    worst-case-shaped result.
+    """
+    out = {
+        "metric": result.get("metric"),
+        "value": result.get("value"),
+        "unit": result.get("unit"),
+        "sf": result.get("sf"),
+        "value_host_normalized": result.get("value_host_normalized"),
+        "host_factor": result.get("host_factor"),
+        "candles_per_sec": result.get("candles_per_sec"),
+        "streaming_candles_per_sec": result.get(
+            "streaming_candles_per_sec"
+        ),
+        "n_queries": len(result.get("queries") or {}),
+        "queries": {
+            k: v
+            for k, v in (result.get("queries") or {}).items()
+            if k in _SUMMARY_QUERIES
+        },
+        "full_json": full_json,
+    }
+    return json.dumps(out)
 
 
 def _head_sha(root: str) -> str:
@@ -1284,10 +1416,12 @@ def main() -> None:
         calibration = None
     cleanup: list[str] = []
     timings: dict[str, float] = {}
+    # skew_join_* deliberately NOT in the in-session suite: measured
+    # in a fresh subprocess JVM by run_skew_probe (VERDICT r11 —
+    # in-session reps grew 2.3→7.2→17.9 s from suite-tail JVM state).
     suite = {
         **headline_queries(),
         **steady_state_queries(cleanup),
-        **skew_join_queries(),
         **bloom_join_queries(),
     }
     for name, fn in suite.items():
@@ -1298,6 +1432,19 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             print(f"bench {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
+    skew_probe = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SKEW") != "1":
+        skew_probe = run_skew_probe(sf_dir)
+        if skew_probe:
+            timings.update(skew_probe["median_sec"])
+        if os.environ.get("SPARK_GRAFT_SKEW_DIAG") == "1":
+            try:
+                skew_probe = dict(skew_probe or {})
+                skew_probe["pollution_diag"] = run_skew_pollution_diag(
+                    spark, sf_dir
+                )
+            except Exception as e:  # pragma: no cover
+                print(f"bench skew diag failed: {e}", file=sys.stderr)
     # Outlier re-measurement (VERDICT r7 #3: volume_bars regressed
     # 3.96x in a single UNREPEATED measurement on unchanged code):
     # any query >=1.5x off its prior-round recording — after
@@ -1317,7 +1464,7 @@ def main() -> None:
     re_measured: dict[str, dict] = {}
     for name, t1 in list(timings.items()):
         t0 = prior_q.get(name)
-        if t0 is None or t1 <= 0 or t0 <= 0:
+        if name not in suite or t0 is None or t1 <= 0 or t0 <= 0:
             continue
         ratio = t1 / (t0 * (host_factor or 1.0))
         if 1 / 1.5 < ratio < 1.5:
@@ -1488,6 +1635,7 @@ def main() -> None:
         "host_factor": host_factor,
         "value_host_normalized": value_host_normalized,
         "re_measured": re_measured,
+        "skew_probe": skew_probe,
         "spans_gram_shuffle": spans_gram,
         "bloom_join_shuffle": bloom_bytes,
         "zorder_rowgroup_pruning": zorder_bytes,
@@ -1497,8 +1645,11 @@ def main() -> None:
         "doc_ingest_lm": ingest_lm,
         "emb_ingest": emb_ingest,
     }
-    print(json.dumps(result))
-    _write_full_bench_json(result)
+    # Full result goes to the committed sidecar; stdout ends with ONE
+    # compact line the driver's tail capture can actually hold
+    # (VERDICT r11 #1 — BENCH_r06..r11 all recorded "parsed": null).
+    full_path = _write_full_bench_json(result)
+    print(summary_line(result, full_path))
     import shutil
 
     for path in cleanup:

@@ -93,6 +93,20 @@ def test_literal_budget_enforced(spark):
     assert bloom.m > BLOOM_MAX_BITS
 
 
+def test_semijoin_degrades_to_pandas_path_at_scale(spark):
+    # ADVICE r11: a dim past the literal-path budget must not make
+    # bloom_semijoin raise — it auto-builds large_ok and probes via
+    # the broadcast+pandas path, same exact result as a plain join.
+    n = BLOOM_MAX_BITS  # forces m > BLOOM_MAX_BITS at 16 bits/key
+    dim = spark.range(0, n, 7).withColumnRenamed("id", "k")
+    fact = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    got = bloom_semijoin(fact, dim, "k", "k", how="left_semi")
+    want = fact.join(dim, "k", "left_semi")
+    assert got.count() == want.count() == (n + 6) // 7
+
+
 def test_outer_join_rejected(fact_dim):
     fact, dim = fact_dim
     with pytest.raises(ValueError, match="inner/semi"):

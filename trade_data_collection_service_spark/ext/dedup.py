@@ -136,8 +136,8 @@ def normalized_dedup(docs: DataFrame) -> DataFrame:
     doc, never the text.  ``n_variants`` counts distinct RAW texts in
     the group: >1 proves the group is held together by normalization
     alone (reference parity: the reference dedups byte-identical rows
-    only — ReplacingMergeTree ORDER BY keys,
-    clickhouse_schema.py:20-60; this rung is corpus-curation
+    only — the ReplacingMergeTree table definition,
+    clickhouse_schema.py:143; this rung is corpus-curation
     standard practice instead)."""
     d = docs.select(
         "doc_id",

@@ -1121,11 +1121,17 @@ def source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the lm_score discipline), so per-(doc, source) sums are exact in
     both engines and the argmax compares bit-identical decimals."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    census, src_stats, vocab_v = _nb_model(docs)
+    return _nb_score(docs, census, src_stats, vocab_v)
+
+
+def _nb_model(docs: DataFrame):
+    """The NB training censuses — (source, term) counts, per-source
+    marginals + doc priors, global vocab size.  Shared verbatim by
+    the in-query :func:`source_nb` and the stored-model
+    :func:`write_nb_index` so the two can never drift."""
     terms = with_tokens(docs).select(
         "doc_id", "source", F.explode("tokens").alias("term")
-    )
-    tf = terms.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
     )
     census = terms.groupBy("source", "term").agg(
         F.count(F.lit(1)).alias("n_st")
@@ -1145,6 +1151,28 @@ def source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab_v = terms.agg(
         F.countDistinct("term").alias("v_size")
+    )
+    return census, src_stats, vocab_v
+
+
+def _nb_score(
+    docs: DataFrame,
+    census: DataFrame,
+    src_stats: DataFrame,
+    vocab_v: DataFrame,
+) -> DataFrame:
+    """Score ``docs`` against NB censuses (from :func:`_nb_model`
+    inline, or read back from a :func:`write_nb_index` layout — same
+    integer counts either way, so the 12-dp decimal arithmetic below
+    is bit-identical).  One tokenize pass over the SCORED docs (the
+    only text read), one broadcast expansion over the source
+    dimension, one left equi-join on (source, term) against the
+    census, one min-struct argmax — no window, no global sort."""
+    tf = (
+        with_tokens(docs)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     prior = F.round(
         F.log(F.col("n_docs_s").cast("double") / F.col("n_docs")), 12

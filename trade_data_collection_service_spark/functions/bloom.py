@@ -206,8 +206,16 @@ def bloom_semijoin(
         raise ValueError(
             f"bloom pre-filter is only sound for inner/semi joins: {how}"
         )
-    bloom = bloom or bloom_build(dim, dim_key)
-    pre = fact.filter(bloom.might_contain(F.col(fact_key)))
+    # ADVICE r11: auto-degrade instead of erroring at scale — a dim
+    # past the literal-path budget builds with large_ok=True and
+    # probes via the broadcast+pandas path; the explicit ValueError
+    # stays for direct bloom_build/might_contain callers who asked
+    # for the plan-literal shape by name.
+    bloom = bloom or bloom_build(dim, dim_key, large_ok=True)
+    if bloom.m <= BLOOM_MAX_BITS:
+        pre = fact.filter(bloom.might_contain(F.col(fact_key)))
+    else:
+        pre = fact.filter(bloom.might_contain_pandas(fact, fact_key))
     return pre.join(
         dim, pre[fact_key] == dim[dim_key], how
     )
