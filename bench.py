@@ -314,10 +314,39 @@ def steady_state_queries(cleanup: list):
             )
         return quality_lr_eval(spark, sf_dir, weights=state5[sf_dir])
 
+    state6: dict = {}
+
+    def steady_nb_serve(spark, sf_dir):
+        """Serve-only NB source classifier: doc_source_nb (the
+        benched oracle entry) trains its term censuses in-query (the
+        oracle contract); a deployed tagger trains once and scores
+        forever.  The index is built in the untimed warm pass; the
+        measured pass is one tokenize + census-join + argmax against
+        the model at rest."""
+        from trade_data_collection_service_spark.ext.text import (
+            nb_score_indexed,
+            write_nb_index,
+        )
+
+        if sf_dir not in state6:
+            tmp = tempfile.mkdtemp(prefix="bench_nb_idx_")
+            cleanup.append(tmp)
+            state6[sf_dir] = tmp + "/index"
+            write_nb_index(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                state6[sf_dir],
+            )
+        return nb_score_indexed(
+            spark,
+            state6[sf_dir],
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        )
+
     return {
         "doc_incremental_neardup_steady": steady,
         "doc_incremental_spans_steady": steady_spans,
         "doc_lr_serve_steady": steady_lr_serve,
+        "doc_nb_serve_steady": steady_nb_serve,
         "emb_ivfpq_serve_steady": steady_ivfpq_serve,
         "emb_hybrid_serve_steady": steady_hybrid_serve,
     }

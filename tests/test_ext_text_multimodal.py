@@ -215,7 +215,11 @@ def test_lm_quality_buckets_balanced_and_ordered(spark, sf_dir):
         lm_quality_buckets,
     )
 
-    rows = lm_quality_buckets(spark, sf_dir).collect()
+    # the exact/ntile path (the oracle-pinned one) — the library
+    # default is the sampled sketch path since VERDICT r11 #6
+    rows = lm_quality_buckets(
+        spark, sf_dir, sampled_thresholds=False
+    ).collect()
     by_tier = {}
     for r in rows:
         by_tier.setdefault(r["tier"], []).append(r)
@@ -409,7 +413,9 @@ def test_lm_quality_buckets_sampled_matches_exact(spark, sf_dir):
 
     exact = {
         r["doc_id"]: r["bucket"]
-        for r in lm_quality_buckets(spark, sf_dir).collect()
+        for r in lm_quality_buckets(
+            spark, sf_dir, sampled_thresholds=False
+        ).collect()
     }
     sampled_df = lm_quality_buckets(spark, sf_dir, sampled_thresholds=True)
     plan = sampled_df._jdf.queryExecution().executedPlan().toString()
@@ -444,7 +450,9 @@ def test_lm_quality_buckets_single_bucket_guard(spark, sf_dir):
         lm_quality_buckets,
     )
 
-    exact = lm_quality_buckets(spark, sf_dir, n_buckets=1).collect()
+    exact = lm_quality_buckets(
+        spark, sf_dir, n_buckets=1, sampled_thresholds=False
+    ).collect()
     sampled = lm_quality_buckets(
         spark, sf_dir, n_buckets=1, sampled_thresholds=True
     ).collect()

@@ -53,6 +53,9 @@ NESTED_LOOP_OK = {
     # census join itself is equi on (source, term)
     "doc_source_nb_confusion",  # the same NB scoring pass (same
     # allowlisted scalars) under a dimension²-bounded groupBy
+    "doc_source_nb_indexed",  # the same NB scoring tail served from
+    # the model at rest: broadcast src_stats dimension + 1-row vocab
+    # scalar; the census join is equi on (source, term)
     "doc_resampled_mix",  # two 1-row broadcast scalars (the α-power
     # normalizer + the kept-total); the weight join onto the corpus
     # is equi on source
@@ -124,3 +127,20 @@ def test_plan_has_no_banned_operators(spark, sf_dir, name):
             f"{name}: unexpected nested-loop join"
         )
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_lm_buckets_default_path_is_window_free(spark, sf_dir):
+    """VERDICT r11 #6: the library DEFAULT of lm_quality_buckets is
+    the sampled-threshold sketch path — no Window, no ntile, no
+    single-task global sort for a caller who doesn't ask for the
+    exact/oracle path by name."""
+    import re
+
+    from trade_data_collection_service_spark.ext.text import (
+        lm_quality_buckets,
+    )
+
+    plan = _plan(lm_quality_buckets(spark, sf_dir))
+    assert "Window" not in plan
+    assert not re.search(r"(?<![a-z_])ntile\(", plan)
+    assert "percentile_approx" in plan

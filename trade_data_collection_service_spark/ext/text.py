@@ -1010,7 +1010,7 @@ def lm_quality_buckets(
     spark: SparkSession,
     sf_dir: str,
     n_buckets: int = 3,
-    sampled_thresholds: bool = False,
+    sampled_thresholds: bool = True,
     accuracy: int = 10000,
 ) -> DataFrame:
     """CCNet-style language-model quality tiers (Wenzek et al. 2020):
@@ -1021,25 +1021,31 @@ def lm_quality_buckets(
     tokens).  CCNet keeps head+middle for pre-training and drops or
     down-samples tail; the tier column is exactly that routing key.
 
-    Determinism/portability (default path): the split is POSITIONAL
-    (ntile over avg_logprob DESC, doc_id tiebreak), not
-    threshold-based — rank semantics are identical across engines,
-    where interpolated percentile thresholds would put boundary
-    documents on different sides of a float comparison.  This is the
-    oracle path; its global ``Window.orderBy`` is a SINGLE-TASK sort
-    at corpus-doc cardinality (fine at bench scales, the wrong shape
-    at billions of documents — VERDICT r9 #1).
-
-    SCALE PATH (``sampled_thresholds=True``): CCNet's own procedure —
-    estimate the n_buckets-1 tier boundaries with a mergeable
-    ``percentile_approx`` sketch (one map-side-combined aggregate over
-    the per-doc rows; the 1-row threshold array rides a broadcast
-    crossJoin) and assign buckets with a map-side comparison.  No
-    window, no global sort, no driver collect; tier sizes become
+    DEFAULT (scale) path, ``sampled_thresholds=True`` — CCNet's own
+    procedure: estimate the n_buckets-1 tier boundaries with a
+    mergeable ``percentile_approx`` sketch (one map-side-combined
+    aggregate over the per-doc rows; the 1-row threshold array rides
+    a broadcast crossJoin) and assign buckets with a map-side
+    comparison.  No window, no global sort, no driver collect
+    (plan-asserted, tests/test_plan_hygiene.py); tier sizes become
     approximate (sketch accuracy + probability-mass ties — a run of
     equal scores lands entirely in one tier where ntile would split
-    it), which is exactly the trade CCNet makes.  Docs with a NULL
-    score (no tokens) route to the last tier on both paths."""
+    it), which is exactly the trade CCNet makes.  VERDICT r11 #6
+    made this the library default so no 100 TB caller gets a
+    single-task global sort by accident.
+
+    EXACT (oracle) path, ``sampled_thresholds=False``: the split is
+    POSITIONAL (ntile over avg_logprob DESC, doc_id tiebreak), not
+    threshold-based — rank semantics are identical across engines,
+    where interpolated percentile thresholds would put boundary
+    documents on different sides of a float comparison.  The
+    ``doc_lm_buckets`` oracle entry pins this path explicitly; its
+    global ``Window.orderBy`` is a SINGLE-TASK sort at corpus-doc
+    cardinality (fine at bench scales, the wrong shape at billions
+    of documents — VERDICT r9 #1).
+
+    Docs with a NULL score (no tokens) route to the last tier on
+    both paths."""
     if n_buckets < 1:
         raise ValueError(
             f"lm_quality_buckets: n_buckets must be >= 1, got {n_buckets}"
@@ -1243,6 +1249,76 @@ def source_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual_source", "pred_source")
     )
+
+
+NB_TABLES = ("census", "src_stats", "vocab")
+
+
+def write_nb_index(docs: DataFrame, path: str) -> None:
+    """Persist the trained Naive-Bayes source model at rest (VERDICT
+    r11 #4 — the serve split LR/BM25/IVF-PQ already have): the exact
+    :func:`_nb_model` censuses as three parquet tables —
+    ``{path}/census`` (source, term, n_st) term-sorted so parquet
+    row-group min/max statistics prune non-scored terms at scan time
+    (the BM25-postings layout), ``{path}/src_stats`` (source, n_s,
+    n_docs_s, n_docs), and ``{path}/vocab`` (v_size).
+
+    Counts are exact integers, so a stored-model score is
+    bit-identical to the in-query :func:`source_nb` (the 12-dp
+    decimal arithmetic happens at serve from the same integers) —
+    which is why ``doc_source_nb_indexed``'s DuckDB twin is the
+    existing NB twin.  Serving never re-reads the TRAINING corpus:
+    per scoring batch the cost is the batch's own tokenize pass plus
+    the census join."""
+    if docs.select("doc_id").isEmpty():
+        raise ValueError(
+            "write_nb_index: docs is empty — an empty model scores"
+            " nothing; refusing to write a layout serve reads rely on"
+        )
+    census, src_stats, vocab_v = _nb_model(docs)
+    (
+        census.repartition("term")
+        .sortWithinPartitions("term", "source")
+        .write.mode("overwrite")
+        .parquet(f"{path}/census")
+    )
+    src_stats.write.mode("overwrite").parquet(f"{path}/src_stats")
+    vocab_v.write.mode("overwrite").parquet(f"{path}/vocab")
+
+
+def nb_score_indexed(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    push_terms: bool = False,
+) -> DataFrame:
+    """Score ``docs`` against a stored NB model — one tokenize pass
+    over the scored batch, one (source, term) equi-join against the
+    census at rest, one argmax; the training corpus text is never
+    touched.  Output schema = :func:`source_nb` (doc_id,
+    actual_source, pred_source, score, correct).
+
+    ``push_terms=True`` collects the scoring batch's DISTINCT terms
+    to the driver and pushes them as an In-list into the term-sorted
+    census scan (row-group pruning — the bm25_search_indexed serving
+    shape).  Sound because unseen (source, term) pairs already score
+    via the left-join coalesce: dropping census rows for terms the
+    batch never uses changes nothing.  Driver-bounded by the BATCH's
+    vocabulary — use for small serving batches, never a whole
+    corpus."""
+    census = spark.read.parquet(f"{path}/census")
+    src_stats = spark.read.parquet(f"{path}/src_stats")
+    vocab_v = spark.read.parquet(f"{path}/vocab")
+    if push_terms:
+        batch_terms = [
+            r["term"]
+            for r in with_tokens(docs)
+            .select(F.explode("tokens").alias("term"))
+            .distinct()
+            .collect()
+        ]
+        census = census.filter(F.col("term").isin(batch_terms))
+    return _nb_score(docs, census, src_stats, vocab_v)
 
 
 def source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
