@@ -46,6 +46,7 @@ from trade_data_collection_service_spark.ext import tpch as XH
 from trade_data_collection_service_spark.ext.multimodal import (
     media_features,
     media_frame_sample,
+    media_headers,
 )
 from trade_data_collection_service_spark.functions.sketch import ALPHA
 
@@ -1846,6 +1847,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": XH.events_json_extract,
         "multimodal_features": media_features,
         "multimodal_frames": media_frame_sample,
+        "multimodal_headers": media_headers,
         "tpch_q1": XH.q1_pricing_summary,
         "tpch_q10": XH.q10_returned_items,
         "tpch_q12": XH.q12_late_shipments,
@@ -5071,6 +5073,39 @@ def oracle_sql() -> dict[str, str]:
              unnest(range(0, CAST(floor(length(text) / 64) AS BIGINT), 4))
                AS t(i)
         ORDER BY media_id, frame_idx
+        """,
+        # header parse round-trip: Spark PARSES width/height/channels/
+        # rate back out of the synthesized PNG/WAV bytes; the twin
+        # recomputes what the generator EMBEDDED from doc_id and the
+        # text byte length — agreement proves the parser recovered
+        # every field bit-exactly (ext/multimodal.synthetic_media
+        # formulas, mirrored verbatim)
+        "multimodal_headers": """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(16 + doc_id % 317 AS BIGINT) END AS width,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(16 + (doc_id * 7) % 211 AS BIGINT)
+                 END AS height,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(4 AS BIGINT)
+                    ELSE CAST(1 + (doc_id // 2) % 2 AS BIGINT)
+                 END AS channels,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS BIGINT)
+                    ELSE CAST(16 AS BIGINT) END AS bit_depth,
+               CASE WHEN doc_id % 2 = 1 THEN CAST(
+                 CASE (doc_id // 2) % 4 WHEN 0 THEN 8000
+                   WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                   ELSE 44100 END AS BIGINT) END AS sample_rate,
+               CASE WHEN doc_id % 2 = 1 THEN CAST(
+                 (octet_length(encode(text))
+                  + (2 * (1 + (doc_id // 2) % 2)
+                     - octet_length(encode(text))
+                       % (2 * (1 + (doc_id // 2) % 2)))
+                    % (2 * (1 + (doc_id // 2) % 2)))
+                 // (2 * (1 + (doc_id // 2) % 2)) AS BIGINT)
+                 END AS n_samples
+        FROM documents ORDER BY media_id
         """,
         "candles_1m": CANDLES_CTE + "SELECT * FROM candles",
         "dedup_latest": CANDLES_DUP_CTE

@@ -59,6 +59,97 @@ def test_multimodal_arrow_plumbing(spark, sf_dir):
         assert abs(f["fake_feature"] - round((n % 256) / 255.0, 6)) < 1e-9
 
 
+def test_media_header_parser_units():
+    """The real header decode (VERDICT r11 #7), unit-level: a
+    hand-built PNG and WAV parse exactly; the WAV chunk walk skips an
+    unknown chunk (and its odd-size pad byte) between fmt and data;
+    malformed payloads degrade to 'unknown', never raise."""
+    import struct
+
+    from trade_data_collection_service_spark.ext.multimodal import (
+        _parse_header,
+    )
+
+    png = (
+        bytes.fromhex("89504e470d0a1a0a")
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + bytes([8, 2, 0, 0, 0])
+        + b"\x00" * 4
+    )
+    assert _parse_header(png) == ("png", 640, 480, 3, 8, None, None)
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    data = b"\x01\x02\x03\x04" * 5  # 5 sample frames at block 4
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 0)
+        + b"WAVE"
+        + chunk(b"LIST", b"odd")  # 3 bytes -> pad byte exercised
+        + chunk(b"fmt ", fmt)
+        + chunk(b"junk", b"xy")
+        + chunk(b"data", data)
+    )
+    assert _parse_header(wav) == ("wav", None, None, 2, 16, 44100, 5)
+
+    for bad in (b"", b"RIFF", b"RIFFxxxxWAVE", png[:20], b"\x89PNGnope"):
+        assert _parse_header(bad)[0] == "unknown"
+
+
+def test_synthetic_media_headers_roundtrip(spark, sf_dir):
+    """End-to-end: every synthesized payload parses back to exactly
+    the fields the generator embedded (the oracle entry re-proves
+    this against DuckDB arithmetic; this is the fast local check)."""
+    from trade_data_collection_service_spark.ext.multimodal import (
+        media_headers,
+        synthetic_media,
+    )
+
+    rows = media_headers(spark, sf_dir).collect()
+    assert {r["kind"] for r in rows} == {"png", "wav"}
+    docs = {
+        d["doc_id"]: len(d["text"].encode())
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rates = (8000, 16000, 22050, 44100)
+    for r in rows:
+        i = r["media_id"]
+        if i % 2 == 0:
+            assert (r["kind"], r["width"], r["height"]) == (
+                "png",
+                16 + i % 317,
+                16 + (i * 7) % 211,
+            )
+            assert (r["channels"], r["bit_depth"]) == (4, 8)
+        else:
+            ch = 1 + (i // 2) % 2
+            block = 2 * ch
+            n = docs[i]
+            assert (r["kind"], r["channels"], r["bit_depth"]) == (
+                "wav",
+                ch,
+                16,
+            )
+            assert r["sample_rate"] == rates[(i // 2) % 4]
+            assert r["n_samples"] == (n + (block - n % block) % block) // block
+    # all four sample rates actually occur in the fixture
+    assert {r["sample_rate"] for r in rows if r["kind"] == "wav"} == set(
+        rates
+    )
+    # payloads are genuinely binary and sized header+body
+    m = synthetic_media(spark, sf_dir).limit(5).collect()
+    for row in m:
+        assert row["n_bytes"] == len(bytes(row["payload"]))
+
+
 def test_bm25_topk_ranking_properties(spark, sf_dir):
     from trade_data_collection_service_spark.ext.text import bm25_topk
 

@@ -103,7 +103,12 @@ NESTED_LOOP_OK = {
     # (dense side); every corpus-sized join is equi on
     # term / doc_id / bucket / (q_id, subspace, code)
 }
-ARROW_OK = {"multimodal_features", "multimodal_frames"}
+ARROW_OK = {
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_headers",  # the real PNG/WAV header decode is the
+    # Python-is-the-point Arrow stage by design (VERDICT r11 #7)
+}
 
 
 def _plan(df) -> str:
