@@ -1705,106 +1705,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
-# r12 ROTATION PLAN (write _R12_WINDOW next round): first, anything
-# r12 changes; then the 36 entries whose driver evidence stays r8 —
-# the 11 entries the r11 second wave displaced from this window's
-# tail (volume_bars, event_sessions, asof_price, repair_window,
-# minmax_window, count_distinct_window, latest_per_symbol,
-# distinct_pairs, watchdog_cycle, asof_price_forward, atr_14)
-# followed by the 25 never-rotated r8-vintage entries (recent_topn …
-# rollup_5m, recorded order); RECOMPUTE the list as CORRECTNESS_r08
-# minus r09/r10/r11 keys before trusting it (hand-edits drifted
-# twice in r10); fill any remaining slots with the oldest r9-vintage
-# entries per CORRECTNESS_r09 minus r10/r11 keys, in recorded order.
-# After r11 the evidence ledger is 50 r11 / 47 r10 / 48 r9 / 36 r8 /
-# 0 never (181 entries; the second-wave additions claim 11 window
-# slots, so 11 of the r8-vintage tail wait one more round — they
-# lead the r12 list above).
+# r13 ROTATION PLAN (write _R13_WINDOW next round): first, anything
+# r13 changes; then the oldest entries by driver-evidence vintage —
+# after r12 that is the remaining r9-vintage set: RECOMPUTE it as
+# CORRECTNESS_r09 keys minus r10/r11 keys minus _R12_WINDOW, recorded
+# order (43 entries at the time of writing), and fill any remaining
+# slots with the oldest r10-vintage entries (CORRECTNESS_r10 minus
+# r11 keys minus _R12_WINDOW), recorded order.  NEVER hand-edit the
+# lists — recompute from the CORRECTNESS_r* files (hand-edits
+# drifted twice in r10).
 #
-# r11 driver window (VERDICT r10 #2, computed EXACTLY per the
-# committed r10 plan comment — recomputed from the CORRECTNESS_r*
-# files, not hand-edited): the 9 r11-new entries, the 3 entries r11
-# touches (emb_hybrid_rrf refactored onto the shared _rrf_fuse tail;
-# doc_lm_buckets gained the n_buckets guard; doc_bm25_indexed_topk
-# now serves the batch-ledgered layout), the 13 r7-vintage
-# displacees (CORRECTNESS_r07 minus r08/r09/r10 keys, recorded
-# order), ema_20 + macd_12_26_9 (r8-vintage since r9), then the
-# oldest r8-vintage entries (CORRECTNESS_r08 minus r09/r10 keys,
-# recorded order) to exactly 50.  The r11 SECOND wave (11 new
-# oracle entries) then claimed the window's first 11 slots,
-# displacing the last 11 r8-vintage fillers to the r12 plan below.
-# The full 181-entry surface is swept locally via
-# tools/check_oracle.py at sf0.01 and sf0.1 each round
-# (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window
-# is a budget cap, not the evidence.
-_R11_WINDOW = [
-    # r11 second wave (newest first): curation compositions, layout/
-    # join scale features, trained quality filter, experiment readout
-    "event_ab_chisq",
-    "doc_lr_filtered",
-    "doc_dup_flow",
-    "doc_dedup_normalized",
-    "doc_source_cap",
-    "doc_split_leakage",
-    "zorder_range_scan",
-    "bloom_semijoin_scan",
-    "doc_quality_lr",
-    "doc_quality_lr_scores",
-    "doc_quality_lr_eval",
-    "emb_hybrid_indexed_rrf",
-    "doc_lm_score_hash4",
-    "doc_lm_score_hash5",
-    "doc_hash4_collisions",
-    "doc_hash5_collisions",
+# r12 driver window (VERDICT r11 #3, computed EXACTLY per the
+# committed r11 plan comment — recomputed from the CORRECTNESS_r*
+# files): the 2 r12-new entries (doc_source_nb_indexed,
+# multimodal_headers), the 7 entries r12 touches (doc_source_nb +
+# confusion now route through the shared _nb_model/_nb_score split;
+# doc_lm_buckets pins the exact path while the library default went
+# window-free; event_ab_chisq's twin is now generated from the
+# operator's parameters; bloom_semijoin_scan's operator gained the
+# large-dim auto-fallback; multimodal_features/frames share the
+# module the header decode landed in), then ALL 36 r8-vintage
+# entries — the 11 the r11 second wave displaced followed by the 25
+# never-rotated (CORRECTNESS_r08 minus r09/r10/r11 keys, recorded
+# order) — then the 5 oldest r9-vintage entries (CORRECTNESS_r09
+# minus r10/r11 keys, recorded order) to exactly 50.  After r12 no
+# entry's driver evidence is older than r9.  The full 183-entry
+# surface is swept locally via tools/check_oracle.py at sf0.01 and
+# sf0.1 each round (docs/COVERAGE.md; sweep lines carry the HEAD
+# SHA) — the window is a budget cap, not the evidence.
+_R12_WINDOW = [
+    "doc_source_nb_indexed",
+    "multimodal_headers",
+    "doc_source_nb",
     "doc_source_nb_confusion",
-    "doc_resampled_mix",
-    "doc_bm25_appended_topk",
-    "doc_bm25_indexed_topk",
-    "emb_hybrid_eval",
-    "emb_hybrid_rrf",
     "doc_lm_buckets",
-    "tpch_q1",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q6",
-    "tpch_q2",
-    "ema_20",
-    "macd_12_26_9",
-    "emb_ivf_appended_topk",
-    "returns_autocorr",
-    "conversion_latency",
-    "listing_stable",
-    "price_quantile_sketch",
-    "pivot_volume",
-    "volume_rollup_sets",
-    "volume_cube_sets",
-    "max_drawdown",
-    "top_volume_per_symbol",
-    "bollinger_20",
-    "daily_volatility",
+    "event_ab_chisq",
+    "bloom_semijoin_scan",
+    "multimodal_features",
+    "multimodal_frames",
+    "volume_bars",
+    "event_sessions",
+    "asof_price",
+    "repair_window",
+    "minmax_window",
+    "count_distinct_window",
+    "latest_per_symbol",
+    "distinct_pairs",
+    "watchdog_cycle",
+    "asof_price_forward",
+    "atr_14",
+    "recent_topn",
+    "symbol_filter",
+    "readme_window",
+    "freshness",
+    "listing_diff",
+    "gap_filled",
+    "gap_filled_ffill",
+    "sma_20",
+    "vwap_daily",
+    "price_percentiles",
+    "price_bands",
+    "gap_missing_count",
+    "gap_islands",
+    "backfill_plan",
+    "validate_quarantine",
+    "doc_chunks",
+    "doc_token_cms",
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q15",
+    "candles_1m",
+    "dedup_latest",
+    "rollup_5m",
+    "doc_duplicate_spans",
+    "doc_strip_spans",
+    "doc_dedup_passages",
+    "doc_minhash_lsh",
+    "emb_ivfpq_indexed_topk",
 ]
 
 
 def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _registry()
-    missing = [k for k in _R11_WINDOW if k not in base]
+    missing = [k for k in _R12_WINDOW if k not in base]
     assert not missing, f"window names drifted from registry: {missing}"
-    out = {k: base[k] for k in _R11_WINDOW}
+    out = {k: base[k] for k in _R12_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order here is historical grouping only; the driver
-    # window is imposed by _R8_WINDOW in _queries().
+    # window is imposed by _R12_WINDOW in _queries().
     return {
         # --- changed in r6: re-prove first ---
         "doc_repetition": _q_doc_repetition,
