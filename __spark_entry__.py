@@ -698,6 +698,25 @@ def _q_doc_source_nb_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XT.nb_score_indexed(spark, path, docs)
 
 
+def _q_doc_source_nb_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally grown NB model, then served (ext/text.
+    append_to_nb_index): base 2/3 of the corpus censused and written,
+    the remaining 1/3 appended as a batch-keyed ledger partition
+    (census counts and per-source partials are additive across
+    disjoint doc sets), then the whole corpus scored against the
+    combined partials — classify-on-arrival, the sparse-model
+    sibling of doc_bm25_appended_topk.  Append ≡ rebuild ≡ the
+    in-query classifier (pytest-proven), so the DuckDB twin is the
+    NB twin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = _scratch_dir("nb_app_q_") + "/index"
+    XT.write_nb_index(docs.filter(F.col("doc_id") % 3 != 0), path)
+    XT.append_to_nb_index(
+        docs.filter(F.col("doc_id") % 3 == 0), path, batch_id="r12"
+    )
+    return XT.nb_score_indexed(spark, path, docs)
+
+
 def _q_doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail LM-quality tiers (Wenzek et al. 2020,
     ext/text.lm_quality_buckets): positional ntile over per-doc
@@ -1717,8 +1736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #
 # r12 driver window (VERDICT r11 #3, computed EXACTLY per the
 # committed r11 plan comment — recomputed from the CORRECTNESS_r*
-# files): the 2 r12-new entries (doc_source_nb_indexed,
-# multimodal_headers), the 7 entries r12 touches (doc_source_nb +
+# files): the 3 r12-new entries (doc_source_nb_indexed,
+# doc_source_nb_appended, multimodal_headers), the 7 entries r12
+# touches (doc_source_nb +
 # confusion now route through the shared _nb_model/_nb_score split;
 # doc_lm_buckets pins the exact path while the library default went
 # window-free; event_ab_chisq's twin is now generated from the
@@ -1727,14 +1747,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # module the header decode landed in), then ALL 36 r8-vintage
 # entries — the 11 the r11 second wave displaced followed by the 25
 # never-rotated (CORRECTNESS_r08 minus r09/r10/r11 keys, recorded
-# order) — then the 5 oldest r9-vintage entries (CORRECTNESS_r09
+# order) — then the 4 oldest r9-vintage entries (CORRECTNESS_r09
 # minus r10/r11 keys, recorded order) to exactly 50.  After r12 no
-# entry's driver evidence is older than r9.  The full 183-entry
+# entry's driver evidence is older than r9.  The full 184-entry
 # surface is swept locally via tools/check_oracle.py at sf0.01 and
 # sf0.1 each round (docs/COVERAGE.md; sweep lines carry the HEAD
 # SHA) — the window is a budget cap, not the evidence.
 _R12_WINDOW = [
     "doc_source_nb_indexed",
+    "doc_source_nb_appended",
     "multimodal_headers",
     "doc_source_nb",
     "doc_source_nb_confusion",
@@ -1783,7 +1804,6 @@ _R12_WINDOW = [
     "doc_strip_spans",
     "doc_dedup_passages",
     "doc_minhash_lsh",
-    "emb_ivfpq_indexed_topk",
 ]
 
 
@@ -1971,6 +1991,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score_tri": _q_doc_lm_score_tri,
         "doc_source_nb": _q_doc_source_nb,
         "doc_source_nb_indexed": _q_doc_source_nb_indexed,
+        "doc_source_nb_appended": _q_doc_source_nb_appended,
         "doc_bm25_indexed_topk": _q_doc_bm25_indexed_topk,
         "doc_bm25_appended_topk": _q_doc_bm25_appended_topk,
         "emb_hybrid_eval": _q_emb_hybrid_eval,
@@ -6397,6 +6418,10 @@ def oracle_sql() -> dict[str, str]:
     # stored NB model serve == in-query classifier by construction
     # (the index tables ARE _nb_model's censuses at rest) -> same twin
     sql["doc_source_nb_indexed"] = sql["doc_source_nb"]
+    # appended NB == rebuild == in-query classifier (the per-batch
+    # partials sum exactly for disjoint doc sets, pytest-proven
+    # chain, see _q_doc_source_nb_appended) -> same DuckDB twin
+    sql["doc_source_nb_appended"] = sql["doc_source_nb"]
     # confusion matrix wraps the NB twin verbatim so the two can
     # never disagree on classifier semantics
     sql["doc_source_nb_confusion"] = (

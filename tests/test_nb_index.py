@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from trade_data_collection_service_spark.ext.text import (
+    append_to_nb_index,
     nb_score_indexed,
     source_nb,
     write_nb_index,
@@ -54,6 +55,40 @@ def test_unseen_terms_score_via_smoothing(spark, nb_index, sf_dir):
     rows = nb_score_indexed(spark, nb_index, novel).collect()
     assert len(rows) == 1
     assert rows[0]["pred_source"] is not None
+
+
+def test_append_equals_rebuild_equals_inline(spark, sf_dir, tmp_path):
+    """The ledger contract: base(2/3) + append(1/3) must score
+    IDENTICALLY to a fresh full build and to the in-query classifier
+    — the per-batch census/src_stats partials sum exactly for
+    disjoint doc sets.  A keyed replay of the same batch is
+    idempotent (dynamic overwrite of its own partitions)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "app") + "/index"
+    write_nb_index(docs.filter(F.col("doc_id") % 3 != 0), path)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    append_to_nb_index(batch, path, batch_id="b1")
+    appended = _rows(nb_score_indexed(spark, path, docs))
+    assert appended == _rows(source_nb(spark, sf_dir))
+    # keyed replay: same batch id again -> same result, no doubling
+    append_to_nb_index(batch, path, batch_id="b1")
+    assert _rows(nb_score_indexed(spark, path, docs)) == appended
+
+
+def test_unkeyed_append_double_counts_by_contract(spark, sf_dir, tmp_path):
+    # batch_id=None lands in the shared 'legacy' partition; a replay
+    # double-counts (documented contract — repair = rebuild)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "leg") + "/index"
+    write_nb_index(docs.filter(F.col("doc_id") % 3 != 0), path)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    append_to_nb_index(batch, path)
+    once = _rows(nb_score_indexed(spark, path, docs))
+    append_to_nb_index(batch, path)
+    twice = spark.read.parquet(f"{path}/census")
+    n_batch_rows = twice.filter(F.col("batch") == "legacy").count()
+    assert n_batch_rows > 0 and n_batch_rows % 2 == 0
+    assert once == _rows(source_nb(spark, sf_dir))
 
 
 def test_empty_build_refused(spark, sf_dir, tmp_path):

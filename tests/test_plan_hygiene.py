@@ -56,6 +56,9 @@ NESTED_LOOP_OK = {
     "doc_source_nb_indexed",  # the same NB scoring tail served from
     # the model at rest: broadcast src_stats dimension + 1-row vocab
     # scalar; the census join is equi on (source, term)
+    "doc_source_nb_appended",  # identical serve plan over the
+    # ledgered (base + appended-batch) partials — the same
+    # allowlisted scalars
     "doc_resampled_mix",  # two 1-row broadcast scalars (the α-power
     # normalizer + the kept-total); the weight join onto the corpus
     # is equi on source

@@ -1127,38 +1127,54 @@ def source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the lm_score discipline), so per-(doc, source) sums are exact in
     both engines and the argmax compares bit-identical decimals."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    census, src_stats, vocab_v = _nb_model(docs)
+    census, src_partials = _nb_model(docs)
+    src_stats, vocab_v = _nb_stats(census, src_partials)
     return _nb_score(docs, census, src_stats, vocab_v)
 
 
 def _nb_model(docs: DataFrame):
-    """The NB training censuses — (source, term) counts, per-source
-    marginals + doc priors, global vocab size.  Shared verbatim by
-    the in-query :func:`source_nb` and the stored-model
-    :func:`write_nb_index` so the two can never drift."""
+    """The NB training PARTIALS — the (source, term) census and the
+    per-source marginals (n_s total term occurrences, n_docs_s doc
+    count).  Shared verbatim by the in-query :func:`source_nb`, the
+    stored-model :func:`write_nb_index`, and the incremental
+    :func:`append_to_nb_index`: both tables are ADDITIVE across
+    disjoint document batches (term counts and doc counts sum), which
+    is what makes the index ledger's per-batch partials exact.
+    Global stats (n_docs, vocab size) are NOT stored — they are
+    marginals of these partials, derived by :func:`_nb_stats`."""
     terms = with_tokens(docs).select(
         "doc_id", "source", F.explode("tokens").alias("term")
     )
     census = terms.groupBy("source", "term").agg(
         F.count(F.lit(1)).alias("n_st")
     )
-    src_stats = (
-        terms.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_s"))
+    src_partials = (
+        census.groupBy("source")
+        .agg(F.sum("n_st").cast("long").alias("n_s"))
         .join(
             docs.groupBy("source").agg(
                 F.count(F.lit(1)).alias("n_docs_s")
             ),
             "source",
         )
-        .crossJoin(
-            F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    )
+    return census, src_partials
+
+
+def _nb_stats(census: DataFrame, src_partials: DataFrame):
+    """Global NB stats as marginals of the model partials: n_docs =
+    Σ_s n_docs_s (every doc has exactly one source; the tokenizer
+    emits [""] for empty text, so every source with docs appears in
+    the census), and the vocabulary size = distinct terms of the
+    census.  Derived, never stored — so an appended index can't hold
+    a stale global."""
+    src_stats = src_partials.crossJoin(
+        F.broadcast(
+            src_partials.agg(F.sum("n_docs_s").cast("long").alias("n_docs"))
         )
     )
-    vocab_v = terms.agg(
-        F.countDistinct("term").alias("v_size")
-    )
-    return census, src_stats, vocab_v
+    vocab_v = census.agg(F.countDistinct("term").alias("v_size"))
+    return src_stats, vocab_v
 
 
 def _nb_score(
@@ -1251,17 +1267,18 @@ def source_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NB_TABLES = ("census", "src_stats", "vocab")
+NB_TABLES = ("census", "src_stats")
 
 
 def write_nb_index(docs: DataFrame, path: str) -> None:
     """Persist the trained Naive-Bayes source model at rest (VERDICT
     r11 #4 — the serve split LR/BM25/IVF-PQ already have): the exact
-    :func:`_nb_model` censuses as three parquet tables —
+    :func:`_nb_model` partials as two parquet tables —
     ``{path}/census`` (source, term, n_st) term-sorted so parquet
     row-group min/max statistics prune non-scored terms at scan time
-    (the BM25-postings layout), ``{path}/src_stats`` (source, n_s,
-    n_docs_s, n_docs), and ``{path}/vocab`` (v_size).
+    (the BM25-postings layout), and ``{path}/src_stats`` (source,
+    n_s, n_docs_s).  Globals (n_docs, vocab size) are derived at
+    serve by :func:`_nb_stats`, never stored.
 
     Counts are exact integers, so a stored-model score is
     bit-identical to the in-query :func:`source_nb` (the 12-dp
@@ -1269,21 +1286,106 @@ def write_nb_index(docs: DataFrame, path: str) -> None:
     which is why ``doc_source_nb_indexed``'s DuckDB twin is the
     existing NB twin.  Serving never re-reads the TRAINING corpus:
     per scoring batch the cost is the batch's own tokenize pass plus
-    the census join."""
+    the census join.
+
+    LEDGER LAYOUT: both tables are ``partitionBy(batch)`` with the
+    base build owning ``batch=base`` — the same replay-idempotence
+    ledger as the BM25/near-dup/IVF-PQ indexes, so
+    :func:`append_to_nb_index` grows the model O(batch).  The
+    corpus TEXT is scanned exactly ONCE: src_stats' n_s is a
+    marginal of the just-written census read BACK from parquet (the
+    write_bm25_index discipline); only the tiny (doc_id, source)
+    projection touches the docs again."""
     if docs.select("doc_id").isEmpty():
         raise ValueError(
             "write_nb_index: docs is empty — an empty model scores"
             " nothing; refusing to write a layout serve reads rely on"
         )
-    census, src_stats, vocab_v = _nb_model(docs)
-    (
-        census.repartition("term")
-        .sortWithinPartitions("term", "source")
-        .write.mode("overwrite")
-        .parquet(f"{path}/census")
+    spark = docs.sparkSession
+    census, _ = _nb_model(docs)
+
+    def _write_base(df: DataFrame, table: str) -> None:
+        # explicit STATIC overwrite: a rebuild must wipe stale batch
+        # partitions even if some other component set the session's
+        # partitionOverwriteMode to dynamic
+        (
+            df.withColumn("batch", F.lit("base"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("batch")
+            .parquet(f"{path}/{table}")
+        )
+
+    _write_base(
+        census.repartition("term").sortWithinPartitions("term", "source"),
+        "census",
     )
-    src_stats.write.mode("overwrite").parquet(f"{path}/src_stats")
-    vocab_v.write.mode("overwrite").parquet(f"{path}/vocab")
+    stored = spark.read.parquet(f"{path}/census")
+    _write_base(
+        stored.groupBy("source")
+        .agg(F.sum("n_st").cast("long").alias("n_s"))
+        .join(
+            docs.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs_s")
+            ),
+            "source",
+        ),
+        "src_stats",
+    )
+
+
+def append_to_nb_index(
+    new_docs: DataFrame, path: str, batch_id: str | int | None = None
+) -> None:
+    """Grow a stored NB model incrementally — classify-on-arrival
+    (the searchable-on-arrival sibling of ``append_to_bm25_index``):
+    census the NEW batch only and append its (source, term) counts
+    and per-source partials to the batch's own ledger partitions.
+    The existing model is never re-read or rewritten; per batch the
+    cost is the batch's own token census — corpus-size independent.
+    At serve the partials sum exactly (:func:`nb_score_indexed`), so
+    append ≡ rebuild ≡ the in-query classifier, pytest-proven.
+
+    CONTRACT: appended documents must be NEW (not already censused) —
+    counts are additive only for disjoint doc sets; doc_ingest
+    guarantees this by near-dup-gating before the append.  Replays
+    of the SAME batch_id are idempotent (dynamic overwrite of the
+    batch's partitions); un-keyed appends (batch_id=None) land in a
+    shared ``legacy`` partition and a replay would double-count —
+    repair by rebuilding with :func:`write_nb_index` (the model
+    tables are vocab × source bounded, so a rebuild is cheap next to
+    anything corpus-sized)."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        _require_ledger_layout,
+        _validate_batch_id,
+    )
+
+    b = _validate_batch_id(batch_id)
+    spark = new_docs.sparkSession
+    for t in NB_TABLES:
+        _require_ledger_layout(
+            spark, f"{path}/{t}", "append_to_nb_index", "write_nb_index"
+        )
+    batch = b if b is not None else "legacy"
+    census, src_partials = _nb_model(new_docs)
+    census = census.localCheckpoint(eager=False)
+
+    def _write(df: DataFrame, table: str) -> None:
+        w = df.withColumn("batch", F.lit(batch)).write.partitionBy("batch")
+        if batch_id is not None:
+            (
+                w.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(f"{path}/{table}")
+            )
+        else:
+            w.mode("append").parquet(f"{path}/{table}")
+
+    _write(
+        census.repartition("term").sortWithinPartitions("term", "source"),
+        "census",
+    )
+    _write(src_partials, "src_stats")
 
 
 def nb_score_indexed(
@@ -1298,17 +1400,36 @@ def nb_score_indexed(
     touched.  Output schema = :func:`source_nb` (doc_id,
     actual_source, pred_source, score, correct).
 
+    The ledger partials combine at serve: census counts sum across
+    batch partitions (disjoint doc sets → additive), src_stats sums
+    per source, and the globals (n_docs, vocab size) derive from the
+    combined partials (:func:`_nb_stats`) — a base-only read sums
+    one partition each, so the stored-vs-appended distinction never
+    reaches the scoring arithmetic.
+
     ``push_terms=True`` collects the scoring batch's DISTINCT terms
     to the driver and pushes them as an In-list into the term-sorted
-    census scan (row-group pruning — the bm25_search_indexed serving
-    shape).  Sound because unseen (source, term) pairs already score
-    via the left-join coalesce: dropping census rows for terms the
-    batch never uses changes nothing.  Driver-bounded by the BATCH's
-    vocabulary — use for small serving batches, never a whole
-    corpus."""
-    census = spark.read.parquet(f"{path}/census")
-    src_stats = spark.read.parquet(f"{path}/src_stats")
-    vocab_v = spark.read.parquet(f"{path}/vocab")
+    census scan feeding the JOIN (row-group pruning — the
+    bm25_search_indexed serving shape).  Sound because unseen
+    (source, term) pairs already score via the left-join coalesce.
+    The vocab-size marginal still reads the full census (its one
+    column, pruned) — the global V must not shrink to the batch's
+    vocabulary.  Driver-bounded by the BATCH's vocabulary — use for
+    small serving batches, never a whole corpus."""
+    census = (
+        spark.read.parquet(f"{path}/census")
+        .groupBy("source", "term")
+        .agg(F.sum("n_st").cast("long").alias("n_st"))
+    )
+    src_partials = (
+        spark.read.parquet(f"{path}/src_stats")
+        .groupBy("source")
+        .agg(
+            F.sum("n_s").cast("long").alias("n_s"),
+            F.sum("n_docs_s").cast("long").alias("n_docs_s"),
+        )
+    )
+    src_stats, vocab_v = _nb_stats(census, src_partials)
     if push_terms:
         batch_terms = [
             r["term"]
