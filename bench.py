@@ -174,6 +174,10 @@ def headline_queries():
         "doc_lr_filtered",
         "doc_dup_flow",
         "event_ab_chisq",
+        # round-12: NB serve/append splits + the real header decode
+        "doc_source_nb_indexed",
+        "doc_source_nb_appended",
+        "multimodal_headers",
     ):
         if name in q:
             out[name] = q[name]

@@ -473,3 +473,51 @@ def test_doc_ingest_maintains_bm25_index(spark, sf_dir, tmp_path):
     ingest_batch(batch, index, out, batch_id=4, bm25_index_path=bm25)
     again = [tuple(r) for r in bm25_search_indexed(spark, bm25, q).collect()]
     assert again == got
+
+
+def test_doc_ingest_maintains_nb_index(spark, sf_dir, tmp_path):
+    """Classify-on-arrival (r12): with nb_index_path set, accepted
+    docs' censuses are appended to the stored NB source model — the
+    served model scores identically to a fresh build over
+    (seed ∪ accepted), and a replay of the batch leaves it
+    byte-identical."""
+    from trade_data_collection_service_spark.ext.text import (
+        nb_score_indexed,
+        write_nb_index,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    stored = corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = corpus.filter(F.col("doc_id") % 3 == 0)
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    nb = str(tmp_path / "nb")
+    write_neardup_index(stored, index)
+    write_nb_index(stored, nb)
+    n = ingest_batch(batch, index, out, batch_id=4, nb_index_path=nb)
+    assert n > 0
+    accepted = {r["doc_id"] for r in read_accepted(spark, out).collect()}
+    union = stored.unionByName(
+        batch.join(
+            spark.createDataFrame(
+                [(i,) for i in sorted(accepted)], "doc_id long"
+            ),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    ref = str(tmp_path / "ref")
+    write_nb_index(union, ref)
+    got = [
+        tuple(r) for r in nb_score_indexed(spark, nb, union).collect()
+    ]
+    want = [
+        tuple(r) for r in nb_score_indexed(spark, ref, union).collect()
+    ]
+    assert sorted(got) == sorted(want) and got
+    # replay: byte-identical serve
+    ingest_batch(batch, index, out, batch_id=4, nb_index_path=nb)
+    again = [
+        tuple(r) for r in nb_score_indexed(spark, nb, union).collect()
+    ]
+    assert sorted(again) == sorted(got)

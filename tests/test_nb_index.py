@@ -91,6 +91,56 @@ def test_unkeyed_append_double_counts_by_contract(spark, sf_dir, tmp_path):
     assert once == _rows(source_nb(spark, sf_dir))
 
 
+def test_compact_folds_batches_scores_unchanged(spark, sf_dir, tmp_path):
+    """compact_nb_index sums unprotected batch partitions into base
+    exactly (counts are additive), so serving is byte-equal before
+    and after; protected batches keep their partition identity; the
+    maybe_compact cadence triggers on the max distinct-batch count
+    across both tables."""
+    import os
+
+    from trade_data_collection_service_spark.ext.dedup import (
+        maybe_compact,
+    )
+    from trade_data_collection_service_spark.ext.text import (
+        compact_nb_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "cmp") + "/index"
+    write_nb_index(docs.filter(F.col("doc_id") % 4 == 0), path)
+    for i in (1, 2, 3):
+        append_to_nb_index(
+            docs.filter(F.col("doc_id") % 4 == i), path, batch_id=i
+        )
+    before = _rows(nb_score_indexed(spark, path, docs))
+    parts = lambda t: {  # noqa: E731
+        d for d in os.listdir(f"{path}/{t}") if d.startswith("batch=")
+    }
+    assert len(parts("census")) == 4
+    # below threshold: metadata-only no-op
+    assert maybe_compact(spark, path, "nb", max_batches=8) is False
+    # above threshold: fold, protecting the still-replayable batch 3
+    assert (
+        maybe_compact(
+            spark, path, "nb", max_batches=2, protect_batches=("3",)
+        )
+        is True
+    )
+    assert parts("census") == {"batch=base", "batch=3"}
+    assert parts("src_stats") == {"batch=base", "batch=3"}
+    assert _rows(nb_score_indexed(spark, path, docs)) == before
+    # a keyed replay of the protected batch still lands idempotently
+    append_to_nb_index(
+        docs.filter(F.col("doc_id") % 4 == 3), path, batch_id=3
+    )
+    assert _rows(nb_score_indexed(spark, path, docs)) == before
+    # full fold
+    compact_nb_index(spark, path)
+    assert parts("census") == {"batch=base"}
+    assert _rows(nb_score_indexed(spark, path, docs)) == before
+
+
 def test_empty_build_refused(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.lit(False)

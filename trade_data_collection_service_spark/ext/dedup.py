@@ -725,7 +725,8 @@ def maybe_compact(
     the index at ``path`` is and compact it only when the count
     exceeds ``max_batches``.  Returns True iff a compaction ran.
 
-    ``kind``: ``'neardup'`` / ``'ivfpq'`` / ``'bm25'`` count distinct
+    ``kind``: ``'neardup'`` / ``'ivfpq'`` / ``'bm25'`` / ``'nb'``
+    count distinct
     batch partitions (each keyed append adds one); ``'gram'`` counts
     data files (its appends are un-keyed census rows by design).  The
     measurements are metadata-only — a partition-column distinct and
@@ -779,6 +780,15 @@ def maybe_compact(
         return _ledgered(
             [f"{path}/{t}" for t in BM25_TABLES], compact_bm25_index
         )
+    if kind == "nb":
+        from trade_data_collection_service_spark.ext.text import (
+            NB_TABLES,
+            compact_nb_index,
+        )
+
+        return _ledgered(
+            [f"{path}/{t}" for t in NB_TABLES], compact_nb_index
+        )
     if kind == "gram":
         if protect_batches:
             # ADVICE r10: the gram index has no batch ledger, so
@@ -801,7 +811,7 @@ def maybe_compact(
         return True
     raise ValueError(
         f"maybe_compact: unknown index kind {kind!r}"
-        " (expected 'neardup', 'ivfpq', 'bm25', or 'gram')"
+        " (expected 'neardup', 'ivfpq', 'bm25', 'nb', or 'gram')"
     )
 
 

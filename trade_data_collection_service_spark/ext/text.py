@@ -1301,7 +1301,16 @@ def write_nb_index(docs: DataFrame, path: str) -> None:
             "write_nb_index: docs is empty — an empty model scores"
             " nothing; refusing to write a layout serve reads rely on"
         )
+    from trade_data_collection_service_spark.ext.dedup import (
+        _retire_stage,
+    )
+
     spark = docs.sparkSession
+    # a fresh build supersedes any crashed-compaction stage; clear
+    # them (marker-first) so a later recover cannot clobber the new
+    # tables
+    for t in NB_TABLES:
+        _retire_stage(spark, f"{path}/{t}.stage")
     census, _ = _nb_model(docs)
 
     def _write_base(df: DataFrame, table: str) -> None:
@@ -1356,6 +1365,7 @@ def append_to_nb_index(
     tables are vocab × source bounded, so a rebuild is cheap next to
     anything corpus-sized)."""
     from trade_data_collection_service_spark.ext.dedup import (
+        _recover_compaction,
         _require_ledger_layout,
         _validate_batch_id,
     )
@@ -1363,6 +1373,7 @@ def append_to_nb_index(
     b = _validate_batch_id(batch_id)
     spark = new_docs.sparkSession
     for t in NB_TABLES:
+        _recover_compaction(spark, f"{path}/{t}")
         _require_ledger_layout(
             spark, f"{path}/{t}", "append_to_nb_index", "write_nb_index"
         )
@@ -1386,6 +1397,69 @@ def append_to_nb_index(
         "census",
     )
     _write(src_partials, "src_stats")
+
+
+def compact_nb_index(
+    spark: SparkSession,
+    path: str,
+    fold_batches: bool = True,
+    protect_batches: tuple = (),
+) -> None:
+    """Fold the NB model ledger — collapse every unprotected batch
+    partition into ``base`` by SUMMING the partials (exact: census
+    counts and per-source stats are additive), so a long-running
+    ingest stream doesn't grow one partition per micro-batch without
+    bound.  ``protect_batches`` keep their partition identity (a
+    stream's current, still-replayable batch — its next keyed replay
+    overwrites them wholesale).  The census is re-sorted by term at
+    every rewrite so parquet row-group pruning survives many appends.
+
+    Unlike ``compact_bm25_index``, this compactor CANNOT repair a
+    replayed un-keyed (legacy) append: census rows carry no doc_id,
+    so two different batches can legitimately produce identical
+    (source, term, n_st) rows — a distinct() "repair" would destroy
+    real counts.  Folding a double-counted legacy partition bakes the
+    double-count into base (it was already wrong); the repair is a
+    rebuild (:func:`write_nb_index` — the model tables are
+    vocab × source bounded, cheap next to anything corpus-sized).
+    Crash safety is the shared stage-WAL
+    (:func:`~trade_data_collection_service_spark.ext.dedup._staged_rewrite`);
+    a crash between the two table rewrites leaves src_stats
+    fragmented with census already folded — ``maybe_compact``'s
+    max-across-tables measurement re-triggers the fold."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        _staged_rewrite,
+    )
+
+    if not fold_batches:
+        # nothing else to do for this ledger: keyed partitions are
+        # exact by dynamic overwrite, and legacy duplication is not
+        # repairable here (see docstring)
+        return
+    protect = [str(p) for p in protect_batches]
+
+    def _fold(df: DataFrame, keys: list[str], sums: list[str]) -> DataFrame:
+        keep = df.filter(F.col("batch").isin(protect)) if protect else None
+        fold = df.filter(~F.col("batch").isin(protect)) if protect else df
+        fold = (
+            fold.groupBy(*keys)
+            .agg(*[F.sum(c).cast("long").alias(c) for c in sums])
+            .withColumn("batch", F.lit("base"))
+        )
+        return fold.unionByName(keep) if keep is not None else fold
+
+    _staged_rewrite(
+        spark,
+        f"{path}/census",
+        lambda df: _fold(df, ["source", "term"], ["n_st"])
+        .repartition("term")
+        .sortWithinPartitions("term", "source"),
+    )
+    _staged_rewrite(
+        spark,
+        f"{path}/src_stats",
+        lambda df: _fold(df, ["source"], ["n_s", "n_docs_s"]),
+    )
 
 
 def nb_score_indexed(
@@ -1416,13 +1490,17 @@ def nb_score_indexed(
     column, pruned) — the global V must not shrink to the batch's
     vocabulary.  Driver-bounded by the BATCH's vocabulary — use for
     small serving batches, never a whole corpus."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        _authoritative,
+    )
+
     census = (
-        spark.read.parquet(f"{path}/census")
+        _authoritative(spark, f"{path}/census")
         .groupBy("source", "term")
         .agg(F.sum("n_st").cast("long").alias("n_st"))
     )
     src_partials = (
-        spark.read.parquet(f"{path}/src_stats")
+        _authoritative(spark, f"{path}/src_stats")
         .groupBy("source")
         .agg(
             F.sum("n_s").cast("long").alias("n_s"),

@@ -71,6 +71,7 @@ def ingest_batch(
     lm_min_logprob: float | None = None,
     compact_max_batches: int | None = 32,
     bm25_index_path: str | None = None,
+    nb_index_path: str | None = None,
 ) -> int:
     """One micro-batch of dedup-on-arrival (the foreachBatch body,
     callable directly for tests and backfills).  Returns the number
@@ -85,6 +86,14 @@ def ingest_batch(
     which is exactly the disjoint-new-docs contract the BM25 ledger's
     additive df/dl partials require; the append is batch-keyed, so
     the whole loop stays replay-idempotent.
+
+    CLASSIFY-ON-ARRIVAL (r12): pass ``nb_index_path`` (a
+    :func:`~trade_data_collection_service_spark.ext.text.write_nb_index`
+    root) and the accepted docs' term censuses are appended to the
+    stored NB source model the same way — the domain tagger stays
+    current with the corpus it classifies, under the identical
+    disjoint-new-docs / batch-keyed-replay contract (the dedup gate
+    guarantees the additivity the partials need).
 
     LM QUALITY GATE (r10, VERDICT r9 #3 — the full CCNet curation
     loop as one stream; reference intent: the watchdog's continuous
@@ -163,6 +172,12 @@ def ingest_batch(
         )
 
         append_to_bm25_index(accepted, bm25_index_path, batch_id=batch_id)
+    if nb_index_path is not None:
+        from trade_data_collection_service_spark.ext.text import (
+            append_to_nb_index,
+        )
+
+        append_to_nb_index(accepted, nb_index_path, batch_id=batch_id)
     (
         accepted.withColumn("batch", F.lit(str(batch_id)))
         .write.partitionBy("batch")
@@ -195,6 +210,14 @@ def ingest_batch(
                 max_batches=compact_max_batches,
                 protect_batches=(str(batch_id),),
             )
+        if nb_index_path is not None:
+            maybe_compact(
+                batch.sparkSession,
+                nb_index_path,
+                "nb",
+                max_batches=compact_max_batches,
+                protect_batches=(str(batch_id),),
+            )
     return n
 
 
@@ -211,6 +234,7 @@ def run_doc_ingest(
     lm_min_logprob: float | None = None,
     compact_max_batches: int | None = 32,
     bm25_index_path: str | None = None,
+    nb_index_path: str | None = None,
 ):
     """File-source document stream → dedup-on-arrival (+ optional
     LM-quality gate-on-arrival: ``lm_path`` names a stored
@@ -251,6 +275,7 @@ def run_doc_ingest(
             lm_min_logprob=lm_min_logprob,
             compact_max_batches=compact_max_batches,
             bm25_index_path=bm25_index_path,
+            nb_index_path=nb_index_path,
         )
 
     writer = stream.writeStream.option(
