@@ -1077,11 +1077,38 @@ def run_emb_ingest_bench(spark, sf_dir: str, cleanup: list) -> dict:
     t0 = time.perf_counter()
     n = ingest_embeddings(batch, f"{tmp}/idx", f"{tmp}/out", "bench")
     wall = time.perf_counter() - t0
+    # Steady-state marginal throughput (the doc_ingest discipline,
+    # VERDICT r11 #8): two equal back-to-back batches against a
+    # half-seeded store; the second batch's docs/s is the steady
+    # figure (the first carries trigger warmup).
+    tmp2 = tempfile.mkdtemp(prefix="bench_emb_ingest_steady_")
+    cleanup.append(tmp2)
+    init_emb_store(
+        spark,
+        sf_dir,
+        f"{tmp2}/idx",
+        source=vectors(spark, sf_dir).filter(F.col("vec_id") % 2 == 0),
+    )
+    steady = {}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for i, m in enumerate((1, 3)):
+        sub = emb.filter(F.col("vec_id") % 4 == m)
+        n_sub = sub.count()
+        t1 = time.perf_counter()
+        ingest_embeddings(sub, f"{tmp2}/idx", f"{tmp2}/out", f"bench-{i}")
+        dt = time.perf_counter() - t1
+        if i == 1:
+            steady = {
+                "steady_vectors_per_sec": round(n_sub / dt, 1),
+                "steady_batch_vectors": int(n_sub),
+                "steady_wall_sec": round(dt, 2),
+            }
     return {
         "batch_vectors": int(n_batch),
         "appended": int(n),
         "wall_sec": round(wall, 2),
         "vectors_per_sec": round(n_batch / wall, 1),
+        **steady,
     }
 
 
