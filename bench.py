@@ -197,34 +197,37 @@ def steady_state_queries(cleanup: list):
 
     from trade_data_collection_service_spark.ext import dedup as XD
 
+    # every steady-state cache is keyed by sf_dir (r12 review): a
+    # constant key would serve a second benched dataset with the
+    # first dataset's index/model
     state: dict[str, str] = {}
 
     def steady(spark, sf_dir):
         corpus = XD.documents_neardup(spark, sf_dir)
-        if "idx" not in state:
+        if sf_dir not in state:
             tmp = tempfile.mkdtemp(prefix="bench_neardup_idx_")
             cleanup.append(tmp)
-            state["idx"] = tmp + "/idx"
+            state[sf_dir] = tmp + "/idx"
             XD.write_neardup_index(
-                corpus.filter(F.col("doc_id") % 3 != 0), state["idx"]
+                corpus.filter(F.col("doc_id") % 3 != 0), state[sf_dir]
             )
         return XD.incremental_neardup_pairs(
-            corpus.filter(F.col("doc_id") % 3 == 0), state["idx"]
+            corpus.filter(F.col("doc_id") % 3 == 0), state[sf_dir]
         )
 
     state2: dict[str, str] = {}
 
     def steady_spans(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        if "idx" not in state2:
+        if sf_dir not in state2:
             tmp = tempfile.mkdtemp(prefix="bench_gram_idx_")
             cleanup.append(tmp)
-            state2["idx"] = tmp + "/idx"
+            state2[sf_dir] = tmp + "/idx"
             XD.write_gram_index(
-                docs.filter(F.col("doc_id") % 3 != 0), state2["idx"], k=5
+                docs.filter(F.col("doc_id") % 3 != 0), state2[sf_dir], k=5
             )
         return XD.incremental_duplicate_spans(
-            docs.filter(F.col("doc_id") % 3 == 0), state2["idx"], k=5
+            docs.filter(F.col("doc_id") % 3 == 0), state2[sf_dir], k=5
         )
 
     state3: dict = {}
@@ -243,21 +246,23 @@ def steady_state_queries(cleanup: list):
             vectors,
         )
 
-        if "idx" not in state3:
+        if sf_dir not in state3:
             tmp = tempfile.mkdtemp(prefix="bench_ivfpq_idx_")
             cleanup.append(tmp)
-            state3["idx"] = tmp + "/index"
-            state3["centroids"], state3["books"] = XQ.write_ivfpq_index(
-                spark, sf_dir, state3["idx"]
+            st = {"idx": tmp + "/index"}
+            st["centroids"], st["books"] = XQ.write_ivfpq_index(
+                spark, sf_dir, st["idx"]
             )
+            state3[sf_dir] = st
+        st = state3[sf_dir]
         qs = vectors(spark, sf_dir).filter(
             (F.col("vec_id") >= 100) & (F.col("vec_id") < 103)
         )
         return XQ.ivfpq_search_indexed(
             spark,
-            state3["idx"],
-            state3["centroids"],
-            state3["books"],
+            st["idx"],
+            st["centroids"],
+            st["books"],
             qs,
             k=10,
             nprobe=2,
@@ -278,25 +283,27 @@ def steady_state_queries(cleanup: list):
         from trade_data_collection_service_spark.ext import pq as XQ
         from trade_data_collection_service_spark.ext import text as XTX
 
-        if "sparse" not in state4:
+        if sf_dir not in state4:
             tmp = tempfile.mkdtemp(prefix="bench_hybrid_idx_")
             cleanup.append(tmp)
-            state4["sparse"] = tmp + "/bm25"
+            st = {"sparse": tmp + "/bm25"}
             XTX.write_bm25_index(
                 spark.read.parquet(f"{sf_dir}/documents.parquet"),
-                state4["sparse"],
+                st["sparse"],
             )
-            state4["dense"] = tmp + "/ivfpq"
-            state4["centroids"], state4["books"] = XQ.write_ivfpq_index(
-                spark, sf_dir, state4["dense"]
+            st["dense"] = tmp + "/ivfpq"
+            st["centroids"], st["books"] = XQ.write_ivfpq_index(
+                spark, sf_dir, st["dense"]
             )
+            state4[sf_dir] = st
+        st = state4[sf_dir]
         return XSIM.hybrid_rrf_indexed_topk(
             spark,
             sf_dir,
-            state4["sparse"],
-            state4["dense"],
-            state4["centroids"],
-            state4["books"],
+            st["sparse"],
+            st["dense"],
+            st["centroids"],
+            st["books"],
         )
 
     state5: dict = {}
@@ -1134,8 +1141,13 @@ def _current_round(root: str | None = None) -> int | None:
         return None
 
 
-def _write_full_bench_json(result: dict, root: str | None = None) -> None:
-    """VERDICT r9 #5: the driver's BENCH_r{N}.json stores only a
+def _write_full_bench_json(result: dict, root: str | None = None) -> str | None:
+    """Returns the written sidecar path (None when no sidecar is
+    recorded — non-sf0.1 runs, unknown round, write failure);
+    summary_line() embeds it as the stdout pointer to the full
+    record.
+
+    VERDICT r9 #5: the driver's BENCH_r{N}.json stores only a
     front-truncated stdout tail (its ``parsed`` field is null), so
     per-query round-over-round diffs required archaeology in
     COVERAGE.md prose.  Persist the COMPLETE result dict to
@@ -1215,6 +1227,13 @@ def summary_line(result: dict, full_json: str | None) -> str:
         "streaming_candles_per_sec": result.get(
             "streaming_candles_per_sec"
         ),
+        # calibration rides inline (r12 review): if the committed
+        # full sidecar is ever missing, the next round's
+        # prior_calibration falls back to the driver-captured line —
+        # without this ~100 B block, host_factor would silently turn
+        # off and the outlier protocol would compare raw cross-host
+        # timings.
+        "calibration": result.get("calibration"),
         "n_queries": len(result.get("queries") or {}),
         "queries": {
             k: v

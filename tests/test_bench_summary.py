@@ -25,6 +25,11 @@ def _worst_case_result() -> dict:
         "host_factor": 1.0123,
         "candles_per_sec": 118842.1,
         "streaming_candles_per_sec": 2586.7,
+        "calibration": {
+            "query": "tpch_q6",
+            "median_sec": 0.7071,
+            "reps_sec": [0.6893, 0.7071, 0.7345],
+        },
     }
 
 
@@ -41,6 +46,9 @@ def test_summary_line_is_compact_and_parseable():
     assert parsed["sf"] == 0.1
     assert parsed["n_queries"] == 508
     assert parsed["full_json"] == "docs/bench/BENCH_r12.full.json"
+    # calibration rides inline so prior_calibration's fallback works
+    # even without the committed sidecar
+    assert parsed["calibration"]["median_sec"] == 0.7071
     # flagship subset present, bulk absent
     assert set(parsed["queries"]) == set(bench._SUMMARY_QUERIES)
 

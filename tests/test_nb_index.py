@@ -141,6 +141,41 @@ def test_compact_folds_batches_scores_unchanged(spark, sf_dir, tmp_path):
     assert _rows(nb_score_indexed(spark, path, docs)) == before
 
 
+def test_null_source_docs_count_in_n_docs_but_never_classify(
+    spark, tmp_path
+):
+    """r12 review: the refactor's per-source-marginal n_docs must
+    still equal the twin's count(*) when a doc's source is NULL —
+    the doc counts toward n_docs (shifting every prior) but NULL is
+    never a candidate class, matching the pre-refactor semantics."""
+    from trade_data_collection_service_spark.ext.text import (
+        _nb_model,
+        _nb_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "the quick fox"),
+            (2, "web", "the lazy dog"),
+            (3, "books", "quick brown words"),
+            (4, None, "orphan text here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    census, src_partials = _nb_model(docs)
+    src_stats, _ = _nb_stats(census, src_partials)
+    rows = src_stats.collect()
+    assert {r["source"] for r in rows} == {"web", "books"}
+    assert all(r["n_docs"] == 4 for r in rows)  # NULL-source doc counted
+    # end-to-end through the stored-model path: every doc scored,
+    # predictions only ever from the non-NULL classes
+    path = str(tmp_path / "nullsrc") + "/index"
+    write_nb_index(docs, path)
+    scored = nb_score_indexed(spark, path, docs).collect()
+    assert len(scored) == 4
+    assert {r["pred_source"] for r in scored} <= {"web", "books"}
+
+
 def test_empty_build_refused(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.lit(False)

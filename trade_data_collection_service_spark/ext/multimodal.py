@@ -22,6 +22,7 @@ a downstream join/agg.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -187,8 +188,6 @@ def _parse_header(payload: bytes) -> tuple:
     extra chunks between them parse fine).  Malformed/unknown
     payloads degrade to kind='unknown' with null fields — never an
     exception out of the Arrow batch."""
-    import struct
-
     try:
         if payload[:8] == bytes.fromhex("89504e470d0a1a0a") and (
             payload[12:16] == b"IHDR"

@@ -1148,31 +1148,44 @@ def _nb_model(docs: DataFrame):
     census = terms.groupBy("source", "term").agg(
         F.count(F.lit(1)).alias("n_st")
     )
-    src_partials = (
-        census.groupBy("source")
-        .agg(F.sum("n_st").cast("long").alias("n_s"))
-        .join(
-            docs.groupBy("source").agg(
-                F.count(F.lit(1)).alias("n_docs_s")
-            ),
-            "source",
-        )
+    return census, _src_partials(census, docs)
+
+
+def _src_partials(census: DataFrame, docs: DataFrame) -> DataFrame:
+    """Per-source partials from a census + its docs: n_docs_s from
+    the docs marginal, n_s as the census marginal (r12 review: LEFT
+    join from the DOCS side so a NULL-source doc-count row SURVIVES —
+    an equi-join would drop it, undercounting n_docs below the DuckDB
+    twin's count(*); its n_s stays NULL and :func:`_nb_stats` keeps
+    NULL-source out of the candidate set, matching the pre-refactor
+    semantics where NULL-source docs counted in n_docs but never
+    scored as a class).  Shared by the inline model, the base index
+    build (over the read-back census), and the batch append (over
+    the checkpointed batch census)."""
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_s")
+    ).join(
+        census.groupBy("source").agg(
+            F.sum("n_st").cast("long").alias("n_s")
+        ),
+        "source",
+        "left",
     )
-    return census, src_partials
 
 
 def _nb_stats(census: DataFrame, src_partials: DataFrame):
     """Global NB stats as marginals of the model partials: n_docs =
-    Σ_s n_docs_s (every doc has exactly one source; the tokenizer
-    emits [""] for empty text, so every source with docs appears in
-    the census), and the vocabulary size = distinct terms of the
-    census.  Derived, never stored — so an appended index can't hold
-    a stale global."""
-    src_stats = src_partials.crossJoin(
-        F.broadcast(
-            src_partials.agg(F.sum("n_docs_s").cast("long").alias("n_docs"))
-        )
+    Σ_s n_docs_s over EVERY partial row (including a NULL-source row,
+    so it equals the twin's count(*)), candidates = the non-NULL
+    sources, and the vocabulary size = distinct terms of the census.
+    Derived, never stored — so an appended index can't hold a stale
+    global."""
+    n_docs_df = src_partials.agg(
+        F.sum("n_docs_s").cast("long").alias("n_docs")
     )
+    src_stats = src_partials.filter(
+        F.col("source").isNotNull()
+    ).crossJoin(F.broadcast(n_docs_df))
     vocab_v = census.agg(F.countDistinct("term").alias("v_size"))
     return src_stats, vocab_v
 
@@ -1330,17 +1343,7 @@ def write_nb_index(docs: DataFrame, path: str) -> None:
         "census",
     )
     stored = spark.read.parquet(f"{path}/census")
-    _write_base(
-        stored.groupBy("source")
-        .agg(F.sum("n_st").cast("long").alias("n_s"))
-        .join(
-            docs.groupBy("source").agg(
-                F.count(F.lit(1)).alias("n_docs_s")
-            ),
-            "source",
-        ),
-        "src_stats",
-    )
+    _write_base(_src_partials(stored, docs), "src_stats")
 
 
 def append_to_nb_index(
@@ -1378,8 +1381,15 @@ def append_to_nb_index(
             spark, f"{path}/{t}", "append_to_nb_index", "write_nb_index"
         )
     batch = b if b is not None else "legacy"
-    census, src_partials = _nb_model(new_docs)
+    census, _ = _nb_model(new_docs)
+    # src_partials MUST derive from the CHECKPOINTED census (r12
+    # review): from the pre-checkpoint lineage, the src_stats write
+    # would re-run the whole tokenize+census (doubling the per-batch
+    # cost) and, for a nondeterministic new_docs, could census a
+    # DIFFERENT evaluation than the one just written — stored
+    # n_s ≠ Σ n_st, silently diverging from a rebuild.
     census = census.localCheckpoint(eager=False)
+    src_partials = _src_partials(census, new_docs)
 
     def _write(df: DataFrame, table: str) -> None:
         w = df.withColumn("batch", F.lit(batch)).write.partitionBy("batch")
