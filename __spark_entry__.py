@@ -1139,6 +1139,20 @@ def _q_doc_quality_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_lr_scores(spark, sf_dir)
 
 
+def _q_doc_quality_lr_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability curve of the trained filter (ext/lr.
+    quality_lr_calibration — r12): decile bins of the 6-dp score vs
+    actual keep rate — the calibration readout that turns a score
+    threshold into an expected yield."""
+    from trade_data_collection_service_spark.ext.lr import (
+        quality_lr_calibration,
+    )
+
+    return quality_lr_calibration(spark, sf_dir)
+
+
 def _q_doc_quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality filter, the EVAL: confusion counts + accuracy/
     precision/recall against the training labels."""
@@ -1736,8 +1750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #
 # r12 driver window (VERDICT r11 #3, computed EXACTLY per the
 # committed r11 plan comment — recomputed from the CORRECTNESS_r*
-# files): the 3 r12-new entries (doc_source_nb_indexed,
-# doc_source_nb_appended, multimodal_headers), the 7 entries r12
+# files): the 4 r12-new entries (doc_source_nb_indexed,
+# doc_source_nb_appended, multimodal_headers,
+# doc_quality_lr_calibration), the 7 entries r12
 # touches (doc_source_nb +
 # confusion now route through the shared _nb_model/_nb_score split;
 # doc_lm_buckets pins the exact path while the library default went
@@ -1747,9 +1762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # module the header decode landed in), then ALL 36 r8-vintage
 # entries — the 11 the r11 second wave displaced followed by the 25
 # never-rotated (CORRECTNESS_r08 minus r09/r10/r11 keys, recorded
-# order) — then the 4 oldest r9-vintage entries (CORRECTNESS_r09
+# order) — then the 3 oldest r9-vintage entries (CORRECTNESS_r09
 # minus r10/r11 keys, recorded order) to exactly 50.  After r12 no
-# entry's driver evidence is older than r9.  The full 184-entry
+# entry's driver evidence is older than r9.  The full 185-entry
 # surface is swept locally via tools/check_oracle.py at sf0.01 and
 # sf0.1 each round (docs/COVERAGE.md; sweep lines carry the HEAD
 # SHA) — the window is a budget cap, not the evidence.
@@ -1757,6 +1772,7 @@ _R12_WINDOW = [
     "doc_source_nb_indexed",
     "doc_source_nb_appended",
     "multimodal_headers",
+    "doc_quality_lr_calibration",
     "doc_source_nb",
     "doc_source_nb_confusion",
     "doc_lm_buckets",
@@ -1803,7 +1819,6 @@ _R12_WINDOW = [
     "doc_duplicate_spans",
     "doc_strip_spans",
     "doc_dedup_passages",
-    "doc_minhash_lsh",
 ]
 
 
@@ -2012,6 +2027,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_scan": _q_bloom_semijoin_scan,
         "doc_quality_lr": _q_doc_quality_lr,
         "doc_quality_lr_scores": _q_doc_quality_lr_scores,
+        "doc_quality_lr_calibration": _q_doc_quality_lr_calibration,
         "doc_quality_lr_eval": _q_doc_quality_lr_eval,
         "doc_lr_filtered": _q_doc_lr_filtered,
         "doc_dup_flow": _q_doc_dup_flow,
@@ -3009,6 +3025,27 @@ def oracle_sql() -> dict[str, str]:
                (y >= 0.5) AS label_keep
         FROM feats CROSS JOIN {lrq['last']} p
         ORDER BY doc_id
+        """,
+        # reliability curve: decile bins on the 6-dp rounded score
+        # (identical doubles in both engines -> identical bins),
+        # decimal-summed mean predicted score vs integer keep rate
+        "doc_quality_lr_calibration": lrq["ctes"]
+        + f"""
+        , scored AS (
+          SELECT round({lrq['sig']}, 6) AS lr_score, (y >= 0.5) AS lk
+          FROM feats CROSS JOIN {lrq['last']} p
+        ), binned AS (
+          SELECT least(CAST(floor(lr_score * 10) AS BIGINT), 9)
+                   AS bin,
+                 lr_score, lk
+          FROM scored
+        )
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+               round(CAST(sum(CAST(lr_score AS DECIMAL(18,6)))
+                     AS DOUBLE) / count(*), 6) AS mean_score,
+               round(sum(CASE WHEN lk THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+        FROM binned GROUP BY 1 ORDER BY 1
         """,
         "doc_quality_lr_eval": lrq["ctes"]
         + f"""

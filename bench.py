@@ -175,9 +175,11 @@ def headline_queries():
         "doc_dup_flow",
         "event_ab_chisq",
         # round-12: NB serve/append splits + the real header decode
+        # + the filter-calibration readout
         "doc_source_nb_indexed",
         "doc_source_nb_appended",
         "multimodal_headers",
+        "doc_quality_lr_calibration",
     ):
         if name in q:
             out[name] = q[name]

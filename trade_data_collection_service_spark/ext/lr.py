@@ -203,6 +203,44 @@ def quality_lr_eval(
     )
 
 
+def quality_lr_calibration(
+    spark: SparkSession, sf_dir: str, weights: list[float] | None = None
+) -> DataFrame:
+    """Reliability curve of the trained filter: decile-bin the 6-dp
+    score and report, per bin, the doc count, the mean PREDICTED
+    score, and the ACTUAL keep rate — the calibration readout that
+    turns a score threshold into an expected yield (a filter whose
+    0.8-bin keeps 60% of docs is overconfident; DCLM/quality-filter
+    practice reads exactly this curve before picking a cutoff).
+
+    Cross-engine exactness: bins are least(floor(lr_score·10), 9) on
+    the ALREADY-6-dp-rounded score (both engines produce identical
+    doubles, so identical bins); mean_score decimal-sums the 6-dp
+    scores before one double divide; keep_rate is an integer count
+    over n.  One groupBy over the scored table — dimension-bounded
+    output (≤ 10 rows).  ``weights`` as in quality_lr_scores."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = lr_features(docs, DEFAULT_TAU).localCheckpoint(eager=False)
+    w = weights or _gd(feats)
+    s = _scored(feats, w)
+    b = F.least(F.floor(F.col("lr_score") * 10).cast("long"), F.lit(9))
+    agg = s.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("lr_score").cast("decimal(18,6)")).alias("s_score"),
+        F.sum(F.col("label_keep").cast("long")).alias("n_keep"),
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        F.round(
+            F.col("s_score").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_score"),
+        F.round(
+            F.col("n_keep") / F.col("n_docs").cast("double"), 6
+        ).alias("keep_rate"),
+    ).orderBy("bin")
+
+
 def quality_lr_filter(
     spark: SparkSession, sf_dir: str, weights: list[float] | None = None
 ) -> DataFrame:
