@@ -1742,7 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # r13 changes; then the oldest entries by driver-evidence vintage —
 # after r12 that is the remaining r9-vintage set: RECOMPUTE it as
 # CORRECTNESS_r09 keys minus r10/r11 keys minus _R12_WINDOW, recorded
-# order (43 entries at the time of writing), and fill any remaining
+# order (45 entries at the time of writing), and fill any remaining
 # slots with the oldest r10-vintage entries (CORRECTNESS_r10 minus
 # r11 keys minus _R12_WINDOW), recorded order.  NEVER hand-edit the
 # lists — recompute from the CORRECTNESS_r* files (hand-edits

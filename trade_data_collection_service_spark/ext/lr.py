@@ -149,6 +149,20 @@ def quality_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("feature")
 
 
+def _trained_scored(
+    spark: SparkSession, sf_dir: str, weights: list[float] | None
+):
+    """The shared train-or-reuse preamble of every lr entry (r12
+    review: four copy-pasted copies had started to drift-risk the
+    checkpoint/tau/weights-falsy handling): read docs, build the
+    checkpointed feature frame, train unless weights are given,
+    score.  Returns (docs, scored)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = lr_features(docs, DEFAULT_TAU).localCheckpoint(eager=False)
+    w = weights or _gd(feats)
+    return docs, _scored(feats, w)
+
+
 def quality_lr_scores(
     spark: SparkSession, sf_dir: str, weights: list[float] | None = None
 ) -> DataFrame:
@@ -158,10 +172,8 @@ def quality_lr_scores(
     codebooks); pass precomputed weights to skip the 20 training
     aggregates — training is deterministic, so sharing cannot change
     results."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    feats = lr_features(docs, DEFAULT_TAU).localCheckpoint(eager=False)
-    w = weights or _gd(feats)
-    return _scored(feats, w).orderBy("doc_id")
+    _, s = _trained_scored(spark, sf_dir, weights)
+    return s.orderBy("doc_id")
 
 
 def quality_lr_eval(
@@ -171,10 +183,7 @@ def quality_lr_eval(
     filter against its labels — one aggregate over the scored table
     (the classifier twin of doc_neardup_curve's tuning readout).
     ``weights`` as in quality_lr_scores."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    feats = lr_features(docs, DEFAULT_TAU).localCheckpoint(eager=False)
-    w = weights or _gd(feats)
-    s = _scored(feats, w)
+    _, s = _trained_scored(spark, sf_dir, weights)
     tp = F.sum((F.col("pred_keep") & F.col("label_keep")).cast("long"))
     fp = F.sum(
         (F.col("pred_keep") & ~F.col("label_keep")).cast("long")
@@ -259,10 +268,8 @@ def quality_lr_filter(
         _md5_uniform,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    feats = lr_features(docs, DEFAULT_TAU).localCheckpoint(eager=False)
-    w = weights or _gd(feats)
-    scored = _scored(feats, w).select("doc_id", "lr_score")
+    docs, s = _trained_scored(spark, sf_dir, weights)
+    scored = s.select("doc_id", "lr_score")
     u = _md5_uniform(F.col("doc_id"), "lr-imp-v1")
     p = F.least(F.greatest(F.col("lr_score"), F.lit(0.0)), F.lit(1.0))
     per = (
