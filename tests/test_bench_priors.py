@@ -46,7 +46,7 @@ def test_prior_excludes_current_round_recording(tmp_path):
     _write(tmp_path, "BENCH_r07.json", _bench_doc(0.50))
     _write(tmp_path, "BENCH_r08.json", _bench_doc(0.99))  # current round
     got = bench.prior_calibration(str(tmp_path))
-    assert got == {"round": 7, "median_sec": 0.50}
+    assert got["round"] == 7 and got["median_sec"] == 0.50
 
 
 def test_prior_without_verdict_excludes_highest_bench(tmp_path):
@@ -56,7 +56,7 @@ def test_prior_without_verdict_excludes_highest_bench(tmp_path):
     _write(tmp_path, "BENCH_r06.json", _bench_doc(0.40))
     _write(tmp_path, "BENCH_r07.json", _bench_doc(0.99))  # presumed current
     got = bench.prior_calibration(str(tmp_path))
-    assert got == {"round": 6, "median_sec": 0.40}
+    assert got["round"] == 6 and got["median_sec"] == 0.40
 
 
 def test_prior_picks_highest_eligible_round(tmp_path):
@@ -64,7 +64,7 @@ def test_prior_picks_highest_eligible_round(tmp_path):
     _write(tmp_path, "BENCH_r03.json", _bench_doc(0.30))
     _write(tmp_path, "BENCH_r07.json", _bench_doc(0.70))
     got = bench.prior_calibration(str(tmp_path))
-    assert got == {"round": 7, "median_sec": 0.70}
+    assert got["round"] == 7 and got["median_sec"] == 0.70
 
 
 def test_prior_query_timings_respects_sf(tmp_path):
@@ -195,3 +195,130 @@ def test_full_bench_write_protects_committed_recording(tmp_path):
     best = bench._latest_prior_bench(str(tmp_path))
     assert best is not None and best[0] == 8
     assert best[1]["parsed"]["calibration"]["median_sec"] == 0.6
+
+
+# --- calibration BASKET (VERDICT r12 #1): the host factor is the
+# median of per-anchor ratios, never a single noisy query's ratio ---
+
+
+def _basket(**medians):
+    return {
+        "query": "basket",
+        "median_sec": round(sum(medians.values()), 4),
+        "basket": {
+            k: {"median_sec": v, "reps_sec": [v, v, v]}
+            for k, v in medians.items()
+        },
+    }
+
+
+def test_host_factor_basket_to_basket_is_median_of_ratios():
+    cur = _basket(a=0.5, b=1.0, c=2.0, d=4.0, e=0.1)
+    pri = _basket(a=0.5, b=0.5, c=1.0, d=1.0, e=1.0)
+    # ratios: a=1.0, b=2.0, c=2.0, d=4.0, e=0.1 -> sorted
+    # [0.1, 1.0, 2.0, 2.0, 4.0] -> median 2.0 (odd count: middle)
+    got = bench.compute_host_factor(cur, pri)
+    assert got["host_factor"] == 2.0
+    assert set(got["ratios"]) == {"a", "b", "c", "d", "e"}
+    assert all(r["source"] == "basket" for r in got["ratios"].values())
+
+
+def test_host_factor_even_anchor_count_averages_middle_pair():
+    cur = _basket(a=1.0, b=2.0, c=3.0, d=10.0)
+    pri = _basket(a=1.0, b=1.0, c=1.0, d=1.0)
+    # ratios sorted [1.0, 2.0, 3.0, 10.0] -> (2.0 + 3.0) / 2 = 2.5
+    got = bench.compute_host_factor(cur, pri)
+    assert got["host_factor"] == 2.5
+
+
+def test_host_factor_single_outlier_anchor_cannot_move_median():
+    """The r12 failure mode: one anchor (tpch_q6) on a 2x-noisy slot.
+    With the basket, the factor stays at the stable anchors' 1.0."""
+    cur = _basket(tpch_q6=1.0, tpch_q3=1.0, sma_20=1.0, candles_1m=1.0)
+    pri = _basket(tpch_q6=0.45, tpch_q3=1.0, sma_20=1.0, candles_1m=1.0)
+    got = bench.compute_host_factor(cur, pri)
+    assert got["host_factor"] == 1.0  # not the 2.2x single-anchor ratio
+
+
+def test_host_factor_falls_back_to_legacy_and_suite_priors():
+    """r12->r13 transition: the prior round recorded only the legacy
+    single-query calibration plus in-suite timings.  The legacy
+    median covers its own anchor (source='calibration'); other
+    anchors fall back to suite single-shots (source='suite');
+    anchors with no prior at all are skipped."""
+    cur = _basket(tpch_q6=0.5, tpch_q3=1.0, doc_token_stats=1.0)
+    pri = {"round": 12, "query": "tpch_q6", "median_sec": 0.5}
+    got = bench.compute_host_factor(
+        cur, pri, prior_queries={"tpch_q3": 2.0}
+    )
+    # tpch_q6: 0.5/0.5=1.0 (calibration), tpch_q3: 1.0/2.0=0.5
+    # (suite), doc_token_stats skipped -> median of [0.5, 1.0] = 0.75
+    assert got["host_factor"] == 0.75
+    assert got["ratios"]["tpch_q6"]["source"] == "calibration"
+    assert got["ratios"]["tpch_q3"]["source"] == "suite"
+    assert "doc_token_stats" not in got["ratios"]
+
+
+def test_host_factor_legacy_both_sides_keeps_old_rule():
+    cur = {"query": "tpch_q6", "median_sec": 0.6}
+    pri = {"query": "tpch_q6", "median_sec": 0.5}
+    got = bench.compute_host_factor(cur, pri)
+    assert got["host_factor"] == 1.2 and got["ratios"] == {}
+
+
+def test_host_factor_none_when_no_common_anchor():
+    assert bench.compute_host_factor(None, None) is None
+    assert (
+        bench.compute_host_factor(_basket(a=1.0), {"round": 1}) is None
+    )
+
+
+def test_prior_calibration_inflates_compact_anchor_map(tmp_path):
+    """The compact stdout line stores the basket as an anchors map;
+    prior_calibration must inflate it so a missing full sidecar
+    still yields per-anchor basket priors."""
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — Round 14\n")
+    tail = json.dumps(
+        {
+            "sf": 0.1,
+            "calibration": {
+                "query": "basket",
+                "median_sec": 2.5,
+                "anchors": {"tpch_q6": 0.5, "tpch_q3": 2.0},
+            },
+        }
+    )
+    _write(
+        tmp_path,
+        "BENCH_r13.json",
+        {"n": 0, "rc": 0, "sf": 0.1, "tail": tail, "parsed": None},
+    )
+    got = bench.prior_calibration(str(tmp_path))
+    assert got["round"] == 13 and got["median_sec"] == 2.5
+    assert got["basket"]["tpch_q3"]["median_sec"] == 2.0
+
+
+def test_prior_calibration_from_front_truncated_basket_tail(tmp_path):
+    """The driver's tail capture can sever the line's front; the
+    brace-balancing extractor must still recover the calibration
+    object when it survives in the tail."""
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — Round 14\n")
+    full = json.dumps(
+        {
+            "queries": {"zzz": 1.0},
+            "sf": 0.1,
+            "calibration": {
+                "query": "basket",
+                "median_sec": 2.5,
+                "anchors": {"tpch_q6": 0.5},
+            },
+        }
+    )
+    cut = full.find('"sf"')
+    _write(
+        tmp_path,
+        "BENCH_r13.json",
+        {"n": 0, "rc": 0, "sf": 0.1, "tail": full[cut:], "parsed": None},
+    )
+    got = bench.prior_calibration(str(tmp_path))
+    assert got is not None and got["basket"]["tpch_q6"]["median_sec"] == 0.5

@@ -26,9 +26,26 @@ def _worst_case_result() -> dict:
         "candles_per_sec": 118842.1,
         "streaming_candles_per_sec": 2586.7,
         "calibration": {
-            "query": "tpch_q6",
+            "query": "basket",
             "median_sec": 0.7071,
-            "reps_sec": [0.6893, 0.7071, 0.7345],
+            "basket": {
+                name: {
+                    "median_sec": 0.1234,
+                    "reps_sec": [0.1111, 0.1234, 0.9999],
+                }
+                for name in bench._CALIBRATION_ANCHORS
+            },
+            "factor_detail": {
+                "host_factor": 1.0123,
+                "ratios": {
+                    name: {
+                        "ratio": 1.0123,
+                        "prior_sec": 0.1219,
+                        "source": "basket",
+                    }
+                    for name in bench._CALIBRATION_ANCHORS
+                },
+            },
         },
     }
 
@@ -47,8 +64,14 @@ def test_summary_line_is_compact_and_parseable():
     assert parsed["n_queries"] == 508
     assert parsed["full_json"] == "docs/bench/BENCH_r12.full.json"
     # calibration rides inline so prior_calibration's fallback works
-    # even without the committed sidecar
+    # even without the committed sidecar — compacted to per-anchor
+    # medians (reps arrays and factor detail stay in the sidecar)
     assert parsed["calibration"]["median_sec"] == 0.7071
+    assert parsed["calibration"]["anchors"] == {
+        name: 0.1234 for name in bench._CALIBRATION_ANCHORS
+    }
+    assert "basket" not in parsed["calibration"]
+    assert "factor_detail" not in parsed["calibration"]
     # flagship subset present, bulk absent
     assert set(parsed["queries"]) == set(bench._SUMMARY_QUERIES)
 
