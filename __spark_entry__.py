@@ -684,6 +684,19 @@ def _q_doc_source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return XT.source_nb(spark, sf_dir)
 
 
+def _q_doc_source_nb_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME NB classifier scored through the sparse identity
+    (ext/text._nb_score sparse=True — VERDICT r12 #7): present-term
+    partials via an INNER term join against the census plus a
+    per-(doc, source) dl·ln(1/(n_s+V)) base grid, instead of the
+    dense (doc term × source) expansion.  Decimal-exact regrouping of
+    the dense sum — identical scores and argmax — so the DuckDB twin
+    is doc_source_nb's own SQL.  Wins when domain vocabularies are
+    mostly disjoint (bench: nb_sparse block); dense stays the library
+    default on shared-vocabulary corpora like this fixture."""
+    return XT.source_nb(spark, sf_dir, sparse=True)
+
+
 def _q_doc_source_nb_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored-model NB serving (ext/text.write_nb_index /
     nb_score_indexed — VERDICT r11 #4): the trained term censuses
@@ -2005,6 +2018,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score_backoff": _q_doc_lm_score_backoff,
         "doc_lm_score_tri": _q_doc_lm_score_tri,
         "doc_source_nb": _q_doc_source_nb,
+        "doc_source_nb_sparse": _q_doc_source_nb_sparse,
         "doc_source_nb_indexed": _q_doc_source_nb_indexed,
         "doc_source_nb_appended": _q_doc_source_nb_appended,
         "doc_bm25_indexed_topk": _q_doc_bm25_indexed_topk,
@@ -5127,20 +5141,29 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY media_id, frame_idx
         """,
         # header parse round-trip: Spark PARSES width/height/channels/
-        # rate back out of the synthesized PNG/WAV bytes; the twin
+        # rate back out of the synthesized PNG/JPEG/WAV bytes; the twin
         # recomputes what the generator EMBEDDED from doc_id and the
         # text byte length — agreement proves the parser recovered
         # every field bit-exactly (ext/multimodal.synthetic_media
         # formulas, mirrored verbatim)
         "multimodal_headers": """
         SELECT doc_id AS media_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
-               CASE WHEN doc_id % 2 = 0
-                    THEN CAST(16 + doc_id % 317 AS BIGINT) END AS width,
-               CASE WHEN doc_id % 2 = 0
+               CASE WHEN doc_id % 2 = 1 THEN 'wav'
+                    WHEN doc_id % 4 = 0 THEN 'png'
+                    ELSE 'jpeg' END AS kind,
+               CASE WHEN doc_id % 4 = 0
+                    THEN CAST(16 + doc_id % 317 AS BIGINT)
+                    WHEN doc_id % 4 = 2
+                    THEN CAST(16 + doc_id % 479 AS BIGINT) END AS width,
+               CASE WHEN doc_id % 4 = 0
                     THEN CAST(16 + (doc_id * 7) % 211 AS BIGINT)
+                    WHEN doc_id % 4 = 2
+                    THEN CAST(16 + (doc_id * 11) % 353 AS BIGINT)
                  END AS height,
-               CASE WHEN doc_id % 2 = 0 THEN CAST(4 AS BIGINT)
+               CASE WHEN doc_id % 4 = 0 THEN CAST(4 AS BIGINT)
+                    WHEN doc_id % 4 = 2 THEN CAST(
+                      CASE WHEN (doc_id // 4) % 2 = 0 THEN 3 ELSE 1 END
+                      AS BIGINT)
                     ELSE CAST(1 + (doc_id // 2) % 2 AS BIGINT)
                  END AS channels,
                CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS BIGINT)
@@ -6455,6 +6478,10 @@ def oracle_sql() -> dict[str, str]:
     # stored NB model serve == in-query classifier by construction
     # (the index tables ARE _nb_model's censuses at rest) -> same twin
     sql["doc_source_nb_indexed"] = sql["doc_source_nb"]
+    # sparse scoring is a decimal-exact regrouping of the dense sum
+    # (ext/text._nb_score sparse=True; pytest asserts row-identical
+    # output) -> same DuckDB twin
+    sql["doc_source_nb_sparse"] = sql["doc_source_nb"]
     # appended NB == rebuild == in-query classifier (the per-batch
     # partials sum exactly for disjoint doc sets, pytest-proven
     # chain, see _q_doc_source_nb_appended) -> same DuckDB twin

@@ -1121,6 +1121,56 @@ def run_emb_ingest_bench(spark, sf_dir: str, cleanup: list) -> dict:
     }
 
 
+def run_nb_sparse_bench(spark, sf_dir: str) -> dict:
+    """Dense vs sparse NB scoring (VERDICT r12 #7), on BOTH regimes:
+    the shared-vocabulary fixture (where r12 measured the sparse
+    rewrite 0–30% slower — the recorded negative result; dense stays
+    the library default) and a disjoint-vocabulary variant (every
+    token prefixed with its source id, so the sparse inner term join
+    emits ~1 source per term instead of n_sources — the regime the
+    flag exists for).  Model build rides inside both timings
+    identically; the delta is the scoring path."""
+    from pyspark.sql import functions as F
+
+    from trade_data_collection_service_spark.ext.text import (
+        _nb_model,
+        _nb_score,
+        _nb_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    disjoint = docs.filter(F.col("source").isNotNull()).withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t: F.concat_ws("_", F.col("source"), t),
+            ),
+            " ",
+        ),
+    )
+
+    def _run(corpus, sparse: bool) -> float:
+        census, partials = _nb_model(corpus)
+        stats, vocab = _nb_stats(census, partials)
+        df = _nb_score(corpus, census, stats, vocab, sparse=sparse)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    out: dict = {}
+    for label, corpus in (("shared", docs), ("disjoint", disjoint)):
+        row: dict = {}
+        for mode, sparse in (("dense", False), ("sparse", True)):
+            _run(corpus, sparse)  # warm
+            row[f"{mode}_sec"] = round(_run(corpus, sparse), 4)
+        row["sparse_over_dense"] = round(
+            row["sparse_sec"] / row["dense_sec"], 4
+        )
+        out[label] = row
+    return out
+
+
 # Headline queries whose growth exponent is MEASURED, not argued
 # (VERDICT r12 #2): sf0.01 -> sf0.1 is 10x the data, so a wall-time
 # ratio far above 10x means a super-linear term (hidden quadratic,
@@ -1950,6 +2000,12 @@ def main() -> None:
             scaling = run_scaling_curve(spark, sf_dir, suite, timings)
         except Exception as e:  # pragma: no cover
             print(f"bench scaling failed: {e}", file=sys.stderr)
+    nb_sparse = None
+    if os.environ.get("SPARK_GRAFT_SKIP_NBSPARSE") != "1":
+        try:
+            nb_sparse = run_nb_sparse_bench(spark, sf_dir)
+        except Exception as e:  # pragma: no cover
+            print(f"bench nb sparse failed: {e}", file=sys.stderr)
     spans_gram = None
     if os.environ.get("SPARK_GRAFT_SKIP_SPANSBYTES") != "1":
         try:
@@ -1983,6 +2039,7 @@ def main() -> None:
         "value_host_normalized": value_host_normalized,
         "re_measured": re_measured,
         "scaling_curve": scaling,
+        "nb_sparse": nb_sparse,
         "skew_probe": skew_probe,
         "spans_gram_shuffle": spans_gram,
         "bloom_join_shuffle": bloom_bytes,

@@ -112,7 +112,7 @@ def test_synthetic_media_headers_roundtrip(spark, sf_dir):
     )
 
     rows = media_headers(spark, sf_dir).collect()
-    assert {r["kind"] for r in rows} == {"png", "wav"}
+    assert {r["kind"] for r in rows} == {"png", "jpeg", "wav"}
     docs = {
         d["doc_id"]: len(d["text"].encode())
         for d in spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -122,13 +122,23 @@ def test_synthetic_media_headers_roundtrip(spark, sf_dir):
     rates = (8000, 16000, 22050, 44100)
     for r in rows:
         i = r["media_id"]
-        if i % 2 == 0:
+        if i % 4 == 0:
             assert (r["kind"], r["width"], r["height"]) == (
                 "png",
                 16 + i % 317,
                 16 + (i * 7) % 211,
             )
             assert (r["channels"], r["bit_depth"]) == (4, 8)
+        elif i % 4 == 2:
+            assert (r["kind"], r["width"], r["height"]) == (
+                "jpeg",
+                16 + i % 479,
+                16 + (i * 11) % 353,
+            )
+            assert (r["channels"], r["bit_depth"]) == (
+                3 if (i // 4) % 2 == 0 else 1,
+                8,
+            )
         else:
             ch = 1 + (i // 2) % 2
             block = 2 * ch

@@ -1,0 +1,218 @@
+"""Concurrent-maintainer detection for the index ledgers (VERDICT r12
+#4): the single-maintainer contract is ENFORCED by a lease file at
+the index root — a second concurrent maintenance op fails fast with
+ConcurrentMaintainerError before touching any stage, a crashed
+maintainer's stale lease is reclaimed after the timeout, and readers
+never take the lease (they stay pure)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from trade_data_collection_service_spark.ext import dedup as D
+from trade_data_collection_service_spark.ext.dedup import (
+    ConcurrentMaintainerError,
+    append_to_gram_index,
+    append_to_neardup_index,
+    compact_neardup_index,
+    incremental_duplicate_spans,
+    incremental_neardup_pairs,
+    maintenance_lease,
+    write_gram_index,
+    write_neardup_index,
+)
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i} " * 3)
+         for i in ids],
+        "doc_id long, text string",
+    )
+
+
+def _index_rows(spark, path):
+    return {
+        t: sorted(
+            map(tuple, spark.read.parquet(f"{path}/{t}").drop("batch")
+                .collect())
+        )
+        for t in ("shingles", "bands", "counts")
+    }
+
+
+def test_second_appender_fails_fast_with_no_damage(spark, tmp_path):
+    path = f"{tmp_path}/idx"
+    write_neardup_index(_docs(spark, range(8)), path)
+    before = _index_rows(spark, path)
+    # maintainer A holds the lease (mid-append); maintainer B's
+    # append must fail cleanly BEFORE touching any stage or table
+    with maintenance_lease(spark, path, "test-holder"):
+        with pytest.raises(ConcurrentMaintainerError, match="single-maint"):
+            append_to_neardup_index(_docs(spark, [100]), path, batch_id="b1")
+        with pytest.raises(ConcurrentMaintainerError):
+            compact_neardup_index(spark, path)
+        with pytest.raises(ConcurrentMaintainerError):
+            write_neardup_index(_docs(spark, [100]), path)
+    assert _index_rows(spark, path) == before  # no stage damage
+    import os
+
+    assert not any(
+        name.endswith(".stage") for name in os.listdir(str(tmp_path))
+    )
+    # lease released on exit: the same append now succeeds
+    append_to_neardup_index(_docs(spark, [100]), path, batch_id="b1")
+    assert (
+        spark.read.parquet(f"{path}/counts")
+        .filter(F.col("doc_id") == 100)
+        .count()
+        == 1
+    )
+
+
+def test_gram_appender_holds_the_same_contract(spark, tmp_path):
+    path = f"{tmp_path}/gidx"
+    write_gram_index(_docs(spark, range(8)), path)
+    with maintenance_lease(spark, path, "test-holder"):
+        with pytest.raises(ConcurrentMaintainerError):
+            append_to_gram_index(_docs(spark, [100]), path)
+    append_to_gram_index(_docs(spark, [100]), path)  # released -> ok
+
+
+def test_crashed_maintainer_lease_is_reclaimed(spark, tmp_path, monkeypatch):
+    path = f"{tmp_path}/idx"
+    write_neardup_index(_docs(spark, range(8)), path)
+    # a crashed maintainer: lease file left behind, heartbeat old
+    lease = D._lease_path(path)
+    D._lease_write(
+        spark,
+        lease,
+        {
+            "maintainer": "crashed:999:deadbeef",
+            "op": "append",
+            "acquired_unix": time.time() - 60,
+            "heartbeat_unix": time.time() - 60,
+        },
+        overwrite=False,
+    )
+    monkeypatch.setattr(D, "DEFAULT_LEASE_TIMEOUT_SEC", 5.0)
+    # fresh-enough lease (60s < a big timeout) still blocks
+    monkeypatch.setattr(D, "DEFAULT_LEASE_TIMEOUT_SEC", 3600.0)
+    with pytest.raises(ConcurrentMaintainerError):
+        append_to_neardup_index(_docs(spark, [100]), path, batch_id="b1")
+    # past the timeout it is reclaimed and the append proceeds
+    monkeypatch.setattr(D, "DEFAULT_LEASE_TIMEOUT_SEC", 5.0)
+    append_to_neardup_index(_docs(spark, [100]), path, batch_id="b1")
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        table_exists,
+    )
+
+    assert not table_exists(spark, lease)  # released after success
+
+
+def test_unreadable_lease_falls_back_to_mtime(spark, tmp_path, monkeypatch):
+    """A lease whose body never finished writing (crash mid-create)
+    must still block while FRESH (by file mtime) and reclaim once
+    stale — never crash the maintainer with a parse error."""
+    path = f"{tmp_path}/idx"
+    write_neardup_index(_docs(spark, range(8)), path)
+    lease = D._lease_path(path)
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _fs_for,
+    )
+
+    fs, hpath = _fs_for(spark, lease)
+    fs.create(hpath, False).close()  # zero-byte lease
+    monkeypatch.setattr(D, "DEFAULT_LEASE_TIMEOUT_SEC", 3600.0)
+    with pytest.raises(ConcurrentMaintainerError):
+        append_to_neardup_index(_docs(spark, [100]), path, batch_id="b1")
+    monkeypatch.setattr(D, "DEFAULT_LEASE_TIMEOUT_SEC", 0.5)
+    time.sleep(0.6)
+    append_to_neardup_index(_docs(spark, [100]), path, batch_id="b1")
+
+
+def test_readers_stay_pure_under_a_held_lease(spark, tmp_path):
+    path = f"{tmp_path}/idx"
+    gpath = f"{tmp_path}/gidx"
+    corpus = _docs(spark, range(8))
+    write_neardup_index(corpus, path)
+    write_gram_index(corpus, gpath)
+    batch = _docs(spark, [3])  # a copy of doc 3 -> one near-dup pair
+    with maintenance_lease(spark, path, "test-holder"), maintenance_lease(
+        spark, gpath, "test-holder"
+    ):
+        pairs = incremental_neardup_pairs(
+            batch.withColumn("doc_id", F.lit(1003).cast("long")), path
+        )
+        assert pairs.count() >= 1  # reader ran fine, no lease taken
+        incremental_duplicate_spans(batch, gpath).count()
+        # and the readers did not release/destroy the held leases
+        assert D._lease_read(spark, D._lease_path(path)) is not None
+    # the holder's exit releases them
+    assert D._lease_read(spark, D._lease_path(path)) is None
+
+
+def test_lease_released_on_maintainer_error(spark, tmp_path):
+    """An append that dies inside (pre-ledger layout) must not leave
+    the lease behind — the next maintenance op would stall for the
+    full timeout on a lease nobody holds."""
+    # the repro: neardup tables in the legacy flat layout (no batch
+    # partition column) make the append raise AFTER taking the lease
+    flat = f"{tmp_path}/flatidx"
+    ex = D.exploded_shingles(_docs(spark, range(4)))
+    for t in ("shingles", "bands", "counts"):
+        ex.limit(1).write.parquet(f"{flat}/{t}")
+    with pytest.raises(ValueError, match="pre-ledger"):
+        append_to_neardup_index(_docs(spark, [9]), flat, batch_id="b")
+    assert D._lease_read(spark, D._lease_path(flat)) is None
+
+
+def test_heartbeat_refreshes_the_lease(spark, tmp_path):
+    path = f"{tmp_path}/idx"
+    with maintenance_lease(spark, path, "op") as lease:
+        doc0 = D._lease_read(spark, D._lease_path(path))
+        time.sleep(0.05)
+        lease.heartbeat()
+        doc1 = D._lease_read(spark, D._lease_path(path))
+        assert doc1["heartbeat_unix"] > doc0["heartbeat_unix"]
+        assert doc1["maintainer"] == doc0["maintainer"]
+    assert D._lease_read(spark, D._lease_path(path)) is None
+
+
+def test_release_never_deletes_a_reclaimers_lease(spark, tmp_path):
+    """If maintainer A's lease timed out mid-op and B reclaimed it, A's
+    exit must NOT delete B's lease."""
+    path = f"{tmp_path}/idx"
+    lease_path = D._lease_path(path)
+    cm = maintenance_lease(spark, path, "slow-op")
+    cm.__enter__()
+    # B reclaims (simulate: replace the lease wholesale)
+    D._lease_write(
+        spark,
+        lease_path,
+        {
+            "maintainer": "B:1:beef",
+            "op": "append",
+            "heartbeat_unix": time.time(),
+        },
+        overwrite=True,
+    )
+    cm.__exit__(None, None, None)
+    doc = D._lease_read(spark, lease_path)
+    assert doc is not None and doc["maintainer"] == "B:1:beef"
+
+
+def test_lease_file_is_json_with_identity_and_heartbeat(spark, tmp_path):
+    path = f"{tmp_path}/idx"
+    with maintenance_lease(spark, path, "append_to_neardup_index"):
+        raw = D._lease_read(spark, D._lease_path(path))
+        assert raw["op"] == "append_to_neardup_index"
+        assert ":" in raw["maintainer"]
+        assert raw["heartbeat_unix"] >= raw["acquired_unix"]
+        # round-trips as plain JSON (ops tooling readable)
+        json.dumps(raw)

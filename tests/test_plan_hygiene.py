@@ -53,6 +53,10 @@ NESTED_LOOP_OK = {
     # census join itself is equi on (source, term)
     "doc_source_nb_confusion",  # the same NB scoring pass (same
     # allowlisted scalars) under a dimension²-bounded groupBy
+    "doc_source_nb_sparse",  # the sparse identity keeps the broadcast
+    # source dimension only on the per-(doc, source) BASE grid
+    # (dl·lp_miss rows — no term dimension) + the 1-row vocab scalar;
+    # the present-term join is EQUI on term (the sparse win)
     "doc_source_nb_indexed",  # the same NB scoring tail served from
     # the model at rest: broadcast src_stats dimension + 1-row vocab
     # scalar; the census join is equi on (source, term)

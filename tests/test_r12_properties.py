@@ -102,7 +102,7 @@ def test_wav_header_roundtrip_with_extra_chunks(
 @given(blob=st.binary(max_size=200))
 def test_parser_never_raises_on_arbitrary_bytes(blob):
     kind = _parse_header(blob)[0]
-    assert kind in ("png", "wav", "unknown")
+    assert kind in ("png", "jpeg", "wav", "unknown")
 
 
 @settings(max_examples=500, deadline=None)
@@ -110,9 +110,15 @@ def test_parser_never_raises_on_arbitrary_bytes(blob):
 def test_parser_never_raises_on_magic_prefixed_garbage(blob):
     # adversarial: valid magics, garbage after — the truncated-slice
     # struct.unpack paths must degrade, not raise
-    for prefix in (_PNG_SIG, b"RIFF", b"RIFF\x10\x00\x00\x00WAVE"):
+    for prefix in (
+        _PNG_SIG,
+        b"RIFF",
+        b"RIFF\x10\x00\x00\x00WAVE",
+        b"\xff\xd8",
+        b"\xff\xd8\xff\xe0",
+    ):
         kind = _parse_header(prefix + blob)[0]
-        assert kind in ("png", "wav", "unknown")
+        assert kind in ("png", "jpeg", "wav", "unknown")
 
 
 _SLOW = settings(

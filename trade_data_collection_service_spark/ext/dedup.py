@@ -26,6 +26,13 @@ target Jaccard threshold.
 
 from __future__ import annotations
 
+import json
+import os
+import socket
+import time
+import uuid
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -540,6 +547,194 @@ def _retire_stage(spark: SparkSession, stage: str) -> None:
     _rm(spark, stage)
 
 
+class ConcurrentMaintainerError(RuntimeError):
+    """A second index-maintenance op (build/append/compact) started
+    while another maintainer holds the index's lease.  Maintenance is
+    single-maintainer by contract (:func:`_recover_compaction` deletes
+    and republishes stages, so interleaved maintainers can corrupt a
+    healthy in-progress publish) — the lease makes the contract
+    ENFORCED instead of documented (VERDICT r12 #4).  Readers never
+    take the lease; they stay pure."""
+
+
+# A crashed maintainer's lease is reclaimable after this long with no
+# heartbeat.  Generous by default (a big compaction legitimately runs
+# minutes without touching the lease); long-running maintainers can
+# call ``lease.heartbeat()`` between stages to stay visibly alive.
+DEFAULT_LEASE_TIMEOUT_SEC = 1800.0
+
+def _lease_path(path: str) -> str:
+    # a dotted SIBLING of the index root (the `.stage` / `.quantizers`
+    # convention): a file inside the root would be deleted by the
+    # whole-root overwrite some builds use (write_ivfpq_index), and
+    # extra non-partition entries inside a partitioned table root can
+    # break Spark partition discovery
+    return path.rstrip("/") + ".maintenance.lease"
+
+
+def _lease_write(spark: SparkSession, lease: str, doc: dict, overwrite: bool) -> None:
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _fs_for,
+    )
+
+    fs, hpath = _fs_for(spark, lease)
+    out = fs.create(hpath, overwrite)  # overwrite=False: atomic take
+    try:
+        out.write(bytearray(json.dumps(doc).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _lease_read(spark: SparkSession, lease: str) -> dict | None:
+    """The lease document, or None when absent.  A present-but-
+    unreadable lease (crash mid-write, concurrent rewrite) degrades to
+    {} — the caller then falls back to the file's modification time
+    for staleness, the safe direction (an unreadable FRESH lease must
+    still fail a second maintainer fast)."""
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _fs_for,
+        table_exists,
+    )
+
+    if not table_exists(spark, lease):
+        return None
+    fs, hpath = _fs_for(spark, lease)
+    try:
+        stream = fs.open(hpath)
+        try:
+            raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        doc = json.loads(raw)
+        return doc if isinstance(doc, dict) else {}
+    except Exception:
+        return {}
+
+
+def _lease_heartbeat_unix(spark: SparkSession, lease: str, doc: dict) -> float:
+    """Last-alive time of an existing lease: its recorded heartbeat,
+    else the file's modification time (covers a lease whose body never
+    finished writing)."""
+    hb = doc.get("heartbeat_unix")
+    if isinstance(hb, (int, float)):
+        return float(hb)
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _fs_for,
+    )
+
+    try:
+        fs, hpath = _fs_for(spark, lease)
+        return fs.getFileStatus(hpath).getModificationTime() / 1000.0
+    except Exception:
+        # racing release: the file vanished between read and stat —
+        # treat as maximally stale so the acquire path retries cleanly
+        return 0.0
+
+
+class _MaintenanceLease:
+    """Handle yielded by :func:`maintenance_lease`: long-running
+    maintainers call :meth:`heartbeat` between stages so their lease
+    never looks crashed."""
+
+    def __init__(self, spark: SparkSession, lease: str, doc: dict):
+        self._spark = spark
+        self._lease = lease
+        self._doc = doc
+
+    @property
+    def maintainer(self) -> str:
+        return self._doc["maintainer"]
+
+    def heartbeat(self) -> None:
+        self._doc = dict(self._doc, heartbeat_unix=time.time())
+        _lease_write(self._spark, self._lease, self._doc, overwrite=True)
+
+
+@contextmanager
+def maintenance_lease(
+    spark: SparkSession,
+    path: str,
+    op: str,
+    timeout_sec: float | None = None,
+):
+    """Enforce the single-maintainer contract for the index at
+    ``path`` (VERDICT r12 #4): take a lease file at the index root on
+    entry, release it on exit.  A second concurrent maintainer fails
+    fast with :class:`ConcurrentMaintainerError` BEFORE touching any
+    stage, so an in-progress append/compact can never be interleaved;
+    a crashed maintainer's lease (no heartbeat for ``timeout_sec``) is
+    reclaimed automatically by the next maintenance op.
+
+    The take is create-if-absent (atomic on HDFS and local
+    filesystems; best-effort on eventually-consistent object stores —
+    there, pair it with an external scheduler that already serializes
+    maintainers) followed by a read-back ownership check, which
+    settles the delete+create race two stale-reclaimers can run.
+    READERS never call this — they stay pure by design
+    (:func:`_authoritative`)."""
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _rm,
+    )
+
+    if timeout_sec is None:
+        # resolved at call time so deployments (and tests) can tune
+        # the module default without re-plumbing every maintenance op
+        timeout_sec = DEFAULT_LEASE_TIMEOUT_SEC
+    lease = _lease_path(path)
+    me = "{}:{}:{}".format(
+        socket.gethostname(), os.getpid(), uuid.uuid4().hex[:8]
+    )
+    existing = _lease_read(spark, lease)
+    if existing is not None:
+        age = time.time() - _lease_heartbeat_unix(spark, lease, existing)
+        if age <= timeout_sec:
+            raise ConcurrentMaintainerError(
+                f"index at {path!r} is under maintenance by"
+                f" {existing.get('maintainer', '<unreadable lease>')!r}"
+                f" (op={existing.get('op', '?')!r}, last alive"
+                f" {age:.0f}s ago) — index maintenance is"
+                " single-maintainer; wait for it to finish, or if it"
+                f" crashed, retry after the {timeout_sec:.0f}s lease"
+                " timeout (the next op reclaims a stale lease"
+                " automatically)"
+            )
+        # stale: crashed maintainer — reclaim
+        _rm(spark, lease)
+    doc = {
+        "maintainer": me,
+        "op": op,
+        "acquired_unix": time.time(),
+        "heartbeat_unix": time.time(),
+    }
+    try:
+        _lease_write(spark, lease, doc, overwrite=False)
+    except Exception as e:
+        raise ConcurrentMaintainerError(
+            f"index at {path!r}: lost the lease-take race to a"
+            f" concurrent maintainer ({e.__class__.__name__}) — index"
+            " maintenance is single-maintainer"
+        ) from None
+    # read-back ownership check: two stale-reclaimers can interleave
+    # delete+create; exactly one's id is in the file afterwards
+    readback = _lease_read(spark, lease)
+    if not readback or readback.get("maintainer") != me:
+        raise ConcurrentMaintainerError(
+            f"index at {path!r}: lease taken over by"
+            f" {(readback or {}).get('maintainer')!r} during a stale-"
+            "lease reclaim race — index maintenance is single-maintainer"
+        )
+    try:
+        yield _MaintenanceLease(spark, lease, doc)
+    finally:
+        # release only if still ours: never delete a lease a later
+        # reclaimer legitimately took after our own timeout
+        current = _lease_read(spark, lease)
+        if current and current.get("maintainer") == me:
+            _rm(spark, lease)
+
+
 def _recover_compaction(spark: SparkSession, src: str) -> None:
     """Roll a crashed compaction forward BEFORE touching ``src`` (the
     streaming pipeline's recover-on-entry discipline): a
@@ -552,12 +747,16 @@ def _recover_compaction(spark: SparkSession, src: str) -> None:
     a LATER replay of the stale stage: repair always happens before
     new rows land.
 
-    MAINTENANCE IS SINGLE-MAINTAINER BY CONTRACT: this function
-    deletes/republishes stages, so two concurrent maintenance ops
-    (append/compact) on one index are unsupported — there is no
-    filesystem lock to serialize them.  READERS never call this; they
-    use :func:`_authoritative` (pure read) precisely so a concurrent
-    read cannot destroy a healthy in-progress compaction's stage."""
+    MAINTENANCE IS SINGLE-MAINTAINER: this function deletes/
+    republishes stages, so two concurrent maintenance ops
+    (append/compact) on one index are unsupported — and since r13 the
+    contract is ENFORCED, not just documented: every maintenance
+    entry point takes :func:`maintenance_lease` first, so a second
+    concurrent maintainer fails fast with
+    :class:`ConcurrentMaintainerError` before reaching this function.
+    READERS never call this; they use :func:`_authoritative` (pure
+    read) precisely so a concurrent read cannot destroy a healthy
+    in-progress compaction's stage."""
     from trade_data_collection_service_spark.streaming.pipeline import (
         table_exists,
     )
@@ -861,45 +1060,48 @@ def write_neardup_index(docs: DataFrame, path: str) -> None:
             "write_neardup_index: corpus produced no shingles — an"
             " empty index cannot be materialized (or read back)"
         )
-    # a fresh build supersedes any crashed-compaction stage; clear it
-    # (marker-first) so a later recover cannot clobber the new table
-    for t in ("shingles", "bands", "counts"):
-        _retire_stage(spark, f"{path}/{t}.stage")
-    # explicit STATIC overwrite (r11 review): a rebuild must wipe
-    # stale batch partitions even when another component has set the
-    # session-global partitionOverwriteMode to dynamic
-    ex.write.partitionBy("batch").mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).parquet(f"{path}/shingles")
-    ex_r = docs.sparkSession.read.parquet(f"{path}/shingles")
-    sig = minhash_signatures(docs, ex=ex_r)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.col(f"band{b}").alias("band_key"),
-                )
-                for b in range(NUM_BANDS)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
-    (
-        bands.withColumn("batch", F.lit("base"))
-        .write.partitionBy("batch")
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .parquet(f"{path}/bands")
-    )
-    (
-        sig.select("doc_id", "n_sh")
-        .withColumn("batch", F.lit("base"))
-        .write.partitionBy("batch")
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .parquet(f"{path}/counts")
-    )
+    with maintenance_lease(spark, path, "write_neardup_index") as lease:
+        # a fresh build supersedes any crashed-compaction stage; clear
+        # it (marker-first) so a later recover cannot clobber the new
+        # table
+        for t in ("shingles", "bands", "counts"):
+            _retire_stage(spark, f"{path}/{t}.stage")
+        # explicit STATIC overwrite (r11 review): a rebuild must wipe
+        # stale batch partitions even when another component has set
+        # the session-global partitionOverwriteMode to dynamic
+        ex.write.partitionBy("batch").mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).parquet(f"{path}/shingles")
+        ex_r = docs.sparkSession.read.parquet(f"{path}/shingles")
+        sig = minhash_signatures(docs, ex=ex_r)
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"band{b}").alias("band_key"),
+                    )
+                    for b in range(NUM_BANDS)
+                ])
+            ).alias("band"),
+        ).select("doc_id", "band.band_id", "band.band_key")
+        lease.heartbeat()
+        (
+            bands.withColumn("batch", F.lit("base"))
+            .write.partitionBy("batch")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .parquet(f"{path}/bands")
+        )
+        (
+            sig.select("doc_id", "n_sh")
+            .withColumn("batch", F.lit("base"))
+            .write.partitionBy("batch")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .parquet(f"{path}/counts")
+        )
 
 
 def incremental_neardup_pairs(
@@ -1052,46 +1254,52 @@ def append_to_neardup_index(
     it once with :func:`write_neardup_index` first."""
     b = _validate_batch_id(batch_id)
     spark = new_docs.sparkSession
-    for t in ("shingles", "bands", "counts"):
-        _recover_compaction(spark, f"{path}/{t}")
-        _require_ledger_layout(
-            spark,
-            f"{path}/{t}",
-            "append_to_neardup_index",
-            "write_neardup_index",
-        )
-    batch = b if b is not None else "legacy"
-
-    def _write(df: DataFrame, table: str) -> None:
-        w = df.withColumn("batch", F.lit(batch)).write.partitionBy("batch")
-        if batch_id is not None:
-            # dynamic overwrite of THIS batch's partition only —
-            # replaying the same batch_id rewrites, never duplicates
-            (
-                w.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(f"{path}/{table}")
+    with maintenance_lease(spark, path, "append_to_neardup_index"):
+        for t in ("shingles", "bands", "counts"):
+            _recover_compaction(spark, f"{path}/{t}")
+            _require_ledger_layout(
+                spark,
+                f"{path}/{t}",
+                "append_to_neardup_index",
+                "write_neardup_index",
             )
-        else:
-            w.mode("append").parquet(f"{path}/{table}")
+        batch = b if b is not None else "legacy"
 
-    ex = exploded_shingles(new_docs)
-    _write(ex, "shingles")
-    sig = minhash_signatures(new_docs, ex=ex.localCheckpoint(eager=False))
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.col(f"band{b}").alias("band_key"),
+        def _write(df: DataFrame, table: str) -> None:
+            w = df.withColumn("batch", F.lit(batch)).write.partitionBy(
+                "batch"
+            )
+            if batch_id is not None:
+                # dynamic overwrite of THIS batch's partition only —
+                # replaying the same batch_id rewrites, never
+                # duplicates
+                (
+                    w.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(f"{path}/{table}")
                 )
-                for b in range(NUM_BANDS)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
-    _write(bands, "bands")
-    _write(sig.select("doc_id", "n_sh"), "counts")
+            else:
+                w.mode("append").parquet(f"{path}/{table}")
+
+        ex = exploded_shingles(new_docs)
+        _write(ex, "shingles")
+        sig = minhash_signatures(
+            new_docs, ex=ex.localCheckpoint(eager=False)
+        )
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"band{b}").alias("band_key"),
+                    )
+                    for b in range(NUM_BANDS)
+                ])
+            ).alias("band"),
+        ).select("doc_id", "band.band_id", "band.band_key")
+        _write(bands, "bands")
+        _write(sig.select("doc_id", "n_sh"), "counts")
 
 
 def compact_neardup_index(
@@ -1149,26 +1357,30 @@ def compact_neardup_index(
     def _tf(winner):
         return lambda df: fold(winner(df))
 
-    _staged_rewrite(
-        spark,
-        f"{path}/shingles",
-        _tf(_winner_tf(["doc_id", "sh"], protect=prot)),
-    )
-    _staged_rewrite(
-        spark,
-        f"{path}/bands",
-        _tf(_winner_tf(["doc_id", "band_id", "band_key"], protect=prot)),
-    )
-    # n_sh rides the SAME min-struct winner as the shingles/bands
-    # tables (not an independent max() across duplicate partitions):
-    # if a doc was ever appended with different content under two
-    # batch_ids, the count must come from the partition whose postings
-    # survived, or the jaccard denominator skews against them
-    _staged_rewrite(
-        spark,
-        f"{path}/counts",
-        _tf(_winner_tf(["doc_id"], payload_cols=["n_sh"], protect=prot)),
-    )
+    with maintenance_lease(spark, path, "compact_neardup_index") as lease:
+        _staged_rewrite(
+            spark,
+            f"{path}/shingles",
+            _tf(_winner_tf(["doc_id", "sh"], protect=prot)),
+        )
+        lease.heartbeat()
+        _staged_rewrite(
+            spark,
+            f"{path}/bands",
+            _tf(_winner_tf(["doc_id", "band_id", "band_key"], protect=prot)),
+        )
+        lease.heartbeat()
+        # n_sh rides the SAME min-struct winner as the shingles/bands
+        # tables (not an independent max() across duplicate
+        # partitions): if a doc was ever appended with different
+        # content under two batch_ids, the count must come from the
+        # partition whose postings survived, or the jaccard
+        # denominator skews against them
+        _staged_rewrite(
+            spark,
+            f"{path}/counts",
+            _tf(_winner_tf(["doc_id"], payload_cols=["n_sh"], protect=prot)),
+        )
 
 
 def _planted_truth(d: DataFrame) -> DataFrame:
@@ -1589,16 +1801,18 @@ def write_gram_index(
     ``hash_grams`` must match between the index writer and every
     reader — the stored key is whatever the batch side will join
     on."""
-    # a fresh build supersedes any crashed-compaction stage; clear it
-    # (marker-first) so a later recover cannot clobber the new table
-    _retire_stage(docs.sparkSession, f"{path}/grams.stage")
-    (
-        _dup_windows(docs, k, hash_grams)
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/grams")
-    )
+    with maintenance_lease(docs.sparkSession, path, "write_gram_index"):
+        # a fresh build supersedes any crashed-compaction stage; clear
+        # it (marker-first) so a later recover cannot clobber the new
+        # table
+        _retire_stage(docs.sparkSession, f"{path}/grams.stage")
+        (
+            _dup_windows(docs, k, hash_grams)
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/grams")
+        )
 
 
 def append_to_gram_index(
@@ -1612,14 +1826,17 @@ def append_to_gram_index(
     near-dup index — but the append still recovers a crashed
     compaction first, so its rows cannot land in a table a later
     stage-replay would overwrite."""
-    _recover_compaction(new_docs.sparkSession, f"{path}/grams")
-    (
-        _dup_windows(new_docs, k, hash_grams)
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .write.mode("append")
-        .parquet(f"{path}/grams")
-    )
+    with maintenance_lease(
+        new_docs.sparkSession, path, "append_to_gram_index"
+    ):
+        _recover_compaction(new_docs.sparkSession, f"{path}/grams")
+        (
+            _dup_windows(new_docs, k, hash_grams)
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .write.mode("append")
+            .parquet(f"{path}/grams")
+        )
 
 
 def compact_gram_index(spark: SparkSession, path: str) -> None:
@@ -1637,11 +1854,12 @@ def compact_gram_index(spark: SparkSession, path: str) -> None:
     also recovers on entry, so a crashed publish is repaired before
     new rows land; incremental reads are pure (they read the
     ``_SUCCESS``-marked stage directly when one exists)."""
-    _staged_rewrite(
-        spark,
-        f"{path}/grams",
-        lambda df: df.groupBy("gram").agg(F.sum("n_occ").alias("n_occ")),
-    )
+    with maintenance_lease(spark, path, "compact_gram_index"):
+        _staged_rewrite(
+            spark,
+            f"{path}/grams",
+            lambda df: df.groupBy("gram").agg(F.sum("n_occ").alias("n_occ")),
+        )
 
 
 def incremental_duplicate_spans(

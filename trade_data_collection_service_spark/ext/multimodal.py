@@ -96,13 +96,16 @@ _WAV_RATES = (8000, 16000, 22050, 44100)
 def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A media table with REAL container headers, synthesized
     deterministically from ``documents`` (no binary fixtures ship
-    with testdata): even doc_ids become PNGs (signature + IHDR with
-    doc_id-derived width/height; the text bytes ride as an opaque
-    IDAT-shaped filler), odd doc_ids become PCM WAVs (RIFF/WAVE fmt
-    + data, channels/sample-rate doc_id-derived, text bytes
-    zero-padded to a whole number of sample frames).  Every header
-    field is built JVM-side with hex/unhex byte arithmetic — the
-    payload column is real binary, built without any Python stage."""
+    with testdata): doc_id % 4 == 0 become PNGs (signature + IHDR
+    with doc_id-derived width/height; the text bytes ride as an
+    opaque IDAT-shaped filler), doc_id % 4 == 2 become JPEGs
+    (SOI + APP0/JFIF + SOF0 with doc_id-derived height/width and 3-
+    or 1-component layout, text bytes trailing after EOI — VERDICT
+    r12 #5), odd doc_ids become PCM WAVs (RIFF/WAVE fmt + data,
+    channels/sample-rate doc_id-derived, text bytes zero-padded to a
+    whole number of sample frames).  Every header field is built
+    JVM-side with hex/unhex byte arithmetic — the payload column is
+    real binary, built without any Python stage."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     text_bytes = F.encode("text", "UTF-8")
     n_text = F.octet_length(text_bytes).cast("bigint")
@@ -111,6 +114,33 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then an IDAT-shaped filler chunk carrying the text bytes
     width = (F.lit(16) + F.col("doc_id") % 317).cast("bigint")
     height = (F.lit(16) + (F.col("doc_id") * 7) % 211).cast("bigint")
+    # --- JPEG (VERDICT r12 #5): SOI, APP0/JFIF, SOF0 (precision 8,
+    # height/width BE16, 3 or 1 components), EOI; the text bytes ride
+    # as trailing data AFTER EOI (real decoders ignore trailing bytes,
+    # and a COM segment could not hold them — its 2-byte length field
+    # caps payloads at 65533 bytes)
+    jwidth = (F.lit(16) + F.col("doc_id") % 479).cast("bigint")
+    jheight = (F.lit(16) + (F.col("doc_id") * 11) % 353).cast("bigint")
+    jcomp3 = ((F.col("doc_id") / 4).cast("bigint") % 2) == 0
+    jpeg = F.concat(
+        # SOI + APP0(len 16): "JFIF\0", v1.1, units 0, density 1x1,
+        # no thumbnail
+        F.lit(bytes.fromhex("ffd8ffe000104a46494600010100000100010000")),
+        F.lit(b"\xff\xc0"),  # SOF0 (baseline)
+        F.when(jcomp3, F.lit(bytes([0x00, 0x11]))).otherwise(
+            F.lit(bytes([0x00, 0x0B]))
+        ),  # segment length 8 + 3*ncomp
+        F.lit(bytes([8])),  # precision
+        _be(jheight, 2),
+        _be(jwidth, 2),
+        F.when(
+            jcomp3,
+            # ncomp=3; per component: id, 1x1 sampling, qtable 0
+            F.lit(bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])),
+        ).otherwise(F.lit(bytes([1, 1, 0x11, 0]))),
+        F.lit(b"\xff\xd9"),  # EOI
+        text_bytes,
+    )
     png = F.concat(
         F.lit(bytes.fromhex("89504e470d0a1a0a")),
         _be(F.lit(13), 4),
@@ -152,12 +182,14 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_bytes,
         F.unhex(F.repeat(F.lit("00"), pad.cast("int"))),
     )
-    is_png = F.col("doc_id") % 2 == 0
-    payload = F.when(is_png, png).otherwise(wav)
+    is_png = F.col("doc_id") % 4 == 0
+    is_jpeg = F.col("doc_id") % 4 == 2
+    payload = F.when(is_png, png).when(is_jpeg, jpeg).otherwise(wav)
     return d.select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
         F.when(is_png, F.lit("image/png"))
+        .when(is_jpeg, F.lit("image/jpeg"))
         .otherwise(F.lit("audio/wav"))
         .alias("media_type"),
         F.octet_length(payload).cast("long").alias("n_bytes"),
@@ -183,11 +215,13 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def _parse_header(payload: bytes) -> tuple:
     """REAL container-header decode from raw bytes (no codec
-    library): PNG signature + IHDR fields, or a proper RIFF/WAVE
-    chunk walk (fmt + data located by id, not by fixed offset, so
-    extra chunks between them parse fine).  Malformed/unknown
-    payloads degrade to kind='unknown' with null fields — never an
-    exception out of the Arrow batch."""
+    library): PNG signature + IHDR fields, a JPEG marker walk
+    (skip-by-segment-length to the first SOF frame header — baseline,
+    extended-sequential, or progressive), or a proper RIFF/WAVE chunk
+    walk (fmt + data located by id, not by fixed offset, so extra
+    chunks between them parse fine).  Malformed/unknown payloads
+    degrade to kind='unknown' with null fields — never an exception
+    out of the Arrow batch."""
     try:
         if payload[:8] == bytes.fromhex("89504e470d0a1a0a") and (
             payload[12:16] == b"IHDR"
@@ -196,6 +230,40 @@ def _parse_header(payload: bytes) -> tuple:
             bit_depth, color_type = payload[24], payload[25]
             ch = _PNG_CHANNELS.get(color_type)
             return ("png", w, h, ch, bit_depth, None, None)
+        if payload[:2] == b"\xff\xd8":
+            # JPEG marker walk (the RIFF chunk-walk discipline): every
+            # segment is skipped by its declared length until a SOF
+            # frame header yields precision/height/width/components.
+            # SOF0/1/2/3 cover baseline + extended + progressive +
+            # lossless; EOI or SOS before any SOF means the stream
+            # carries no readable frame header — degrade, don't guess.
+            off = 2
+            while off + 4 <= len(payload):
+                if payload[off] != 0xFF:
+                    break  # not at a marker: corrupt stream
+                marker = payload[off + 1]
+                if marker == 0xFF:
+                    off += 1  # fill byte before a marker
+                    continue
+                if marker in (0xD9, 0xDA):  # EOI / start-of-scan
+                    break
+                if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+                    off += 2  # standalone markers carry no length
+                    continue
+                (size,) = struct.unpack(">H", payload[off + 2 : off + 4])
+                if size < 2:
+                    break  # malformed declared length
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3) and size >= 8:
+                    if off + 10 > len(payload):
+                        break  # truncated frame header
+                    precision = payload[off + 4]
+                    h, w = struct.unpack(
+                        ">HH", payload[off + 5 : off + 9]
+                    )
+                    ncomp = payload[off + 9]
+                    return ("jpeg", w, h, ncomp, precision, None, None)
+                off += 2 + size
+            return ("unknown", None, None, None, None, None, None)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             ch = rate = bits = block = data_len = None
             off = 12

@@ -490,19 +490,25 @@ def write_ivfpq_index(
     rows = _ivfpq_rows(source, centroids, books, m).withColumn(
         "batch", F.lit("base")
     )
-    # a fresh build supersedes any crashed-compaction stage; clear it
-    # (marker-first) so a later recover cannot clobber the new table
-    _retire_stage(spark, path + ".stage")
-    (
-        rows.repartition("bucket")
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite")
-        # explicit STATIC overwrite (r11 review): wipe stale batch
-        # partitions even under a session-global dynamic mode
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("bucket", "batch")
-        .parquet(path)
+    from trade_data_collection_service_spark.ext.dedup import (
+        maintenance_lease,
     )
+
+    with maintenance_lease(spark, path, "write_ivfpq_index"):
+        # a fresh build supersedes any crashed-compaction stage; clear
+        # it (marker-first) so a later recover cannot clobber the new
+        # table
+        _retire_stage(spark, path + ".stage")
+        (
+            rows.repartition("bucket")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            # explicit STATIC overwrite (r11 review): wipe stale batch
+            # partitions even under a session-global dynamic mode
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("bucket", "batch")
+            .parquet(path)
+        )
     return centroids, books
 
 
@@ -552,31 +558,33 @@ def append_to_ivfpq_index(
         _recover_compaction,
         _require_ledger_layout,
         _validate_batch_id,
+        maintenance_lease,
     )
 
     b = _validate_batch_id(batch_id)
     spark = new_vectors.sparkSession
-    _recover_compaction(spark, path)
-    _require_ledger_layout(
-        spark, path, "append_to_ivfpq_index", "write_ivfpq_index"
-    )
-    rows = (
-        _ivfpq_rows(new_vectors, centroids, codebooks, m)
-        .withColumn("batch", F.lit(b if b is not None else "legacy"))
-        .repartition("bucket")
-        .sortWithinPartitions("vec_id")
-    )
-    w = rows.write.partitionBy("bucket", "batch")
-    if b is not None:
-        # dynamic overwrite of THIS batch's partitions only —
-        # replaying the same batch_id rewrites, never duplicates
-        (
-            w.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(path)
+    with maintenance_lease(spark, path, "append_to_ivfpq_index"):
+        _recover_compaction(spark, path)
+        _require_ledger_layout(
+            spark, path, "append_to_ivfpq_index", "write_ivfpq_index"
         )
-    else:
-        w.mode("append").parquet(path)
+        rows = (
+            _ivfpq_rows(new_vectors, centroids, codebooks, m)
+            .withColumn("batch", F.lit(b if b is not None else "legacy"))
+            .repartition("bucket")
+            .sortWithinPartitions("vec_id")
+        )
+        w = rows.write.partitionBy("bucket", "batch")
+        if b is not None:
+            # dynamic overwrite of THIS batch's partitions only —
+            # replaying the same batch_id rewrites, never duplicates
+            (
+                w.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(path)
+            )
+        else:
+            w.mode("append").parquet(path)
 
 
 def write_ivfpq_quantizers(
@@ -635,6 +643,7 @@ def compact_ivfpq_index(
         _fold_batches_tf,
         _staged_rewrite,
         _winner_tf,
+        maintenance_lease,
     )
 
     fold = (
@@ -655,7 +664,8 @@ def compact_ivfpq_index(
             )(df)
         )
 
-    _staged_rewrite(spark, path, _tf)
+    with maintenance_lease(spark, path, "compact_ivfpq_index"):
+        _staged_rewrite(spark, path, _tf)
 
 
 def ivfpq_search_indexed(

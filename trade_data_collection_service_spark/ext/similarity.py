@@ -405,13 +405,18 @@ def write_ivf_index(
         F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
     ).withColumn("nrm", _norm("emb"))
     bucketed = assign_buckets(vectors(spark, sf_dir), centroids)
-    (
-        bucketed.repartition("bucket")
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path)
+    from trade_data_collection_service_spark.ext.dedup import (
+        maintenance_lease,
     )
+
+    with maintenance_lease(spark, path, "write_ivf_index"):
+        (
+            bucketed.repartition("bucket")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
     return centroids
 
 
@@ -432,13 +437,20 @@ def append_to_ivf_index(
     over an appended index are identical to a rebuild over the union
     corpus (pytest: tests/test_ivf_index.py)."""
     bucketed = assign_buckets(new_vectors, centroids)
-    (
-        bucketed.repartition("bucket")
-        .sortWithinPartitions("vec_id")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(path)
+    from trade_data_collection_service_spark.ext.dedup import (
+        maintenance_lease,
     )
+
+    with maintenance_lease(
+        new_vectors.sparkSession, path, "append_to_ivf_index"
+    ):
+        (
+            bucketed.repartition("bucket")
+            .sortWithinPartitions("vec_id")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
 
 
 def ivf_search_indexed(

@@ -1104,7 +1104,9 @@ def lm_quality_buckets(
     ).orderBy("doc_id")
 
 
-def source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def source_nb(
+    spark: SparkSession, sf_dir: str, sparse: bool = False
+) -> DataFrame:
     """Multinomial Naive-Bayes SOURCE/domain classifier, trained on
     the corpus's own (source, term) census and served on the same
     corpus — the domain-bucketing rung of the curation ladder (CCNet
@@ -1125,11 +1127,15 @@ def source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: every ln is rounded to 12 dp and decimal-weighted
     (the lm_score discipline), so per-(doc, source) sums are exact in
-    both engines and the argmax compares bit-identical decimals."""
+    both engines and the argmax compares bit-identical decimals.
+
+    ``sparse=True`` routes scoring through the sparse-NB identity
+    (see :func:`_nb_score`) — same scores, same twin; wins when the
+    domain vocabularies are mostly disjoint."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     census, src_partials = _nb_model(docs)
     src_stats, vocab_v = _nb_stats(census, src_partials)
-    return _nb_score(docs, census, src_stats, vocab_v)
+    return _nb_score(docs, census, src_stats, vocab_v, sparse=sparse)
 
 
 def _nb_model(docs: DataFrame):
@@ -1195,6 +1201,7 @@ def _nb_score(
     census: DataFrame,
     src_stats: DataFrame,
     vocab_v: DataFrame,
+    sparse: bool = False,
 ) -> DataFrame:
     """Score ``docs`` against NB censuses (from :func:`_nb_model`
     inline, or read back from a :func:`write_nb_index` layout — same
@@ -1202,7 +1209,28 @@ def _nb_score(
     is bit-identical).  One tokenize pass over the SCORED docs (the
     only text read), one broadcast expansion over the source
     dimension, one left equi-join on (source, term) against the
-    census, one min-struct argmax — no window, no global sort."""
+    census, one min-struct argmax — no window, no global sort.
+
+    ``sparse=True`` (VERDICT r12 #7) scores through the standard
+    sparse-NB identity instead of expanding every (doc term × source)
+    pair:
+
+        Σ_t tf·lp(t,s) = Σ_{t ∈ census(s)} tf·(lp(t,s) − lp_miss(s))
+                         + dl·lp_miss(s)
+
+    where lp_miss(s) = ln(1/(n_s+V)) is the shared missing-term mass.
+    The per-(source, term) rounding (12 dp, decimal-weighted) is
+    UNCHANGED and the regrouped sum is one decimal aggregation at the
+    same scale, so both paths are exact and EQUAL — same argmax, same
+    scores, same DuckDB twin (pytest asserts row-identical output).
+    Where it wins: the term-grain join is ``tf ⋈ census`` on term
+    (INNER — only sources that actually carry the term), so with K
+    mostly-disjoint domain vocabularies it shuffles ~1/K of the dense
+    expansion; the dense path stays the default because on a
+    shared-vocabulary corpus (this fixture) the inner join emits the
+    same rows PLUS a per-(doc, source) base grid, measured 0–30%
+    slower in r12 (negative result recorded in docs/COVERAGE.md; the
+    bench's disjoint-vocabulary fixture shows the crossover)."""
     tf = (
         with_tokens(docs)
         .select("doc_id", F.explode("tokens").alias("term"))
@@ -1212,25 +1240,88 @@ def _nb_score(
     prior = F.round(
         F.log(F.col("n_docs_s").cast("double") / F.col("n_docs")), 12
     ).cast("decimal(20,12)")
-    pairs = (
-        tf.crossJoin(F.broadcast(src_stats))
-        .crossJoin(F.broadcast(vocab_v))
-        .join(census, ["source", "term"], "left")
-    )
-    lp = F.round(
-        F.log(
-            (F.coalesce(F.col("n_st"), F.lit(0)) + 1).cast("double")
-            / (F.col("n_s") + F.col("v_size"))
-        ),
-        12,
-    ).cast("decimal(20,12)")
     # tf rides as decimal(12,0) so the product is decimal(33,12) —
     # within precision 38, so Spark cannot silently reduce the scale
     # (bigint x decimal(20,12) would overflow to 41 and round at 9 dp
     # under allowPrecisionLoss, diverging from the oracle's exact 12)
-    scored = pairs.groupBy("doc_id", "source", "n_docs_s", "n_docs").agg(
-        F.sum(F.col("tf").cast("decimal(12,0)") * lp).alias("sum_lp")
-    )
+    tf_dec = F.col("tf").cast("decimal(12,0)")
+    if sparse:
+        stats = src_stats.crossJoin(F.broadcast(vocab_v)).withColumn(
+            "lp_miss",
+            # EXACTLY the dense lp expression at n_st = NULL
+            # ((0+1)/(n_s+V)): same IEEE operands, same 12-dp round
+            F.round(
+                F.log(
+                    F.lit(1).cast("double")
+                    / (F.col("n_s") + F.col("v_size"))
+                ),
+                12,
+            ).cast("decimal(20,12)"),
+        )
+        lp_present = F.round(
+            F.log(
+                (F.col("n_st") + 1).cast("double")
+                / (F.col("n_s") + F.col("v_size"))
+            ),
+            12,
+        ).cast("decimal(20,12)")
+        # present-term partials: INNER join on term — the sparse win
+        delta_rows = (
+            tf.join(census, "term")
+            .join(
+                F.broadcast(
+                    stats.select("source", "n_s", "v_size", "lp_miss")
+                ),
+                "source",
+            )
+            .select(
+                "doc_id",
+                "source",
+                (tf_dec * (lp_present - F.col("lp_miss"))).alias("part"),
+            )
+        )
+        # base grid: one row per (doc, source) carrying dl·lp_miss —
+        # O(docs × sources), no term dimension
+        base_rows = (
+            tf.groupBy("doc_id")
+            .agg(F.sum(tf_dec).cast("decimal(12,0)").alias("dl"))
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                "source",
+                (F.col("dl") * F.col("lp_miss")).alias("part"),
+            )
+        )
+        # ONE decimal sum over the union (scale 12, exact), so the
+        # final prior+sum addition has the identical type/rounding
+        # shape as the dense path — scores are bit-equal
+        scored = (
+            base_rows.unionByName(delta_rows)
+            .groupBy("doc_id", "source")
+            .agg(F.sum("part").cast("decimal(38,12)").alias("sum_lp"))
+            .join(
+                F.broadcast(
+                    src_stats.select("source", "n_docs_s", "n_docs")
+                ),
+                "source",
+            )
+        )
+    else:
+        pairs = (
+            tf.crossJoin(F.broadcast(src_stats))
+            .crossJoin(F.broadcast(vocab_v))
+            .join(census, ["source", "term"], "left")
+        )
+        lp = F.round(
+            F.log(
+                (F.coalesce(F.col("n_st"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_s") + F.col("v_size"))
+            ),
+            12,
+        ).cast("decimal(20,12)")
+        scored = pairs.groupBy(
+            "doc_id", "source", "n_docs_s", "n_docs"
+        ).agg(F.sum(tf_dec * lp).cast("decimal(38,12)").alias("sum_lp"))
     total = scored.select(
         "doc_id",
         "source",
@@ -1316,34 +1407,38 @@ def write_nb_index(docs: DataFrame, path: str) -> None:
         )
     from trade_data_collection_service_spark.ext.dedup import (
         _retire_stage,
+        maintenance_lease,
     )
 
     spark = docs.sparkSession
-    # a fresh build supersedes any crashed-compaction stage; clear
-    # them (marker-first) so a later recover cannot clobber the new
-    # tables
-    for t in NB_TABLES:
-        _retire_stage(spark, f"{path}/{t}.stage")
-    census, _ = _nb_model(docs)
+    with maintenance_lease(spark, path, "write_nb_index"):
+        # a fresh build supersedes any crashed-compaction stage; clear
+        # them (marker-first) so a later recover cannot clobber the
+        # new tables
+        for t in NB_TABLES:
+            _retire_stage(spark, f"{path}/{t}.stage")
+        census, _ = _nb_model(docs)
 
-    def _write_base(df: DataFrame, table: str) -> None:
-        # explicit STATIC overwrite: a rebuild must wipe stale batch
-        # partitions even if some other component set the session's
-        # partitionOverwriteMode to dynamic
-        (
-            df.withColumn("batch", F.lit("base"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("batch")
-            .parquet(f"{path}/{table}")
+        def _write_base(df: DataFrame, table: str) -> None:
+            # explicit STATIC overwrite: a rebuild must wipe stale
+            # batch partitions even if some other component set the
+            # session's partitionOverwriteMode to dynamic
+            (
+                df.withColumn("batch", F.lit("base"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("batch")
+                .parquet(f"{path}/{table}")
+            )
+
+        _write_base(
+            census.repartition("term").sortWithinPartitions(
+                "term", "source"
+            ),
+            "census",
         )
-
-    _write_base(
-        census.repartition("term").sortWithinPartitions("term", "source"),
-        "census",
-    )
-    stored = spark.read.parquet(f"{path}/census")
-    _write_base(_src_partials(stored, docs), "src_stats")
+        stored = spark.read.parquet(f"{path}/census")
+        _write_base(_src_partials(stored, docs), "src_stats")
 
 
 def append_to_nb_index(
@@ -1371,42 +1466,48 @@ def append_to_nb_index(
         _recover_compaction,
         _require_ledger_layout,
         _validate_batch_id,
+        maintenance_lease,
     )
 
     b = _validate_batch_id(batch_id)
     spark = new_docs.sparkSession
-    for t in NB_TABLES:
-        _recover_compaction(spark, f"{path}/{t}")
-        _require_ledger_layout(
-            spark, f"{path}/{t}", "append_to_nb_index", "write_nb_index"
-        )
-    batch = b if b is not None else "legacy"
-    census, _ = _nb_model(new_docs)
-    # src_partials MUST derive from the CHECKPOINTED census (r12
-    # review): from the pre-checkpoint lineage, the src_stats write
-    # would re-run the whole tokenize+census (doubling the per-batch
-    # cost) and, for a nondeterministic new_docs, could census a
-    # DIFFERENT evaluation than the one just written — stored
-    # n_s ≠ Σ n_st, silently diverging from a rebuild.
-    census = census.localCheckpoint(eager=False)
-    src_partials = _src_partials(census, new_docs)
-
-    def _write(df: DataFrame, table: str) -> None:
-        w = df.withColumn("batch", F.lit(batch)).write.partitionBy("batch")
-        if batch_id is not None:
-            (
-                w.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(f"{path}/{table}")
+    with maintenance_lease(spark, path, "append_to_nb_index"):
+        for t in NB_TABLES:
+            _recover_compaction(spark, f"{path}/{t}")
+            _require_ledger_layout(
+                spark, f"{path}/{t}", "append_to_nb_index", "write_nb_index"
             )
-        else:
-            w.mode("append").parquet(f"{path}/{table}")
+        batch = b if b is not None else "legacy"
+        census, _ = _nb_model(new_docs)
+        # src_partials MUST derive from the CHECKPOINTED census (r12
+        # review): from the pre-checkpoint lineage, the src_stats
+        # write would re-run the whole tokenize+census (doubling the
+        # per-batch cost) and, for a nondeterministic new_docs, could
+        # census a DIFFERENT evaluation than the one just written —
+        # stored n_s ≠ Σ n_st, silently diverging from a rebuild.
+        census = census.localCheckpoint(eager=False)
+        src_partials = _src_partials(census, new_docs)
 
-    _write(
-        census.repartition("term").sortWithinPartitions("term", "source"),
-        "census",
-    )
-    _write(src_partials, "src_stats")
+        def _write(df: DataFrame, table: str) -> None:
+            w = df.withColumn("batch", F.lit(batch)).write.partitionBy(
+                "batch"
+            )
+            if batch_id is not None:
+                (
+                    w.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(f"{path}/{table}")
+                )
+            else:
+                w.mode("append").parquet(f"{path}/{table}")
+
+        _write(
+            census.repartition("term").sortWithinPartitions(
+                "term", "source"
+            ),
+            "census",
+        )
+        _write(src_partials, "src_stats")
 
 
 def compact_nb_index(
@@ -1439,6 +1540,7 @@ def compact_nb_index(
     max-across-tables measurement re-triggers the fold."""
     from trade_data_collection_service_spark.ext.dedup import (
         _staged_rewrite,
+        maintenance_lease,
     )
 
     if not fold_batches:
@@ -1458,18 +1560,19 @@ def compact_nb_index(
         )
         return fold.unionByName(keep) if keep is not None else fold
 
-    _staged_rewrite(
-        spark,
-        f"{path}/census",
-        lambda df: _fold(df, ["source", "term"], ["n_st"])
-        .repartition("term")
-        .sortWithinPartitions("term", "source"),
-    )
-    _staged_rewrite(
-        spark,
-        f"{path}/src_stats",
-        lambda df: _fold(df, ["source"], ["n_s", "n_docs_s"]),
-    )
+    with maintenance_lease(spark, path, "compact_nb_index"):
+        _staged_rewrite(
+            spark,
+            f"{path}/census",
+            lambda df: _fold(df, ["source", "term"], ["n_st"])
+            .repartition("term")
+            .sortWithinPartitions("term", "source"),
+        )
+        _staged_rewrite(
+            spark,
+            f"{path}/src_stats",
+            lambda df: _fold(df, ["source"], ["n_s", "n_docs_s"]),
+        )
 
 
 def nb_score_indexed(
@@ -1477,6 +1580,7 @@ def nb_score_indexed(
     path: str,
     docs: DataFrame,
     push_terms: bool = False,
+    sparse: bool = False,
 ) -> DataFrame:
     """Score ``docs`` against a stored NB model — one tokenize pass
     over the scored batch, one (source, term) equi-join against the
@@ -1527,7 +1631,7 @@ def nb_score_indexed(
             .collect()
         ]
         census = census.filter(F.col("term").isin(batch_terms))
-    return _nb_score(docs, census, src_stats, vocab_v)
+    return _nb_score(docs, census, src_stats, vocab_v, sparse=sparse)
 
 
 def source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1634,6 +1738,7 @@ def write_bm25_index(docs: DataFrame, path: str) -> None:
     making df and dl additive across batches."""
     from trade_data_collection_service_spark.ext.dedup import (
         _retire_stage,
+        maintenance_lease,
     )
 
     spark = docs.sparkSession
@@ -1643,54 +1748,58 @@ def write_bm25_index(docs: DataFrame, path: str) -> None:
             " zero rows leaves no schema-bearing files, so every"
             " later read would die on schema inference"
         )
-    # a fresh build supersedes any crashed-compaction stage; clear
-    # them (marker-first) so a later recover cannot clobber the new
-    # tables
-    for t in BM25_TABLES:
-        _retire_stage(spark, f"{path}/{t}.stage")
+    with maintenance_lease(spark, path, "write_bm25_index"):
+        # a fresh build supersedes any crashed-compaction stage; clear
+        # them (marker-first) so a later recover cannot clobber the
+        # new tables
+        for t in BM25_TABLES:
+            _retire_stage(spark, f"{path}/{t}.stage")
 
-    def _write_base(df: DataFrame, table: str) -> None:
-        # explicit STATIC overwrite: a rebuild must wipe stale batch
-        # partitions even in a session where some other component set
-        # the global partitionOverwriteMode to dynamic (r11 review —
-        # sources/tables.compact does exactly that)
-        (
-            df.withColumn("batch", F.lit("base"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("batch")
-            .parquet(f"{path}/{table}")
+        def _write_base(df: DataFrame, table: str) -> None:
+            # explicit STATIC overwrite: a rebuild must wipe stale
+            # batch partitions even in a session where some other
+            # component set the global partitionOverwriteMode to
+            # dynamic (r11 review — sources/tables.compact does
+            # exactly that)
+            (
+                df.withColumn("batch", F.lit("base"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("batch")
+                .parquet(f"{path}/{table}")
+            )
+
+        tf = (
+            with_tokens(docs)
+            .select("doc_id", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
         )
-
-    tf = (
-        with_tokens(docs)
-        .select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    _write_base(
-        tf.repartition("term").sortWithinPartitions("term", "doc_id"),
-        "postings",
-    )
-    postings = spark.read.parquet(f"{path}/postings")
-    _write_base(
-        postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df")),
-        "df",
-    )
-    _write_base(
-        postings.groupBy("doc_id").agg(
-            F.sum("tf").cast("long").alias("dl")
-        ),
-        "dl",
-    )
-    dl = spark.read.parquet(f"{path}/dl")
-    _write_base(
-        dl.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").cast("long").alias("sum_dl"),
-        ),
-        "stats",
-    )
+        _write_base(
+            tf.repartition("term").sortWithinPartitions("term", "doc_id"),
+            "postings",
+        )
+        postings = spark.read.parquet(f"{path}/postings")
+        _write_base(
+            postings.groupBy("term").agg(
+                F.countDistinct("doc_id").alias("df")
+            ),
+            "df",
+        )
+        _write_base(
+            postings.groupBy("doc_id").agg(
+                F.sum("tf").cast("long").alias("dl")
+            ),
+            "dl",
+        )
+        dl = spark.read.parquet(f"{path}/dl")
+        _write_base(
+            dl.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").cast("long").alias("sum_dl"),
+            ),
+            "stats",
+        )
 
 
 BM25_TABLES = ("postings", "dl", "df", "stats")
@@ -1720,55 +1829,59 @@ def append_to_bm25_index(
         _recover_compaction,
         _require_ledger_layout,
         _validate_batch_id,
+        maintenance_lease,
     )
 
     b = _validate_batch_id(batch_id)
     spark = new_docs.sparkSession
-    for t in BM25_TABLES:
-        _recover_compaction(spark, f"{path}/{t}")
-        _require_ledger_layout(
-            spark,
-            f"{path}/{t}",
-            "append_to_bm25_index",
-            "write_bm25_index",
-        )
-    batch = b if b is not None else "legacy"
-    tf = (
-        with_tokens(new_docs)
-        .select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
-
-    def _write(df: DataFrame, table: str) -> None:
-        w = df.withColumn("batch", F.lit(batch)).write.partitionBy("batch")
-        if batch_id is not None:
-            (
-                w.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(f"{path}/{table}")
+    with maintenance_lease(spark, path, "append_to_bm25_index"):
+        for t in BM25_TABLES:
+            _recover_compaction(spark, f"{path}/{t}")
+            _require_ledger_layout(
+                spark,
+                f"{path}/{t}",
+                "append_to_bm25_index",
+                "write_bm25_index",
             )
-        else:
-            w.mode("append").parquet(f"{path}/{table}")
+        batch = b if b is not None else "legacy"
+        tf = (
+            with_tokens(new_docs)
+            .select("doc_id", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=False)
+        )
 
-    _write(
-        tf.repartition("term").sortWithinPartitions("term", "doc_id"),
-        "postings",
-    )
-    _write(
-        tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")),
-        "df",
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    _write(dl, "dl")
-    _write(
-        dl.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").cast("long").alias("sum_dl"),
-        ),
-        "stats",
-    )
+        def _write(df: DataFrame, table: str) -> None:
+            w = df.withColumn("batch", F.lit(batch)).write.partitionBy(
+                "batch"
+            )
+            if batch_id is not None:
+                (
+                    w.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(f"{path}/{table}")
+                )
+            else:
+                w.mode("append").parquet(f"{path}/{table}")
+
+        _write(
+            tf.repartition("term").sortWithinPartitions("term", "doc_id"),
+            "postings",
+        )
+        _write(
+            tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")),
+            "df",
+        )
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        _write(dl, "dl")
+        _write(
+            dl.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").cast("long").alias("sum_dl"),
+            ),
+            "stats",
+        )
 
 
 def compact_bm25_index(
@@ -1797,6 +1910,7 @@ def compact_bm25_index(
     maybe_compact's max-across-tables measure."""
     from trade_data_collection_service_spark.ext.dedup import (
         _staged_rewrite,
+        maintenance_lease,
     )
 
     protect = [str(b) for b in protect_batches]
@@ -1824,8 +1938,6 @@ def compact_bm25_index(
             "term", "doc_id"
         )
 
-    _staged_rewrite(spark, f"{path}/postings", t_postings)
-
     # df / dl / stats: the non-protected scope is REBUILT as marginals
     # of the just-compacted postings (the write_bm25_index discipline)
     # — so compaction repairs duplicated partials instead of summing
@@ -1842,34 +1954,37 @@ def compact_bm25_index(
 
         return t
 
-    _staged_rewrite(
-        spark,
-        f"{path}/df",
-        _from_postings(
-            lambda src: src.groupBy("batch", "term").agg(
-                F.countDistinct("doc_id").alias("df")
-            )
-        ),
-    )
-    _staged_rewrite(
-        spark,
-        f"{path}/dl",
-        _from_postings(
-            lambda src: src.groupBy("batch", "doc_id").agg(
-                F.sum("tf").cast("long").alias("dl")
-            )
-        ),
-    )
-    _staged_rewrite(
-        spark,
-        f"{path}/stats",
-        _from_postings(
-            lambda src: src.groupBy("batch").agg(
-                F.countDistinct("doc_id").alias("n_docs"),
-                F.sum("tf").cast("long").alias("sum_dl"),
-            )
-        ),
-    )
+    with maintenance_lease(spark, path, "compact_bm25_index") as lease:
+        _staged_rewrite(spark, f"{path}/postings", t_postings)
+        lease.heartbeat()
+        _staged_rewrite(
+            spark,
+            f"{path}/df",
+            _from_postings(
+                lambda src: src.groupBy("batch", "term").agg(
+                    F.countDistinct("doc_id").alias("df")
+                )
+            ),
+        )
+        _staged_rewrite(
+            spark,
+            f"{path}/dl",
+            _from_postings(
+                lambda src: src.groupBy("batch", "doc_id").agg(
+                    F.sum("tf").cast("long").alias("dl")
+                )
+            ),
+        )
+        _staged_rewrite(
+            spark,
+            f"{path}/stats",
+            _from_postings(
+                lambda src: src.groupBy("batch").agg(
+                    F.countDistinct("doc_id").alias("n_docs"),
+                    F.sum("tf").cast("long").alias("sum_dl"),
+                )
+            ),
+        )
 
 
 def _read_bm25_index(spark: SparkSession, path: str, vocab):
