@@ -322,3 +322,28 @@ def test_prior_calibration_from_front_truncated_basket_tail(tmp_path):
     )
     got = bench.prior_calibration(str(tmp_path))
     assert got is not None and got["basket"]["tpch_q6"]["median_sec"] == 0.5
+
+
+# --- ingest cost model (VERDICT r12 #6): two-point linear fit ---
+
+
+def test_ingest_cost_model_fit():
+    # t(n) = 2.0 + 0.004*n  ->  points (1000, 6.0), (3000, 14.0)
+    got = bench._ingest_cost_model([("small", 1000, 6.0), ("large", 3000, 14.0)])
+    fit = got["fit"]
+    assert fit["fixed_sec"] == 2.0
+    assert fit["per_kitem_sec"] == 4.0
+    assert fit["asymptotic_items_per_sec"] == 250.0
+    # 80% of asymptotic at n = 4*fixed/k = 4*2.0/0.004 = 2000
+    assert fit["crossover_80pct_batch"] == 2000
+    assert [p["batch"] for p in got["points"]] == ["small", "large"]
+
+
+def test_ingest_cost_model_refuses_nonsense():
+    # non-positive slope (noise): raw points recorded, no fit
+    got = bench._ingest_cost_model([("small", 1000, 6.0), ("large", 3000, 5.9)])
+    assert got["fit"] is None and len(got["points"]) == 2
+    assert bench._ingest_cost_model([("only", 1000, 6.0)])["fit"] is None
+    # equal sizes cannot be fitted
+    got = bench._ingest_cost_model([("a", 1000, 6.0), ("b", 1000, 7.0)])
+    assert got["fit"] is None
