@@ -1751,36 +1751,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
-# r13 ROTATION PLAN (write _R13_WINDOW next round): first, anything
-# r13 changes; then the oldest entries by driver-evidence vintage —
-# after r12 that is the remaining r9-vintage set: RECOMPUTE it as
-# CORRECTNESS_r09 keys minus r10/r11 keys minus _R12_WINDOW, recorded
-# order (45 entries at the time of writing), and fill any remaining
-# slots with the oldest r10-vintage entries (CORRECTNESS_r10 minus
-# r11 keys minus _R12_WINDOW), recorded order.  NEVER hand-edit the
-# lists — recompute from the CORRECTNESS_r* files (hand-edits
-# drifted twice in r10).
+# r14 ROTATION PLAN (write _R14_WINDOW next round): first, anything
+# r14 changes; then the oldest entries by driver-evidence vintage —
+# after r13 that is the remaining r9-vintage set: RECOMPUTE it as
+# CORRECTNESS_r09 keys minus r10/r11 keys minus _R12_WINDOW minus
+# _R13_WINDOW, recorded order (11 entries at the time of writing),
+# and fill the remaining slots with the oldest r10-vintage entries
+# (CORRECTNESS_r10 minus r11 keys minus _R12_WINDOW minus
+# _R13_WINDOW), recorded order.  NEVER hand-edit the lists —
+# recompute from the CORRECTNESS_r* files (hand-edits drifted twice
+# in r10).
 #
-# r12 driver window (VERDICT r11 #3, computed EXACTLY per the
-# committed r11 plan comment — recomputed from the CORRECTNESS_r*
-# files): the 4 r12-new entries (doc_source_nb_indexed,
-# doc_source_nb_appended, multimodal_headers,
-# doc_quality_lr_calibration), the 7 entries r12
-# touches (doc_source_nb +
-# confusion now route through the shared _nb_model/_nb_score split;
-# doc_lm_buckets pins the exact path while the library default went
-# window-free; event_ab_chisq's twin is now generated from the
-# operator's parameters; bloom_semijoin_scan's operator gained the
-# large-dim auto-fallback; multimodal_features/frames share the
-# module the header decode landed in), then ALL 36 r8-vintage
-# entries — the 11 the r11 second wave displaced followed by the 25
-# never-rotated (CORRECTNESS_r08 minus r09/r10/r11 keys, recorded
-# order) — then the 3 oldest r9-vintage entries (CORRECTNESS_r09
-# minus r10/r11 keys, recorded order) to exactly 50.  After r12 no
-# entry's driver evidence is older than r9.  The full 185-entry
-# surface is swept locally via tools/check_oracle.py at sf0.01 and
-# sf0.1 each round (docs/COVERAGE.md; sweep lines carry the HEAD
-# SHA) — the window is a budget cap, not the evidence.
+# r13 driver window (VERDICT r12 #3, computed EXACTLY per the
+# committed r12 plan comment): the 16 entries r13 changes — the new
+# doc_source_nb_sparse; multimodal_headers (JPEG synthesis + marker
+# walk + twin) and multimodal_features/frames (module-shared, the
+# r12 precedent); the four doc_source_nb* entries (the shared
+# _nb_score grew the dense/sparse branch split); and the nine
+# stored-index entries whose in-query maintenance path now takes the
+# maintenance lease (doc_incremental_neardup, doc_incremental_spans,
+# doc_bm25_indexed/appended_topk, emb_hybrid_indexed_rrf,
+# emb_ivfpq_indexed/appended_topk, emb_ivf_appended_topk) — then the
+# 34 oldest r9-vintage entries (CORRECTNESS_r09 minus r10/r11 keys
+# minus _R12_WINDOW, recorded order, minus the changed set) to
+# exactly 50.  The r12 plan estimated ~5 changed slots and aimed to
+# retire all 45 r9-vintage entries; r13 touched 16, so 11 r9-vintage
+# entries remain for r14 (listed first in the r14 plan above).  The
+# full registry surface is swept locally via tools/check_oracle.py
+# at sf0.01 and sf0.1 each round (docs/COVERAGE.md; sweep lines
+# carry the HEAD SHA) — the window is a budget cap, not the
+# evidence.
+_R13_WINDOW = [
+    "doc_source_nb_sparse",
+    "multimodal_headers",
+    "multimodal_features",
+    "multimodal_frames",
+    "doc_source_nb",
+    "doc_source_nb_confusion",
+    "doc_source_nb_indexed",
+    "doc_source_nb_appended",
+    "doc_incremental_neardup",
+    "doc_incremental_spans",
+    "doc_bm25_indexed_topk",
+    "doc_bm25_appended_topk",
+    "emb_hybrid_indexed_rrf",
+    "emb_ivfpq_indexed_topk",
+    "emb_ivfpq_appended_topk",
+    "emb_ivf_appended_topk",
+    "doc_minhash_lsh",
+    "doc_bm25_topk",
+    "emb_pq_topk",
+    "emb_ivf_pq_topk",
+    "emb_ivfadc_topk",
+    "event_anomaly",
+    "events_hll_daily",
+    "emb_ivf_trained_topk",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "event_sessions_native",
+    "doc_heavy_hitters",
+    "event_funnel",
+    "event_retention",
+    "twap_daily",
+    "emb_semdedup",
+    "candle_patterns",
+    "rsi_14",
+    "stochastic_14",
+    "obv",
+    "returns_corr",
+    "rolling_active_users",
+    "doc_chunk_dupes",
+    "gap_filled_interp",
+    "doc_tfidf_terms",
+    "ann_recall",
+    "doc_unigram_logprob",
+    "symbol_beta",
+    "doc_source_mix",
+    "volume_profile",
+    "intraday_profile",
+    "doc_neardup_quality",
+]
+
+# retained for the r14 recomputation rule above (the window
+# arithmetic is defined in terms of prior windows)
 _R12_WINDOW = [
     "doc_source_nb_indexed",
     "doc_source_nb_appended",
@@ -1837,9 +1892,9 @@ _R12_WINDOW = [
 
 def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _registry()
-    missing = [k for k in _R12_WINDOW if k not in base]
+    missing = [k for k in _R13_WINDOW if k not in base]
     assert not missing, f"window names drifted from registry: {missing}"
-    out = {k: base[k] for k in _R12_WINDOW}
+    out = {k: base[k] for k in _R13_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 
