@@ -216,3 +216,65 @@ def test_lease_file_is_json_with_identity_and_heartbeat(spark, tmp_path):
         assert raw["heartbeat_unix"] >= raw["acquired_unix"]
         # round-trips as plain JSON (ops tooling readable)
         json.dumps(raw)
+
+
+def test_stream_trigger_fails_under_foreign_lease_then_replays(
+    spark, sf_dir, tmp_path
+):
+    """A misconfigured second maintainer is exactly what the lease
+    exists to catch in a STREAM: while a foreign lease is held on the
+    ingest index, the stream's trigger fails loudly (the append
+    refuses before touching any stage), and after the lease is
+    released the checkpoint replays the batch and converges on the
+    same accepted set a clean run produces."""
+    from trade_data_collection_service_spark.ext.dedup import (
+        documents_neardup,
+    )
+    from trade_data_collection_service_spark.streaming.doc_ingest import (
+        read_accepted,
+        run_doc_ingest,
+    )
+
+    corpus = documents_neardup(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source"
+    )
+    stored = corpus.filter(F.col("doc_id") % 3 == 1)
+    b1 = corpus.filter(F.col("doc_id") % 3 == 2)
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    write_neardup_index(stored, index)
+    b1.coalesce(1).write.parquet(src)
+    # the accept decision a clean run would make against the seed
+    from trade_data_collection_service_spark.ext.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    cross = {
+        r["new_id"]
+        for r in incremental_neardup_pairs(
+            b1, index, exclude_batch=0
+        ).collect()
+    }
+    intra = {r["doc_b"] for r in minhash_lsh_pairs(b1).collect()}
+    want = {
+        r["doc_id"] for r in b1.collect()
+        if r["doc_id"] not in (cross | intra)
+    }
+    cm = maintenance_lease(spark, index, "external-maintainer")
+    cm.__enter__()
+    try:
+        q = run_doc_ingest(spark, src, index, out, ck)
+        with pytest.raises(Exception, match="single-maintainer"):
+            q.awaitTermination(300)
+        assert q.exception() is not None
+    finally:
+        cm.__exit__(None, None, None)
+    # lease released: the same checkpoint replays batch 0 and the
+    # pipeline converges
+    q2 = run_doc_ingest(spark, src, index, out, ck)
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+    got = {r["doc_id"] for r in read_accepted(spark, out).collect()}
+    assert got == want
