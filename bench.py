@@ -1718,6 +1718,7 @@ def prior_query_timings(
             if isinstance(v, (int, float)) and v > 0
         }
     hay = (doc.get("tail", "") or "") if isinstance(doc, dict) else ""
+    hay = _without_calibration_spans(hay)
     out: dict[str, float] = {}
     for m in re.finditer(r'"([A-Za-z_][A-Za-z0-9_]*)":\s*([0-9]+\.[0-9]+)', hay):
         name, val = m.group(1), float(m.group(2))
@@ -1767,11 +1768,11 @@ def prior_headline_scalars(
     return out
 
 
-def _extract_json_object(hay: str, key: str) -> dict | None:
-    """Pull ``"key": {...}`` out of a possibly front-truncated JSON
-    line by brace-balancing (the driver's tail capture can cut the
-    front of the line, so full-document json.loads is not an option).
-    Returns the parsed dict, or None when absent/unbalanced."""
+def _json_object_span(hay: str, key: str) -> tuple[int, int] | None:
+    """(start, end) character span of ``"key": {...}`` in a possibly
+    front-truncated JSON line, found by brace-balancing (the driver's
+    tail capture can cut the front of the line, so full-document
+    json.loads is not an option).  None when absent/unbalanced."""
     start = hay.find(f'"{key}":')
     if start < 0:
         return None
@@ -1798,12 +1799,35 @@ def _extract_json_object(hay: str, key: str) -> dict | None:
         elif c == "}":
             depth -= 1
             if depth == 0:
-                try:
-                    out = json.loads(hay[brace : i + 1])
-                except Exception:
-                    return None
-                return out if isinstance(out, dict) else None
+                return (start, i + 1)
     return None
+
+
+def _extract_json_object(hay: str, key: str) -> dict | None:
+    """The parsed dict at :func:`_json_object_span`, or None."""
+    span = _json_object_span(hay, key)
+    if span is None:
+        return None
+    brace = hay.find("{", span[0])
+    try:
+        out = json.loads(hay[brace : span[1]])
+    except Exception:
+        return None
+    return out if isinstance(out, dict) else None
+
+
+def _without_calibration_spans(hay: str) -> str:
+    """Excise the calibration object (and, for a tail truncated
+    mid-calibration, any surviving ``anchors`` sub-object) before the
+    name:seconds regex runs (r13 review): the basket anchors are REAL
+    query names (tpch_q6, sma_20, …), so leaving them in would record
+    isolated start-of-run calibration medians as prior in-suite
+    timings and trip spurious outlier re-measures."""
+    for key in ("calibration", "anchors"):
+        span = _json_object_span(hay, key)
+        if span is not None:
+            hay = hay[: span[0]] + hay[span[1] :]
+    return hay
 
 
 def prior_calibration(root: str | None = None) -> dict | None:

@@ -347,3 +347,42 @@ def test_ingest_cost_model_refuses_nonsense():
     # equal sizes cannot be fitted
     got = bench._ingest_cost_model([("a", 1000, 6.0), ("b", 1000, 7.0)])
     assert got["fit"] is None
+
+
+def test_prior_query_timings_skip_calibration_anchors(tmp_path):
+    """r13 review: the basket anchors are REAL query names, so the
+    tail-regex fallback must excise the calibration object before
+    extracting name:seconds pairs — otherwise isolated start-of-run
+    calibration medians get recorded as prior in-suite timings and
+    trip spurious outlier re-measures."""
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — Round 14\n")
+    tail = json.dumps(
+        {
+            "sf": 0.1,
+            "calibration": {
+                "query": "basket",
+                "median_sec": 2.5,
+                "anchors": {"tpch_q6": 0.0001, "sma_20": 0.0002},
+            },
+            "queries": {"tpch_q6": 0.29, "beta_q": 2.345},
+        }
+    )
+    _write(
+        tmp_path,
+        "BENCH_r13.json",
+        {"n": 0, "rc": 0, "sf": 0.1, "tail": tail, "parsed": None},
+    )
+    got = bench.prior_query_timings(0.1, str(tmp_path))
+    # the real suite timing survives; the anchor medians do not
+    assert got["tpch_q6"] == 0.29 and got["beta_q"] == 2.345
+    assert got.get("sma_20") is None
+    # a tail truncated mid-calibration (only the anchors sub-object
+    # survives) is excised by the anchors span instead
+    cut = tail.find('"anchors"')
+    _write(
+        tmp_path,
+        "BENCH_r13.json",
+        {"n": 0, "rc": 0, "sf": 0.1, "tail": tail[cut:], "parsed": None},
+    )
+    got = bench.prior_query_timings(0.1, str(tmp_path))
+    assert got.get("sma_20") is None and got.get("tpch_q6") == 0.29

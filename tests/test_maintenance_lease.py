@@ -100,7 +100,6 @@ def test_crashed_maintainer_lease_is_reclaimed(spark, tmp_path, monkeypatch):
         },
         overwrite=False,
     )
-    monkeypatch.setattr(D, "DEFAULT_LEASE_TIMEOUT_SEC", 5.0)
     # fresh-enough lease (60s < a big timeout) still blocks
     monkeypatch.setattr(D, "DEFAULT_LEASE_TIMEOUT_SEC", 3600.0)
     with pytest.raises(ConcurrentMaintainerError):
@@ -278,3 +277,61 @@ def test_stream_trigger_fails_under_foreign_lease_then_replays(
     assert q2.exception() is None
     got = {r["doc_id"] for r in read_accepted(spark, out).collect()}
     assert got == want
+
+
+def test_heartbeat_aborts_when_lease_was_reclaimed(spark, tmp_path):
+    """r13 review: a maintainer that exceeded the timeout and lost
+    its lease to a reclaimer must ABORT on its next heartbeat, not
+    resurrect its lease over the reclaimer's."""
+    path = f"{tmp_path}/idx"
+    lease_path = D._lease_path(path)
+    cm = maintenance_lease(spark, path, "slow-op")
+    lease = cm.__enter__()
+    try:
+        # reclaimer B took over (A's lease timed out mid-stage)
+        D._lease_write(
+            spark,
+            lease_path,
+            {"maintainer": "B:1:beef", "op": "append",
+             "heartbeat_unix": time.time()},
+            overwrite=True,
+        )
+        with pytest.raises(ConcurrentMaintainerError, match="reclaimed"):
+            lease.heartbeat()
+        # B's lease untouched by the failed heartbeat
+        doc = D._lease_read(spark, lease_path)
+        assert doc["maintainer"] == "B:1:beef"
+    finally:
+        cm.__exit__(None, None, None)
+    # and A's exit did not delete B's lease either
+    doc = D._lease_read(spark, lease_path)
+    assert doc is not None and doc["maintainer"] == "B:1:beef"
+
+
+def test_stale_reclaim_consumes_the_lease_exactly_once(spark, tmp_path, monkeypatch):
+    """The rename-guarded reclaim: once one reclaimer consumed the
+    stale lease (rename succeeded, fresh lease created), a second
+    would-be reclaimer that still believes the lease is stale cannot
+    delete the winner's fresh lease — it fails fast against it."""
+    path = f"{tmp_path}/idx"
+    lease_path = D._lease_path(path)
+    # a stale lease
+    D._lease_write(
+        spark,
+        lease_path,
+        {"maintainer": "crashed:9:dead", "op": "x",
+         "heartbeat_unix": time.time() - 60},
+        overwrite=False,
+    )
+    monkeypatch.setattr(D, "DEFAULT_LEASE_TIMEOUT_SEC", 5.0)
+    cm = maintenance_lease(spark, path, "winner-op")
+    cm.__enter__()  # reclaims the stale lease, holds a FRESH one
+    try:
+        with pytest.raises(ConcurrentMaintainerError):
+            # second maintainer: the winner's lease is fresh now
+            with maintenance_lease(spark, path, "loser-op"):
+                pass
+        doc = D._lease_read(spark, lease_path)
+        assert doc["op"] == "winner-op"  # untouched by the loser
+    finally:
+        cm.__exit__(None, None, None)

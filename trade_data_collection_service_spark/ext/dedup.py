@@ -648,6 +648,22 @@ class _MaintenanceLease:
         return self._doc["maintainer"]
 
     def heartbeat(self) -> None:
+        """Refresh the lease's liveness stamp — AFTER verifying the
+        lease is still ours (r13 review): a maintainer whose lease
+        timed out mid-stage and was reclaimed must abort loudly here,
+        not silently resurrect its lease over the reclaimer's (which
+        would put two maintainers back on the index and let this
+        one's exit delete the lease entirely)."""
+        current = _lease_read(self._spark, self._lease)
+        if not current or current.get("maintainer") != self.maintainer:
+            raise ConcurrentMaintainerError(
+                f"lease at {self._lease!r} is no longer held by"
+                f" {self.maintainer!r} (now"
+                f" {(current or {}).get('maintainer')!r}) — this"
+                " maintainer exceeded the lease timeout and was"
+                " reclaimed; abort rather than interleave with the"
+                " new maintainer"
+            )
         self._doc = dict(self._doc, heartbeat_unix=time.time())
         _lease_write(self._spark, self._lease, self._doc, overwrite=True)
 
@@ -667,14 +683,21 @@ def maintenance_lease(
     a crashed maintainer's lease (no heartbeat for ``timeout_sec``) is
     reclaimed automatically by the next maintenance op.
 
-    The take is create-if-absent (atomic on HDFS and local
-    filesystems; best-effort on eventually-consistent object stores —
-    there, pair it with an external scheduler that already serializes
-    maintainers) followed by a read-back ownership check, which
-    settles the delete+create race two stale-reclaimers can run.
-    READERS never call this — they stay pure by design
+    The take is create-if-absent, and a STALE lease is reclaimed by
+    atomically RENAMING it to a tombstone first (rename is the one
+    primitive that succeeds for exactly one caller on HDFS and POSIX
+    local filesystems — a delete+create reclaim would let a second
+    reclaimer delete the winner's fresh lease; r13 review), then
+    creating, then read-back-verifying ownership.  Hadoop's local
+    ``create(overwrite=False)`` is check-then-create rather than
+    O_EXCL, so the create itself is best-effort — the rename guard
+    plus the read-back check close the practical windows; on
+    eventually-consistent object stores, pair the lease with an
+    external scheduler that already serializes maintainers.  READERS
+    never call this — they stay pure by design
     (:func:`_authoritative`)."""
     from trade_data_collection_service_spark.streaming.pipeline import (
+        _fs_for,
         _rm,
     )
 
@@ -700,8 +723,19 @@ def maintenance_lease(
                 " timeout (the next op reclaims a stale lease"
                 " automatically)"
             )
-        # stale: crashed maintainer — reclaim
-        _rm(spark, lease)
+        # stale: crashed maintainer — reclaim via atomic rename so
+        # exactly ONE of N concurrent reclaimers consumes the stale
+        # lease; the losers fall through to the create, which fails
+        # against the winner's fresh lease
+        fs, src_h = _fs_for(spark, lease)
+        tomb = f"{lease}.reclaim-{uuid.uuid4().hex[:8]}"
+        _, tomb_h = _fs_for(spark, tomb)
+        try:
+            claimed = bool(fs.rename(src_h, tomb_h))
+        except Exception:
+            claimed = False
+        if claimed:
+            _rm(spark, tomb)
     doc = {
         "maintainer": me,
         "op": op,
@@ -711,18 +745,39 @@ def maintenance_lease(
     try:
         _lease_write(spark, lease, doc, overwrite=False)
     except Exception as e:
+        # only an already-exists failure means a lost take race;
+        # anything else (permissions, disk full, transient FS fault)
+        # must surface as itself, cause chain intact (r13 review)
+        if "xist" not in str(e):
+            raise
         raise ConcurrentMaintainerError(
             f"index at {path!r}: lost the lease-take race to a"
             f" concurrent maintainer ({e.__class__.__name__}) — index"
             " maintenance is single-maintainer"
         ) from None
-    # read-back ownership check: two stale-reclaimers can interleave
-    # delete+create; exactly one's id is in the file afterwards
+    # read-back ownership check: belt-and-braces behind the rename
+    # guard (local create is not O_EXCL) — exactly one id is in the
+    # file afterwards.  A transient unreadable read-back is retried;
+    # if it stays unreadable, remove the lease this call just wrote
+    # before raising, so a nobody-holds-it lease can't block the
+    # index for the full timeout (r13 review).
     readback = _lease_read(spark, lease)
-    if not readback or readback.get("maintainer") != me:
+    for _ in range(3):
+        if readback:
+            break
+        time.sleep(0.05)
+        readback = _lease_read(spark, lease)
+    if not readback:
+        _rm(spark, lease)
+        raise RuntimeError(
+            f"index at {path!r}: lease read-back stayed unreadable"
+            " after create — filesystem fault, not a concurrent"
+            " maintainer; lease removed, retry the operation"
+        )
+    if readback.get("maintainer") != me:
         raise ConcurrentMaintainerError(
             f"index at {path!r}: lease taken over by"
-            f" {(readback or {}).get('maintainer')!r} during a stale-"
+            f" {readback.get('maintainer')!r} during a stale-"
             "lease reclaim race — index maintenance is single-maintainer"
         )
     try:
