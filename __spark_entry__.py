@@ -1765,7 +1765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # r13 driver window (VERDICT r12 #3, computed EXACTLY per the
 # committed r12 plan comment): the 16 entries r13 changes — the new
 # doc_source_nb_sparse; multimodal_headers (JPEG synthesis + marker
-# walk + twin) and multimodal_features/frames (module-shared, the
+# walk + twin, then the GIF Logical-Screen-Descriptor branch in the
+# same round) and multimodal_features/frames (module-shared, the
 # r12 precedent); the four doc_source_nb* entries (the shared
 # _nb_score grew the dense/sparse branch split); and the nine
 # stored-index entries whose in-query maintenance path now takes the
@@ -5203,31 +5204,39 @@ def oracle_sql() -> dict[str, str]:
         # formulas, mirrored verbatim)
         "multimodal_headers": """
         SELECT doc_id AS media_id,
-               CASE WHEN doc_id % 2 = 1 THEN 'wav'
+               CASE WHEN doc_id % 16 = 1 THEN 'gif'
+                    WHEN doc_id % 2 = 1 THEN 'wav'
                     WHEN doc_id % 4 = 0 THEN 'png'
                     ELSE 'jpeg' END AS kind,
-               CASE WHEN doc_id % 4 = 0
+               CASE WHEN doc_id % 16 = 1
+                    THEN CAST(16 + doc_id % 401 AS BIGINT)
+                    WHEN doc_id % 4 = 0
                     THEN CAST(16 + doc_id % 317 AS BIGINT)
                     WHEN doc_id % 4 = 2
                     THEN CAST(16 + doc_id % 479 AS BIGINT) END AS width,
-               CASE WHEN doc_id % 4 = 0
+               CASE WHEN doc_id % 16 = 1
+                    THEN CAST(16 + (doc_id * 13) % 257 AS BIGINT)
+                    WHEN doc_id % 4 = 0
                     THEN CAST(16 + (doc_id * 7) % 211 AS BIGINT)
                     WHEN doc_id % 4 = 2
                     THEN CAST(16 + (doc_id * 11) % 353 AS BIGINT)
                  END AS height,
-               CASE WHEN doc_id % 4 = 0 THEN CAST(4 AS BIGINT)
+               CASE WHEN doc_id % 16 = 1 THEN CAST(1 AS BIGINT)
+                    WHEN doc_id % 4 = 0 THEN CAST(4 AS BIGINT)
                     WHEN doc_id % 4 = 2 THEN CAST(
                       CASE WHEN (doc_id // 4) % 2 = 0 THEN 3 ELSE 1 END
                       AS BIGINT)
                     ELSE CAST(1 + (doc_id // 2) % 2 AS BIGINT)
                  END AS channels,
-               CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS BIGINT)
+               CASE WHEN doc_id % 16 = 1
+                    THEN CAST(1 + (doc_id // 16) % 8 AS BIGINT)
+                    WHEN doc_id % 2 = 0 THEN CAST(8 AS BIGINT)
                     ELSE CAST(16 AS BIGINT) END AS bit_depth,
-               CASE WHEN doc_id % 2 = 1 THEN CAST(
+               CASE WHEN doc_id % 2 = 1 AND doc_id % 16 <> 1 THEN CAST(
                  CASE (doc_id // 2) % 4 WHEN 0 THEN 8000
                    WHEN 1 THEN 16000 WHEN 2 THEN 22050
                    ELSE 44100 END AS BIGINT) END AS sample_rate,
-               CASE WHEN doc_id % 2 = 1 THEN CAST(
+               CASE WHEN doc_id % 2 = 1 AND doc_id % 16 <> 1 THEN CAST(
                  (octet_length(encode(text))
                   + (2 * (1 + (doc_id // 2) % 2)
                      - octet_length(encode(text))

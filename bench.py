@@ -180,6 +180,10 @@ def headline_queries():
         "doc_source_nb_appended",
         "multimodal_headers",
         "doc_quality_lr_calibration",
+        # round-13: the sparse-identity NB scorer (the nb_sparse
+        # bench block carries the dense/sparse crossover pair; this
+        # row keeps the entry in the per-round suite record)
+        "doc_source_nb_sparse",
     ):
         if name in q:
             out[name] = q[name]

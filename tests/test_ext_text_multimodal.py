@@ -112,7 +112,7 @@ def test_synthetic_media_headers_roundtrip(spark, sf_dir):
     )
 
     rows = media_headers(spark, sf_dir).collect()
-    assert {r["kind"] for r in rows} == {"png", "jpeg", "wav"}
+    assert {r["kind"] for r in rows} == {"png", "jpeg", "gif", "wav"}
     docs = {
         d["doc_id"]: len(d["text"].encode())
         for d in spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -122,7 +122,17 @@ def test_synthetic_media_headers_roundtrip(spark, sf_dir):
     rates = (8000, 16000, 22050, 44100)
     for r in rows:
         i = r["media_id"]
-        if i % 4 == 0:
+        if i % 16 == 1:
+            assert (r["kind"], r["width"], r["height"]) == (
+                "gif",
+                16 + i % 401,
+                16 + (i * 13) % 257,
+            )
+            assert (r["channels"], r["bit_depth"]) == (
+                1,
+                1 + (i // 16) % 8,
+            )
+        elif i % 4 == 0:
             assert (r["kind"], r["width"], r["height"]) == (
                 "png",
                 16 + i % 317,

@@ -102,7 +102,7 @@ def test_wav_header_roundtrip_with_extra_chunks(
 @given(blob=st.binary(max_size=200))
 def test_parser_never_raises_on_arbitrary_bytes(blob):
     kind = _parse_header(blob)[0]
-    assert kind in ("png", "jpeg", "wav", "unknown")
+    assert kind in ("png", "jpeg", "gif", "wav", "unknown")
 
 
 @settings(max_examples=500, deadline=None)
@@ -116,9 +116,11 @@ def test_parser_never_raises_on_magic_prefixed_garbage(blob):
         b"RIFF\x10\x00\x00\x00WAVE",
         b"\xff\xd8",
         b"\xff\xd8\xff\xe0",
+        b"GIF87a",
+        b"GIF89a",
     ):
         kind = _parse_header(prefix + blob)[0]
-        assert kind in ("png", "jpeg", "wav", "unknown")
+        assert kind in ("png", "jpeg", "gif", "wav", "unknown")
 
 
 _SLOW = settings(

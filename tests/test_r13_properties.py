@@ -169,3 +169,29 @@ def test_sparse_nb_indexed_serve_matches_dense(spark, sf_dir, tmp_path):
     dense = _nb_rows(nb_score_indexed(spark, path, batch))
     sparse = _nb_rows(nb_score_indexed(spark, path, batch, sparse=True))
     assert sparse == dense
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    w=st.integers(min_value=0, max_value=0xFFFF),
+    h=st.integers(min_value=0, max_value=0xFFFF),
+    colres=st.integers(min_value=1, max_value=8),
+    flags=st.integers(min_value=0, max_value=1),
+    gct=st.integers(min_value=0, max_value=7),
+    sig=st.sampled_from([b"GIF87a", b"GIF89a"]),
+    trailer=st.binary(max_size=64),
+)
+def test_gif_lsd_roundtrip(w, h, colres, flags, gct, sig, trailer):
+    """The Logical Screen Descriptor parse recovers width/height and
+    the colour-resolution bits regardless of the other packed-byte
+    fields (GCT flag/size, sort bit) and any trailing data."""
+    packed = (flags << 7) | ((colres - 1) << 4) | gct
+    payload = (
+        sig
+        + struct.pack("<HH", w, h)
+        + bytes([packed, 0, 0])
+        + trailer
+    )
+    assert _parse_header(payload) == (
+        "gif", w, h, 1, colres, None, None,
+    )

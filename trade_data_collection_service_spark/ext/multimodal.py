@@ -101,7 +101,8 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     opaque IDAT-shaped filler), doc_id % 4 == 2 become JPEGs
     (SOI + APP0/JFIF + SOF0 with doc_id-derived height/width and 3-
     or 1-component layout, text bytes trailing after EOI — VERDICT
-    r12 #5), odd doc_ids become PCM WAVs (RIFF/WAVE fmt + data,
+    r12 #5), doc_id % 16 == 1 become GIFs (GIF89a + Logical Screen
+    Descriptor, r13), the remaining odd doc_ids become PCM WAVs (RIFF/WAVE fmt + data,
     channels/sample-rate doc_id-derived, text bytes zero-padded to a
     whole number of sample frames).  Every header field is built
     JVM-side with hex/unhex byte arithmetic — the payload column is
@@ -122,6 +123,23 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     jwidth = (F.lit(16) + F.col("doc_id") % 479).cast("bigint")
     jheight = (F.lit(16) + (F.col("doc_id") * 11) % 353).cast("bigint")
     jcomp3 = ((F.col("doc_id") / 4).cast("bigint") % 2) == 0
+    # --- GIF (r13): GIF89a signature + Logical Screen Descriptor
+    # (width/height LE16, packed byte carrying colour-resolution-1 in
+    # bits 6-4, no global colour table), text bytes trailing.  GIF
+    # ids are carved as doc_id % 16 == 1 — one SIXTEENTH of the odd
+    # class, so every WAV sample-rate residue (doc_id//2 mod 4) still
+    # occurs among the remaining odd ids.
+    gwidth = (F.lit(16) + F.col("doc_id") % 401).cast("bigint")
+    gheight = (F.lit(16) + (F.col("doc_id") * 13) % 257).cast("bigint")
+    gbits = F.lit(1) + (F.col("doc_id") / 16).cast("bigint") % 8
+    gif = F.concat(
+        F.lit(b"GIF89a"),
+        _le(gwidth, 2),
+        _le(gheight, 2),
+        _le((gbits - 1) * 16, 1),  # packed: colres-1 in bits 6-4
+        F.lit(bytes([0, 0])),  # background colour index, aspect ratio
+        text_bytes,
+    )
     jpeg = F.concat(
         # SOI + APP0(len 16): "JFIF\0", v1.1, units 0, density 1x1,
         # no thumbnail
@@ -184,12 +202,19 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_png = F.col("doc_id") % 4 == 0
     is_jpeg = F.col("doc_id") % 4 == 2
-    payload = F.when(is_png, png).when(is_jpeg, jpeg).otherwise(wav)
+    is_gif = F.col("doc_id") % 16 == 1
+    payload = (
+        F.when(is_png, png)
+        .when(is_jpeg, jpeg)
+        .when(is_gif, gif)
+        .otherwise(wav)
+    )
     return d.select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
         F.when(is_png, F.lit("image/png"))
         .when(is_jpeg, F.lit("image/jpeg"))
+        .when(is_gif, F.lit("image/gif"))
         .otherwise(F.lit("audio/wav"))
         .alias("media_type"),
         F.octet_length(payload).cast("long").alias("n_bytes"),
@@ -215,10 +240,10 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def _parse_header(payload: bytes) -> tuple:
     """REAL container-header decode from raw bytes (no codec
-    library): PNG signature + IHDR fields, a JPEG marker walk
-    (skip-by-segment-length to the first SOF frame header — baseline,
-    extended-sequential, or progressive), or a proper RIFF/WAVE chunk
-    walk (fmt + data located by id, not by fixed offset, so extra
+    library): PNG signature + IHDR fields, a GIF Logical Screen
+    Descriptor, a JPEG marker walk (skip-by-segment-length to the
+    first SOF frame header — baseline, extended-sequential, or
+    progressive), or a proper RIFF/WAVE chunk walk (fmt + data located by id, not by fixed offset, so extra
     chunks between them parse fine).  Malformed/unknown payloads
     degrade to kind='unknown' with null fields — never an exception
     out of the Arrow batch."""
@@ -230,6 +255,14 @@ def _parse_header(payload: bytes) -> tuple:
             bit_depth, color_type = payload[24], payload[25]
             ch = _PNG_CHANNELS.get(color_type)
             return ("png", w, h, ch, bit_depth, None, None)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            # Logical Screen Descriptor: width/height LE16, then the
+            # packed byte whose bits 6-4 carry colour resolution - 1;
+            # GIF pixels are palette indices -> one channel (the PNG
+            # colour-type-3 convention above)
+            w, h = struct.unpack("<HH", payload[6:10])
+            bit_depth = ((payload[10] >> 4) & 0x7) + 1
+            return ("gif", w, h, 1, bit_depth, None, None)
         if payload[:2] == b"\xff\xd8":
             # JPEG marker walk (the RIFF chunk-walk discipline): every
             # segment is skipped by its declared length until a SOF
