@@ -803,8 +803,15 @@ def run_streaming_latency(
             return sum(seen.values())
 
         latencies = []
+        timed_sizes = []
         delivered = 0
         for b in range(n_batches):
+            if sizes[b] == 0:
+                # an empty bucket makes expected == delivered, so the
+                # wait loop would exit on the first poll and record a
+                # near-zero latency that skews p50/p95 optimistically
+                # (r13 review) — nothing was delivered, nothing to time
+                continue
             parts[b].coalesce(1).write.mode("append").parquet(src)
             expected = delivered + sizes[b]
             a = time.perf_counter()
@@ -822,6 +829,7 @@ def run_streaming_latency(
                 )
                 break
             latencies.append(round(time.perf_counter() - a, 3))
+            timed_sizes.append(sizes[b])
             delivered = expected
         if not latencies:
             return None
@@ -829,7 +837,7 @@ def run_streaming_latency(
         n = len(lat)
         return {
             "n_batches": n,
-            "batch_rows_mean": round(sum(sizes[:n]) / n, 1),
+            "batch_rows_mean": round(sum(timed_sizes) / n, 1),
             "p50_sec": lat[n // 2],
             "p95_sec": lat[min(n - 1, int(round(0.95 * (n - 1))))],
             "max_sec": lat[-1],

@@ -308,6 +308,58 @@ def test_heartbeat_aborts_when_lease_was_reclaimed(spark, tmp_path):
     assert doc is not None and doc["maintainer"] == "B:1:beef"
 
 
+def test_release_deletes_unreadable_own_lease(spark, tmp_path):
+    """r13 review (ADVICE): when the maintainer's OWN lease is
+    unreadable at exit (crash mid-heartbeat-rewrite, transient read
+    fault), the release must still delete it — acquire's read-back
+    verified exactly one id (ours) was written, so skipping the
+    delete would orphan a nobody-holds-it lease that blocks all
+    maintenance for the full timeout."""
+    path = f"{tmp_path}/idx"
+    lease_path = D._lease_path(path)
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _fs_for,
+    )
+
+    cm = maintenance_lease(spark, path, "op")
+    cm.__enter__()
+    # corrupt our own lease body (simulates a torn heartbeat rewrite)
+    fs, hpath = _fs_for(spark, lease_path)
+    out = fs.create(hpath, True)
+    out.write(bytearray(b"{not json"))
+    out.close()
+    assert D._lease_read(spark, lease_path) == {}  # unreadable
+    cm.__exit__(None, None, None)
+    assert D._lease_read(spark, lease_path) is None  # released anyway
+
+
+def test_take_race_classified_by_java_class_not_message(spark, tmp_path, monkeypatch):
+    """r13 review (ADVICE): the lost-take-race classification walks
+    the py4j Java exception class chain; an unrelated FS fault whose
+    message merely contains 'exist' must surface as ITSELF (cause
+    chain intact), not as ConcurrentMaintainerError."""
+    path = f"{tmp_path}/idx"
+    lease_path = D._lease_path(path)
+    # (a) a real already-exists collision classifies as a lost race
+    D._lease_write(spark, lease_path, {"maintainer": "x"}, overwrite=False)
+    with pytest.raises(Exception) as ei:
+        D._lease_write(spark, lease_path, {"maintainer": "y"}, overwrite=False)
+    assert D._is_already_exists(ei.value)
+    fs, hpath = (None, None)
+    # (b) an unrelated fault with 'exist' in the message propagates
+    boom = RuntimeError("mkdir failed: parent directory does not exist")
+    assert not D._is_already_exists(boom)
+    monkeypatch.setattr(
+        D, "_lease_write", lambda *a, **k: (_ for _ in ()).throw(boom)
+    )
+    from trade_data_collection_service_spark.streaming.pipeline import _rm
+
+    _rm(spark, lease_path)
+    with pytest.raises(RuntimeError, match="parent directory"):
+        with maintenance_lease(spark, path, "op"):
+            pass  # pragma: no cover
+
+
 def test_stale_reclaim_consumes_the_lease_exactly_once(spark, tmp_path, monkeypatch):
     """The rename-guarded reclaim: once one reclaimer consumed the
     stale lease (rename succeeded, fresh lease created), a second

@@ -613,6 +613,49 @@ def _lease_read(spark: SparkSession, lease: str) -> dict | None:
         return {}
 
 
+_ALREADY_EXISTS_JAVA = (
+    "org.apache.hadoop.fs.FileAlreadyExistsException",
+    "org.apache.hadoop.fs.PathExistsException",
+    "java.nio.file.FileAlreadyExistsException",
+)
+
+
+def _is_already_exists(e: BaseException) -> bool:
+    """True iff ``e`` is a lost create-if-absent race (the lease file
+    already existed), classified by exception CLASS — walking the
+    py4j Java cause chain — rather than by message substring (r13
+    review: the old ``'xist' in str(e)`` check misfiled unrelated FS
+    faults like 'parent directory does not exist' as lost races and
+    dropped their cause chains).  Hadoop's local filesystem raises a
+    bare ``IOException`` whose message *starts with* 'File already
+    exists'/'... already exists' for this case, so that one message
+    shape is accepted as a fallback — but only the already-exists
+    phrase, which 'does not exist' never matches."""
+    if isinstance(e, FileExistsError):
+        return True
+    je = getattr(e, "java_exception", None)
+    hops = 0
+    while je is not None and hops < 8:
+        hops += 1
+        try:
+            name = je.getClass().getName()
+        except Exception:
+            break
+        if name in _ALREADY_EXISTS_JAVA:
+            return True
+        try:
+            msg = je.getMessage()
+        except Exception:
+            msg = None
+        if msg and "already exists" in msg.lower():
+            return True
+        try:
+            je = je.getCause()
+        except Exception:
+            break
+    return False
+
+
 def _lease_heartbeat_unix(spark: SparkSession, lease: str, doc: dict) -> float:
     """Last-alive time of an existing lease: its recorded heartbeat,
     else the file's modification time (covers a lease whose body never
@@ -735,7 +778,16 @@ def maintenance_lease(
         except Exception:
             claimed = False
         if claimed:
-            _rm(spark, tomb)
+            # best-effort: the RENAME alone completes the reclaim
+            # (the stale lease is consumed); a transient failure
+            # deleting the tombstone must not abort the acquire or
+            # leave the index blocked — the tombstone is an inert
+            # stray sibling, cleaned up by the next successful pass
+            # (r13 review)
+            try:
+                _rm(spark, tomb)
+            except Exception:
+                pass
     doc = {
         "maintainer": me,
         "op": op,
@@ -745,16 +797,18 @@ def maintenance_lease(
     try:
         _lease_write(spark, lease, doc, overwrite=False)
     except Exception as e:
-        # only an already-exists failure means a lost take race;
-        # anything else (permissions, disk full, transient FS fault)
-        # must surface as itself, cause chain intact (r13 review)
-        if "xist" not in str(e):
+        # only an already-exists failure means a lost take race —
+        # classified by Java exception class via the py4j cause chain
+        # (r13 review: message-substring matching misfiled unrelated
+        # faults); anything else (permissions, disk full, transient
+        # FS fault) must surface as itself, cause chain intact
+        if not _is_already_exists(e):
             raise
         raise ConcurrentMaintainerError(
             f"index at {path!r}: lost the lease-take race to a"
             f" concurrent maintainer ({e.__class__.__name__}) — index"
             " maintenance is single-maintainer"
-        ) from None
+        ) from e
     # read-back ownership check: belt-and-braces behind the rename
     # guard (local create is not O_EXCL) — exactly one id is in the
     # file afterwards.  A transient unreadable read-back is retried;
@@ -783,10 +837,24 @@ def maintenance_lease(
     try:
         yield _MaintenanceLease(spark, lease, doc)
     finally:
-        # release only if still ours: never delete a lease a later
-        # reclaimer legitimately took after our own timeout
+        # release only if not visibly someone ELSE's: never delete a
+        # lease a later reclaimer legitimately took after our own
+        # timeout.  The read is retried like the acquire path, and an
+        # UNREADABLE ({}) read-back still releases — acquire's
+        # read-back verified exactly one id (ours) was written, so a
+        # transiently-unreadable own lease must not be orphaned to
+        # block all maintenance for the full timeout (r13 review);
+        # only a DIFFERENT maintainer's readable lease skips the
+        # delete.  None (absent) means nothing to release.
         current = _lease_read(spark, lease)
-        if current and current.get("maintainer") == me:
+        for _ in range(3):
+            if current is None or current:
+                break
+            time.sleep(0.05)
+            current = _lease_read(spark, lease)
+        if current is not None and (
+            not current or current.get("maintainer") == me
+        ):
             _rm(spark, lease)
 
 

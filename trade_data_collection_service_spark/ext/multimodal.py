@@ -122,7 +122,10 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caps payloads at 65533 bytes)
     jwidth = (F.lit(16) + F.col("doc_id") % 479).cast("bigint")
     jheight = (F.lit(16) + (F.col("doc_id") * 11) % 353).cast("bigint")
-    jcomp3 = ((F.col("doc_id") / 4).cast("bigint") % 2) == 0
+    # integer quotients use `div` (exact for all bigint ids) — double
+    # division round-trips only below 2^53 and the DuckDB twins use
+    # exact // (r13 review)
+    jcomp3 = (F.expr("doc_id div 4") % 2) == 0
     # --- GIF (r13): GIF89a signature + Logical Screen Descriptor
     # (width/height LE16, packed byte carrying colour-resolution-1 in
     # bits 6-4, no global colour table), text bytes trailing.  GIF
@@ -131,7 +134,7 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # occurs among the remaining odd ids.
     gwidth = (F.lit(16) + F.col("doc_id") % 401).cast("bigint")
     gheight = (F.lit(16) + (F.col("doc_id") * 13) % 257).cast("bigint")
-    gbits = F.lit(1) + (F.col("doc_id") / 16).cast("bigint") % 8
+    gbits = F.lit(1) + F.expr("doc_id div 16") % 8
     gif = F.concat(
         F.lit(b"GIF89a"),
         _le(gwidth, 2),
@@ -173,12 +176,10 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # --- WAV: PCM fmt chunk + data chunk; data padded with NULs to a
     # whole number of block_align-sized sample frames
-    channels = (F.lit(1) + (F.col("doc_id") / 2).cast("bigint") % 2).cast(
-        "bigint"
-    )
+    channels = (F.lit(1) + F.expr("doc_id div 2") % 2).cast("bigint")
     rate = F.element_at(
         F.array(*[F.lit(r) for r in _WAV_RATES]),
-        ((F.col("doc_id") / 2).cast("bigint") % 4).cast("int") + 1,
+        (F.expr("doc_id div 2") % 4).cast("int") + 1,
     ).cast("bigint")
     block_align = channels * 2  # 16-bit PCM
     pad = F.pmod(block_align - F.pmod(n_text, block_align), block_align)
