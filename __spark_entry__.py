@@ -47,6 +47,7 @@ from trade_data_collection_service_spark.ext.multimodal import (
     media_features,
     media_frame_sample,
     media_headers,
+    media_samples,
 )
 from trade_data_collection_service_spark.functions.sketch import ALPHA
 
@@ -1946,6 +1947,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": media_features,
         "multimodal_frames": media_frame_sample,
         "multimodal_headers": media_headers,
+        "multimodal_samples": media_samples,
         "tpch_q1": XH.q1_pricing_summary,
         "tpch_q10": XH.q10_returned_items,
         "tpch_q12": XH.q12_late_shipments,
@@ -5203,25 +5205,39 @@ def oracle_sql() -> dict[str, str]:
         # every field bit-exactly (ext/multimodal.synthetic_media
         # formulas, mirrored verbatim)
         "multimodal_headers": """
+        WITH m AS (
+          SELECT doc_id, octet_length(encode(text)) AS n_text,
+                 4 + doc_id % 61 AS bw
+          FROM documents
+        ), m2 AS (
+          SELECT doc_id, n_text, bw,
+                 bw * 3 + (4 - (bw * 3) % 4) % 4 AS bstride
+          FROM m
+        )
         SELECT doc_id AS media_id,
                CASE WHEN doc_id % 16 = 1 THEN 'gif'
+                    WHEN doc_id % 16 = 3 THEN 'bmp'
                     WHEN doc_id % 2 = 1 THEN 'wav'
                     WHEN doc_id % 4 = 0 THEN 'png'
                     ELSE 'jpeg' END AS kind,
                CASE WHEN doc_id % 16 = 1
                     THEN CAST(16 + doc_id % 401 AS BIGINT)
+                    WHEN doc_id % 16 = 3 THEN CAST(bw AS BIGINT)
                     WHEN doc_id % 4 = 0
                     THEN CAST(16 + doc_id % 317 AS BIGINT)
                     WHEN doc_id % 4 = 2
                     THEN CAST(16 + doc_id % 479 AS BIGINT) END AS width,
                CASE WHEN doc_id % 16 = 1
                     THEN CAST(16 + (doc_id * 13) % 257 AS BIGINT)
+                    WHEN doc_id % 16 = 3
+                    THEN CAST(1 + n_text // bstride AS BIGINT)
                     WHEN doc_id % 4 = 0
                     THEN CAST(16 + (doc_id * 7) % 211 AS BIGINT)
                     WHEN doc_id % 4 = 2
                     THEN CAST(16 + (doc_id * 11) % 353 AS BIGINT)
                  END AS height,
                CASE WHEN doc_id % 16 = 1 THEN CAST(1 AS BIGINT)
+                    WHEN doc_id % 16 = 3 THEN CAST(3 AS BIGINT)
                     WHEN doc_id % 4 = 0 THEN CAST(4 AS BIGINT)
                     WHEN doc_id % 4 = 2 THEN CAST(
                       CASE WHEN (doc_id // 4) % 2 = 0 THEN 3 ELSE 1 END
@@ -5230,21 +5246,89 @@ def oracle_sql() -> dict[str, str]:
                  END AS channels,
                CASE WHEN doc_id % 16 = 1
                     THEN CAST(1 + (doc_id // 16) % 8 AS BIGINT)
+                    WHEN doc_id % 16 = 3 THEN CAST(8 AS BIGINT)
                     WHEN doc_id % 2 = 0 THEN CAST(8 AS BIGINT)
                     ELSE CAST(16 AS BIGINT) END AS bit_depth,
-               CASE WHEN doc_id % 2 = 1 AND doc_id % 16 <> 1 THEN CAST(
+               CASE WHEN doc_id % 2 = 1 AND doc_id % 16 NOT IN (1, 3)
+                 THEN CAST(
                  CASE (doc_id // 2) % 4 WHEN 0 THEN 8000
                    WHEN 1 THEN 16000 WHEN 2 THEN 22050
                    ELSE 44100 END AS BIGINT) END AS sample_rate,
-               CASE WHEN doc_id % 2 = 1 AND doc_id % 16 <> 1 THEN CAST(
-                 (octet_length(encode(text))
+               CASE WHEN doc_id % 2 = 1 AND doc_id % 16 NOT IN (1, 3)
+                 THEN CAST(
+                 (n_text
                   + (2 * (1 + (doc_id // 2) % 2)
-                     - octet_length(encode(text))
-                       % (2 * (1 + (doc_id // 2) % 2)))
+                     - n_text % (2 * (1 + (doc_id // 2) % 2)))
                     % (2 * (1 + (doc_id // 2) % 2)))
                  // (2 * (1 + (doc_id // 2) % 2)) AS BIGINT)
                  END AS n_samples
-        FROM documents ORDER BY media_id
+        FROM m2 ORDER BY media_id
+        """,
+        # payload-decode round-trip (VERDICT r13 #2): Spark DECODES
+        # the WAV PCM16 samples / BMP pixel rows back out of the raw
+        # bytes (RIFF walk + <i2 frames; stride-aware pixel
+        # extraction); the twin recomputes the identical exact-integer
+        # statistics from the text bytes the generator embedded.  The
+        # corpus is all-ASCII, so every int16 high byte is < 0x80 and
+        # the twin's unsigned b0 + 256*b1 equals the signed decode.
+        "multimodal_samples": """
+        WITH wavdoc AS (
+          SELECT doc_id, text, octet_length(encode(text)) AS n_text,
+                 2 * (1 + (doc_id // 2) % 2) AS block
+          FROM documents
+          WHERE doc_id % 2 = 1 AND doc_id % 16 NOT IN (1, 3)
+        ), wavsz AS (
+          SELECT doc_id, text, n_text,
+                 n_text + (block - n_text % block) % block AS data_len
+          FROM wavdoc
+        ), wavsamp AS (
+          SELECT doc_id,
+                 CASE WHEN 2 * i < n_text
+                      THEN ascii(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
+                      ELSE 0 END
+                 + 256 * CASE WHEN 2 * i + 1 < n_text
+                      THEN ascii(substr(text, CAST(2 * i + 2 AS INTEGER), 1))
+                      ELSE 0 END AS v
+          FROM wavsz, unnest(range(0, data_len // 2)) AS t(i)
+        ), wavstat AS (
+          SELECT doc_id AS media_id, 'wav' AS kind,
+                 CAST(count(*) AS BIGINT) AS n_values,
+                 CAST(sum(v) AS BIGINT) AS sum_val,
+                 CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                 CAST(max(v) AS BIGINT) AS peak
+          FROM wavsamp GROUP BY doc_id
+        ), bmpdoc AS (
+          SELECT doc_id, text, octet_length(encode(text)) AS n_text,
+                 4 + doc_id % 61 AS bw
+          FROM documents WHERE doc_id % 16 = 3
+        ), bmpsz AS (
+          SELECT doc_id, text, n_text, bw, bw * 3 AS rowbytes,
+                 bw * 3 + (4 - (bw * 3) % 4) % 4 AS stride
+          FROM bmpdoc
+        ), bmpdim AS (
+          SELECT doc_id, text, n_text, bw, rowbytes, stride,
+                 1 + n_text // stride AS bh
+          FROM bmpsz
+        ), bmppix AS (
+          SELECT doc_id,
+                 CASE WHEN (p // rowbytes) * stride + p % rowbytes
+                           < n_text
+                      THEN ascii(substr(text,
+                        CAST((p // rowbytes) * stride + p % rowbytes
+                             + 1 AS INTEGER), 1))
+                      ELSE 0 END AS v
+          FROM bmpdim, unnest(range(0, bw * bh * 3)) AS t(p)
+        ), bmpstat AS (
+          SELECT doc_id AS media_id, 'bmp' AS kind,
+                 CAST(count(*) AS BIGINT) AS n_values,
+                 CAST(sum(v) AS BIGINT) AS sum_val,
+                 CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                 CAST(max(v) AS BIGINT) AS peak
+          FROM bmppix GROUP BY doc_id
+        )
+        SELECT * FROM wavstat
+        UNION ALL SELECT * FROM bmpstat
+        ORDER BY media_id
         """,
         "candles_1m": CANDLES_CTE + "SELECT * FROM candles",
         "dedup_latest": CANDLES_DUP_CTE

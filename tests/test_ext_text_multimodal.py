@@ -112,7 +112,9 @@ def test_synthetic_media_headers_roundtrip(spark, sf_dir):
     )
 
     rows = media_headers(spark, sf_dir).collect()
-    assert {r["kind"] for r in rows} == {"png", "jpeg", "gif", "wav"}
+    assert {r["kind"] for r in rows} == {
+        "png", "jpeg", "gif", "bmp", "wav",
+    }
     docs = {
         d["doc_id"]: len(d["text"].encode())
         for d in spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -132,6 +134,15 @@ def test_synthetic_media_headers_roundtrip(spark, sf_dir):
                 1,
                 1 + (i // 16) % 8,
             )
+        elif i % 16 == 3:
+            bw = 4 + i % 61
+            stride = bw * 3 + (4 - (bw * 3) % 4) % 4
+            assert (r["kind"], r["width"], r["height"]) == (
+                "bmp",
+                bw,
+                1 + docs[i] // stride,
+            )
+            assert (r["channels"], r["bit_depth"]) == (3, 8)
         elif i % 4 == 0:
             assert (r["kind"], r["width"], r["height"]) == (
                 "png",
@@ -168,6 +179,179 @@ def test_synthetic_media_headers_roundtrip(spark, sf_dir):
     m = synthetic_media(spark, sf_dir).limit(5).collect()
     for row in m:
         assert row["n_bytes"] == len(bytes(row["payload"]))
+
+
+def _build_wav(data: bytes, channels: int, extra_chunk: bool) -> bytes:
+    """A PCM16 WAV container around raw sample bytes (test-local
+    mirror of the RIFF layout, with an optional LIST chunk between
+    WAVE and fmt to prove the decoder walks chunks by id)."""
+    import struct
+
+    block = channels * 2
+    pad = (block - len(data) % block) % block
+    body = data + b"\x00" * pad
+    out = b"RIFF" + struct.pack("<I", len(body) + 36) + b"WAVE"
+    if extra_chunk:
+        out += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    out += b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, channels, 8000, 8000 * block, block, 16
+    )
+    out += b"data" + struct.pack("<I", len(body)) + body
+    return out
+
+
+def test_wav_pcm16_decode_matches_reference():
+    """Hypothesis round-trip (VERDICT r13 #2): random BINARY data —
+    including high bytes, i.e. genuinely negative int16 samples,
+    beyond what the all-ASCII oracle fixture exercises — decodes to
+    exactly the stats struct.unpack computes."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trade_data_collection_service_spark.ext.multimodal import (
+        _decode_samples,
+    )
+
+    @settings(deadline=None, max_examples=60)
+    @given(
+        st.binary(min_size=1, max_size=300),
+        st.sampled_from([1, 2]),
+        st.booleans(),
+    )
+    def check(data, channels, extra):
+        payload = _build_wav(data, channels, extra)
+        kind, n, s, sq, peak = _decode_samples(payload)
+        block = channels * 2
+        pad = (block - len(data) % block) % block
+        body = data + b"\x00" * pad
+        ref = struct.unpack("<%dh" % (len(body) // 2), body)
+        assert kind == "wav" and n == len(ref)
+        assert s == sum(ref)
+        assert sq == sum(v * v for v in ref)
+        assert peak == max(abs(v) for v in ref)
+
+    check()
+
+
+def test_bmp_decode_matches_reference_and_skips_row_padding():
+    """Hypothesis round-trip: random pixel bytes in a random-geometry
+    24-bpp BMP decode to exact stats; the row-padding bytes are
+    filled with a 0xEE sentinel that would corrupt sum/peak if the
+    decoder read the buffer flat instead of stride-aware.  Top-down
+    (negative height) bitmaps decode identically."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trade_data_collection_service_spark.ext.multimodal import (
+        _decode_samples,
+    )
+
+    @settings(deadline=None, max_examples=60)
+    @given(st.integers(1, 9), st.integers(1, 5), st.booleans(), st.data())
+    def check(w, h, topdown, data):
+        rowbytes = w * 3
+        stride = (rowbytes + 3) // 4 * 4
+        px = data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=rowbytes * h,
+                max_size=rowbytes * h,
+            )
+        )
+        buf = b"".join(
+            bytes(px[r * rowbytes : (r + 1) * rowbytes])
+            + b"\xee" * (stride - rowbytes)
+            for r in range(h)
+        )
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(buf), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII",
+                40, w, -h if topdown else h, 1, 24, 0, len(buf),
+                2835, 2835, 0, 0,
+            )
+        )
+        kind, n, s, sq, peak = _decode_samples(header + buf)
+        assert kind == "bmp" and n == w * h * 3
+        assert s == sum(px)
+        assert sq == sum(v * v for v in px)
+        assert peak == max(px)
+
+    check()
+
+
+def test_decode_samples_refuses_compressed_and_non_pcm():
+    """Compressed containers and non-PCM16 WAVs stay on the stub
+    path: _decode_samples returns None rather than guessing."""
+    import struct
+
+    from trade_data_collection_service_spark.ext.multimodal import (
+        _decode_samples,
+    )
+
+    png = bytes.fromhex("89504e470d0a1a0a") + b"\x00" * 30
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 30
+    gif = b"GIF89a" + b"\x00" * 10
+    assert _decode_samples(png) is None
+    assert _decode_samples(jpeg) is None
+    assert _decode_samples(gif) is None
+    # IEEE-float WAV (fmt code 3): header parses, samples do not
+    f32 = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        + b"data" + struct.pack("<I", 4) + b"\x00\x00\x80\x3f"
+    )
+    assert _decode_samples(f32) is None
+    # 8-bpp palette BMP: not the uncompressed-24bpp contract
+    bmp8 = (
+        b"BM" + struct.pack("<IHHI", 58, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 4,
+                      2835, 2835, 0, 0)
+        + b"\x01\x02\x03\x04"
+    )
+    assert _decode_samples(bmp8) is None
+
+
+def test_media_samples_spark_plumbing(spark, sf_dir):
+    """The mapInPandas sample-decode entry covers exactly the WAV+BMP
+    ids and round-trips one known payload per kind through Spark."""
+    from trade_data_collection_service_spark.ext.multimodal import (
+        _decode_samples,
+        media_samples,
+        synthetic_media,
+    )
+
+    rows = media_samples(spark, sf_dir).collect()
+    ids = {
+        d["doc_id"]
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    want = {
+        i for i in ids
+        if i % 16 == 3 or (i % 2 == 1 and i % 16 != 1)
+    }
+    assert {r["media_id"] for r in rows} == want
+    by_id = {r["media_id"]: r for r in rows}
+    for m in (
+        synthetic_media(spark, sf_dir)
+        .filter(F.col("media_type").isin("audio/wav", "image/bmp"))
+        .limit(4)
+        .collect()
+    ):
+        kind, n, s, sq, peak = _decode_samples(bytes(m["payload"]))
+        r = by_id[m["media_id"]]
+        assert (
+            r["kind"], r["n_values"], r["sum_val"], r["sum_sq"],
+            r["peak"],
+        ) == (kind, n, s, sq, peak)
 
 
 def test_bm25_topk_ranking_properties(spark, sf_dir):

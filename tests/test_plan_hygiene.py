@@ -115,6 +115,8 @@ ARROW_OK = {
     "multimodal_frames",
     "multimodal_headers",  # the real PNG/WAV header decode is the
     # Python-is-the-point Arrow stage by design (VERDICT r11 #7)
+    "multimodal_samples",  # real WAV-PCM16/BMP payload decode —
+    # numpy byte math over Arrow batches (VERDICT r13 #2)
 }
 
 
