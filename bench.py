@@ -1333,7 +1333,11 @@ def run_nb_sparse_bench(spark, sf_dir: str) -> dict:
         ),
     )
 
-    def _run(corpus, sparse: bool) -> float:
+    from trade_data_collection_service_spark.ext.text import (
+        nb_auto_sparse,
+    )
+
+    def _run(corpus, sparse) -> float:
         census, partials = _nb_model(corpus)
         stats, vocab = _nb_stats(census, partials)
         df = _nb_score(corpus, census, stats, vocab, sparse=sparse)
@@ -1349,6 +1353,29 @@ def run_nb_sparse_bench(spark, sf_dir: str) -> dict:
             row[f"{mode}_sec"] = round(_run(corpus, sparse), 4)
         row["sparse_over_dense"] = round(
             row["sparse_sec"] / row["dense_sec"], 4
+        )
+        # r14 auto-switch (VERDICT r13 #7): record which branch the
+        # density heuristic picks on this fixture, whether that IS
+        # the measured winner, and what the auto path costs end to
+        # end (decision read included)
+        census, _partials = _nb_model(corpus)
+        pick = nb_auto_sparse(census)
+        _run(corpus, None)  # warm
+        row["auto_sec"] = round(_run(corpus, None), 4)
+        row["auto_picked"] = "sparse" if pick["sparse"] else "dense"
+        row["auto_density"] = pick["density"]
+        # single-shot timings at suite scale carry ~±20% noise, so a
+        # "winner" is only declared outside a 25% tie band — the pick
+        # is judged wrong only when it loses a CLEAR race
+        ratio = row["sparse_over_dense"]
+        winner = (
+            "sparse" if ratio <= 0.8
+            else "dense" if ratio >= 1.25
+            else "tie"
+        )
+        row["measured_winner"] = winner
+        row["auto_picked_winner"] = (
+            winner == "tie" or row["auto_picked"] == winner
         )
         out[label] = row
     return out

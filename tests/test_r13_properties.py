@@ -110,7 +110,7 @@ def _nb_rows(df):
 def test_sparse_nb_equals_dense_on_fixture(spark, sf_dir):
     from trade_data_collection_service_spark.ext.text import source_nb
 
-    dense = _nb_rows(source_nb(spark, sf_dir))
+    dense = _nb_rows(source_nb(spark, sf_dir, sparse=False))
     sparse = _nb_rows(source_nb(spark, sf_dir, sparse=True))
     assert sparse == dense  # bit-equal doubles, identical argmax
 
@@ -138,7 +138,7 @@ def test_sparse_nb_equals_dense_on_disjoint_vocabularies(spark):
     census, partials = _nb_model(docs)
     census = census.localCheckpoint(eager=False)
     stats, vocab = _nb_stats(census, partials)
-    dense = _nb_rows(_nb_score(docs, census, stats, vocab))
+    dense = _nb_rows(_nb_score(docs, census, stats, vocab, sparse=False))
     sparse = _nb_rows(_nb_score(docs, census, stats, vocab, sparse=True))
     assert sparse == dense
     # disjoint vocabularies classify perfectly in both paths
@@ -166,7 +166,7 @@ def test_sparse_nb_indexed_serve_matches_dense(spark, sf_dir, tmp_path):
     path = f"{tmp_path}/nbidx"
     write_nb_index(docs, path)
     batch = docs.filter(F.col("doc_id") % 7 == 0)
-    dense = _nb_rows(nb_score_indexed(spark, path, batch))
+    dense = _nb_rows(nb_score_indexed(spark, path, batch, sparse=False))
     sparse = _nb_rows(nb_score_indexed(spark, path, batch, sparse=True))
     assert sparse == dense
 

@@ -1105,7 +1105,7 @@ def lm_quality_buckets(
 
 
 def source_nb(
-    spark: SparkSession, sf_dir: str, sparse: bool = False
+    spark: SparkSession, sf_dir: str, sparse: bool | None = None
 ) -> DataFrame:
     """Multinomial Naive-Bayes SOURCE/domain classifier, trained on
     the corpus's own (source, term) census and served on the same
@@ -1131,7 +1131,9 @@ def source_nb(
 
     ``sparse=True`` routes scoring through the sparse-NB identity
     (see :func:`_nb_score`) — same scores, same twin; wins when the
-    domain vocabularies are mostly disjoint."""
+    domain vocabularies are mostly disjoint.  The default ``None``
+    picks the branch from the census's measured posting density
+    (:func:`nb_auto_sparse`, VERDICT r13 #7)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     census, src_partials = _nb_model(docs)
     src_stats, vocab_v = _nb_stats(census, src_partials)
@@ -1196,12 +1198,50 @@ def _nb_stats(census: DataFrame, src_partials: DataFrame):
     return src_stats, vocab_v
 
 
+# Auto-switch threshold on census posting density (fraction of the
+# dense (source, term) grid the census populates).  Measured crossover
+# (bench `nb_sparse` block, r12/r13): disjoint vocabularies (density
+# ≈ 1/n_sources ≈ 0.2 on the bench fixture) → sparse 0.33× dense;
+# shared vocabulary (density ≈ 1) → sparse 1.0–1.3× (the recorded
+# negative result).  0.5 sits between the regimes: the sparse path's
+# term-join row count is density × the dense expansion, so below half
+# the grid it strictly shuffles less, and the per-(doc, source) base
+# grid it adds is O(docs × sources) — negligible next to term rows.
+NB_SPARSE_DENSITY_THRESHOLD = 0.5
+
+
+def nb_auto_sparse(census: DataFrame) -> dict:
+    """Cost-based dense/sparse branch pick from the stored census
+    alone (VERDICT r13 #7): posting density = census pairs / (V × S)
+    is EXACTLY the ratio of sparse-path term-join rows to dense-path
+    expansion rows (each doc term occurrence meets `density × S`
+    census sources on average instead of all S).  One bounded 1-row
+    driver read over the (small) census — the same driver-state
+    pattern as the GD scalars; never reads the corpus text.  Returns
+    the decision plus the stats behind it so bench/ops can record
+    which branch the auto path picked and why."""
+    row = census.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.countDistinct("term").alias("v"),
+        F.countDistinct("source").alias("s"),
+    ).first()
+    v, s = int(row["v"] or 0), int(row["s"] or 0)
+    density = (int(row["pairs"]) / (v * s)) if v and s else 1.0
+    return {
+        "sparse": density <= NB_SPARSE_DENSITY_THRESHOLD,
+        "density": round(density, 4),
+        "n_pairs": int(row["pairs"]),
+        "v_size": v,
+        "n_sources": s,
+    }
+
+
 def _nb_score(
     docs: DataFrame,
     census: DataFrame,
     src_stats: DataFrame,
     vocab_v: DataFrame,
-    sparse: bool = False,
+    sparse: bool | None = None,
 ) -> DataFrame:
     """Score ``docs`` against NB censuses (from :func:`_nb_model`
     inline, or read back from a :func:`write_nb_index` layout — same
@@ -1230,7 +1270,15 @@ def _nb_score(
     shared-vocabulary corpus (this fixture) the inner join emits the
     same rows PLUS a per-(doc, source) base grid, measured 0–30%
     slower in r12 (negative result recorded in docs/COVERAGE.md; the
-    bench's disjoint-vocabulary fixture shows the crossover)."""
+    bench's disjoint-vocabulary fixture shows the crossover).
+
+    ``sparse=None`` (the default since r14) picks the branch from the
+    census's measured posting density via :func:`nb_auto_sparse`; the
+    explicit flag remains as an override.  Both branches emit
+    bit-equal scores, so the auto pick can never change results —
+    only the plan shape."""
+    if sparse is None:
+        sparse = nb_auto_sparse(census)["sparse"]
     tf = (
         with_tokens(docs)
         .select("doc_id", F.explode("tokens").alias("term"))
@@ -1580,7 +1628,7 @@ def nb_score_indexed(
     path: str,
     docs: DataFrame,
     push_terms: bool = False,
-    sparse: bool = False,
+    sparse: bool | None = None,
 ) -> DataFrame:
     """Score ``docs`` against a stored NB model — one tokenize pass
     over the scored batch, one (source, term) equi-join against the
@@ -1603,7 +1651,13 @@ def nb_score_indexed(
     The vocab-size marginal still reads the full census (its one
     column, pruned) — the global V must not shrink to the batch's
     vocabulary.  Driver-bounded by the BATCH's vocabulary — use for
-    small serving batches, never a whole corpus."""
+    small serving batches, never a whole corpus.
+
+    ``sparse=None`` auto-picks the scoring branch from the STORED
+    census's posting density (:func:`nb_auto_sparse`) — the serving
+    path where the auto-switch earns its keep, since the census is
+    already at rest and the 1-row density read costs one footer-
+    pruned scan of it."""
     from trade_data_collection_service_spark.ext.dedup import (
         _authoritative,
     )
