@@ -1752,37 +1752,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
-# r14 ROTATION PLAN (write _R14_WINDOW next round): first, anything
-# r14 changes; then the oldest entries by driver-evidence vintage —
-# after r13 that is the remaining r9-vintage set: RECOMPUTE it as
-# CORRECTNESS_r09 keys minus r10/r11 keys minus _R12_WINDOW minus
-# _R13_WINDOW, recorded order (11 entries at the time of writing),
-# and fill the remaining slots with the oldest r10-vintage entries
-# (CORRECTNESS_r10 minus r11 keys minus _R12_WINDOW minus
-# _R13_WINDOW), recorded order.  NEVER hand-edit the lists —
-# recompute from the CORRECTNESS_r* files (hand-edits drifted twice
-# in r10).
+# r15 ROTATION PLAN (write _R15_WINDOW next round): first, anything
+# r15 changes; then the oldest entries by driver-evidence vintage —
+# after r14 that is the remaining r10-vintage set: RECOMPUTE it as
+# CORRECTNESS_r10 keys minus r11 keys minus _R12_WINDOW minus
+# _R13_WINDOW minus _R14_WINDOW, recorded order (18 entries at the
+# time of writing — but recompute, never trust the prose count; r13's
+# drifted by one), and fill the remaining slots with the oldest
+# r11-vintage entries (CORRECTNESS_r11 keys minus _R12_WINDOW minus
+# _R13_WINDOW minus _R14_WINDOW), recorded order.  NEVER hand-edit
+# the lists — recompute from the CORRECTNESS_r* files (hand-edits
+# drifted twice in r10).
 #
-# r13 driver window (VERDICT r12 #3, computed EXACTLY per the
-# committed r12 plan comment): the 16 entries r13 changes — the new
-# doc_source_nb_sparse; multimodal_headers (JPEG synthesis + marker
-# walk + twin, then the GIF Logical-Screen-Descriptor branch in the
-# same round) and multimodal_features/frames (module-shared, the
-# r12 precedent); the four doc_source_nb* entries (the shared
-# _nb_score grew the dense/sparse branch split); and the nine
-# stored-index entries whose in-query maintenance path now takes the
-# maintenance lease (doc_incremental_neardup, doc_incremental_spans,
-# doc_bm25_indexed/appended_topk, emb_hybrid_indexed_rrf,
-# emb_ivfpq_indexed/appended_topk, emb_ivf_appended_topk) — then the
-# 34 oldest r9-vintage entries (CORRECTNESS_r09 minus r10/r11 keys
-# minus _R12_WINDOW, recorded order, minus the changed set) to
-# exactly 50.  The r12 plan estimated ~5 changed slots and aimed to
-# retire all 45 r9-vintage entries; r13 touched 16, so 11 r9-vintage
-# entries remain for r14 (listed first in the r14 plan above).  The
-# full registry surface is swept locally via tools/check_oracle.py
-# at sf0.01 and sf0.1 each round (docs/COVERAGE.md; sweep lines
-# carry the HEAD SHA) — the window is a budget cap, not the
-# evidence.
+# r14 driver window (VERDICT r13 #1, computed EXACTLY per the
+# committed r13 plan comment): the 17 entries r14 changes — the new
+# multimodal_samples (real WAV-PCM16/BMP payload decode);
+# multimodal_headers (BMP synthesis branch + exact-div id quotients
+# + twin rewrite) and multimodal_features/frames (module-shared, the
+# r12/r13 precedent); the five doc_source_nb* entries (the shared
+# _nb_score default flipped to the density auto-switch); and the
+# eight stored-index entries whose maintenance path runs through the
+# r14-hardened lease take/release (doc_incremental_neardup,
+# doc_incremental_spans, doc_bm25_indexed/appended_topk,
+# emb_hybrid_indexed_rrf, emb_ivfpq_indexed/appended_topk,
+# emb_ivf_appended_topk; the r13 comment called this family "nine" —
+# the machine-recomputed count is eight) — then the 10 leftover
+# r9-vintage entries (CORRECTNESS_r09 minus r10/r11 keys minus
+# _R12_WINDOW minus _R13_WINDOW, recorded order), then the 23 oldest
+# r10-vintage entries to exactly 50.  After this window no registry
+# entry's driver evidence predates r10.  The full registry surface
+# is swept locally via tools/check_oracle.py at sf0.01 and sf0.1
+# each round (docs/COVERAGE.md; sweep lines carry the HEAD SHA) —
+# the window is a budget cap, not the evidence.
+_R14_WINDOW = [
+    "multimodal_samples",
+    "multimodal_headers",
+    "multimodal_features",
+    "multimodal_frames",
+    "doc_source_nb",
+    "doc_source_nb_sparse",
+    "doc_source_nb_confusion",
+    "doc_source_nb_indexed",
+    "doc_source_nb_appended",
+    "doc_incremental_neardup",
+    "doc_incremental_spans",
+    "doc_bm25_indexed_topk",
+    "doc_bm25_appended_topk",
+    "emb_hybrid_indexed_rrf",
+    "emb_ivfpq_indexed_topk",
+    "emb_ivfpq_appended_topk",
+    "emb_ivf_appended_topk",
+    "event_funnel_rates",
+    "rolling_beta_60",
+    "rolling_sharpe_60",
+    "drawdown_curve",
+    "rolling_corr_60",
+    "doc_source_quality",
+    "cascade_15m",
+    "corpus_curated",
+    "doc_decontaminate",
+    "doc_dedup_exact",
+    "doc_grouped_split",
+    "emb_ivfadc_rerank_topk",
+    "ann_recall_curve",
+    "doc_bigram_logprob",
+    "doc_lm_score_backoff",
+    "doc_lm_score_tri",
+    "doc_neardup_curve",
+    "doc_temperature_mix",
+    "doc_repetition",
+    "minute_spread",
+    "exchange_spread",
+    "donchian_20",
+    "event_transitions",
+    "event_paths_topk",
+    "doc_ngram_topk",
+    "asof_price_tolerance",
+    "rolling_active_hll",
+    "doc_dedup_keep_best",
+    "doc_dup_clusters",
+    "doc_dup_clusters_star",
+    "doc_fingerprint",
+    "doc_importance_sample",
+    "doc_lang_id",
+]
+
+# retained for the r15 recomputation rule above (the window
+# arithmetic is defined in terms of prior windows)
 _R13_WINDOW = [
     "doc_source_nb_sparse",
     "multimodal_headers",
@@ -1894,16 +1950,16 @@ _R12_WINDOW = [
 
 def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _registry()
-    missing = [k for k in _R13_WINDOW if k not in base]
+    missing = [k for k in _R14_WINDOW if k not in base]
     assert not missing, f"window names drifted from registry: {missing}"
-    out = {k: base[k] for k in _R13_WINDOW}
+    out = {k: base[k] for k in _R14_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order here is historical grouping only; the driver
-    # window is imposed by _R12_WINDOW in _queries().
+    # window is imposed by _R14_WINDOW in _queries().
     return {
         # --- changed in r6: re-prove first ---
         "doc_repetition": _q_doc_repetition,
