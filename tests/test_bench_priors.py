@@ -349,6 +349,29 @@ def test_ingest_cost_model_refuses_nonsense():
     assert got["fit"] is None
 
 
+def test_ingest_cost_model_three_point_residual():
+    """r14 (VERDICT r13 #6): three sizes give the fit a residual
+    check — exactly-linear points fit clean, a bent middle point
+    demotes the fit to non-linear."""
+    lin = bench._ingest_cost_model(
+        [("small", 1000, 6.0), ("mid", 2000, 10.0), ("large", 3000, 14.0)]
+    )
+    assert lin["fit"]["fixed_sec"] == 2.0
+    assert lin["fit"]["max_residual_pct"] == 0.0
+    assert "verdict" not in lin["fit"]
+    bent = bench._ingest_cost_model(
+        [("small", 1000, 6.0), ("mid", 2000, 30.0), ("large", 3000, 14.0)]
+    )
+    assert bent["fit"] is None or (
+        bent["fit"]["verdict"] == "non-linear, investigate"
+    )
+    # two points still fit exactly (zero residual by construction)
+    two = bench._ingest_cost_model(
+        [("small", 1000, 6.0), ("large", 3000, 14.0)]
+    )
+    assert two["fit"]["max_residual_pct"] == 0.0
+
+
 def test_prior_query_timings_skip_calibration_anchors(tmp_path):
     """r13 review: the basket anchors are REAL query names, so the
     tail-regex fallback must excise the calibration object before
