@@ -455,54 +455,26 @@ def run_skew_probe(sf_dir: str, reps: int = 3) -> dict | None:
     salted reps grew monotonically (r11 recording: 2.33 → 7.20 →
     17.88 s) while the identical pair is rep-stable in a clean JVM
     (plain ~3.3 s, salted ~2.5 s over 5 reps) — the growth is
-    suite-tail driver-JVM state, not the operator.  Isolating the
-    probe in its own process measures the JOIN, and records the
-    median of ``reps`` for BOTH sides so neither number is a single
-    arbitrary rep."""
-    import subprocess
-
-    code = (
-        "import json, bench\n"
-        "from trade_data_collection_service_spark.session import get_spark\n"
-        "spark = get_spark('skew-probe')\n"
-        "spark.sparkContext.setLogLevel('ERROR')\n"
-        "q = bench.skew_join_queries()\n"
-        "out = {}\n"
-        "for name in ('skew_join_plain', 'skew_join_salted'):\n"
-        f"    bench.run_one(spark, q[name], {sf_dir!r})\n"
-        "    out[name] = sorted(\n"
-        f"        round(bench.run_one(spark, q[name], {sf_dir!r}), 4)\n"
-        f"        for _ in range({int(reps)})\n"
-        "    )\n"
-        "print('SKEWPROBE ' + json.dumps(out))\n"
-        "spark.stop()\n"
+    suite-tail driver-JVM state, not the operator.  Delegates to the
+    shared :func:`_fresh_jvm_probe` runner (one implementation of
+    the subprocess protocol; r14 review), keeping the recorded shape
+    unchanged."""
+    reps_map = _fresh_jvm_probe(
+        "SKEWPROBE",
+        ["skew_join_plain", "skew_join_salted"],
+        sf_dir,
+        reps=reps,
+        timeout=900,
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code],
-            cwd=_repo_root(),
-            capture_output=True,
-            text=True,
-            timeout=900,
-        )
-        for line in reversed(proc.stdout.splitlines()):
-            if line.startswith("SKEWPROBE "):
-                reps_map = json.loads(line[len("SKEWPROBE "):])
-                return {
-                    "isolation": "fresh subprocess JVM",
-                    "reps_sec": reps_map,
-                    "median_sec": {
-                        k: v[len(v) // 2] for k, v in reps_map.items()
-                    },
-                }
-        print(
-            f"bench skew probe: no result line (rc={proc.returncode}):"
-            f" {proc.stderr[-500:]}",
-            file=sys.stderr,
-        )
-    except Exception as e:  # pragma: no cover
-        print(f"bench skew probe failed: {e}", file=sys.stderr)
-    return None
+    if not reps_map:
+        return None
+    return {
+        "isolation": "fresh subprocess JVM",
+        "reps_sec": reps_map,
+        "median_sec": {
+            k: v[len(v) // 2] for k, v in reps_map.items()
+        },
+    }
 
 
 def run_skew_pollution_diag(spark, sf_dir: str, reps: int = 3) -> dict:
@@ -1386,8 +1358,13 @@ def run_nb_sparse_bench(spark, sf_dir: str) -> dict:
     def _run(corpus, sparse) -> float:
         census, partials = _nb_model(corpus)
         stats, vocab = _nb_stats(census, partials)
-        df = _nb_score(corpus, census, stats, vocab, sparse=sparse)
+        # plan construction sits INSIDE the timer: lazy (free) for
+        # the explicit branches, and for sparse=None it runs the
+        # density-decision job — so auto_sec is genuinely end to end
+        # (r14 review: constructing outside the timer hid the
+        # decision cost)
         t0 = time.perf_counter()
+        df = _nb_score(corpus, census, stats, vocab, sparse=sparse)
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
@@ -1453,7 +1430,8 @@ def _fresh_jvm_probe(
         "cleanup = []\n"
         "suite = {**bench.headline_queries(),\n"
         "         **bench.steady_state_queries(cleanup),\n"
-        "         **bench.bloom_join_queries()}\n"
+        "         **bench.bloom_join_queries(),\n"
+        "         **bench.skew_join_queries()}\n"
         "import __spark_entry__ as entrymod\n"
         "q = entrymod.queries()\n"
         f"names = {list(names)!r}\n"
@@ -1590,11 +1568,21 @@ def run_isolated_top10(
     names = [name for name, _ in ranked]
     if not names:
         return None
-    got = _fresh_jvm_probe("ISOTOP", names, sf_dir, reps=reps)
+    # two entries per subprocess (warm + reps ≈ 8 heavy executions —
+    # the skew probe's proven budget): one shared JVM for all ten
+    # would rebuild the suite-tail state drift this probe exists to
+    # remove (r14 review)
+    got: dict[str, list[float]] = {}
+    for i in range(0, len(names), 2):
+        chunk = names[i : i + 2]
+        part = _fresh_jvm_probe("ISOTOP", chunk, sf_dir, reps=reps)
+        if part:
+            got.update(part)
     if not got:
         return None
     return {
-        "isolation": f"one fresh subprocess JVM, {reps}-rep medians",
+        "isolation": "fresh subprocess JVM per 2 entries,"
+        f" {reps}-rep medians",
         "picked_by": "suite timing, descending",
         "entries": {
             name: {

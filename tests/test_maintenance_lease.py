@@ -333,6 +333,35 @@ def test_release_deletes_unreadable_own_lease(spark, tmp_path):
     assert D._lease_read(spark, lease_path) is None  # released anyway
 
 
+def test_release_keeps_unreadable_lease_modified_after_our_last_write(
+    spark, tmp_path
+):
+    """r14 review: an unreadable lease whose mtime is NEWER than our
+    own last write may be a live reclaimer's torn heartbeat rewrite —
+    the exiting maintainer must NOT delete it (deleting would re-admit
+    a third maintainer alongside the reclaimer).  Only an unreadable
+    lease not modified since our last write (our own torn state) is
+    released."""
+    path = f"{tmp_path}/idx"
+    lease_path = D._lease_path(path)
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _fs_for,
+    )
+
+    cm = maintenance_lease(spark, path, "op")
+    handle = cm.__enter__()
+    # a torn rewrite lands on the file NOW...
+    fs, hpath = _fs_for(spark, lease_path)
+    out = fs.create(hpath, True)
+    out.write(bytearray(b"{torn"))
+    out.close()
+    # ...but OUR last write is (simulated) far in the past, so the
+    # file was modified after us — plausibly the reclaimer's
+    handle._doc = dict(handle._doc, heartbeat_unix=time.time() - 3600)
+    cm.__exit__(None, None, None)
+    assert D._lease_read(spark, lease_path) == {}  # NOT deleted
+
+
 def test_take_race_classified_by_java_class_not_message(spark, tmp_path, monkeypatch):
     """r13 review (ADVICE): the lost-take-race classification walks
     the py4j Java exception class chain; an unrelated FS fault whose

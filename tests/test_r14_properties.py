@@ -78,13 +78,15 @@ def test_auto_picks_sparse_on_disjoint_vocabularies(spark):
     )
 
 
-def test_auto_on_stored_index_uses_the_census_at_rest(
+def test_auto_on_stored_index_uses_the_stored_decision(
     spark, tmp_path
 ):
-    """nb_score_indexed(sparse=None) decides from the STORED census:
-    a disjoint-vocabulary index flips the serve plan to sparse with
-    identical output."""
+    """nb_score_indexed(sparse=None) serves from the decision STORED
+    at build time (1-row read, no census scan): a disjoint-vocabulary
+    index flips the serve plan to sparse with identical output, and
+    the sidecar records the density behind the pick."""
     from trade_data_collection_service_spark.ext.text import (
+        _read_nb_decision,
         nb_score_indexed,
         write_nb_index,
     )
@@ -92,14 +94,64 @@ def test_auto_on_stored_index_uses_the_census_at_rest(
     docs = _disjoint_docs(spark)
     path = f"{tmp_path}/nbidx"
     write_nb_index(docs, path)
+    # build persisted the decision sidecar
+    dec = spark.read.parquet(f"{path}/decision").first()
+    assert dec["sparse"] is True
+    assert dec["density"] <= 1.0 / dec["n_sources"] + 1e-9
+    assert _read_nb_decision(spark, path) is True
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     auto = _rows(nb_score_indexed(spark, path, batch))
     assert auto == _rows(
         nb_score_indexed(spark, path, batch, sparse=True)
     )
-    # the stored census census reads back dense enough for the pick
+    # and the census-derived pick agrees with the stored one
     census = spark.read.parquet(f"{path}/census")
     assert nb_auto_sparse(census)["sparse"] is True
+
+
+def test_stored_decision_stale_after_append_refreshed_by_compact(
+    spark, tmp_path
+):
+    """Appends leave the decision sidecar untouched (the O(batch)
+    append contract forbids a full-census read); compaction — which
+    already folds the whole ledger — refreshes it.  A pre-r14 layout
+    without the sidecar still serves via the census fallback."""
+    from trade_data_collection_service_spark.ext.text import (
+        _read_nb_decision,
+        append_to_nb_index,
+        compact_nb_index,
+        nb_score_indexed,
+        write_nb_index,
+    )
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _rm,
+    )
+
+    # seed with a DISJOINT-vocabulary corpus -> stored decision sparse
+    docs = _disjoint_docs(spark)
+    path = f"{tmp_path}/nbidx"
+    write_nb_index(docs.filter(F.col("doc_id") < 60), path)
+    assert _read_nb_decision(spark, path) is True
+    mtime0 = spark.read.parquet(f"{path}/decision").first()
+    # append: decision untouched (same row back)
+    append_to_nb_index(
+        docs.filter(F.col("doc_id") >= 60), path, batch_id="b1"
+    )
+    assert spark.read.parquet(f"{path}/decision").first() == mtime0
+    # compaction refreshes it (same corpus shape -> same verdict,
+    # but the stats now cover the folded ledger)
+    compact_nb_index(spark, path)
+    dec = spark.read.parquet(f"{path}/decision").first()
+    assert dec["sparse"] is True
+    census = spark.read.parquet(f"{path}/census")
+    assert dec["n_pairs"] == census.count()
+    # legacy layout (sidecar removed): serve falls back to computing
+    _rm(spark, f"{path}/decision")
+    assert _read_nb_decision(spark, path) is None
+    batch = docs.filter(F.col("doc_id") % 4 == 1)
+    assert _rows(nb_score_indexed(spark, path, batch)) == _rows(
+        nb_score_indexed(spark, path, batch, sparse=True)
+    )
 
 
 def test_empty_census_defaults_dense(spark):

@@ -834,28 +834,48 @@ def maintenance_lease(
             f" {readback.get('maintainer')!r} during a stale-"
             "lease reclaim race — index maintenance is single-maintainer"
         )
+    handle = _MaintenanceLease(spark, lease, doc)
     try:
-        yield _MaintenanceLease(spark, lease, doc)
+        yield handle
     finally:
         # release only if not visibly someone ELSE's: never delete a
         # lease a later reclaimer legitimately took after our own
-        # timeout.  The read is retried like the acquire path, and an
+        # timeout.  The read is retried like the acquire path.  An
         # UNREADABLE ({}) read-back still releases — acquire's
         # read-back verified exactly one id (ours) was written, so a
         # transiently-unreadable own lease must not be orphaned to
-        # block all maintenance for the full timeout (r13 review);
-        # only a DIFFERENT maintainer's readable lease skips the
-        # delete.  None (absent) means nothing to release.
+        # block all maintenance for the full timeout (r13 review) —
+        # but ONLY when the file was not modified after our own last
+        # write (r14 review): a reclaimer that took over after our
+        # timeout rewrites the lease, and its heartbeat rewrite is
+        # not atomic, so an unreadable lease with a NEWER mtime may
+        # be the live reclaimer's torn write mid-rewrite — deleting
+        # it would re-admit a third maintainer alongside the
+        # reclaimer.  Any reclaim happens >= timeout_sec after our
+        # last heartbeat, so a 60 s mtime slack cannot misclassify.
         current = _lease_read(spark, lease)
         for _ in range(3):
             if current is None or current:
                 break
             time.sleep(0.05)
             current = _lease_read(spark, lease)
-        if current is not None and (
-            not current or current.get("maintainer") == me
-        ):
-            _rm(spark, lease)
+        if current is not None:
+            if current:
+                plausibly_ours = current.get("maintainer") == me
+            else:
+                try:
+                    fs, hpath = _fs_for(spark, lease)
+                    mtime = (
+                        fs.getFileStatus(hpath).getModificationTime()
+                        / 1000.0
+                    )
+                    plausibly_ours = (
+                        mtime <= handle._doc["heartbeat_unix"] + 60.0
+                    )
+                except Exception:
+                    plausibly_ours = False  # vanished or unstat-able
+            if plausibly_ours:
+                _rm(spark, lease)
 
 
 def _recover_compaction(spark: SparkSession, src: str) -> None:

@@ -1135,8 +1135,16 @@ def source_nb(
     picks the branch from the census's measured posting density
     (:func:`nb_auto_sparse`, VERDICT r13 #7)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    census, src_partials = _nb_model(docs)
-    src_stats, vocab_v = _nb_stats(census, src_partials)
+    census, _ = _nb_model(docs)
+    # lazy localCheckpoint: the census DAG (tokenize + explode +
+    # groupBy over the whole corpus) materializes once and is reused
+    # by the density decision, the source marginals, the vocab
+    # marginal AND the scoring join — without it the inline path
+    # would re-run the census training pass per consumer (r14
+    # review); the partials are re-derived from the checkpointed
+    # census so every consumer shares the one materialization
+    census = census.localCheckpoint(eager=False)
+    src_stats, vocab_v = _nb_stats(census, _src_partials(census, docs))
     return _nb_score(docs, census, src_stats, vocab_v, sparse=sparse)
 
 
@@ -1422,6 +1430,43 @@ def source_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 NB_TABLES = ("census", "src_stats")
 
 
+def _write_nb_decision(spark: SparkSession, path: str, census) -> None:
+    """Persist the sparse/dense branch decision next to the model
+    (r14 review): the density is a property of the index at rest, so
+    it is computed ONCE per maintenance op that already reads the
+    full census (build, compact) and served as a 1-row read — not
+    re-derived with a census scan on every serve batch.  Appends do
+    NOT update it (the O(batch) append contract forbids a full-census
+    read); appended terms can only nudge density, and the next
+    compaction refreshes it, so serve treats it as a heuristic that
+    may lag the ledger by design."""
+    pick = nb_auto_sparse(census)
+    spark.createDataFrame(
+        [
+            (
+                bool(pick["sparse"]),
+                float(pick["density"]),
+                int(pick["n_pairs"]),
+                int(pick["v_size"]),
+                int(pick["n_sources"]),
+            )
+        ],
+        "sparse boolean, density double, n_pairs long,"
+        " v_size long, n_sources long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/decision")
+
+
+def _read_nb_decision(spark: SparkSession, path: str) -> bool | None:
+    """The stored branch decision, or None when absent/unreadable
+    (pre-r14 index layouts keep working — serve falls back to
+    computing the density from the census)."""
+    try:
+        row = spark.read.parquet(f"{path}/decision").first()
+        return bool(row["sparse"]) if row is not None else None
+    except Exception:
+        return None
+
+
 def write_nb_index(docs: DataFrame, path: str) -> None:
     """Persist the trained Naive-Bayes source model at rest (VERDICT
     r11 #4 — the serve split LR/BM25/IVF-PQ already have): the exact
@@ -1487,6 +1532,7 @@ def write_nb_index(docs: DataFrame, path: str) -> None:
         )
         stored = spark.read.parquet(f"{path}/census")
         _write_base(_src_partials(stored, docs), "src_stats")
+        _write_nb_decision(spark, path, stored)
 
 
 def append_to_nb_index(
@@ -1621,6 +1667,20 @@ def compact_nb_index(
             f"{path}/src_stats",
             lambda df: _fold(df, ["source"], ["n_s", "n_docs_s"]),
         )
+        # refresh the stored branch decision from the folded ledger
+        # (the one maintenance op that already reads the full census;
+        # appends leave it stale by design — see _write_nb_decision)
+        from trade_data_collection_service_spark.ext.dedup import (
+            _authoritative,
+        )
+
+        _write_nb_decision(
+            spark,
+            path,
+            _authoritative(spark, f"{path}/census")
+            .groupBy("source", "term")
+            .agg(F.sum("n_st").cast("long").alias("n_st")),
+        )
 
 
 def nb_score_indexed(
@@ -1653,11 +1713,14 @@ def nb_score_indexed(
     vocabulary.  Driver-bounded by the BATCH's vocabulary — use for
     small serving batches, never a whole corpus.
 
-    ``sparse=None`` auto-picks the scoring branch from the STORED
-    census's posting density (:func:`nb_auto_sparse`) — the serving
-    path where the auto-switch earns its keep, since the census is
-    already at rest and the 1-row density read costs one footer-
-    pruned scan of it."""
+    ``sparse=None`` auto-picks the scoring branch from the decision
+    STORED at maintenance time (``path/decision`` — a 1-row read, no
+    census scan on the serve path; r14 review).  Pre-r14 layouts
+    without the sidecar fall back to computing the density from the
+    census (:func:`nb_auto_sparse`); after appends the stored
+    decision may lag the ledger until the next compaction refreshes
+    it — acceptable for a plan-shape heuristic whose two branches are
+    bit-equal."""
     from trade_data_collection_service_spark.ext.dedup import (
         _authoritative,
     )
@@ -1676,6 +1739,8 @@ def nb_score_indexed(
         )
     )
     src_stats, vocab_v = _nb_stats(census, src_partials)
+    if sparse is None:
+        sparse = _read_nb_decision(spark, path)  # None -> fallback
     if push_terms:
         batch_terms = [
             r["term"]
