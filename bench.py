@@ -1485,48 +1485,86 @@ _LEASE_ENTRIES = (
     "emb_ivf_appended_topk",
 )
 
-_LEASE_OFF_PRELUDE = (
-    "import contextlib\n"
-    "from trade_data_collection_service_spark.ext import dedup as _D\n"
-    "class _NoopLease:\n"
-    "    maintainer = 'lease-off-probe'\n"
-    "    def heartbeat(self):\n"
-    "        pass\n"
-    "@contextlib.contextmanager\n"
-    "def _no_lease(spark, path, op, timeout_sec=None):\n"
-    "    yield _NoopLease()\n"
-    "_D.maintenance_lease = _no_lease\n"
-)
-
-
 def run_lease_overhead(sf_dir: str, reps: int = 3) -> dict | None:
     """Isolate the maintenance-lease cost on the lease-taking entries
-    (VERDICT r13 #3): the same entries measured lease-ON and
-    lease-OFF (monkeypatched to a no-op context manager — every
-    maintenance op still runs, only the lease create/read-back/
-    release I/O disappears), each in its own fresh subprocess JVM
-    with ``reps``-rep medians.  overhead_pct > ~5 on any entry means
-    the lease should batch its heartbeat or be taken once per entry
-    rather than per maintenance op; ~0 attributes the r13 raw
-    regressions to the host slot, closing the ambiguity."""
-    on = _fresh_jvm_probe(
-        "LEASEON", list(_LEASE_ENTRIES), sf_dir, reps=reps
-    )
-    off = _fresh_jvm_probe(
-        "LEASEOFF",
-        list(_LEASE_ENTRIES),
-        sf_dir,
-        reps=reps,
-        prelude=_LEASE_OFF_PRELUDE,
-    )
-    if not on or not off:
+    (VERDICT r13 #3): the same entry measured lease-ON and lease-OFF
+    (monkeypatched to a no-op context manager — every maintenance op
+    still runs, only the lease create/read-back/release I/O
+    disappears), with the two configs INTERLEAVED rep-by-rep inside
+    the SAME fresh subprocess JVM (two entries per JVM, the
+    isolated-top10 budget).  The first protocol — one whole JVM per
+    config — measured the OFF side up to 70% slower purely from
+    run-order/JVM-state drift (r14 first canonical recording), so
+    alternation is what makes the delta attributable to the lease.
+    overhead_pct > ~5 on any entry means the lease should batch its
+    heartbeat or be taken once per entry rather than per maintenance
+    op; ~0 attributes the r13 raw regressions to the host slot."""
+    import subprocess
+
+    names = list(_LEASE_ENTRIES)
+    got: dict[str, dict] = {}
+    for i in range(0, len(names), 2):
+        chunk = names[i : i + 2]
+        code = (
+            "import contextlib, json, bench\n"
+            "from trade_data_collection_service_spark.session import"
+            " get_spark\n"
+            "from trade_data_collection_service_spark.ext import"
+            " dedup as _D\n"
+            "_real = _D.maintenance_lease\n"
+            "class _NoopLease:\n"
+            "    maintainer = 'lease-off-probe'\n"
+            "    def heartbeat(self):\n"
+            "        pass\n"
+            "@contextlib.contextmanager\n"
+            "def _noop(spark, path, op, timeout_sec=None):\n"
+            "    yield _NoopLease()\n"
+            "spark = get_spark('lease-probe')\n"
+            "spark.sparkContext.setLogLevel('ERROR')\n"
+            "import __spark_entry__ as entrymod\n"
+            "q = entrymod.queries()\n"
+            "out = {}\n"
+            f"for n in {chunk!r}:\n"
+            f"    bench.run_one(spark, q[n], {sf_dir!r})\n"
+            "    on, off = [], []\n"
+            f"    for _ in range({int(reps)}):\n"
+            "        _D.maintenance_lease = _real\n"
+            "        on.append(round("
+            f"bench.run_one(spark, q[n], {sf_dir!r}), 4))\n"
+            "        _D.maintenance_lease = _noop\n"
+            "        off.append(round("
+            f"bench.run_one(spark, q[n], {sf_dir!r}), 4))\n"
+            "    _D.maintenance_lease = _real\n"
+            "    out[n] = {'on': sorted(on), 'off': sorted(off)}\n"
+            "print('LEASEPAIR ' + json.dumps(out))\n"
+            "spark.stop()\n"
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                cwd=_repo_root(),
+                capture_output=True,
+                text=True,
+                timeout=2400,
+            )
+            for line in reversed(proc.stdout.splitlines()):
+                if line.startswith("LEASEPAIR "):
+                    got.update(json.loads(line[len("LEASEPAIR "):]))
+                    break
+            else:
+                print(
+                    "bench lease probe: no result line"
+                    f" (rc={proc.returncode}): {proc.stderr[-400:]}",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # pragma: no cover
+            print(f"bench lease probe failed: {e}", file=sys.stderr)
+    if not got:
         return None
     entries: dict[str, dict] = {}
     worst = 0.0
-    for name in _LEASE_ENTRIES:
-        a, b = on.get(name), off.get(name)
-        if not a or not b:
-            continue
+    for name, pair in got.items():
+        a, b = pair["on"], pair["off"]
         m_on, m_off = a[len(a) // 2], b[len(b) // 2]
         pct = round(100 * (m_on - m_off) / m_off, 2) if m_off > 0 else None
         entries[name] = {
@@ -1539,8 +1577,8 @@ def run_lease_overhead(sf_dir: str, reps: int = 3) -> dict | None:
         if pct is not None:
             worst = max(worst, pct)
     return {
-        "isolation": "fresh subprocess JVM per config, "
-        f"{reps}-rep medians",
+        "isolation": "ON/OFF interleaved per rep in one fresh"
+        f" subprocess JVM per 2 entries, {reps}-rep medians",
         "entries": entries,
         "max_overhead_pct": round(worst, 2),
         "action_threshold_pct": 5.0,
