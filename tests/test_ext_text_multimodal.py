@@ -144,12 +144,14 @@ def test_synthetic_media_headers_roundtrip(spark, sf_dir):
             )
             assert (r["channels"], r["bit_depth"]) == (3, 8)
         elif i % 4 == 0:
+            pch = 1 if (i // 4) % 2 == 0 else 3
+            pw = 16 + i % 317
             assert (r["kind"], r["width"], r["height"]) == (
                 "png",
-                16 + i % 317,
-                16 + (i * 7) % 211,
+                pw,
+                1 + docs[i] // (pw * pch),
             )
-            assert (r["channels"], r["bit_depth"]) == (4, 8)
+            assert (r["channels"], r["bit_depth"]) == (pch, 8)
         elif i % 4 == 2:
             assert (r["kind"], r["width"], r["height"]) == (
                 "jpeg",
@@ -285,9 +287,11 @@ def test_bmp_decode_matches_reference_and_skips_row_padding():
     check()
 
 
-def test_decode_samples_refuses_compressed_and_non_pcm():
-    """Compressed containers and non-PCM16 WAVs stay on the stub
-    path: _decode_samples returns None rather than guessing."""
+def test_decode_samples_refuses_malformed_and_non_pcm():
+    """Malformed containers, JPEG (the one remaining codec stub) and
+    non-PCM16 WAVs: _decode_samples returns None rather than
+    guessing (PNG/GIF now decode for REAL when well-formed — the
+    payloads here are signature-only shells with no valid image)."""
     import struct
 
     from trade_data_collection_service_spark.ext.multimodal import (
@@ -297,9 +301,9 @@ def test_decode_samples_refuses_compressed_and_non_pcm():
     png = bytes.fromhex("89504e470d0a1a0a") + b"\x00" * 30
     jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 30
     gif = b"GIF89a" + b"\x00" * 10
-    assert _decode_samples(png) is None
-    assert _decode_samples(jpeg) is None
-    assert _decode_samples(gif) is None
+    assert _decode_samples(png) is None  # chunk soup, no IHDR/IDAT
+    assert _decode_samples(jpeg) is None  # entropy-coded: stub
+    assert _decode_samples(gif) is None  # LSD but no image descriptor
     # IEEE-float WAV (fmt code 3): header parses, samples do not
     f32 = (
         b"RIFF" + struct.pack("<I", 40) + b"WAVE"

@@ -117,6 +117,10 @@ ARROW_OK = {
     # Python-is-the-point Arrow stage by design (VERDICT r11 #7)
     "multimodal_samples",  # real WAV-PCM16/BMP payload decode —
     # numpy byte math over Arrow batches (VERDICT r13 #2)
+    "multimodal_png_pixels",  # real PNG inflate + unfilter (stdlib
+    # zlib + numpy) — Python-is-the-point by design (r14)
+    "multimodal_gif_pixels",  # real GIF LZW pixel decode (pure
+    # Python over Arrow batches) — same rationale (r14)
 }
 
 
