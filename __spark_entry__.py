@@ -48,6 +48,7 @@ from trade_data_collection_service_spark.ext.multimodal import (
     media_frame_sample,
     media_gif_pixels,
     media_headers,
+    media_jpeg_pixels,
     media_png_pixels,
     media_samples,
 )
@@ -1767,36 +1768,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # drifted twice in r10).
 #
 # r14 driver window (VERDICT r13 #1, computed EXACTLY per the
-# committed r13 plan comment): the 19 entries r14 changes — the new
-# multimodal_png_pixels/multimodal_gif_pixels (real PNG inflate +
-# unfilter and GIF LZW pixel decode, added mid-round after the
-# original rotation, so they take the changed-first slots and the
-# two newest-vintage fill entries at the tail were dropped to keep
-# the 50 cap; the r15 recomputation rule re-surfaces those two as
-# r10-vintage leftovers) and the new multimodal_samples (real
-# WAV-PCM16/BMP payload decode); multimodal_headers (PNG/GIF
-# synthesis now emits complete images — twin reflects the
-# length-derived PNG height and 1/3-channel split — plus the r14 BMP
-# branch + exact-div id quotients) and multimodal_features/frames
-# (module-shared, the r12/r13 precedent); the five doc_source_nb*
-# entries (the shared _nb_score default flipped to the density
-# auto-switch); and the eight stored-index entries whose maintenance
-# path runs through the r14-hardened lease take/release
-# (doc_incremental_neardup, doc_incremental_spans,
-# doc_bm25_indexed/appended_topk, emb_hybrid_indexed_rrf,
-# emb_ivfpq_indexed/appended_topk, emb_ivf_appended_topk; the r13
-# comment called this family "nine" — the machine-recomputed count
-# is eight) — then the 10 leftover r9-vintage entries
-# (CORRECTNESS_r09 minus r10/r11 keys minus _R12_WINDOW minus
-# _R13_WINDOW, recorded order), then the 21 oldest r10-vintage
-# entries to exactly 50.  After this window no registry entry's
-# driver evidence predates r10.  The full registry surface is swept
-# locally via tools/check_oracle.py at sf0.01 and sf0.1 each round
-# (docs/COVERAGE.md; sweep lines carry the HEAD SHA) — the window is
-# a budget cap, not the evidence.
+# committed r13 plan comment): the 20 entries r14 changes — the new
+# multimodal_png_pixels/multimodal_gif_pixels/multimodal_jpeg_pixels
+# (real PNG inflate + unfilter, GIF LZW and baseline-JPEG Huffman +
+# IDCT pixel decodes, added mid-round after the original rotation,
+# so they take the changed-first slots and the three newest-vintage
+# fill entries at the tail were dropped to keep the 50 cap; the r15
+# recomputation rule re-surfaces those three as r10-vintage
+# leftovers) and the new multimodal_samples (real WAV-PCM16/BMP
+# payload decode); multimodal_headers (PNG/GIF/JPEG synthesis now
+# emits complete images — twin reflects the length-derived PNG/JPEG
+# heights, the PNG 1/3-channel split and the all-grayscale JPEG —
+# plus the r14 BMP branch + exact-div id quotients) and
+# multimodal_features/frames (module-shared, the r12/r13
+# precedent); the five doc_source_nb* entries (the shared _nb_score
+# default flipped to the density auto-switch); and the eight
+# stored-index entries whose maintenance path runs through the
+# r14-hardened lease take/release (doc_incremental_neardup,
+# doc_incremental_spans, doc_bm25_indexed/appended_topk,
+# emb_hybrid_indexed_rrf, emb_ivfpq_indexed/appended_topk,
+# emb_ivf_appended_topk; the r13 comment called this family "nine" —
+# the machine-recomputed count is eight) — then the 10 leftover
+# r9-vintage entries (CORRECTNESS_r09 minus r10/r11 keys minus
+# _R12_WINDOW minus _R13_WINDOW, recorded order), then the 20 oldest
+# r10-vintage entries to exactly 50.  After this window no registry
+# entry's driver evidence predates r10.  The full registry surface
+# is swept locally via tools/check_oracle.py at sf0.01 and sf0.1
+# each round (docs/COVERAGE.md; sweep lines carry the HEAD SHA) —
+# the window is a budget cap, not the evidence.
 _R14_WINDOW = [
     "multimodal_png_pixels",
     "multimodal_gif_pixels",
+    "multimodal_jpeg_pixels",
     "multimodal_samples",
     "multimodal_headers",
     "multimodal_features",
@@ -1844,7 +1847,6 @@ _R14_WINDOW = [
     "doc_dedup_keep_best",
     "doc_dup_clusters",
     "doc_dup_clusters_star",
-    "doc_fingerprint",
 ]
 
 # retained for the r15 recomputation rule above (the window
@@ -2016,6 +2018,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_samples": media_samples,
         "multimodal_png_pixels": media_png_pixels,
         "multimodal_gif_pixels": media_gif_pixels,
+        "multimodal_jpeg_pixels": media_jpeg_pixels,
         "tpch_q1": XH.q1_pricing_summary,
         "tpch_q10": XH.q10_returned_items,
         "tpch_q12": XH.q12_late_shipments,
@@ -5296,7 +5299,8 @@ def oracle_sql() -> dict[str, str]:
                     WHEN doc_id % 4 = 0
                     THEN CAST(16 + doc_id % 317 AS BIGINT)
                     WHEN doc_id % 4 = 2
-                    THEN CAST(16 + doc_id % 479 AS BIGINT) END AS width,
+                    THEN CAST(8 * (2 + doc_id % 60) AS BIGINT)
+                 END AS width,
                CASE WHEN doc_id % 16 = 1
                     THEN CAST(16 + (doc_id * 13) % 257 AS BIGINT)
                     WHEN doc_id % 16 = 3
@@ -5305,14 +5309,13 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(1 + n_text // ((16 + doc_id % 317) * pch)
                               AS BIGINT)
                     WHEN doc_id % 4 = 2
-                    THEN CAST(16 + (doc_id * 11) % 353 AS BIGINT)
+                    THEN CAST(8 * (1 + n_text // (2 + doc_id % 60))
+                              AS BIGINT)
                  END AS height,
                CASE WHEN doc_id % 16 = 1 THEN CAST(1 AS BIGINT)
                     WHEN doc_id % 16 = 3 THEN CAST(3 AS BIGINT)
                     WHEN doc_id % 4 = 0 THEN CAST(pch AS BIGINT)
-                    WHEN doc_id % 4 = 2 THEN CAST(
-                      CASE WHEN (doc_id // 4) % 2 = 0 THEN 3 ELSE 1 END
-                      AS BIGINT)
+                    WHEN doc_id % 4 = 2 THEN CAST(1 AS BIGINT)
                     ELSE CAST(1 + (doc_id // 2) % 2 AS BIGINT)
                  END AS channels,
                CASE WHEN doc_id % 16 = 1
@@ -5469,6 +5472,40 @@ def oracle_sql() -> dict[str, str]:
                  AS peak
         FROM dim d LEFT JOIN px ON px.doc_id = d.doc_id
         GROUP BY d.doc_id, d.npix, d.ntx
+        ORDER BY media_id
+        """,
+        # entropy-coding round-trip (r14): Spark builds a COMPLETE
+        # baseline JPEG (custom all-8-bit Huffman tables, DC-only
+        # 8x8 tiles at restart interval 1, q0=8 for integer-exact
+        # IDCT) and decodes it back with a general pure-Python
+        # baseline decoder (canonical Huffman, restart segments, DC
+        # prediction, dequant, real 2-D IDCT).  Each tile decodes to
+        # exactly its source text byte, so the twin's statistics are
+        # 64x the per-byte statistics (padding tiles decode to 0 —
+        # count-only).  A wrong Huffman assignment, bit order,
+        # predictor, dequant or IDCT anywhere breaks the match.
+        "multimodal_jpeg_pixels": """
+        WITH j AS (
+          SELECT doc_id, text, octet_length(encode(text)) AS n_text,
+                 2 + doc_id % 60 AS tpr
+          FROM documents WHERE doc_id % 4 = 2
+        ), dim AS (
+          SELECT doc_id, text, n_text, tpr,
+                 1 + n_text // tpr AS tr
+          FROM j
+        ), px AS (
+          SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) AS v
+          FROM dim, unnest(range(1, n_text + 1)) AS t(i)
+        )
+        SELECT d.doc_id AS media_id, 'jpeg' AS kind,
+               CAST(64 * d.tpr * d.tr AS BIGINT) AS n_values,
+               CAST(64 * coalesce(sum(px.v), 0) AS BIGINT) AS sum_val,
+               CAST(64 * coalesce(sum(px.v * px.v), 0) AS BIGINT)
+                 AS sum_sq,
+               CAST(greatest(coalesce(max(px.v), 0), 0) AS BIGINT)
+                 AS peak
+        FROM dim d LEFT JOIN px ON px.doc_id = d.doc_id
+        GROUP BY d.doc_id, d.tpr, d.tr
         ORDER BY media_id
         """,
         "candles_1m": CANDLES_CTE + "SELECT * FROM candles",

@@ -153,15 +153,13 @@ def test_synthetic_media_headers_roundtrip(spark, sf_dir):
             )
             assert (r["channels"], r["bit_depth"]) == (pch, 8)
         elif i % 4 == 2:
+            tpr = 2 + i % 60
             assert (r["kind"], r["width"], r["height"]) == (
                 "jpeg",
-                16 + i % 479,
-                16 + (i * 11) % 353,
+                8 * tpr,
+                8 * (1 + docs[i] // tpr),
             )
-            assert (r["channels"], r["bit_depth"]) == (
-                3 if (i // 4) % 2 == 0 else 1,
-                8,
-            )
+            assert (r["channels"], r["bit_depth"]) == (1, 8)
         else:
             ch = 1 + (i // 2) % 2
             block = 2 * ch

@@ -378,3 +378,361 @@ def test_gif_wrong_pixel_count_returns_none():
     assert _decode_samples(short) is None
     assert _gif_decode_pixels(short) is None
     assert _png_inflate_pixels(b"\x00") is None
+
+
+# ---------------------------------------------------------------
+# reference JPEG encoder (spec-forward: canonical Huffman per C.2,
+# bit packing per F.1.2, byte stuffing, restart markers)
+# ---------------------------------------------------------------
+
+
+def _canon(counts, syms):
+    """Canonical code assignment, written fresh from spec C.2:
+    returns {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    it = iter(syms)
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[next(it)] = (code, length)
+            code += 1
+        code <<= 1
+    return out
+
+
+def test_jpeg_huff_canonical_matches_published_table():
+    """Pin the canonical assignment against the PUBLISHED Annex K.3
+    typical luminance DC table: counts [0,1,5,1,1,1,1,1,1,0,...],
+    symbols 0..11 — the spec lists the resulting codes explicitly
+    (00, 010..110, 1110, 11110, ...).  This keeps the encoder's and
+    decoder's identical-looking canonical builders honest against an
+    external constant rather than each other."""
+    from trade_data_collection_service_spark.ext.multimodal import (
+        _jpeg_huff_table,
+    )
+
+    counts = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    syms = list(range(12))
+    expect = {
+        0: (0b00, 2),
+        1: (0b010, 3),
+        2: (0b011, 3),
+        3: (0b100, 3),
+        4: (0b101, 3),
+        5: (0b110, 3),
+        6: (0b1110, 4),
+        7: (0b11110, 5),
+        8: (0b111110, 6),
+        9: (0b1111110, 7),
+        10: (0b11111110, 8),
+        11: (0b111111110, 9),
+    }
+    assert _canon(counts, syms) == expect
+    dec_table = _jpeg_huff_table(counts, syms)
+    assert dec_table == {
+        (ln, code): s for s, (code, ln) in expect.items()
+    }
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def align(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per the spec
+
+
+def _mag_bits(v):
+    s = abs(v).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _jpeg_encode_scan(blocks, dccodes, accodes, restart):
+    """Entropy-code zigzag-quantized blocks: DC prediction with
+    restart resets, run/size AC coding with ZRL and EOB."""
+    out = bytearray()
+    w = _JpegBitWriter()
+    pred = 0
+    for i, bz in enumerate(blocks):
+        if restart and i and i % restart == 0:
+            w.align()
+            out += w.buf
+            out += bytes([0xFF, 0xD0 + ((i // restart - 1) % 8)])
+            w = _JpegBitWriter()
+            pred = 0
+        c, bits = _mag_bits(bz[0] - pred)
+        pred = bz[0]
+        code, ln = dccodes[c]
+        w.put(code, ln)
+        w.put(bits, c)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and bz[k] == 0:
+                k += 1
+                run += 1
+            if k == 64:
+                code, ln = accodes[0x00]
+                w.put(code, ln)  # EOB
+                break
+            while run > 15:
+                code, ln = accodes[0xF0]
+                w.put(code, ln)  # ZRL
+                run -= 16
+            s, bits = _mag_bits(bz[k])
+            code, ln = accodes[(run << 4) | s]
+            w.put(code, ln)
+            w.put(bits, s)
+            k += 1
+    w.align()
+    out += w.buf
+    return bytes(out)
+
+
+def _table_spec(symbols, order):
+    """A complete canonical table over ``symbols``: unary-skewed
+    lengths (1,2,...,n-1,n-1) when they fit, else uniform — both
+    satisfy Kraft with equality.  ``order`` shuffles which symbol
+    gets the short codes."""
+    syms = sorted(symbols)
+    syms = [syms[(i + order) % len(syms)] for i in range(len(syms))]
+    n = len(syms)
+    counts = [0] * 16
+    if n == 1:
+        counts[0] = 1
+    elif n <= 12:
+        for length in range(1, n - 1):
+            counts[length - 1] = 1
+        counts[n - 2] += 2
+    else:
+        length = max(1, (n - 1).bit_length())
+        counts[length - 1] = n
+    return counts, syms
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _build_jpeg(w, h, quant_z, blocks, dc_spec, ac_spec, restart):
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0x00]) + bytes(quant_z))
+    out += _seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]),
+    )
+    for tcth, (counts, syms) in ((0x00, dc_spec), (0x10, ac_spec)):
+        out += _seg(0xC4, bytes([tcth]) + bytes(counts) + bytes(syms))
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += _jpeg_encode_scan(
+        blocks, _canon(*dc_spec), _canon(*ac_spec), restart
+    )
+    return out + b"\xff\xd9"
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    mx=st.integers(min_value=1, max_value=4),
+    my=st.integers(min_value=1, max_value=4),
+    cropx=st.integers(min_value=0, max_value=7),
+    cropy=st.integers(min_value=0, max_value=7),
+    restart=st.sampled_from([0, 1, 2, 5]),
+    dc_order=st.integers(min_value=0, max_value=11),
+    ac_order=st.integers(min_value=0, max_value=11),
+    data=st.data(),
+)
+def test_jpeg_coefficient_roundtrip_exact(
+    mx, my, cropx, cropy, restart, dc_order, ac_order, data
+):
+    """Random quant tables, random sparse AC content, restart
+    intervals, image crops and SHUFFLED multi-length canonical
+    Huffman tables: the decoder must recover every dequantized
+    coefficient integer-exactly (this isolates Huffman / bit order /
+    unstuffing / prediction / zigzag / dequant from IDCT floats)."""
+    import numpy as np
+
+    from trade_data_collection_service_spark.ext.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_decode_blocks,
+    )
+
+    w, h = 8 * mx - cropx, 8 * my - cropy
+    if w < 1 or h < 1:
+        w, h = 8 * mx, 8 * my
+    quant_z = data.draw(
+        st.lists(
+            st.integers(1, 255), min_size=64, max_size=64
+        )
+    )
+    nblocks = mx * my
+    blocks = []
+    for _ in range(nblocks):
+        bz = [0] * 64
+        bz[0] = data.draw(st.integers(-500, 500))
+        for _ in range(data.draw(st.integers(0, 6))):
+            k = data.draw(st.integers(1, 63))
+            v = data.draw(st.integers(-255, 255))
+            bz[k] = v
+        blocks.append(bz)
+    dc_syms = {_mag_bits(b[0] - p)[0] for b, p in zip(
+        blocks, [0] + [b[0] for b in blocks[:-1]]
+    )} | {_mag_bits(b[0])[0] for b in blocks} | {0}
+    ac_syms = {0x00, 0xF0}
+    for bz in blocks:
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and bz[k] == 0:
+                k += 1
+                run += 1
+            if k == 64:
+                break
+            run %= 16
+            ac_syms.add((run << 4) | _mag_bits(bz[k])[0])
+            k += 1
+    payload = _build_jpeg(
+        w, h, quant_z, blocks,
+        _table_spec(dc_syms, dc_order), _table_spec(ac_syms, ac_order),
+        restart,
+    )
+    dec = _jpeg_decode_blocks(payload)
+    assert dec is not None
+    dw, dh, dblocks = dec
+    assert (dw, dh) == (w, h) and len(dblocks) == nblocks
+    for bz, nat in zip(blocks, dblocks):
+        expect = np.zeros((8, 8), dtype=np.int64)
+        for z in range(64):
+            expect[divmod(_JPEG_ZIGZAG[z], 8)] = bz[z] * quant_z[z]
+        assert (nat == expect).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    mx=st.integers(min_value=1, max_value=3),
+    my=st.integers(min_value=1, max_value=3),
+    data=st.data(),
+)
+def test_jpeg_pixel_decode_matches_reference_idct(mx, my, data):
+    """Full pixel path vs an independent direct-sum IDCT (spec
+    A.3.3 formula, not the decoder's matrix product): decoded ints
+    must sit within half a grey level of the float reference (the
+    two float evaluation orders agree to ~1e-12, so this proves the
+    IDCT and level shift without rounding flakiness)."""
+    import numpy as np
+
+    from trade_data_collection_service_spark.ext.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_decode_pixels,
+    )
+
+    w, h = 8 * mx, 8 * my
+    quant_z = data.draw(st.lists(st.integers(1, 32), min_size=64, max_size=64))
+    blocks = []
+    for _ in range(mx * my):
+        bz = [0] * 64
+        bz[0] = data.draw(st.integers(-80, 80))
+        for _ in range(data.draw(st.integers(0, 4))):
+            bz[data.draw(st.integers(1, 63))] = data.draw(
+                st.integers(-40, 40)
+            )
+        blocks.append(bz)
+    dc_syms = set(range(12))
+    ac_syms = {0x00, 0xF0} | {
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    }
+    payload = _build_jpeg(
+        w, h, quant_z, blocks, _table_spec(dc_syms, 0),
+        _table_spec(ac_syms, 0), 2,
+    )
+    pix = _jpeg_decode_pixels(payload)
+    assert pix is not None and pix.shape == (h, w)
+    x = np.arange(8)
+    cu = np.where(x == 0, 1 / np.sqrt(2.0), 1.0)
+    for i, bz in enumerate(blocks):
+        nat = np.zeros((8, 8))
+        for z in range(64):
+            nat[divmod(_JPEG_ZIGZAG[z], 8)] = bz[z] * quant_z[z]
+        ref = np.zeros((8, 8))
+        for px in range(8):
+            for py in range(8):
+                ref[px, py] = 0.25 * np.sum(
+                    cu[:, None] * cu[None, :] * nat
+                    * np.cos((2 * px + 1) * x[:, None] * np.pi / 16)
+                    * np.cos((2 * py + 1) * x[None, :] * np.pi / 16)
+                )
+        ref = np.clip(ref + 128, 0, 255)
+        r, c = divmod(i, mx)
+        got = pix[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
+        assert np.abs(got - ref).max() <= 0.5 + 1e-6
+
+
+def test_jpeg_byte_stuffing_forced():
+    """A Huffman layout that emits the all-ones 8-bit code as the
+    first (byte-aligned) symbol forces a 0xFF byte into the scan —
+    the encoder must stuff it and the decoder must unstuff it."""
+    from trade_data_collection_service_spark.ext.multimodal import (
+        _jpeg_decode_blocks,
+    )
+
+    # DC table: lengths 1..7 then two 8-bit codes; put category 5
+    # on the all-ones code (0xFF) by symbol order
+    counts = [1, 1, 1, 1, 1, 1, 1, 2] + [0] * 8
+    dc_syms = [0, 1, 2, 3, 4, 6, 7, 8, 5]  # category 5 → code 0xFF
+    ac_spec = _table_spec({0x00}, 0)
+    quant_z = [1] * 64
+    bz = [0] * 64
+    bz[0] = 31  # category 5 diff → symbol 5 first in the stream
+    payload = _build_jpeg(8, 8, quant_z, [bz], (counts, dc_syms), ac_spec, 0)
+    # the stuffed 0x00 must be present right after the 0xFF code
+    # byte (SOS segment = marker 2 + length 2 + body 6 = 10 bytes)
+    scan = payload[payload.index(b"\xff\xda") + 10 : -2]
+    assert scan[:2] == b"\xff\x00"
+    dec = _jpeg_decode_blocks(payload)
+    assert dec is not None and dec[2][0][0, 0] == 31
+
+
+def test_jpeg_refusals_degrade_to_none():
+    from trade_data_collection_service_spark.ext.multimodal import (
+        _jpeg_decode_blocks,
+        _jpeg_decode_pixels,
+    )
+
+    quant_z = [1] * 64
+    bz = [0] * 64
+    bz[0] = 10
+    dc_spec = _table_spec(set(range(12)), 0)
+    ac_spec = _table_spec({0x00}, 0)
+    good = _build_jpeg(8, 8, quant_z, [bz], dc_spec, ac_spec, 0)
+    assert _jpeg_decode_blocks(good) is not None
+    # progressive (SOF2)
+    assert _jpeg_decode_blocks(good.replace(b"\xff\xc0", b"\xff\xc2")) is None
+    # three components in SOF
+    bad = bytearray(good)
+    i = bad.index(b"\xff\xc0") + 9
+    bad[i] = 3
+    assert _jpeg_decode_blocks(bytes(bad)) is None
+    # 16-bit quant table (Pq=1)
+    bad = bytearray(good)
+    bad[bad.index(b"\xff\xdb") + 4] = 0x10
+    assert _jpeg_decode_blocks(bytes(bad)) is None
+    # truncated scan
+    assert _jpeg_decode_pixels(good[:-4]) is None
+    # arbitrary corruption must never raise
+    for cut in (10, 30, len(good) - 8):
+        _jpeg_decode_pixels(good[:cut])

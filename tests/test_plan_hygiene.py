@@ -121,6 +121,8 @@ ARROW_OK = {
     # zlib + numpy) — Python-is-the-point by design (r14)
     "multimodal_gif_pixels",  # real GIF LZW pixel decode (pure
     # Python over Arrow batches) — same rationale (r14)
+    "multimodal_jpeg_pixels",  # real baseline-JPEG Huffman + IDCT
+    # decode (pure Python over Arrow batches) — same rationale (r14)
 }
 
 
