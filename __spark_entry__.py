@@ -1759,9 +1759,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # r15 changes; then the oldest entries by driver-evidence vintage —
 # after r14 that is the remaining r10-vintage set: RECOMPUTE it as
 # CORRECTNESS_r10 keys minus r11 keys minus _R12_WINDOW minus
-# _R13_WINDOW minus _R14_WINDOW, recorded order (18 entries at the
-# time of writing — but recompute, never trust the prose count; r13's
-# drifted by one), and fill the remaining slots with the oldest
+# _R13_WINDOW minus _R14_WINDOW, recorded order (21 entries at the
+# time of writing, after the three late-r14 tail drops — but
+# recompute, never trust the prose count; r13's drifted by one, and
+# this one moved twice within r14), and fill the remaining slots
+# with the oldest
 # r11-vintage entries (CORRECTNESS_r11 keys minus _R12_WINDOW minus
 # _R13_WINDOW minus _R14_WINDOW), recorded order.  NEVER hand-edit
 # the lists — recompute from the CORRECTNESS_r* files (hand-edits
