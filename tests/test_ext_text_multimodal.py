@@ -286,22 +286,54 @@ def test_bmp_decode_matches_reference_and_skips_row_padding():
 
 
 def test_decode_samples_refuses_malformed_and_non_pcm():
-    """Malformed containers, JPEG (the one remaining codec stub) and
-    non-PCM16 WAVs: _decode_samples returns None rather than
-    guessing (PNG/GIF now decode for REAL when well-formed — the
-    payloads here are signature-only shells with no valid image)."""
+    """Malformed containers and non-PCM16 WAVs: _decode_samples
+    returns None rather than guessing (all five containers decode
+    for REAL when well-formed — the payloads here are
+    signature-only shells with no valid image)."""
     import struct
 
     from trade_data_collection_service_spark.ext.multimodal import (
         _decode_samples,
+        _jpeg_decode_blocks,
+        _png_inflate_pixels,
     )
 
     png = bytes.fromhex("89504e470d0a1a0a") + b"\x00" * 30
     jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 30
     gif = b"GIF89a" + b"\x00" * 10
     assert _decode_samples(png) is None  # chunk soup, no IHDR/IDAT
-    assert _decode_samples(jpeg) is None  # entropy-coded: stub
+    assert _decode_samples(jpeg) is None  # APP0 shell, no SOF/scan
     assert _decode_samples(gif) is None  # LSD but no image descriptor
+    # direct-caller contract (review r14): the helpers themselves
+    # return None on the raise-prone malformed shapes — SOF with an
+    # empty body, a DHT declaring 9 symbols but carrying none, a
+    # 1-byte DRI body
+    assert _jpeg_decode_blocks(
+        b"\xff\xd8\xff\xc0\x00\x02" + b"\xff\xd9\x00\x00"
+    ) is None
+    assert _jpeg_decode_blocks(
+        b"\xff\xd8"
+        + b"\xff\xc4\x00\x13\x00"
+        + bytes([0] * 7 + [9] + [0] * 8)
+        + b"\xff\xd9"
+    ) is None
+    assert _jpeg_decode_blocks(b"\xff\xd8\xff\xdd\x00\x03\x01\xff\xd9") is None
+    # PNG with a corrupted Adler-32: zlib raises inside, caller gets None
+    import zlib as _z
+
+    raw = b"\x00" + bytes(4)
+    z = bytearray(_z.compress(raw))
+    z[-1] ^= 0xFF
+    good_hdr = (
+        bytes.fromhex("89504e470d0a1a0a")
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 4, 1) + bytes([8, 0, 0, 0, 0]) + bytes(4)
+    )
+    bad_png = (
+        good_hdr + struct.pack(">I", len(z)) + b"IDAT" + bytes(z) + bytes(4)
+        + struct.pack(">I", 0) + b"IEND" + bytes(4)
+    )
+    assert _png_inflate_pixels(bad_png) is None
     # IEEE-float WAV (fmt code 3): header parses, samples do not
     f32 = (
         b"RIFF" + struct.pack("<I", 40) + b"WAVE"

@@ -86,9 +86,9 @@ def _hex2(col):
 
 
 def _le_hex(col, width: int):
-    """Little-endian fixed-width unsigned int → hex STRING (the
-    string-side sibling of :func:`_le`, for building byte streams as
-    hex before one final unhex)."""
+    """Little-endian fixed-width unsigned int → hex STRING (for
+    building byte streams as hex before one final unhex; :func:`_le`
+    is its unhexed form)."""
     return F.concat(
         *[
             _hex2(F.pmod(F.shiftright(col.cast("bigint"), 8 * i), 256))
@@ -109,15 +109,7 @@ def _byte_at(bin_col, pos):
 def _le(col, width: int):
     """Little-endian fixed-width unsigned int → binary, JVM-side:
     per-byte shiftright/pmod, bytes emitted low-to-high."""
-    parts = [
-        F.lpad(
-            F.hex(F.pmod(F.shiftright(col.cast("bigint"), 8 * i), 256)),
-            2,
-            "0",
-        )
-        for i in range(width)
-    ]
-    return F.unhex(F.concat(*parts))
+    return F.unhex(_le_hex(col, width))
 
 
 # deterministic synthesis formulas, mirrored verbatim by the
@@ -157,8 +149,12 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole number of sample frames).  Every byte is built JVM-side
     with hex/unhex arithmetic and higher-order functions — the
     payload column is real binary, built without any Python stage.
-    Precondition (holds for the test corpus): texts are non-empty
-    (F.sequence with an empty range would count DOWN)."""
+    Preconditions (both hold for the test corpus): texts are
+    non-empty (F.sequence with an empty range would count DOWN) and
+    at most 16 380 bytes (the JPEG SOF height is a BE16 field and
+    the smallest tile row is 2 tiles — longer texts would need a
+    taller-than-65535 image and the field would silently
+    truncate)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # payload synthesis is CPU-heavy per row while the input is a
     # small metadata table that parquet hands over in one split:
@@ -169,7 +165,14 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < target:
         d = d.repartition(target)
-    text_bytes = F.encode("text", "UTF-8")
+    # materialize the UTF-8 bytes as a COLUMN before the heavy
+    # lambdas: an encode(text) expression referenced inside a
+    # higher-order-function body is re-evaluated per element
+    # (Catalyst trees, not DAGs — the same trap the GIF chunk
+    # comment below documents), turning every per-byte lookup into
+    # an O(n_text) re-encode; an attribute reference is O(1)
+    d = d.select("doc_id", F.encode("text", "UTF-8").alias("_tb"))
+    text_bytes = F.col("_tb")
     n_text = F.octet_length(text_bytes).cast("bigint")
     # --- PNG (r14: a REAL image, not header+filler).  Width keeps
     # the r11 formula; channels alternate grayscale (colour type 0)
@@ -736,6 +739,16 @@ _PNG_SIG = bytes.fromhex("89504e470d0a1a0a")
 
 
 def _png_inflate_pixels(payload: bytes):
+    """None-on-malformed wrapper: the impl may hit zlib.error /
+    struct.error on corrupt streams; direct callers get the
+    documented None, never an exception."""
+    try:
+        return _png_inflate_pixels_impl(payload)
+    except Exception:
+        return None
+
+
+def _png_inflate_pixels_impl(payload: bytes):
     """REAL PNG pixel decode using only the stdlib: chunk walk →
     IDAT concatenation → ``zlib.decompress`` (a genuine inflate that
     also validates the Adler-32 checksum) → per-scanline unfiltering
@@ -879,6 +892,14 @@ def _lzw_decode(data: bytes, min_code_size: int):
 
 
 def _gif_decode_pixels(payload: bytes):
+    """None-on-malformed wrapper (same contract as the PNG one)."""
+    try:
+        return _gif_decode_pixels_impl(payload)
+    except Exception:
+        return None
+
+
+def _gif_decode_pixels_impl(payload: bytes):
     """REAL GIF pixel decode: Logical Screen Descriptor → skip the
     global colour table → block walk (extensions skipped by their
     sub-block lengths) → first image descriptor → LZW decode of the
@@ -991,6 +1012,16 @@ def _jpeg_extend(bits: int, c: int) -> int:
 
 
 def _jpeg_decode_blocks(payload: bytes):
+    """None-on-malformed wrapper: short marker bodies, DHT symbol
+    undercounts and kin raise struct.error/StopIteration/IndexError
+    in the impl; direct callers get the documented None."""
+    try:
+        return _jpeg_decode_blocks_impl(payload)
+    except Exception:
+        return None
+
+
+def _jpeg_decode_blocks_impl(payload: bytes):
     """GENERAL baseline-grayscale JPEG entropy decode, pure Python:
     marker walk (DQT with multiple 8-bit tables, DHT with multiple
     tables per segment, SOF0/SOF1, DRI, SOS), restart-marker
