@@ -572,7 +572,38 @@ def _lease_path(path: str) -> str:
     return path.rstrip("/") + ".maintenance.lease"
 
 
+def _local_lease_path(path: str) -> str | None:
+    """Filesystem path when ``path`` is on the LOCAL filesystem
+    (bare path or file: URI), else None.  Lease I/O is a handful of
+    tiny metadata operations per maintenance op; routing them through
+    py4j → Hadoop FileSystem costs ~15-25 JVM round trips per
+    acquire/release cycle (measured 5-7% of whole indexed-family
+    bench entries, r14 ``lease_overhead`` block).  On local paths the
+    same protocol runs as native Python file ops — and the take
+    becomes genuinely O_EXCL (``open('xb')``), stronger than Hadoop's
+    check-then-create local create.  Non-local schemes (hdfs://,
+    s3a://) keep the Hadoop path unchanged."""
+    if path.startswith("file:"):
+        rest = path[len("file:") :]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    if "://" not in path:
+        return path
+    return None
+
+
 def _lease_write(spark: SparkSession, lease: str, doc: dict, overwrite: bool) -> None:
+    payload = json.dumps(doc).encode("utf-8")
+    lp = _local_lease_path(lease)
+    if lp is not None:
+        parent = os.path.dirname(lp)
+        if parent:
+            # Hadoop create() makes parent dirs implicitly; match it
+            os.makedirs(parent, exist_ok=True)
+        with open(lp, "wb" if overwrite else "xb") as out:
+            out.write(payload)
+        return
     from trade_data_collection_service_spark.streaming.pipeline import (
         _fs_for,
     )
@@ -580,9 +611,61 @@ def _lease_write(spark: SparkSession, lease: str, doc: dict, overwrite: bool) ->
     fs, hpath = _fs_for(spark, lease)
     out = fs.create(hpath, overwrite)  # overwrite=False: atomic take
     try:
-        out.write(bytearray(json.dumps(doc).encode("utf-8")))
+        out.write(bytearray(payload))
     finally:
         out.close()
+
+
+def _lease_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic rename; True iff THIS caller performed it (the reclaim
+    primitive: exactly one of N concurrent renamers of the same src
+    wins — os.rename raises for the losers, Hadoop returns false)."""
+    sp, dp = _local_lease_path(src), _local_lease_path(dst)
+    if sp is not None and dp is not None:
+        try:
+            os.rename(sp, dp)
+            return True
+        except OSError:
+            return False
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _fs_for,
+    )
+
+    try:
+        fs, src_h = _fs_for(spark, src)
+        _, dst_h = _fs_for(spark, dst)
+        return bool(fs.rename(src_h, dst_h))
+    except Exception:
+        return False
+
+
+def _lease_rm(spark: SparkSession, path: str) -> None:
+    lp = _local_lease_path(path)
+    if lp is not None:
+        try:
+            os.unlink(lp)
+        except FileNotFoundError:
+            pass
+        return
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _rm,
+    )
+
+    _rm(spark, path)
+
+
+def _lease_mtime(spark: SparkSession, path: str) -> float:
+    """Modification time (unix seconds) of the lease file; raises on
+    absence/stat failure like the Hadoop getFileStatus it mirrors."""
+    lp = _local_lease_path(path)
+    if lp is not None:
+        return os.stat(lp).st_mtime
+    from trade_data_collection_service_spark.streaming.pipeline import (
+        _fs_for,
+    )
+
+    fs, hpath = _fs_for(spark, path)
+    return fs.getFileStatus(hpath).getModificationTime() / 1000.0
 
 
 def _lease_read(spark: SparkSession, lease: str) -> dict | None:
@@ -591,6 +674,16 @@ def _lease_read(spark: SparkSession, lease: str) -> dict | None:
     {} — the caller then falls back to the file's modification time
     for staleness, the safe direction (an unreadable FRESH lease must
     still fail a second maintainer fast)."""
+    lp = _local_lease_path(lease)
+    if lp is not None:
+        try:
+            with open(lp, "rb") as stream:
+                doc = json.loads(stream.read().decode("utf-8"))
+            return doc if isinstance(doc, dict) else {}
+        except FileNotFoundError:
+            return None
+        except Exception:
+            return {}
     from trade_data_collection_service_spark.streaming.pipeline import (
         _fs_for,
         table_exists,
@@ -663,13 +756,8 @@ def _lease_heartbeat_unix(spark: SparkSession, lease: str, doc: dict) -> float:
     hb = doc.get("heartbeat_unix")
     if isinstance(hb, (int, float)):
         return float(hb)
-    from trade_data_collection_service_spark.streaming.pipeline import (
-        _fs_for,
-    )
-
     try:
-        fs, hpath = _fs_for(spark, lease)
-        return fs.getFileStatus(hpath).getModificationTime() / 1000.0
+        return _lease_mtime(spark, lease)
     except Exception:
         # racing release: the file vanished between read and stat —
         # treat as maximally stale so the acquire path retries cleanly
@@ -739,11 +827,6 @@ def maintenance_lease(
     external scheduler that already serializes maintainers.  READERS
     never call this — they stay pure by design
     (:func:`_authoritative`)."""
-    from trade_data_collection_service_spark.streaming.pipeline import (
-        _fs_for,
-        _rm,
-    )
-
     if timeout_sec is None:
         # resolved at call time so deployments (and tests) can tune
         # the module default without re-plumbing every maintenance op
@@ -770,13 +853,8 @@ def maintenance_lease(
         # exactly ONE of N concurrent reclaimers consumes the stale
         # lease; the losers fall through to the create, which fails
         # against the winner's fresh lease
-        fs, src_h = _fs_for(spark, lease)
         tomb = f"{lease}.reclaim-{uuid.uuid4().hex[:8]}"
-        _, tomb_h = _fs_for(spark, tomb)
-        try:
-            claimed = bool(fs.rename(src_h, tomb_h))
-        except Exception:
-            claimed = False
+        claimed = _lease_rename(spark, lease, tomb)
         if claimed:
             # best-effort: the RENAME alone completes the reclaim
             # (the stale lease is consumed); a transient failure
@@ -785,7 +863,7 @@ def maintenance_lease(
             # stray sibling, cleaned up by the next successful pass
             # (r13 review)
             try:
-                _rm(spark, tomb)
+                _lease_rm(spark, tomb)
             except Exception:
                 pass
     doc = {
@@ -822,7 +900,7 @@ def maintenance_lease(
         time.sleep(0.05)
         readback = _lease_read(spark, lease)
     if not readback:
-        _rm(spark, lease)
+        _lease_rm(spark, lease)
         raise RuntimeError(
             f"index at {path!r}: lease read-back stayed unreadable"
             " after create — filesystem fault, not a concurrent"
@@ -864,18 +942,14 @@ def maintenance_lease(
                 plausibly_ours = current.get("maintainer") == me
             else:
                 try:
-                    fs, hpath = _fs_for(spark, lease)
-                    mtime = (
-                        fs.getFileStatus(hpath).getModificationTime()
-                        / 1000.0
-                    )
+                    mtime = _lease_mtime(spark, lease)
                     plausibly_ours = (
                         mtime <= handle._doc["heartbeat_unix"] + 60.0
                     )
                 except Exception:
                     plausibly_ours = False  # vanished or unstat-able
             if plausibly_ours:
-                _rm(spark, lease)
+                _lease_rm(spark, lease)
 
 
 def _recover_compaction(spark: SparkSession, src: str) -> None:

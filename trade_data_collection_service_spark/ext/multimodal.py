@@ -124,8 +124,19 @@ _WAV_RATES = (8000, 16000, 22050, 44100)
 _GIF_GCT = bytes(b for i in range(128) for b in (i, i, 255 - i))
 
 
-def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A media table with REAL containers, synthesized
+def _synthetic_media_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-expression REFERENCE implementation of
+    :func:`synthetic_media` — retained verbatim as the equivalence
+    twin for ``tests/test_synthetic_media_equiv.py`` (the serving
+    path moved to exact per-row byte math inside the Arrow boundary
+    in the r14 optimization pass: per-byte higher-order-function
+    trees evaluate interpreted, ~1000x slower than the same byte
+    arithmetic on materialized bytes — guide §4.2's "do bulk byte
+    manipulation in native code inside the Arrow stage", measured
+    6.6 s → <0.5 s isolated at sf0.1).  Every formula below is
+    mirrored byte-for-byte by :func:`_synthesize_payload`.
+
+    A media table with REAL containers, synthesized
     deterministically from ``documents`` (no binary fixtures ship
     with testdata): doc_id % 4 == 0 become COMPLETE PNGs (r14:
     filtered scanlines — Sub/Up alternating — inside a genuine zlib
@@ -570,6 +581,294 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_type",
         F.octet_length("payload").cast("long").alias("n_bytes"),
     )
+
+
+# ---------------------------------------------------------------------
+# Serving synthesis (r14 optimization): the SAME container bytes as
+# _synthetic_media_expr, computed as per-row byte arithmetic inside the
+# Arrow boundary.  Catalyst higher-order functions evaluate their
+# lambda bodies interpreted, per element — the expression twin spent
+# ~6.6 s isolated at sf0.1 building 1.5 MB of payloads; plain byte
+# math over materialized Arrow batches does it in milliseconds (guide
+# §4.2).  tests/test_synthetic_media_equiv.py asserts md5-per-payload
+# equality against the expression twin on the real fixture AND a
+# crafted edge battery (every container branch, multi-block zlib,
+# category-0/8 JPEG diffs, GIF padding, BMP stride padding).
+# ---------------------------------------------------------------------
+
+
+def _png_payload(doc_id: int, text: bytes) -> bytes:
+    import zlib as _zlib
+
+    n_text = len(text)
+    width = 16 + doc_id % 317
+    pch = 1 if (doc_id // 4) % 2 == 0 else 3
+    prb = width * pch
+    height = 1 + n_text // prb
+    pix = text + b"\x00" * (height * prb - n_text)
+    # filtered stream: tag byte per row (1=Sub even rows, 2=Up odd),
+    # then the filter-transformed pixel bytes — exactly _png_fval
+    praw = bytearray(height * (1 + prb))
+    q = 0
+    for r in range(height):
+        base = r * prb
+        praw[q] = 1 if r % 2 == 0 else 2
+        q += 1
+        if r % 2 == 0:  # Sub
+            for t in range(prb):
+                j = base + t
+                left = pix[j - pch] if t >= pch else 0
+                praw[q] = (pix[j] - left) & 0xFF
+                q += 1
+        else:  # Up
+            for t in range(prb):
+                j = base + t
+                praw[q] = (pix[j] - pix[j - prb]) & 0xFF
+                q += 1
+    praw = bytes(praw)
+    n = len(praw)
+    # stored-mode DEFLATE blocks + Adler-32 (zlib.adler32 computes the
+    # identical two modular sums the expression twin aggregates)
+    nblocks = 1 + (n - 1) // 65535
+    zl = bytearray(b"\x78\x01")
+    for i in range(nblocks):
+        blen = min(65535, n - i * 65535)
+        zl.append(1 if i == nblocks - 1 else 0)
+        zl += blen.to_bytes(2, "little")
+        zl += (65535 - blen).to_bytes(2, "little")
+        zl += praw[i * 65535 : i * 65535 + blen]
+    zl += _zlib.adler32(praw).to_bytes(4, "big")
+    return (
+        bytes.fromhex("89504e470d0a1a0a")
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 0 if pch == 1 else 2, 0, 0, 0])
+        + b"\x00\x00\x00\x00"  # IHDR CRC (not validated by the parser)
+        + len(zl).to_bytes(4, "big")
+        + b"IDAT"
+        + bytes(zl)
+        + b"\x00\x00\x00\x00"  # IDAT CRC
+        + b"\x00\x00\x00\x00"  # IEND length
+        + b"IEND"
+        + b"\x00\x00\x00\x00"  # IEND CRC
+    )
+
+
+def _jpeg_payload(doc_id: int, text: bytes) -> bytes:
+    n_text = len(text)
+    jtpr = 2 + doc_id % 60
+    jtr = 1 + n_text // jtpr
+    jtiles = jtpr * jtr
+    scan = bytearray()
+    for i in range(jtiles):
+        v = text[i] if i < n_text else 0
+        dc = v - 128
+        mag = abs(dc)
+        cat = mag.bit_length()  # == the when-chain thresholds
+        if cat == 0:
+            scan += b"\x00\x00"  # sym 0 + EOB, 16 bits aligned
+        else:
+            pow_rest = 1 << (8 - cat)
+            raw = dc if dc >= 0 else dc + (1 << cat) - 1
+            scan += bytes((cat, raw * pow_rest, pow_rest - 1))
+        if i < jtiles - 1:
+            scan += bytes((0xFF, 0xD0 + i % 8))
+    return (
+        bytes.fromhex("ffd8ffe000104a46494600010100000100010000")
+        + b"\xff\xdb\x00\x43\x00"
+        + bytes([8] + [16] * 63)
+        + b"\xff\xc0\x00\x0b\x08"
+        + (jtr * 8).to_bytes(2, "big")
+        + (jtpr * 8).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+        + b"\xff\xc4\x00\x1c\x00"
+        + bytes([0] * 7 + [9] + [0] * 8)
+        + bytes(range(9))
+        + b"\xff\xc4\x00\x14\x10"
+        + bytes([0] * 7 + [1] + [0] * 8)
+        + bytes([0])
+        + b"\xff\xdd\x00\x04\x00\x01"
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        + bytes(scan)
+        + b"\xff\xd9"
+    )
+
+
+def _gif_payload(doc_id: int, text: bytes) -> bytes:
+    gw = 16 + doc_id % 401
+    gh = 16 + (doc_id * 13) % 257
+    gbits = 1 + (doc_id // 16) % 8
+    npix = gw * gh
+    ntx = min(len(text), npix)
+    pixels = bytes(b % 128 for b in text[:ntx]) + b"\x00" * (npix - ntx)
+    data = bytearray()
+    for i in range(0, npix, 126):  # CLEAR before every <=126-px run
+        data.append(0x80)
+        data += pixels[i : i + 126]
+    data.append(0x81)  # EOI
+    sb = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        sb.append(len(chunk))  # 0xFF for full blocks, g_rem for tail
+        sb += chunk
+    sb.append(0x00)  # block terminator
+    return (
+        b"GIF89a"
+        + gw.to_bytes(2, "little")
+        + gh.to_bytes(2, "little")
+        + bytes([128 + (gbits - 1) * 16 + 6, 0, 0])
+        + _GIF_GCT
+        + b"\x2c"
+        + b"\x00\x00\x00\x00"
+        + gw.to_bytes(2, "little")
+        + gh.to_bytes(2, "little")
+        + b"\x00"  # no local colour table, not interlaced
+        + b"\x07"  # LZW minimum code size
+        + bytes(sb)
+        + b"\x3b"
+    )
+
+
+def _bmp_payload(doc_id: int, text: bytes) -> bytes:
+    bw = 4 + doc_id % 61
+    rowb = bw * 3
+    stride = rowb + (4 - rowb % 4) % 4
+    bh = 1 + len(text) // stride
+    buf_len = stride * bh
+    return (
+        b"BM"
+        + (buf_len + 54).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + bw.to_bytes(4, "little")
+        + bh.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + buf_len.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + text
+        + b"\x00" * (buf_len - len(text))
+    )
+
+
+def _wav_payload(doc_id: int, text: bytes) -> bytes:
+    channels = 1 + (doc_id // 2) % 2
+    rate = _WAV_RATES[(doc_id // 2) % 4]
+    block_align = channels * 2
+    pad = (block_align - len(text) % block_align) % block_align
+    data_len = len(text) + pad
+    return (
+        b"RIFF"
+        + (data_len + 36).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data"
+        + data_len.to_bytes(4, "little")
+        + text
+        + b"\x00" * pad
+    )
+
+
+def _synthesize_payload(doc_id: int, text: bytes) -> tuple[bytes, str]:
+    """(payload, media_type) for one document — the byte-exact Python
+    mirror of every _synthetic_media_expr branch."""
+    if doc_id % 4 == 0:
+        return _png_payload(doc_id, text), "image/png"
+    if doc_id % 4 == 2:
+        return _jpeg_payload(doc_id, text), "image/jpeg"
+    if doc_id % 16 == 1:
+        return _gif_payload(doc_id, text), "image/gif"
+    if doc_id % 16 == 3:
+        return _bmp_payload(doc_id, text), "image/bmp"
+    return _wav_payload(doc_id, text), "audio/wav"
+
+
+# media_type → doc_id residue predicate, for pushing a container-type
+# filter BELOW the (opaque) Python synthesis stage: the predicate is
+# pure doc_id arithmetic, so it reaches the parquet scan, and only the
+# requested containers' rows ever cross the Arrow boundary.
+def _type_predicate(types):
+    did = F.col("doc_id")
+    preds = []
+    for t in types:
+        if t == "image/png":
+            preds.append(did % 4 == 0)
+        elif t == "image/jpeg":
+            preds.append(did % 4 == 2)
+        elif t == "image/gif":
+            preds.append(did % 16 == 1)
+        elif t == "image/bmp":
+            preds.append(did % 16 == 3)
+        elif t == "audio/wav":
+            preds.append(
+                (did % 2 == 1) & (did % 16 != 1) & (did % 16 != 3)
+            )
+        else:  # pragma: no cover - unknown type matches nothing
+            preds.append(F.lit(False))
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def synthetic_media(spark: SparkSession, sf_dir: str, types=None) -> DataFrame:
+    """The synthetic media table (see :func:`_synthetic_media_expr`
+    for the full container documentation — formats, preconditions and
+    the byte-level construction notes all apply unchanged).  Payload
+    bytes are built by :func:`_synthesize_payload` inside one
+    mapInPandas pass: identical bytes, no per-byte Catalyst trees
+    (r14 optimization; equivalence is pytest-asserted against the
+    retained expression twin).
+
+    ``types`` (optional iterable of media_type strings) pre-filters
+    the documents by the container-id residues BEFORE the Python
+    stage — an opaque mapInPandas blocks predicate pushdown, so
+    callers that only want one container (media_samples, the pixel
+    entries) say so here and the filter reaches the parquet scan."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if types:
+        d = d.filter(_type_predicate(types))
+    # spread rows across cores before the per-row synthesis (the input
+    # is a one-split metadata table); only widen, never shrink
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    sel = d.select("doc_id", "text")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            mtypes = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                p, mt = _synthesize_payload(int(did), txt.encode("utf-8"))
+                payloads.append(p)
+                mtypes.append(mt)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "media_type": pd.Series(mtypes, dtype="object"),
+                    "n_bytes": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return sel.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 HEADER_SCHEMA = T.StructType(
@@ -1366,9 +1665,9 @@ def media_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's WAV/BMP payloads (media_type prunes the other
     containers before any byte ships through Arrow; PNG and GIF have
     their own oracle entries below so this one stays stable)."""
-    m = synthetic_media(spark, sf_dir).filter(
-        F.col("media_type").isin("audio/wav", "image/bmp")
-    )
+    m = synthetic_media(
+        spark, sf_dir, types=("audio/wav", "image/bmp")
+    ).filter(F.col("media_type").isin("audio/wav", "image/bmp"))
     return decode_media_samples(m).orderBy("media_id")
 
 
@@ -1380,7 +1679,7 @@ def media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the text bytes the generator turned into pixels, so a wrong
     filter reconstruction, inflate or checksum anywhere breaks the
     match."""
-    m = synthetic_media(spark, sf_dir).filter(
+    m = synthetic_media(spark, sf_dir, types=("image/png",)).filter(
         F.col("media_type") == "image/png"
     )
     return decode_media_samples(m).orderBy("media_id")
@@ -1391,7 +1690,7 @@ def media_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode — block walk + general LZW — over the synthetic corpus's
     GIF payloads; the DuckDB twin recomputes the statistics from the
     text bytes (mod 128, truncated/padded to width×height)."""
-    m = synthetic_media(spark, sf_dir).filter(
+    m = synthetic_media(spark, sf_dir, types=("image/gif",)).filter(
         F.col("media_type") == "image/gif"
     )
     return decode_media_samples(m).orderBy("media_id")
@@ -1404,7 +1703,7 @@ def media_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly its source text byte (q0=8 makes the DC-only IDCT
     integer-exact), so the DuckDB twin recomputes the pixel
     statistics as 64× the per-byte statistics."""
-    m = synthetic_media(spark, sf_dir).filter(
+    m = synthetic_media(spark, sf_dir, types=("image/jpeg",)).filter(
         F.col("media_type") == "image/jpeg"
     )
     return decode_media_samples(m).orderBy("media_id")
