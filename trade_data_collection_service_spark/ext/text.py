@@ -1116,10 +1116,15 @@ def source_nb(
     ln((c(s,t)+1)/(c(s)+V)) with Laplace smoothing over the GLOBAL
     vocabulary V, predict argmax_s.
 
-    Plan shape: TWO corpus token passes feed the per-doc tf table and
-    the per-source census (both map-side-combined groupBys over the
-    same explode); source stats, priors, and V are census marginals or
-    1-row scalars.  Scoring expands tf × the (tiny, broadcast) source
+    Plan shape (r14 optimization, guide §1.2): ONE corpus token pass
+    builds the doc-grain (doc_id, source, term, tf) table; the
+    per-source census is its integer marginal (n_st = Σ tf over the
+    source's docs — identical counts to a direct occurrence census by
+    partition of the occurrences over docs), and the per-doc tf table
+    is a projection (doc_id → source is functional, so the grain is
+    unchanged).  Before r14 the census and tf passes each ran their
+    own tokenize+explode over the full corpus text; source stats,
+    priors, and V are census marginals or 1-row scalars either way.  Scoring expands tf × the (tiny, broadcast) source
     dimension — O(doc terms × n_sources) rows by definition of NB
     scoring — then ONE equi LEFT-join on (source, term) against the
     census and one map-side-combinable min-struct argmax per doc
@@ -1135,17 +1140,32 @@ def source_nb(
     picks the branch from the census's measured posting density
     (:func:`nb_auto_sparse`, VERDICT r13 #7)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    census, _ = _nb_model(docs)
-    # lazy localCheckpoint: the census DAG (tokenize + explode +
-    # groupBy over the whole corpus) materializes once and is reused
-    # by the density decision, the source marginals, the vocab
-    # marginal AND the scoring join — without it the inline path
-    # would re-run the census training pass per consumer (r14
-    # review); the partials are re-derived from the checkpointed
-    # census so every consumer shares the one materialization
-    census = census.localCheckpoint(eager=False)
+    # ONE tokenize+explode pass over the corpus text; lazy
+    # localCheckpoint so the (expensive) pass materializes once and
+    # is shared by the census derivation AND both uses of tf in the
+    # sparse scoring union (delta + base grid) — before r14 the
+    # sparse plan tokenized the corpus three times (census + twice
+    # for tf)
+    tf3 = (
+        with_tokens(docs)
+        .select("doc_id", "source", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    # the census is the integer marginal of the checkpointed pass —
+    # identical counts to _nb_model's direct occurrence census; kept
+    # as its own lazy checkpoint so the density decision, the source
+    # marginals, the vocab marginal and the scoring join share one
+    # (small) materialization instead of re-aggregating tf3 each
+    census = (
+        tf3.groupBy("source", "term")
+        .agg(F.sum("tf").cast("long").alias("n_st"))
+        .localCheckpoint(eager=False)
+    )
+    tf = tf3.select("doc_id", "term", "tf")
     src_stats, vocab_v = _nb_stats(census, _src_partials(census, docs))
-    return _nb_score(docs, census, src_stats, vocab_v, sparse=sparse)
+    return _nb_score(docs, census, src_stats, vocab_v, sparse=sparse, tf=tf)
 
 
 def _nb_model(docs: DataFrame):
@@ -1250,6 +1270,7 @@ def _nb_score(
     src_stats: DataFrame,
     vocab_v: DataFrame,
     sparse: bool | None = None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Score ``docs`` against NB censuses (from :func:`_nb_model`
     inline, or read back from a :func:`write_nb_index` layout — same
@@ -1284,24 +1305,59 @@ def _nb_score(
     census's measured posting density via :func:`nb_auto_sparse`; the
     explicit flag remains as an override.  Both branches emit
     bit-equal scores, so the auto pick can never change results —
-    only the plan shape."""
+    only the plan shape.
+
+    ``tf`` (optional) supplies a precomputed per-doc term-frequency
+    table (doc_id, term, tf) so a caller that already tokenized the
+    corpus for the census (:func:`source_nb`) shares that one pass
+    instead of re-running tokenize+explode here (r14 optimization,
+    guide §1.2: remove redundant full passes first).  The counts are
+    identical by construction, so scores are unchanged."""
     if sparse is None:
         sparse = nb_auto_sparse(census)["sparse"]
-    tf = (
-        with_tokens(docs)
-        .select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    prior = F.round(
-        F.log(F.col("n_docs_s").cast("double") / F.col("n_docs")), 12
-    ).cast("decimal(20,12)")
+    if tf is None:
+        tf = (
+            with_tokens(docs)
+            .select("doc_id", F.explode("tokens").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     # tf rides as decimal(12,0) so the product is decimal(33,12) —
     # within precision 38, so Spark cannot silently reduce the scale
     # (bigint x decimal(20,12) would overflow to 41 and round at 9 dp
     # under allowPrecisionLoss, diverging from the oracle's exact 12)
     tf_dec = F.col("tf").cast("decimal(12,0)")
+
+    def _final(best: DataFrame) -> DataFrame:
+        return (
+            docs.select(
+                "doc_id", F.col("source").alias("actual_source")
+            )
+            .join(best, "doc_id")
+            .select(
+                "doc_id",
+                "actual_source",
+                F.col("w.pred_source").alias("pred_source"),
+                F.col("w.score").cast("double").alias("score"),
+                (
+                    F.col("w.pred_source") == F.col("actual_source")
+                ).alias("correct"),
+            )
+            .orderBy("doc_id")
+        )
+
     if sparse:
+        # The r13 union shape, kept verbatim: the r14 literal/pivot
+        # rewrite below was A/B-measured 1.3x SLOWER on this branch
+        # (same slot, fresh JVMs — the delta-pivot + dl⋈delta join
+        # costs more than the single union groupBy it replaced), so
+        # the sparse path keeps DataFrame stats and the one decimal
+        # sum over base ∪ delta; it still benefits from the shared
+        # tokenize pass via ``tf``.
+        prior = F.round(
+            F.log(F.col("n_docs_s").cast("double") / F.col("n_docs")),
+            12,
+        ).cast("decimal(20,12)")
         stats = src_stats.crossJoin(F.broadcast(vocab_v)).withColumn(
             "lp_miss",
             # EXACTLY the dense lp expression at n_st = NULL
@@ -1333,7 +1389,9 @@ def _nb_score(
             .select(
                 "doc_id",
                 "source",
-                (tf_dec * (lp_present - F.col("lp_miss"))).alias("part"),
+                (tf_dec * (lp_present - F.col("lp_miss"))).alias(
+                    "part"
+                ),
             )
         )
         # base grid: one row per (doc, source) carrying dl·lp_miss —
@@ -1362,50 +1420,137 @@ def _nb_score(
                 "source",
             )
         )
-    else:
-        pairs = (
-            tf.crossJoin(F.broadcast(src_stats))
-            .crossJoin(F.broadcast(vocab_v))
-            .join(census, ["source", "term"], "left")
+        total = scored.select(
+            "doc_id",
+            "source",
+            (prior + F.col("sum_lp")).alias("score"),
         )
-        lp = F.round(
+        best = total.groupBy("doc_id").agg(
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("neg"),
+                    F.col("source").alias("pred_source"),
+                    F.col("score").alias("score"),
+                )
+            ).alias("w")
+        )
+        return _final(best)
+
+    # Dense branch, r14 rewrite — bounded driver read of the
+    # DIMENSION-sized model stats (guide §2.4 / §1.2): src_stats is
+    # one row per candidate source (classes, not data — the same
+    # driver-state budget as the GD scalars) and vocab_v one scalar.
+    # Folding them into the plan as literals deletes the
+    # broadcast/crossJoin machinery that previously contributed ~6
+    # AQE jobs per scoring call, and lets the dense expansion pivot
+    # into per-source COLUMNS: one term-grain join + one per-doc
+    # aggregation instead of a (doc term × source) row blow-up and
+    # two stacked shuffles.  Every arithmetic operand is unchanged —
+    # the same integer counts flow into the same double divisions,
+    # 12-dp rounds and decimal sums (exact, so regrouping cannot
+    # change them), and the argmax uses the same (neg score, source)
+    # struct ordering — so scores and predictions are bit-identical
+    # (equivalence pytest-asserted, oracle twins unchanged).
+    # A/B (same slot, fresh JVMs): dense entries 0.69–0.73x.
+    v_size = vocab_v.first()["v_size"]
+    stat_rows = sorted(
+        (
+            r
+            for r in src_stats.select(
+                "source", "n_docs_s", "n_s", "n_docs"
+            ).collect()
+            if r["source"] is not None
+        ),
+        key=lambda r: r["source"],
+    )
+    out_schema = (
+        "doc_id long, actual_source string, pred_source string,"
+        " score double, correct boolean"
+    )
+    if not stat_rows:
+        return docs.sparkSession.createDataFrame([], out_schema)
+
+    def _den(r):
+        # (n_s + V) exactly as the column form: long + long, NULL-
+        # propagating when a source has docs but no census mass
+        if r["n_s"] is None or v_size is None:
+            return F.lit(None).cast("long")
+        return F.lit(int(r["n_s"]) + int(v_size)).cast("long")
+
+    def _prior(r):
+        # round(log(n_docs_s / n_docs), 12) with the identical
+        # long->double casts as the pre-r14 column expression
+        return F.round(
             F.log(
-                (F.coalesce(F.col("n_st"), F.lit(0)) + 1).cast("double")
-                / (F.col("n_s") + F.col("v_size"))
+                F.lit(int(r["n_docs_s"])).cast("double")
+                / F.lit(int(r["n_docs"])).cast("long")
             ),
             12,
         ).cast("decimal(20,12)")
-        scored = pairs.groupBy(
-            "doc_id", "source", "n_docs_s", "n_docs"
-        ).agg(F.sum(tf_dec * lp).cast("decimal(38,12)").alias("sum_lp"))
-    total = scored.select(
-        "doc_id",
-        "source",
-        (prior + F.col("sum_lp")).alias("score"),
+
+    names = [r["source"] for r in stat_rows]
+
+    # the census pivoted to V rows × S count columns (S = candidate
+    # sources, dimension-bounded); unseen (source, term) cells are
+    # NULL and score through the same coalesce-0 Laplace arm as the
+    # old left join
+    cw = census.groupBy("term").agg(
+        *[
+            F.max(
+                F.when(F.col("source") == F.lit(s), F.col("n_st"))
+            ).alias(f"n{i}")
+            for i, s in enumerate(names)
+        ]
     )
-    best = total.groupBy("doc_id").agg(
-        F.min(
-            F.struct(
-                (-F.col("score")).alias("neg"),
-                F.col("source").alias("pred_source"),
-                F.col("score").alias("score"),
-            )
-        ).alias("w")
-    )
-    return (
-        docs.select("doc_id", F.col("source").alias("actual_source"))
-        .join(best, "doc_id")
-        .select(
-            "doc_id",
-            "actual_source",
-            F.col("w.pred_source").alias("pred_source"),
-            F.col("w.score").cast("double").alias("score"),
-            (F.col("w.pred_source") == F.col("actual_source")).alias(
-                "correct"
+    lps = [
+        F.round(
+            F.log(
+                (F.coalesce(F.col(f"n{i}"), F.lit(0)) + 1).cast(
+                    "double"
+                )
+                / _den(r)
             ),
+            12,
+        ).cast("decimal(20,12)")
+        for i, r in enumerate(stat_rows)
+    ]
+    scored = (
+        tf.join(cw, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(tf_dec * lp)
+                .cast("decimal(38,12)")
+                .alias(f"sum{i}")
+                for i, lp in enumerate(lps)
+            ]
         )
-        .orderBy("doc_id")
     )
+    score_cols = [
+        (_prior(r) + F.col(f"sum{i}")).alias(f"s{i}")
+        for i, r in enumerate(stat_rows)
+    ]
+    # argmax across the S score columns: array_min over (neg score,
+    # source, score) structs — the identical lexicographic ordering
+    # the old min(struct) aggregation used, minus its extra shuffle
+    # (scored is already one row per doc)
+    total = scored.select("doc_id", *score_cols)
+    best = total.select(
+        "doc_id",
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        (-F.col(f"s{i}")).alias("neg"),
+                        F.lit(s).alias("pred_source"),
+                        F.col(f"s{i}").alias("score"),
+                    )
+                    for i, s in enumerate(names)
+                ]
+            )
+        ).alias("w"),
+    )
+    return _final(best)
 
 
 def source_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1736,6 +1881,16 @@ def nb_score_indexed(
         .groupBy("source", "term")
         .agg(F.sum("n_st").cast("long").alias("n_st"))
     )
+    if not push_terms:
+        # lazy localCheckpoint (r14): _nb_score folds the model stats
+        # into the plan via bounded driver reads (v_size, src_stats),
+        # and the dense branch pivots the census — without this the
+        # ledger read + census aggregation would re-run for each of
+        # those consumers; with it the first consumer materializes
+        # the (V×S)-bounded census once.  Skipped under push_terms,
+        # whose whole point is pruning the census SCAN to the serving
+        # batch's vocabulary instead of materializing all of it.
+        census = census.localCheckpoint(eager=False)
     src_partials = (
         _authoritative(spark, f"{path}/src_stats")
         .groupBy("source")
