@@ -574,12 +574,11 @@ def run_bloom_bytes(spark, sf_dir: str) -> dict | None:
     ):
         fn = pair[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        b0 = _shuffle_write_bytes(spark)
+        m0 = _shuffle_stage_mark(spark)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
-        b1 = _shuffle_write_bytes(spark)
-        delta = b1 - b0 if (b0 is not None and b1 is not None) else None
+        delta = _shuffle_bytes_since(spark, m0)
         out[label] = {
             "wall_sec": round(wall, 4),
             "shuffle_bytes": delta if delta and delta > 0 else None,
@@ -851,11 +850,10 @@ def run_streaming_latency(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _shuffle_write_bytes(spark) -> int | None:
-    """Cumulative shuffle-write bytes of all completed stages, from
-    the local status REST endpoint (the AppStatusStore's public
-    face).  None when the UI is disabled — callers degrade to
-    wall-time-only measurements."""
+def _completed_stages(spark) -> list | None:
+    """Completed-stage records from the local status REST endpoint
+    (the AppStatusStore's public face).  None when the UI is
+    disabled — callers degrade to wall-time-only measurements."""
     import urllib.request
 
     base = spark.sparkContext.uiWebUrl
@@ -867,10 +865,42 @@ def _shuffle_write_bytes(spark) -> int | None:
             f"{base}/api/v1/applications/{app}/stages?status=complete",
             timeout=10,
         ) as r:
-            stages = json.load(r)
-        return sum(int(st.get("shuffleWriteBytes", 0)) for st in stages)
+            return json.load(r)
     except Exception:
         return None
+
+
+def _shuffle_stage_mark(spark) -> int | None:
+    """Largest completed stage id right now (-1 when none yet).
+
+    r14 measurement fix (guide §1): the old protocol diffed the
+    CUMULATIVE shuffle-write sum over *retained* stages, which only
+    stays correct while no stage is ever evicted — forcing
+    ``spark.ui.retainedStages=100000`` for the whole ~13k-stage
+    suite, i.e. driver-heap listener state growing all session (one
+    of the suspected warm-suite drift sources).  Marking the max
+    stage id and summing only stages STARTED after the mark is
+    eviction-proof for any window small enough to fit default
+    retention (the dozen stages of one measured query), so the big
+    retention override is gone."""
+    stages = _completed_stages(spark)
+    if stages is None:
+        return None
+    return max((int(st.get("stageId", -1)) for st in stages), default=-1)
+
+
+def _shuffle_bytes_since(spark, mark: int | None) -> int | None:
+    """Shuffle-write bytes of completed stages with id > ``mark``."""
+    if mark is None:
+        return None
+    stages = _completed_stages(spark)
+    if stages is None:
+        return None
+    return sum(
+        int(st.get("shuffleWriteBytes", 0))
+        for st in stages
+        if int(st.get("stageId", -1)) > mark
+    )
 
 
 def run_spans_gram_bytes(spark, sf_dir: str) -> dict | None:
@@ -892,21 +922,16 @@ def run_spans_gram_bytes(spark, sf_dir: str) -> dict | None:
         for label, hashed in (("literal", False), ("hashed", True)):
             df = duplicate_spans(docs, k=k, hash_grams=hashed)
             df.write.format("noop").mode("overwrite").save()  # warm
-            b0 = _shuffle_write_bytes(spark)
+            m0 = _shuffle_stage_mark(spark)
             t0 = time.perf_counter()
             duplicate_spans(docs, k=k, hash_grams=hashed).write.format(
                 "noop"
             ).mode("overwrite").save()
             wall = time.perf_counter() - t0
-            b1 = _shuffle_write_bytes(spark)
-            # both polls must succeed AND the delta must be sane: the
-            # UI evicts old completed stages past retainedStages, and
-            # a cumulative sum over a shrinking window goes negative —
-            # degrade to wall-time-only rather than publish nonsense
-            # (get_spark raises the retention for bench sessions)
-            delta = (
-                b1 - b0 if (b0 is not None and b1 is not None) else None
-            )
+            # id-windowed delta (r14): only stages newer than the mark
+            # count, so default stage retention suffices and a failed
+            # poll degrades to wall-time-only rather than nonsense
+            delta = _shuffle_bytes_since(spark, m0)
             row[label] = {
                 "wall_sec": round(wall, 4),
                 "shuffle_bytes": delta if delta and delta > 0 else None,
@@ -2349,13 +2374,12 @@ def compute_host_factor(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    # retainedStages must outlast the whole suite: the spans shuffle-
-    # byte measurement diffs a cumulative sum over *retained* stages,
-    # and the default 1000 starts evicting under this many jobs
-    # (first-session JVM conf, which bench is)
-    spark = get_spark(
-        "bench", extra_conf={"spark.ui.retainedStages": "100000"}
-    )
+    # r14: the 100k retainedStages override is gone — the shuffle-byte
+    # probes now sum only stages newer than a per-measurement mark
+    # (_shuffle_stage_mark), which default retention covers, so the
+    # driver no longer accumulates listener state for every stage of
+    # the ~13k-stage suite (guide §5: the warm-suite drift suspect).
+    spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     try:
         calibration = run_calibration(spark, sf_dir)
@@ -2385,6 +2409,26 @@ def main() -> None:
         skew_probe = run_skew_probe(sf_dir)
         if skew_probe:
             timings.update(skew_probe["median_sec"])
+        else:
+            # Contract guard (r14): a published `queries` entry may
+            # never disappear — if the fresh-JVM probe flakes
+            # (subprocess timeout on a bad slot), fall back to an
+            # in-session measurement so skew_join_* stay present;
+            # the isolation note records which protocol produced it.
+            fallback = skew_join_queries()
+            for name, fn in fallback.items():
+                try:
+                    run_one(spark, fn, sf_dir)
+                    timings[name] = round(run_one(spark, fn, sf_dir), 4)
+                except Exception as e:  # pragma: no cover
+                    print(
+                        f"bench skew fallback {name} failed: {e}",
+                        file=sys.stderr,
+                    )
+            skew_probe = {
+                "isolation": "IN-SESSION FALLBACK (fresh-JVM probe"
+                " failed); medians are warm-suite measurements"
+            }
         if os.environ.get("SPARK_GRAFT_SKEW_DIAG") == "1":
             try:
                 skew_probe = dict(skew_probe or {})

@@ -40,10 +40,25 @@ def get_spark(
         # Bucketed tables (sources/tables.py) need a catalog; keep the
         # warehouse + derby metastore out of the working directory.
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        # ReservedCodeCacheSize: the default 240 MB JIT code cache
+        # fills under a long suite of giant whole-stage-codegen
+        # classes, after which HotSpot stops compiling and everything
+        # runs interpreted — measured as monotone within-session
+        # slowdown (OPTIMIZATION_r14 §2).  512 MB is the value
+        # spark-submit itself warns toward for large workloads; a
+        # JVM-launch conf, so only the first session in a process
+        # sees it (bench/driver sessions are exactly that).
         .config(
             "spark.driver.extraJavaOptions",
-            "-Dderby.system.home=/tmp/spark_graft_derby",
+            "-Dderby.system.home=/tmp/spark_graft_derby"
+            " -XX:ReservedCodeCacheSize=512m",
         )
+        # The SQL tab retains full plan graphs per executed query —
+        # at ~200 queries with very large plans that is real driver
+        # heap held for the whole session; 50 is plenty for
+        # interactive debugging (guide §5: the driver should do
+        # almost no data work — or hold data-sized UI state).
+        .config("spark.sql.ui.retainedExecutions", "50")
         # Deterministic time semantics: everything is UTC, as in the
         # reference schema (DateTime64(3,'UTC')).
         .config("spark.sql.session.timeZone", "UTC")
