@@ -57,41 +57,38 @@ def connected_components(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for i in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("b"),
-                    F.col("cluster_id").alias("nbr_label"),
-                ),
-                "b",
-            )
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("nbr_label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "cluster_id", F.coalesce("nbr_label", "cluster_id")
-                ).alias("cluster_id"),
-            )
+    # r14 optimization (guide §2.4, §1.2): the old iteration was
+    # three shuffles (edges⋈labels, groupBy(a), labels⋈nbr_min) plus
+    # a TWO-shuffle join probe (new⋈old + count) per round.  min(own,
+    # min(neighbors)) is one grouped minimum over the union of the
+    # label table with the neighbor-propagated labels — same fixpoint,
+    # one join + one map-side-combined groupBy per round — and since
+    # labels only ever DECREASE (F.min), Σ cluster_id is strictly
+    # monotone until the fixpoint: "no label changed" ⇔ the exact
+    # decimal sum is unchanged, a scan-agg of the just-materialized
+    # checkpoint instead of a join of two generations.
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(
+                F.col("doc_id").alias("b"),
+                F.col("cluster_id").alias("lbl"),
+            ),
+            "b",
+        ).select(F.col("a").alias("doc_id"), "lbl")
+        labels = (
+            labels.select("doc_id", F.col("cluster_id").alias("lbl"))
+            .unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("cluster_id"))
             .localCheckpoint(eager=True)  # keeps the iterative plan O(1)-deep
         )
-        # Iteration 0 always changes labels when any edge exists —
-        # skip its convergence probe (one fewer job per call).
-        if i > 0:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .count()
-            )
-            if changed == 0:
-                labels = new_labels
-                break
-        labels = new_labels
+        new_sum = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
     return labels
 
 

@@ -101,6 +101,22 @@ def _gd(
     it twice (review finding)."""
     xs = [F.col(f"x{j}") for j in range(4)]
     w = [0.0, 0.0, 0.0, 0.0]
+    # r14 (guide §1.2 per-task work): each GD step is one tiny
+    # aggregation job over the materialized feature table, but at the
+    # session's full partition count every one of the ``iters``
+    # sequential jobs pays 32 tasks of scheduling for a table of a
+    # few doubles per row.  A narrow coalesce view (no shuffle; the
+    # checkpointed partitions are read 8-into-fewer per task) cuts
+    # per-step overhead ~4x without touching the feature build's
+    # parallelism (callers keep scoring off the un-coalesced frame).
+    # Results are bit-identical: the per-row 12-dp decimal rounding
+    # then EXACT decimal sum make the update independent of row
+    # grouping/order, and count is partitioning-free.
+    # Materialize the (possibly lazy) checkpoint at FULL parallelism
+    # first — the initial action through the coalesce view would
+    # otherwise run the expensive feature build inside 4 tasks.
+    feats.count()
+    feats = feats.coalesce(4)
     for _ in range(iters):
         z = (
             (F.lit(w[0]) * xs[0] + F.lit(w[1]) * xs[1])
