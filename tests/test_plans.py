@@ -288,7 +288,14 @@ def test_source_nb_argmax_is_window_free(spark, sf_dir):
 
     plan = _plan(source_nb(spark, sf_dir))
     assert not re.search(r"\(\d+\) Window", plan), "argmax became a window"
-    assert "partial_min" in plan or "partial_count" in plan
+    # r14: the dense path pivots the census to per-source columns
+    # (partial_max) and scores with per-doc conditional sums
+    # (partial_sum); the tokenize passes sit behind the shared
+    # localCheckpoint so their partial_count no longer shows in this
+    # plan.  The requirement is unchanged: every visible aggregate
+    # must partially aggregate before its exchange.
+    assert "partial_max" in plan or "partial_min" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
     assert "CartesianProduct" not in plan
 
 

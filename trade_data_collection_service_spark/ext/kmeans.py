@@ -46,13 +46,31 @@ def assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     scored = corpus.join(broadcast(c)).withColumn(
         "d", _sqdist(F.col("emb"), F.col("c_emb"))
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.round(F.col("d"), 6).asc(), F.col("c_id").asc()
+    # r14 (guide §2.3 aggregate-before-shuffle): the argmin used to be
+    # a window (row_number over the k×-expanded candidates), which
+    # SHUFFLES every candidate row — k× the corpus, embeddings
+    # included — then sorts.  A grouped struct-minimum is the same
+    # lexicographic (rounded distance, centroid id) pick — (rd, c_id)
+    # is unique per group, so the payload fields never participate in
+    # the comparison — but partial aggregation reduces to ONE row per
+    # vector map-side: the exchange carries 1/k of the rows and 1/k
+    # of the embedding bytes.  Winner rows are identical, so
+    # assignments, inertia and downstream centroids are unchanged.
+    best = scored.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                F.round(F.col("d"), 6).alias("rd"),
+                F.col("c_id").alias("c_id"),
+                F.col("d").alias("d"),
+                F.col("emb").alias("emb"),
+            )
+        ).alias("w")
     )
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "emb", F.col("c_id").alias("cluster"), F.col("d").alias("sqdist"))
+    return best.select(
+        "vec_id",
+        F.col("w.emb").alias("emb"),
+        F.col("w.c_id").alias("cluster"),
+        F.col("w.d").alias("sqdist"),
     )
 
 

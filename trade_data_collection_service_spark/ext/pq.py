@@ -59,11 +59,22 @@ def assign_buckets_l2(v: DataFrame, centroids: DataFrame) -> DataFrame:
     scored = v.join(broadcast(c)).withColumn(
         "c_d", F.round(_sqdist(F.col("emb"), F.col("c_emb")), 6)
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_d").asc(), F.col("c_id"))
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "emb", F.col("c_id").alias("bucket"))
+    # r14 argmin-as-aggregation (see ext/kmeans.assign): identical
+    # (c_d, c_id) pick, but partial aggregation cuts the exchange to
+    # one row (and one embedding) per vector instead of k× candidates.
+    best = scored.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                F.col("c_d").alias("c_d"),
+                F.col("c_id").alias("c_id"),
+                F.col("emb").alias("emb"),
+            )
+        ).alias("w")
+    )
+    return best.select(
+        "vec_id",
+        F.col("w.emb").alias("emb"),
+        F.col("w.c_id").alias("bucket"),
     )
 
 
@@ -161,13 +172,28 @@ def train_codebooks(
         scored = sliced.join(broadcast(c), "subspace").withColumn(
             "d", _sqdist(F.col("emb"), F.col("c_emb"))
         )
-        w = Window.partitionBy("subspace", "vec_id").orderBy(
-            F.round("d", 6).asc(), F.col("c_id").asc()
-        )
+        # r14 argmin-as-aggregation (see ext/kmeans.assign): the
+        # window shuffled k× the sliced corpus per iteration; the
+        # grouped struct-minimum picks the identical (rounded d,
+        # c_id) winner with map-side partials, so the exchange
+        # carries one sub-vector per (subspace, vec) instead of k.
         assigned = (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("subspace", "vec_id", "emb", F.col("c_id").alias("cluster"))
+            scored.groupBy("subspace", "vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.round("d", 6).alias("rd"),
+                        F.col("c_id").alias("c_id"),
+                        F.col("emb").alias("emb"),
+                    )
+                ).alias("w")
+            )
+            .select(
+                "subspace",
+                "vec_id",
+                F.col("w.emb").alias("emb"),
+                F.col("w.c_id").alias("cluster"),
+            )
         )
         exploded = assigned.select(
             "subspace", "cluster", F.posexplode("emb").alias("pos", "x")
@@ -226,13 +252,20 @@ def pq_encode(
     scored = sliced.join(
         broadcast(cb), sliced["subspace"] == cb["cb_sub"]
     ).withColumn("d", _sqdist(F.col("sub"), F.col("centroid")))
-    w = Window.partitionBy("vec_id", "subspace").orderBy(
-        F.round("d", 6).asc(), F.col("cluster").asc()
-    )
+    # r14 argmin-as-aggregation (see ext/kmeans.assign): same
+    # (rounded d, cluster) winner, but the exchange carries one code
+    # row per (vec, subspace) instead of k× candidates.
     return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "subspace", F.col("cluster").alias("code"))
+        scored.groupBy("vec_id", "subspace")
+        .agg(
+            F.min(
+                F.struct(
+                    F.round("d", 6).alias("rd"),
+                    F.col("cluster").alias("cluster"),
+                )
+            ).alias("w")
+        )
+        .select("vec_id", "subspace", F.col("w.cluster").alias("code"))
     )
 
 

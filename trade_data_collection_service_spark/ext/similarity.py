@@ -89,11 +89,28 @@ def assign_buckets(v: DataFrame, centroids: DataFrame) -> DataFrame:
     sims = v.join(broadcast(c)).withColumn(
         "c_sim", F.round(_dot("emb", "c_emb") / (F.col("nrm") * F.col("c_nrm")), 6)
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("c_id"))
-    return (
-        sims.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "label", "emb", "nrm", F.col("c_id").alias("bucket"))
+    # r14 argmin-as-aggregation (see ext/kmeans.assign): max-cosine =
+    # min over (−c_sim, c_id) structs — the identical (c_sim desc,
+    # c_id asc) winner (negating the rounded double is exact) — with
+    # map-side partials, so the exchange carries one row per vector
+    # instead of k× candidates with embeddings.
+    best = sims.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("c_sim")).alias("neg"),
+                F.col("c_id").alias("c_id"),
+                F.col("label").alias("label"),
+                F.col("emb").alias("emb"),
+                F.col("nrm").alias("nrm"),
+            )
+        ).alias("w")
+    )
+    return best.select(
+        "vec_id",
+        F.col("w.label").alias("label"),
+        F.col("w.emb").alias("emb"),
+        F.col("w.nrm").alias("nrm"),
+        F.col("w.c_id").alias("bucket"),
     )
 
 
