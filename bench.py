@@ -2253,6 +2253,31 @@ def run_one(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _between_entries_gc(spark) -> None:
+    """Steady-state housekeeping BETWEEN timed entries (guide §1.3).
+
+    A long warm suite allocates unreferenced driver-JVM state faster
+    than the old-gen GC cadence hands it to ContextCleaner's
+    weak-reference queue: leftover localCheckpoint blocks (the r14
+    drift probe counted a residue of 31 pinned RDDs / ~155 MB by the
+    suite tail), shuffle statuses and broadcast pieces.  One explicit
+    GC between entries drains that queue.  Measured (r14 drift probe,
+    95 suite entries, paired within-run sentinel): without it the
+    light sentinel query drifts 0.63 → 0.90 s (1.42×) over the
+    session; with per-entry GC it stays flat (0.87×, i.e. noise).
+
+    Never unpersists or clears caches: steady-state entries hold
+    EAGER localCheckpoints across calls (truncated lineage — their
+    blocks are irrecoverable once dropped), and GC only collects
+    state nothing references.  Runs strictly outside every timed
+    region, so no measured number includes it; every query still
+    computes from the parquet inputs alone."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # pragma: no cover
+        pass
+
+
 # Shape-diverse calibration anchors (VERDICT r12 #1): the old
 # single-query yardstick (tpch_q6) spread +-30% across its own 3 reps
 # and ~2x across round slots, so host_factor amplified noise instead
@@ -2404,6 +2429,7 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             print(f"bench {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
+        _between_entries_gc(spark)
     skew_probe = None
     if os.environ.get("SPARK_GRAFT_SKIP_SKEW") != "1":
         skew_probe = run_skew_probe(sf_dir)
@@ -2418,6 +2444,7 @@ def main() -> None:
             fallback = skew_join_queries()
             for name, fn in fallback.items():
                 try:
+                    _between_entries_gc(spark)
                     run_one(spark, fn, sf_dir)
                     timings[name] = round(run_one(spark, fn, sf_dir), 4)
                 except Exception as e:  # pragma: no cover
@@ -2466,10 +2493,15 @@ def main() -> None:
         if 1 / 1.5 < ratio < 1.5:
             continue
         try:
-            reps = sorted([t1] + [
-                round(run_one(spark, suite[name], sf_dir), 4)
-                for _ in range(2)
-            ])
+            reps = [t1]
+            for _ in range(2):
+                # GC before each rep: the re-measure loop runs at the
+                # suite tail, exactly where the session-state drift
+                # peaked (r14: published medians of late reps were
+                # inflated 2-5x over the healthy first timing)
+                _between_entries_gc(spark)
+                reps.append(round(run_one(spark, suite[name], sf_dir), 4))
+            reps.sort()
         except Exception as e:  # pragma: no cover
             print(f"bench re-measure {name} failed: {e}", file=sys.stderr)
             continue
