@@ -1510,7 +1510,7 @@ _LEASE_ENTRIES = (
     "emb_ivf_appended_topk",
 )
 
-def run_lease_overhead(sf_dir: str, reps: int = 3) -> dict | None:
+def run_lease_overhead(sf_dir: str, reps: int = 5) -> dict | None:
     """Isolate the maintenance-lease cost on the lease-taking entries
     (VERDICT r13 #3): the same entry measured lease-ON and lease-OFF
     (monkeypatched to a no-op context manager — every maintenance op
@@ -1523,7 +1523,15 @@ def run_lease_overhead(sf_dir: str, reps: int = 3) -> dict | None:
     alternation is what makes the delta attributable to the lease.
     overhead_pct > ~5 on any entry means the lease should batch its
     heartbeat or be taken once per entry rather than per maintenance
-    op; ~0 attributes the r13 raw regressions to the host slot."""
+    op; ~0 attributes the r13 raw regressions to the host slot.
+
+    reps defaults to 5 (was 3): across the three r14 probe runs the
+    3-rep medians put single entries past the 5% threshold four
+    times, never the same entry twice — each flag was ±10% rep-spread
+    noise, not lease cost (closing run's 8.93% crosser re-measured
+    0.57%).  Five interleaved reps tighten the median enough for a
+    single-entry 5% reading to be worth acting on, at ~2–4 min extra
+    probe wall time."""
     import subprocess
 
     names = list(_LEASE_ENTRIES)
