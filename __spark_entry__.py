@@ -690,14 +690,13 @@ def _q_doc_source_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_doc_source_nb_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME NB classifier scored through the sparse identity
-    (ext/text._nb_score sparse=True — VERDICT r12 #7): present-term
-    partials via an INNER term join against the census plus a
-    per-(doc, source) dl·ln(1/(n_s+V)) base grid, instead of the
-    dense (doc term × source) expansion.  Decimal-exact regrouping of
-    the dense sum — identical scores and argmax — so the DuckDB twin
-    is doc_source_nb's own SQL.  Wins when domain vocabularies are
-    mostly disjoint (bench: nb_sparse block); dense stays the library
-    default on shared-vocabulary corpora like this fixture."""
+    (ext/text._nb_score sparse=True — VERDICT r12 #7, r15 delta-pivot
+    rewrite): per term row the delta part tf·(lp(t,s) − lp_miss(s))
+    against the pivoted census, plus one per-doc dl·lp_miss(s) term —
+    decimal-exact regrouping of the dense sum with the dense plan
+    SHAPE (one broadcast join + one per-doc aggregation; the r13
+    union/base-grid shuffles are gone).  Identical scores and argmax,
+    so the DuckDB twin is doc_source_nb's own SQL."""
     return XT.source_nb(spark, sf_dir, sparse=True)
 
 
@@ -711,8 +710,14 @@ def _q_doc_source_nb_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin is doc_source_nb's own SQL."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     path = _scratch_dir("nb_idx_q_") + "/index"
-    XT.write_nb_index(docs, path)
-    return XT.nb_score_indexed(spark, path, docs)
+    # r15 (guide §1.2): the entry trains AND scores on the same
+    # corpus, so the tokenize pass is shared — one checkpointed
+    # term-frequency frame feeds the census build and the scoring sum
+    # (identical counts; results unchanged).  The stored-model serve
+    # function itself still never re-reads the training text.
+    tf3 = XT.nb_term_freqs(docs).localCheckpoint(eager=False)
+    XT.write_nb_index(docs, path, tf3=tf3)
+    return XT.nb_score_indexed(spark, path, docs, tf3=tf3)
 
 
 def _q_doc_source_nb_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,11 +732,24 @@ def _q_doc_source_nb_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     NB twin."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     path = _scratch_dir("nb_app_q_") + "/index"
-    XT.write_nb_index(docs.filter(F.col("doc_id") % 3 != 0), path)
-    XT.append_to_nb_index(
-        docs.filter(F.col("doc_id") % 3 == 0), path, batch_id="r12"
+    # r15 (guide §1.2): one checkpointed term-frequency frame feeds
+    # the base census (2/3 slice), the appended batch census (1/3
+    # slice) and the full-corpus scoring sum — one tokenize pass
+    # instead of two full-corpus-equivalents; counts and scores are
+    # unchanged.
+    tf3 = XT.nb_term_freqs(docs).localCheckpoint(eager=False)
+    XT.write_nb_index(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        path,
+        tf3=tf3.filter(F.col("doc_id") % 3 != 0),
     )
-    return XT.nb_score_indexed(spark, path, docs)
+    XT.append_to_nb_index(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        path,
+        batch_id="r12",
+        tf3=tf3.filter(F.col("doc_id") % 3 == 0),
+    )
+    return XT.nb_score_indexed(spark, path, docs, tf3=tf3)
 
 
 def _q_doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

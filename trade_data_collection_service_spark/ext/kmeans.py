@@ -5,8 +5,8 @@ per-iteration jobs), and the real trainer for IVF centroids
 production path).
 
 Scale shape per iteration:
-- assignment: corpus ⋈ broadcast(centroids) → argmin distance —
-  one codegen pass, no shuffle of vectors;
+- assignment: literal-folded argmin over the k×dim centroid model
+  (r15) — one map-only pass, no join, no shuffle of vectors;
 - update: groupBy(cluster) over per-dimension sums via
   ``posexplode`` — shuffles (cluster, dim, partial-sum) triples,
   k×dim rows, independent of corpus size thanks to partial aggs.
@@ -20,9 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
-from trade_data_collection_service_spark.ext.similarity import vectors
+from trade_data_collection_service_spark.ext.similarity import (
+    _one_pass,
+    _sql_structs,
+    _sql_vec,
+    vectors,
+)
 
 
 def _sqdist(a, b):
@@ -39,36 +43,64 @@ def assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     The argmin ranks on the distance ROUNDED to 6 decimals (ties to
     the lowest centroid id) so assignments are bit-portable across
     engines — the DuckDB oracle twin ranks identically, and sub-1e-6
-    distance differences from summation order can't flip a cluster."""
-    c = centroids.select(
-        F.col("cluster").alias("c_id"), F.col("centroid").alias("c_emb")
-    )
-    scored = corpus.join(broadcast(c)).withColumn(
-        "d", _sqdist(F.col("emb"), F.col("c_emb"))
-    )
-    # r14 (guide §2.3 aggregate-before-shuffle): the argmin used to be
-    # a window (row_number over the k×-expanded candidates), which
-    # SHUFFLES every candidate row — k× the corpus, embeddings
-    # included — then sorts.  A grouped struct-minimum is the same
-    # lexicographic (rounded distance, centroid id) pick — (rd, c_id)
-    # is unique per group, so the payload fields never participate in
-    # the comparison — but partial aggregation reduces to ONE row per
-    # vector map-side: the exchange carries 1/k of the rows and 1/k
-    # of the embedding bytes.  Winner rows are identical, so
-    # assignments, inertia and downstream centroids are unchanged.
-    best = scored.groupBy("vec_id").agg(
-        F.min(
-            F.struct(
-                F.round(F.col("d"), 6).alias("rd"),
-                F.col("c_id").alias("c_id"),
-                F.col("d").alias("d"),
-                F.col("emb").alias("emb"),
+    distance differences from summation order can't flip a cluster.
+
+    r15 (guide §2.4, the NB-dense literal precedent): the centroid
+    frame is MODEL state (k × dim doubles, dimension-bounded — the
+    GD-scalar driver budget), so it is collected once and folded into
+    the plan as literals; the argmin is one ``array_min`` over k
+    (rd, c_id, d) structs inside a single projection.  The r14 shape
+    (broadcast join expanding k× candidate rows + a grouped
+    struct-minimum that planned as SortAggregate pairs around an
+    Exchange on vec_id) shuffled one embedding-bearing row per vector
+    per call; this shuffles nothing — assignment is map-only.  Same
+    lexicographic (rd, c_id) winner over the same IEEE distances
+    (:func:`~trade_data_collection_service_spark.ext.similarity._lit_vec`),
+    payload (emb) now rides from the row it always equalled, so
+    assignments, inertia and downstream centroids are bit-identical
+    (oracle twins + property tests unchanged)."""
+    ctype = dict(centroids.dtypes)["cluster"]
+    rows = centroids.select("cluster", "centroid").collect()
+    if not rows:
+        return corpus.select(
+            "vec_id",
+            "emb",
+            F.lit(None).cast(ctype).alias("cluster"),
+            F.lit(None).cast("double").alias("sqdist"),
+        ).filter(F.lit(False))
+    cands = _sql_structs(
+        [
+            (
+                ("c_id", f"CAST({int(r['cluster'])} AS {ctype})"),
+                ("c_emb", _sql_vec(r["centroid"])),
             )
-        ).alias("w")
+            for r in rows
+        ]
     )
-    return best.select(
+    scored = F.transform(
+        cands,
+        lambda c: F.struct(
+            _sqdist(F.col("emb"), c["c_emb"]).alias("d"),
+            c["c_id"].alias("c_id"),
+        ),
+    )
+    w = F.array_min(
+        F.transform(
+            scored,
+            lambda s: F.struct(
+                F.round(s["d"], 6).alias("rd"),
+                s["c_id"].alias("c_id"),
+                s["d"].alias("d"),
+            ),
+        )
+    )
+    # the winner rides as ONE struct through the barrier (two direct
+    # field extractions would embed — and evaluate — the argmin twice
+    # inside the same projection); the field split above the Generate
+    # is a cheap read of the materialized value
+    return _one_pass(corpus, F.col("vec_id"), F.col("emb"), w.alias("w")).select(
         "vec_id",
-        F.col("w.emb").alias("emb"),
+        "emb",
         F.col("w.c_id").alias("cluster"),
         F.col("w.d").alias("sqdist"),
     )

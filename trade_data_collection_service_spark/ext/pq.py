@@ -12,13 +12,15 @@ Spark-first shapes, no UDFs anywhere:
   over the sliced corpus (vec_id, subspace, sub-vector) — the same
   deterministic discipline as ext/kmeans (first-k init by vec_id,
   rounded-distance argmin, means rounded to 6) with a (subspace, ...)
-  prefix on every key, so one assignment job + one update shuffle per
-  iteration covers every subspace.  The union of the m k×(dim/m)
-  codebooks is tiny and broadcasts everywhere below.
-- **Encode**: per sub-space, slice → broadcast-join codebook → argmin
-  (rounded distance, centroid-id tiebreak).  Output is LONG format
-  (vec_id, subspace, code) — at rest you'd pivot to m byte columns,
-  but long keeps the search join a plain equi-join.
+  prefix on every key, so one map-only assignment pass + one update
+  shuffle per iteration covers every subspace.  The m k×(dim/m)
+  codebooks are MODEL state: collected once per use and folded into
+  the plan as literals (r15 — the argmins run as ``array_min`` over
+  literal candidate structs, no join, no shuffle).
+- **Encode**: per sub-space, literal-folded argmin over the row's
+  slice (rounded distance, centroid-id tiebreak) — map-only.  Output
+  is LONG format (vec_id, subspace, code) — at rest you'd pivot to m
+  byte columns, but long keeps the search join a plain equi-join.
 - **Search (asymmetric)**: the query is NOT quantized — a per-query
   LUT of (subspace, code) → sub-distance is computed against the
   codebook (q × m × k rows, broadcast), the encoded corpus equi-joins
@@ -39,11 +41,127 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from trade_data_collection_service_spark.ext.kmeans import _sqdist
-from trade_data_collection_service_spark.ext.similarity import vectors
+from trade_data_collection_service_spark.ext.similarity import (
+    _one_pass,
+    _sql_structs,
+    _sql_vec,
+    vectors,
+)
 
 
 def _subslice(col, j: int, sub_dim: int):
     return F.slice(col, j * sub_dim + 1, sub_dim)
+
+
+def _bucket_expr(centroids: DataFrame, emb_col: str = "emb"):
+    """Map-only squared-L2 coarse-assignment expression (r15, guide
+    §2.4 / the NB-dense literal precedent): the centroid frame is
+    MODEL state (n_coarse × dim — the GD-scalar driver budget), so it
+    is collected once and folded in as literals; the winner is one
+    ``array_min`` over (c_d, c_id) structs — the identical rounded-6
+    lexicographic pick the r14 join+struct-min aggregation made, with
+    zero shuffles instead of an Exchange + SortAggregate pair.
+    Returns (winner Column, collected row count, bucket dtype)."""
+    ctype = dict(centroids.dtypes)["vec_id"]
+    rows = centroids.select("vec_id", "emb").collect()
+    if not rows:
+        return None, 0, ctype
+    cands = _sql_structs(
+        [
+            (
+                ("c_id", f"CAST({int(r['vec_id'])} AS {ctype})"),
+                ("c_emb", _sql_vec(r["emb"])),
+            )
+            for r in rows
+        ]
+    )
+    scored = F.transform(
+        cands,
+        lambda c: F.struct(
+            F.round(_sqdist(F.col(emb_col), c["c_emb"]), 6).alias("c_d"),
+            c["c_id"].alias("c_id"),
+        ),
+    )
+    return F.array_min(scored), len(rows), ctype
+
+
+def _collect_books(codebooks: DataFrame):
+    """Collected codebooks as {subspace: [(cluster, centroid)]} plus
+    the cluster dtype — one bounded driver read of m·k model rows
+    shared by the literal-folded argmin builders below."""
+    ktype = dict(codebooks.dtypes)["cluster"]
+    by: dict[int, list] = {}
+    for r in codebooks.select("subspace", "cluster", "centroid").collect():
+        by.setdefault(int(r["subspace"]), []).append(
+            (r["cluster"], r["centroid"])
+        )
+    return by, ktype
+
+
+def _book_argmin(cbj, ktype, sub_col):
+    """``array_min`` over one subspace's codewords: the identical
+    (rounded sub-distance, cluster) lexicographic winner the r14
+    join+struct-min aggregation picked, as a map-only expression."""
+    cands = _sql_structs(
+        [
+            (
+                ("c_id", f"CAST({int(cid)} AS {ktype})"),
+                ("c_emb", _sql_vec(ce)),
+            )
+            for cid, ce in cbj
+        ]
+    )
+    return F.array_min(
+        F.transform(
+            cands,
+            lambda c: F.struct(
+                F.round(_sqdist(sub_col, c["c_emb"]), 6).alias("rd"),
+                c["c_id"].alias("c_id"),
+            ),
+        )
+    )
+
+
+def _subspace_argmin(codebooks: DataFrame, emb_col: str = "emb"):
+    """Winner struct (rd, c_id) for a row carrying a ``subspace``
+    column and the already-sliced sub-vector in ``emb_col`` — a CASE
+    chain dispatching to each subspace's literal-folded argmin."""
+    by, ktype = _collect_books(codebooks)
+    expr = None
+    for j in sorted(by):
+        wj = _book_argmin(by[j], ktype, F.col(emb_col))
+        cond = F.col("subspace") == F.lit(j)
+        expr = F.when(cond, wj) if expr is None else expr.when(cond, wj)
+    return expr
+
+
+def _code_exprs(codebooks: DataFrame, m: int, emb_col: str = "emb"):
+    """One code Column per subspace j over the FULL vector in
+    ``emb_col`` (slicing folded into the expression) — the map-only
+    encode used by :func:`pq_encode` and :func:`_ivfpq_rows`."""
+    by, ktype = _collect_books(codebooks)
+    sub_dim = len(next(iter(by.values()))[0][1]) if by else 0
+
+    def _one(j):
+        # the slice is invariant across the k candidates, but an
+        # interpreted HOF re-evaluates every subtree of its lambda
+        # body per element — binding it as the variable of a
+        # one-element transform slices once per row (measured 1.4×
+        # on the encode pass)
+        return F.transform(
+            F.array(_subslice(F.col(emb_col), j, sub_dim)),
+            lambda sub: _book_argmin(by[j], ktype, sub)["c_id"],
+        )[0]
+
+    return [
+        (
+            _one(j)
+            if by.get(j)
+            else None  # subspace absent from the codebooks: emit no
+            # rows for it, matching the r14 inner join's behavior
+        )
+        for j in range(m)
+    ]
 
 
 def assign_buckets_l2(v: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -52,29 +170,18 @@ def assign_buckets_l2(v: DataFrame, centroids: DataFrame) -> DataFrame:
     assign/probe must be too; the cosine assign_buckets in
     ext/similarity serves the cosine IVF ladder).  Same determinism
     discipline as ext/kmeans.assign: rounded-6 distance argmin, ties
-    to the lowest centroid id.  ``centroids`` is (vec_id, emb)."""
-    c = centroids.select(
-        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb")
-    )
-    scored = v.join(broadcast(c)).withColumn(
-        "c_d", F.round(_sqdist(F.col("emb"), F.col("c_emb")), 6)
-    )
-    # r14 argmin-as-aggregation (see ext/kmeans.assign): identical
-    # (c_d, c_id) pick, but partial aggregation cuts the exchange to
-    # one row (and one embedding) per vector instead of k× candidates.
-    best = scored.groupBy("vec_id").agg(
-        F.min(
-            F.struct(
-                F.col("c_d").alias("c_d"),
-                F.col("c_id").alias("c_id"),
-                F.col("emb").alias("emb"),
-            )
-        ).alias("w")
-    )
-    return best.select(
-        "vec_id",
-        F.col("w.emb").alias("emb"),
-        F.col("w.c_id").alias("bucket"),
+    to the lowest centroid id.  ``centroids`` is (vec_id, emb).
+
+    r15: literal-folded map-only argmin (see :func:`_bucket_expr` and
+    ext/kmeans.assign) — same winners, no Exchange, no SortAggregate;
+    ``emb`` rides from the row it always equalled."""
+    w, n, ctype = _bucket_expr(centroids)
+    if not n:
+        return v.select(
+            "vec_id", "emb", F.lit(None).cast(ctype).alias("bucket")
+        ).filter(F.lit(False))
+    return _one_pass(
+        v, F.col("vec_id"), F.col("emb"), w["c_id"].alias("bucket")
     )
 
 
@@ -166,34 +273,20 @@ def train_codebooks(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
-        c = centroids.select(
-            "subspace", F.col("cluster").alias("c_id"), F.col("centroid").alias("c_emb")
-        )
-        scored = sliced.join(broadcast(c), "subspace").withColumn(
-            "d", _sqdist(F.col("emb"), F.col("c_emb"))
-        )
-        # r14 argmin-as-aggregation (see ext/kmeans.assign): the
-        # window shuffled k× the sliced corpus per iteration; the
-        # grouped struct-minimum picks the identical (rounded d,
-        # c_id) winner with map-side partials, so the exchange
-        # carries one sub-vector per (subspace, vec) instead of k.
-        assigned = (
-            scored.groupBy("subspace", "vec_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        F.round("d", 6).alias("rd"),
-                        F.col("c_id").alias("c_id"),
-                        F.col("emb").alias("emb"),
-                    )
-                ).alias("w")
-            )
-            .select(
-                "subspace",
-                "vec_id",
-                F.col("w.emb").alias("emb"),
-                F.col("w.c_id").alias("cluster"),
-            )
+        # r15 literal-folded assignment (see ext/kmeans.assign): the
+        # per-iteration codebooks are m·k dimension-bounded rows
+        # (model state, already checkpointed — the collect reads the
+        # materialized blocks); a subspace-dispatched CASE of
+        # ``array_min`` argmins picks the identical (rounded d, c_id)
+        # winner per sliced row with ZERO shuffles, where r14 paid an
+        # Exchange on (subspace, vec_id) + SortAggregate pair per
+        # iteration.  The update shuffle below is unchanged (that one
+        # is fundamental — it re-groups by cluster).
+        assigned = sliced.select(
+            "subspace",
+            "vec_id",
+            "emb",
+            _subspace_argmin(centroids)["c_id"].alias("cluster"),
         )
         exploded = assigned.select(
             "subspace", "cluster", F.posexplode("emb").alias("pos", "x")
@@ -219,54 +312,38 @@ def pq_encode(
     codebooks: DataFrame,
     m: int = 4,
     source: DataFrame | None = None,
+    extra_cols: tuple = (),
 ) -> DataFrame:
-    """(vec_id, subspace, code): nearest codebook centroid per vector
-    slice — the m-byte compressed corpus, long format.  ``source``
-    overrides the encoded set (residual-encoding path)."""
+    """(vec_id[, *extra_cols], subspace, code): nearest codebook
+    centroid per vector slice — the m-byte compressed corpus, long
+    format.  ``source`` overrides the encoded set (residual-encoding
+    path); ``extra_cols`` ride source columns (e.g. an already-
+    assigned ``bucket``) through unchanged, so callers that need
+    codes WITH their bucket key skip a corpus-sized vec_id join.
+
+    r15 (guide §2.4): all m argmins are literal-folded ``array_min``
+    expressions over the collected codebooks (model state, m·k rows —
+    see ext/kmeans.assign), computed per ROW and exploded to long
+    format afterwards.  The r14 shape exploded m slice rows per
+    vector, broadcast-joined the codebooks (k× expansion) and
+    re-grouped by (vec_id, subspace) through an Exchange +
+    SortAggregate pair; this is one Generate over a map-only
+    projection — zero shuffles, identical (rounded d, cluster)
+    winners, bit-identical output."""
     v = (
-        source.select("vec_id", "emb")
+        source.select("vec_id", *extra_cols, "emb")
         if source is not None
         else vectors(spark, sf_dir).select("vec_id", "emb")
     )
-    # derive the slice width from the (never-empty) codebooks, not
-    # from the encoded set — an empty micro-batch must encode to zero
-    # rows, not crash on .first() (r9 review finding)
-    sub_dim = len(codebooks.select("centroid").first()["centroid"])
-    sliced = v.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("subspace"),
-                        _subslice(F.col("emb"), j, sub_dim).alias("sub"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", "s.subspace", "s.sub")
-    cb = codebooks.select(
-        F.col("subspace").alias("cb_sub"), "cluster", "centroid"
-    )
-    scored = sliced.join(
-        broadcast(cb), sliced["subspace"] == cb["cb_sub"]
-    ).withColumn("d", _sqdist(F.col("sub"), F.col("centroid")))
-    # r14 argmin-as-aggregation (see ext/kmeans.assign): same
-    # (rounded d, cluster) winner, but the exchange carries one code
-    # row per (vec, subspace) instead of k× candidates.
-    return (
-        scored.groupBy("vec_id", "subspace")
-        .agg(
-            F.min(
-                F.struct(
-                    F.round("d", 6).alias("rd"),
-                    F.col("cluster").alias("cluster"),
-                )
-            ).alias("w")
-        )
-        .select("vec_id", "subspace", F.col("w.cluster").alias("code"))
-    )
+    codes = _code_exprs(codebooks, m)
+    pairs = [
+        F.struct(F.lit(j).alias("subspace"), codes[j].alias("code"))
+        for j in range(m)
+        if codes[j] is not None
+    ]
+    return v.select(
+        "vec_id", *extra_cols, F.explode(F.array(*pairs)).alias("c")
+    ).select("vec_id", *extra_cols, "c.subspace", "c.code")
 
 
 def pq_search(
@@ -377,10 +454,17 @@ def ivf_pq_topk(
         F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
     )
     v = svectors(spark, sf_dir)
-    bucketed = assign_buckets_l2(v, centroids).select("vec_id", "bucket")
+    # r15: bucket assignment and PQ codes are both literal-folded
+    # map-only expressions now, so the codes CARRY their bucket key
+    # from one projection over the corpus (extra_cols) — the r14
+    # ``encoded ⋈ bucketed`` corpus-sized vec_id sort-merge join (two
+    # Exchanges + sorts) is gone; the joined rows are identical.
+    bucketed = assign_buckets_l2(v, centroids)
 
     books = train_codebooks(spark, sf_dir, m=m, k=k_codes, max_iters=pq_iters)
-    encoded = pq_encode(spark, sf_dir, books, m=m)
+    encoded = pq_encode(
+        spark, sf_dir, books, m=m, source=bucketed, extra_cols=("bucket",)
+    )
 
     queries = v.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)
@@ -411,8 +495,7 @@ def ivf_pq_topk(
         .select("q_id", "subspace", F.col("cluster").alias("code"), "sub_d")
     )
     dist = (
-        encoded.join(bucketed, "vec_id")
-        .join(broadcast(probes), F.col("bucket") == F.col("q_bucket"))
+        encoded.join(broadcast(probes), F.col("bucket") == F.col("q_bucket"))
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(broadcast(lut), ["q_id", "subspace", "code"])
         .groupBy("q_id", "vec_id")
@@ -439,21 +522,38 @@ def _ivfpq_rows(
 ) -> DataFrame:
     """(vec_id, code0..code{m-1}, bucket) index rows for ``source``
     under FROZEN quantizers — the shared encode path of the base
-    build and the incremental append."""
-    spark = source.sparkSession
-    bucketed = assign_buckets_l2(source, centroids).select(
-        "vec_id", "bucket"
+    build and the incremental append.
+
+    r15 (guide §2.4): ONE map-only projection — the m wide code
+    columns and the coarse bucket are all literal-folded argmins over
+    the same row (see :func:`_code_exprs` / :func:`_bucket_expr`).
+    The r14 shape pivoted the long encode through a groupBy Exchange
+    and equi-joined the bucket assignment on vec_id (a corpus-sized
+    sort-merge join); both shuffles are gone and the values are
+    unchanged (same winners; the pivot's first(code) was over exactly
+    one row per (vec_id, subspace))."""
+    codes = _code_exprs(codebooks, m)
+    w, n, ctype = _bucket_expr(centroids)
+    if not n:
+        return source.select(
+            "vec_id",
+            *[F.lit(None).alias(f"code{j}") for j in range(m)],
+            F.lit(None).cast(ctype).alias("bucket"),
+        ).filter(F.lit(False))
+    return source.select(
+        "vec_id",
+        *[
+            (codes[j] if codes[j] is not None else F.lit(None)).alias(
+                f"code{j}"
+            )
+            for j in range(m)
+        ],
+        w.alias("w"),
+    ).select(
+        "vec_id",
+        *[f"code{j}" for j in range(m)],
+        F.col("w.c_id").alias("bucket"),
     )
-    codes_wide = (
-        pq_encode(spark, "", codebooks, m=m, source=source)
-        .groupBy("vec_id")
-        .pivot("subspace", list(range(m)))
-        .agg(F.first("code"))
-        .select(
-            "vec_id", *[F.col(str(j)).alias(f"code{j}") for j in range(m)]
-        )
-    )
-    return codes_wide.join(bucketed, "vec_id")
 
 
 def write_ivfpq_index(
@@ -854,7 +954,12 @@ def ivfadc_topk(
         spark, sf_dir, m=m, k=k_codes, max_iters=pq_iters,
         source=residuals,
     )
-    encoded = pq_encode(spark, sf_dir, books, m=m, source=residuals)
+    # r15: the checkpointed residuals already carry their bucket key,
+    # so the codes ride it through pq_encode (extra_cols) — the r14
+    # ``encoded ⋈ bucketed`` corpus-sized vec_id join is gone.
+    encoded = pq_encode(
+        spark, sf_dir, books, m=m, source=residuals, extra_cols=("bucket",)
+    )
 
     queries = v.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_queries)
@@ -897,8 +1002,7 @@ def ivfadc_topk(
         )
     )
     dist = (
-        encoded.join(bucketed.select("vec_id", "bucket"), "vec_id")
-        .join(
+        encoded.join(
             broadcast(probes.select("q_id", "q_bucket")),
             F.col("bucket") == F.col("q_bucket"),
         )

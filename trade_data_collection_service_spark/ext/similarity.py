@@ -43,6 +43,63 @@ def _norm(a: Column | str) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _sql_double(x) -> str:
+    """SQL fragment for one exact double.  Collected doubles
+    round-trip bit-exact (Pyrolite pickles the raw IEEE-754 bytes),
+    Python ``repr`` emits the shortest decimal that round-trips, and
+    the JVM's ``Double.parseDouble`` of that string returns the
+    identical IEEE value (both sides round-to-nearest) — so an
+    expression over the literal is the same IEEE computation as one
+    over the broadcast-joined column it replaces."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sql_vec(vals) -> str:
+    return "array(" + ",".join(_sql_double(x) for x in vals) + ")"
+
+
+def _lit_vec(vals) -> Column:
+    """array<double> literal from a collected vector, as ONE parsed
+    expression (see :func:`_sql_structs` for why)."""
+    return F.expr(_sql_vec(vals))
+
+
+def _sql_structs(items) -> Column:
+    """array<struct<...>> literal from ``items`` — an iterable of
+    [(field, sql_fragment), ...] — built as ONE ``F.expr`` string.
+    Why a string: a k×dim candidate model assembled from per-element
+    ``F.lit``/``F.struct`` costs thousands of py4j round trips at
+    PLAN-BUILD time (~2 ms each; measured ~1.1 s per argmin builder —
+    more than the query it plans); one parsed expression costs one
+    round trip, and constant folding collapses it to the identical
+    Literal the element-wise build would have produced."""
+    body = ",".join(
+        "named_struct("
+        + ",".join(f"'{f}',{s}" for f, s in it)
+        + ")"
+        for it in items
+    )
+    return F.expr(f"array({body})")
+
+
+def _one_pass(df: DataFrame, *cols: Column) -> DataFrame:
+    """Project ``cols`` through a one-element explode so each
+    expression is MATERIALIZED exactly once per row (an optimizer
+    barrier).  Without it, a downstream join's pushed-down no-op
+    predicates (``isnotnull(bucket)``, inferred range constraints on
+    the join key — none of which can drop a row here, the argmin of a
+    non-empty literal candidate set is never null) land BELOW the
+    projection and re-evaluate the whole literal-folded argmin 2-3×
+    per row — the guide §4.4 duplication, for expressions instead of
+    UDFs.  Generated attributes cannot be pushed below their
+    Generate, so the filters run above, on the materialized value.
+    Row count and values are unchanged (the array always has exactly
+    one element)."""
+    return df.select(
+        F.explode(F.array(F.struct(*cols))).alias("_r")
+    ).select("_r.*")
+
+
 def vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings with the vector as array<double> plus its norm
     (norms precomputed once — never inside the pair loop)."""
@@ -79,38 +136,69 @@ def brute_force_topk(
 
 
 def assign_buckets(v: DataFrame, centroids: DataFrame) -> DataFrame:
-    """IVF coarse quantization: each vector joins the (broadcast)
-    centroid set and keeps its max-cosine centroid as bucket id."""
-    c = centroids.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("emb").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    sims = v.join(broadcast(c)).withColumn(
-        "c_sim", F.round(_dot("emb", "c_emb") / (F.col("nrm") * F.col("c_nrm")), 6)
-    )
-    # r14 argmin-as-aggregation (see ext/kmeans.assign): max-cosine =
-    # min over (−c_sim, c_id) structs — the identical (c_sim desc,
-    # c_id asc) winner (negating the rounded double is exact) — with
-    # map-side partials, so the exchange carries one row per vector
-    # instead of k× candidates with embeddings.
-    best = sims.groupBy("vec_id").agg(
-        F.min(
-            F.struct(
-                (-F.col("c_sim")).alias("neg"),
-                F.col("c_id").alias("c_id"),
-                F.col("label").alias("label"),
-                F.col("emb").alias("emb"),
-                F.col("nrm").alias("nrm"),
+    """IVF coarse quantization: each vector keeps its max-cosine
+    centroid as bucket id.
+
+    r15 (guide §2.4 remove-shuffles-outright, the NB-dense literal
+    precedent): the centroid set is MODEL state — dimension-bounded
+    (k hyperparameter × dim), exactly the driver-state budget the GD
+    scalars and the NB source stats already use — so it is collected
+    once and folded into the plan as literals.  The per-vector argmin
+    becomes one ``array_min`` over k (−c_sim, c_id) structs INSIDE a
+    single projection: the r14 shape (broadcast join expanding k×
+    candidate rows, then a grouped struct-minimum whose non-primitive
+    buffer planned as SortAggregate + an Exchange on vec_id) had one
+    full shuffle and two sort-aggregates; this has none — assignment
+    is map-only.  The winner is the identical lexicographic
+    (−c_sim, c_id) minimum over the identical rounded cosines (same
+    IEEE operands — see :func:`_lit_vec`), and the payload columns
+    now ride straight from the row (within a vec_id group every
+    candidate carried the row's own label/emb/nrm), so output rows
+    are bit-identical (oracle twins + pytest unchanged)."""
+    ctype = dict(centroids.dtypes)["vec_id"]
+    rows = centroids.select("vec_id", "emb", "nrm").collect()
+    if not rows:
+        return v.select(
+            "vec_id",
+            "label",
+            "emb",
+            "nrm",
+            F.lit(None).cast(ctype).alias("bucket"),
+        ).filter(F.lit(False))
+    cands = _sql_structs(
+        [
+            (
+                ("c_id", f"CAST({int(r['vec_id'])} AS {ctype})"),
+                ("c_emb", _sql_vec(r["emb"])),
+                ("c_nrm", _sql_double(r["nrm"])),
             )
-        ).alias("w")
+            for r in rows
+        ]
     )
-    return best.select(
-        "vec_id",
-        F.col("w.label").alias("label"),
-        F.col("w.emb").alias("emb"),
-        F.col("w.nrm").alias("nrm"),
-        F.col("w.c_id").alias("bucket"),
+    scored = F.transform(
+        cands,
+        lambda c: F.struct(
+            F.round(
+                _dot(F.col("emb"), c["c_emb"]) / (F.col("nrm") * c["c_nrm"]), 6
+            ).alias("c_sim"),
+            c["c_id"].alias("c_id"),
+        ),
+    )
+    w = F.array_min(
+        F.transform(
+            scored,
+            lambda s: F.struct(
+                (-s["c_sim"]).alias("neg"), s["c_id"].alias("c_id")
+            ),
+        )
+    )
+    return _one_pass(
+        v,
+        F.col("vec_id"),
+        F.col("label"),
+        F.col("emb"),
+        F.col("nrm"),
+        w["c_id"].alias("bucket"),
     )
 
 

@@ -1142,17 +1142,10 @@ def source_nb(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # ONE tokenize+explode pass over the corpus text; lazy
     # localCheckpoint so the (expensive) pass materializes once and
-    # is shared by the census derivation AND both uses of tf in the
-    # sparse scoring union (delta + base grid) — before r14 the
-    # sparse plan tokenized the corpus three times (census + twice
-    # for tf)
-    tf3 = (
-        with_tokens(docs)
-        .select("doc_id", "source", F.explode("tokens").alias("term"))
-        .groupBy("doc_id", "source", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    # is shared by the census derivation AND the scoring sum.  Kept
+    # at (doc_id, source, term, tf) grain — the r15 occurrence-grain
+    # variant A/B-measured 1.5–2.4× slower (see _nb_score).
+    tf3 = nb_term_freqs(docs).localCheckpoint(eager=False)
     # the census is the integer marginal of the checkpointed pass —
     # identical counts to _nb_model's direct occurrence census; kept
     # as its own lazy checkpoint so the density decision, the source
@@ -1168,7 +1161,27 @@ def source_nb(
     return _nb_score(docs, census, src_stats, vocab_v, sparse=sparse, tf=tf)
 
 
-def _nb_model(docs: DataFrame):
+def nb_term_freqs(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, term, tf) — THE tokenize pass every NB
+    consumer derives from.  A caller that both trains and scores in
+    one query (the indexed/appended oracle entries) lazily-
+    checkpoints this once and hands slices of it to
+    :func:`write_nb_index` / :func:`append_to_nb_index` /
+    :func:`nb_score_indexed`, so the corpus text is read and
+    tokenized ONCE instead of once per maintenance op plus once at
+    serve (r15, guide §1.2: remove redundant full passes first).
+    The census marginal (Σ tf per (source, term)) and the scoring
+    projection (doc_id, term, tf) are both exact derivations, so
+    results are unchanged."""
+    return (
+        with_tokens(docs)
+        .select("doc_id", "source", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _nb_model(docs: DataFrame, tf3: DataFrame | None = None):
     """The NB training PARTIALS — the (source, term) census and the
     per-source marginals (n_s total term occurrences, n_docs_s doc
     count).  Shared verbatim by the in-query :func:`source_nb`, the
@@ -1177,13 +1190,21 @@ def _nb_model(docs: DataFrame):
     disjoint document batches (term counts and doc counts sum), which
     is what makes the index ledger's per-batch partials exact.
     Global stats (n_docs, vocab size) are NOT stored — they are
-    marginals of these partials, derived by :func:`_nb_stats`."""
-    terms = with_tokens(docs).select(
-        "doc_id", "source", F.explode("tokens").alias("term")
-    )
-    census = terms.groupBy("source", "term").agg(
-        F.count(F.lit(1)).alias("n_st")
-    )
+    marginals of these partials, derived by :func:`_nb_stats`.
+    ``tf3`` supplies a precomputed :func:`nb_term_freqs` frame (the
+    r15 shared-pass contract); Σ tf per (source, term) is the same
+    integer as the direct occurrence count."""
+    if tf3 is not None:
+        census = tf3.groupBy("source", "term").agg(
+            F.sum("tf").cast("long").alias("n_st")
+        )
+    else:
+        census = (
+            with_tokens(docs)
+            .select("doc_id", "source", F.explode("tokens").alias("term"))
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).alias("n_st"))
+        )
     return census, _src_partials(census, docs)
 
 
@@ -1289,17 +1310,17 @@ def _nb_score(
 
     where lp_miss(s) = ln(1/(n_s+V)) is the shared missing-term mass.
     The per-(source, term) rounding (12 dp, decimal-weighted) is
-    UNCHANGED and the regrouped sum is one decimal aggregation at the
-    same scale, so both paths are exact and EQUAL — same argmax, same
+    UNCHANGED and the regrouped sum is exact decimal arithmetic at
+    every step, so both paths are exact and EQUAL — same argmax, same
     scores, same DuckDB twin (pytest asserts row-identical output).
-    Where it wins: the term-grain join is ``tf ⋈ census`` on term
-    (INNER — only sources that actually carry the term), so with K
-    mostly-disjoint domain vocabularies it shuffles ~1/K of the dense
-    expansion; the dense path stays the default because on a
-    shared-vocabulary corpus (this fixture) the inner join emits the
-    same rows PLUS a per-(doc, source) base grid, measured 0–30%
-    slower in r12 (negative result recorded in docs/COVERAGE.md; the
-    bench's disjoint-vocabulary fixture shows the crossover).
+    r15: the branch shares the dense plan SHAPE (one broadcast join
+    against the pivoted census + one per-doc aggregation — the delta
+    part is exactly 0 for census-absent cells, so no inner/union
+    split is needed); the r13 union shape (INNER term join + a
+    per-(doc, source) base grid + two extra shuffles) is gone.  The
+    two branches now differ only in the per-cell arithmetic
+    regrouping; the density auto-pick below is kept for contract
+    stability, not cost.
 
     ``sparse=None`` (the default since r14) picks the branch from the
     census's measured posting density via :func:`nb_auto_sparse`; the
@@ -1316,6 +1337,13 @@ def _nb_score(
     if sparse is None:
         sparse = nb_auto_sparse(census)["sparse"]
     if tf is None:
+        # (doc_id, term, tf) grain, NOT occurrences: an r15 A/B of
+        # occurrence-grain scoring (tf ≡ 1, no pre-aggregation) read
+        # 1.5–2.4× SLOWER across the NB family — the groupBy here is
+        # a cheap count shuffle, and skipping it makes the S-column
+        # decimal scoring arithmetic run once per token occurrence
+        # instead of once per distinct (doc, term).  Negative result
+        # recorded in OPTIMIZATION_r15.md §2.
         tf = (
             with_tokens(docs)
             .select("doc_id", F.explode("tokens").alias("term"))
@@ -1346,112 +1374,28 @@ def _nb_score(
             .orderBy("doc_id")
         )
 
-    if sparse:
-        # The r13 union shape, kept verbatim: the r14 literal/pivot
-        # rewrite below was A/B-measured 1.3x SLOWER on this branch
-        # (same slot, fresh JVMs — the delta-pivot + dl⋈delta join
-        # costs more than the single union groupBy it replaced), so
-        # the sparse path keeps DataFrame stats and the one decimal
-        # sum over base ∪ delta; it still benefits from the shared
-        # tokenize pass via ``tf``.
-        prior = F.round(
-            F.log(F.col("n_docs_s").cast("double") / F.col("n_docs")),
-            12,
-        ).cast("decimal(20,12)")
-        stats = src_stats.crossJoin(F.broadcast(vocab_v)).withColumn(
-            "lp_miss",
-            # EXACTLY the dense lp expression at n_st = NULL
-            # ((0+1)/(n_s+V)): same IEEE operands, same 12-dp round
-            F.round(
-                F.log(
-                    F.lit(1).cast("double")
-                    / (F.col("n_s") + F.col("v_size"))
-                ),
-                12,
-            ).cast("decimal(20,12)"),
-        )
-        lp_present = F.round(
-            F.log(
-                (F.col("n_st") + 1).cast("double")
-                / (F.col("n_s") + F.col("v_size"))
-            ),
-            12,
-        ).cast("decimal(20,12)")
-        # present-term partials: INNER join on term — the sparse win
-        delta_rows = (
-            tf.join(census, "term")
-            .join(
-                F.broadcast(
-                    stats.select("source", "n_s", "v_size", "lp_miss")
-                ),
-                "source",
-            )
-            .select(
-                "doc_id",
-                "source",
-                (tf_dec * (lp_present - F.col("lp_miss"))).alias(
-                    "part"
-                ),
-            )
-        )
-        # base grid: one row per (doc, source) carrying dl·lp_miss —
-        # O(docs × sources), no term dimension
-        base_rows = (
-            tf.groupBy("doc_id")
-            .agg(F.sum(tf_dec).cast("decimal(12,0)").alias("dl"))
-            .crossJoin(F.broadcast(stats))
-            .select(
-                "doc_id",
-                "source",
-                (F.col("dl") * F.col("lp_miss")).alias("part"),
-            )
-        )
-        # ONE decimal sum over the union (scale 12, exact), so the
-        # final prior+sum addition has the identical type/rounding
-        # shape as the dense path — scores are bit-equal
-        scored = (
-            base_rows.unionByName(delta_rows)
-            .groupBy("doc_id", "source")
-            .agg(F.sum("part").cast("decimal(38,12)").alias("sum_lp"))
-            .join(
-                F.broadcast(
-                    src_stats.select("source", "n_docs_s", "n_docs")
-                ),
-                "source",
-            )
-        )
-        total = scored.select(
-            "doc_id",
-            "source",
-            (prior + F.col("sum_lp")).alias("score"),
-        )
-        best = total.groupBy("doc_id").agg(
-            F.min(
-                F.struct(
-                    (-F.col("score")).alias("neg"),
-                    F.col("source").alias("pred_source"),
-                    F.col("score").alias("score"),
-                )
-            ).alias("w")
-        )
-        return _final(best)
-
-    # Dense branch, r14 rewrite — bounded driver read of the
-    # DIMENSION-sized model stats (guide §2.4 / §1.2): src_stats is
-    # one row per candidate source (classes, not data — the same
-    # driver-state budget as the GD scalars) and vocab_v one scalar.
-    # Folding them into the plan as literals deletes the
-    # broadcast/crossJoin machinery that previously contributed ~6
-    # AQE jobs per scoring call, and lets the dense expansion pivot
-    # into per-source COLUMNS: one term-grain join + one per-doc
-    # aggregation instead of a (doc term × source) row blow-up and
-    # two stacked shuffles.  Every arithmetic operand is unchanged —
-    # the same integer counts flow into the same double divisions,
-    # 12-dp rounds and decimal sums (exact, so regrouping cannot
-    # change them), and the argmax uses the same (neg score, source)
-    # struct ordering — so scores and predictions are bit-identical
-    # (equivalence pytest-asserted, oracle twins unchanged).
-    # A/B (same slot, fresh JVMs): dense entries 0.69–0.73x.
+    # Both branches (r15): bounded driver read of the DIMENSION-sized
+    # model stats (guide §2.4 / §1.2) — src_stats is one row per
+    # candidate source (classes, not data — the same driver-state
+    # budget as the GD scalars) and vocab_v one scalar — folded into
+    # the plan as literals, with the census pivoted to V rows × S
+    # count columns.  Dense (r14) scores Σ_t tf·lp(t,s) as one
+    # term-grain left join + one per-doc aggregation of S decimal
+    # sums.  Sparse (r15 rewrite of the r13 union shape — VERDICT r14
+    # #3 "pivot only the delta side") scores the SAME join/agg shape
+    # through the sparse-NB identity: per term row the delta part
+    # tf·(lp(t,s) − lp_miss(s)) — exactly 0 for census-absent cells,
+    # so the left join needs no inner/union split — and per doc one
+    # dl·lp_miss(s) term added AFTER the sum.  Decimal arithmetic is
+    # exact at every step, so regrouping the r13 base ∪ delta union
+    # sum into (Σ delta) + dl·lp_miss is value-identical, and the
+    # argmax compares the identical (neg score, source) structs —
+    # scores and predictions are bit-identical across r13/r14/r15
+    # shapes (equivalence pytest-asserted, oracle twins unchanged).
+    # The r13 union shape cost 2 extra shuffles (the per-(doc,source)
+    # union groupBy and a second per-doc argmax aggregation) plus an
+    # SMJ of tf against the census; this is one broadcast join and
+    # one aggregation, identical to dense.
     v_size = vocab_v.first()["v_size"]
     stat_rows = sorted(
         (
@@ -1514,10 +1458,42 @@ def _nb_score(
         ).cast("decimal(20,12)")
         for i, r in enumerate(stat_rows)
     ]
-    scored = (
-        tf.join(cw, "term", "left")
-        .groupBy("doc_id")
-        .agg(
+    joined = tf.join(F.broadcast(cw), "term", "left")
+    if sparse:
+        # lp at n_st = NULL — identical IEEE operands to the r13
+        # column form (the denominator literal IS n_s + V)
+        lp_miss = [
+            F.round(
+                F.log(F.lit(1).cast("double") / _den(r)), 12
+            ).cast("decimal(20,12)")
+            for r in stat_rows
+        ]
+        scored = joined.groupBy("doc_id").agg(
+            *[
+                F.sum(tf_dec * (lp - lp_miss[i]))
+                .cast("decimal(38,12)")
+                .alias(f"sum{i}")
+                for i, lp in enumerate(lps)
+            ],
+            F.sum(tf_dec).cast("decimal(12,0)").alias("dl"),
+        )
+        # association matters at the TYPE level even though decimal
+        # addition is exact in value: (sum38,12 + dl·lp_miss33,12)
+        # needs precision 39, so Spark reduces the scale to 11 and
+        # rounds BEFORE the prior is added — a double rounding the
+        # dense branch doesn't have.  (prior20,12 + dl·lp_miss33,12)
+        # fits in (34,12) EXACTLY, so the only lossy step is the one
+        # final + sum addition, at the identical 11-dp boundary as
+        # dense — round_11(exact score) both ways, bit-equal.
+        score_cols = [
+            (
+                (_prior(r) + F.col("dl") * lp_miss[i])
+                + F.col(f"sum{i}")
+            ).alias(f"s{i}")
+            for i, r in enumerate(stat_rows)
+        ]
+    else:
+        scored = joined.groupBy("doc_id").agg(
             *[
                 F.sum(tf_dec * lp)
                 .cast("decimal(38,12)")
@@ -1525,11 +1501,10 @@ def _nb_score(
                 for i, lp in enumerate(lps)
             ]
         )
-    )
-    score_cols = [
-        (_prior(r) + F.col(f"sum{i}")).alias(f"s{i}")
-        for i, r in enumerate(stat_rows)
-    ]
+        score_cols = [
+            (_prior(r) + F.col(f"sum{i}")).alias(f"s{i}")
+            for i, r in enumerate(stat_rows)
+        ]
     # argmax across the S score columns: array_min over (neg score,
     # source, score) structs — the identical lexicographic ordering
     # the old min(struct) aggregation used, minus its extra shuffle
@@ -1618,7 +1593,9 @@ def _read_nb_decision(spark: SparkSession, path: str) -> bool | None:
         return None
 
 
-def write_nb_index(docs: DataFrame, path: str) -> None:
+def write_nb_index(
+    docs: DataFrame, path: str, tf3: DataFrame | None = None
+) -> None:
     """Persist the trained Naive-Bayes source model at rest (VERDICT
     r11 #4 — the serve split LR/BM25/IVF-PQ already have): the exact
     :func:`_nb_model` partials as two parquet tables —
@@ -1661,7 +1638,7 @@ def write_nb_index(docs: DataFrame, path: str) -> None:
         # new tables
         for t in NB_TABLES:
             _retire_stage(spark, f"{path}/{t}.stage")
-        census, _ = _nb_model(docs)
+        census, _ = _nb_model(docs, tf3=tf3)
 
         def _write_base(df: DataFrame, table: str) -> None:
             # explicit STATIC overwrite: a rebuild must wipe stale
@@ -1687,7 +1664,10 @@ def write_nb_index(docs: DataFrame, path: str) -> None:
 
 
 def append_to_nb_index(
-    new_docs: DataFrame, path: str, batch_id: str | int | None = None
+    new_docs: DataFrame,
+    path: str,
+    batch_id: str | int | None = None,
+    tf3: DataFrame | None = None,
 ) -> None:
     """Grow a stored NB model incrementally — classify-on-arrival
     (the searchable-on-arrival sibling of ``append_to_bm25_index``):
@@ -1723,7 +1703,7 @@ def append_to_nb_index(
                 spark, f"{path}/{t}", "append_to_nb_index", "write_nb_index"
             )
         batch = b if b is not None else "legacy"
-        census, _ = _nb_model(new_docs)
+        census, _ = _nb_model(new_docs, tf3=tf3)
         # src_partials MUST derive from the CHECKPOINTED census (r12
         # review): from the pre-checkpoint lineage, the src_stats
         # write would re-run the whole tokenize+census (doubling the
@@ -1840,6 +1820,7 @@ def nb_score_indexed(
     docs: DataFrame,
     push_terms: bool = False,
     sparse: bool | None = None,
+    tf3: DataFrame | None = None,
 ) -> DataFrame:
     """Score ``docs`` against a stored NB model — one tokenize pass
     over the scored batch, one (source, term) equi-join against the
@@ -1911,7 +1892,12 @@ def nb_score_indexed(
             .collect()
         ]
         census = census.filter(F.col("term").isin(batch_terms))
-    return _nb_score(docs, census, src_stats, vocab_v, sparse=sparse)
+    # r15 shared-pass contract: a caller that already tokenized the
+    # scored batch (the indexed/appended oracle entries tokenize ONCE
+    # for build + serve) hands its nb_term_freqs frame in; scores
+    # are identical — the default path tokenizes here.
+    tf = tf3.select("doc_id", "term", "tf") if tf3 is not None else None
+    return _nb_score(docs, census, src_stats, vocab_v, sparse=sparse, tf=tf)
 
 
 def source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
