@@ -1773,19 +1773,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _queries().items()}
 
 
-# r15 ROTATION PLAN (write _R15_WINDOW next round): first, anything
-# r15 changes; then the oldest entries by driver-evidence vintage —
-# after r14 that is the remaining r10-vintage set: RECOMPUTE it as
-# CORRECTNESS_r10 keys minus r11 keys minus _R12_WINDOW minus
-# _R13_WINDOW minus _R14_WINDOW, recorded order (21 entries at the
-# time of writing, after the three late-r14 tail drops — but
-# recompute, never trust the prose count; r13's drifted by one, and
-# this one moved twice within r14), and fill the remaining slots
-# with the oldest
-# r11-vintage entries (CORRECTNESS_r11 keys minus _R12_WINDOW minus
-# _R13_WINDOW minus _R14_WINDOW), recorded order.  NEVER hand-edit
-# the lists — recompute from the CORRECTNESS_r* files (hand-edits
-# drifted twice in r10).
+# r16 ROTATION PLAN (write _R16_WINDOW next round): first, anything
+# r16 changes; then the oldest entries by driver-evidence vintage —
+# after r15 that is the remaining r11-vintage set: RECOMPUTE it as
+# CORRECTNESS_r11 keys minus _R12_WINDOW minus _R13_WINDOW minus
+# _R14_WINDOW minus _R15_WINDOW, recorded order (39 entries at the
+# time of writing — but recompute, never trust the prose count), and
+# fill the remaining slots with the oldest r12-vintage entries
+# (CORRECTNESS_r12 keys minus _R13_WINDOW minus _R14_WINDOW minus
+# _R15_WINDOW), recorded order.  NEVER hand-edit the lists —
+# recompute from the CORRECTNESS_r* files (hand-edits drifted twice
+# in r10).
+#
+# r15 driver window (computed EXACTLY per the committed r14 plan
+# comment above): the 27 entries r15 changes — the 13 ANN entries
+# whose coarse/PQ argmins are literal-folded map-only expressions
+# (kmeans.assign / assign_buckets / assign_buckets_l2 /
+# train_codebooks / pq_encode / _ivfpq_rows, incl. the hybrid and
+# appended/indexed consumers), the five doc_source_nb* entries (the
+# sparse branch rewritten to the delta-pivot dense shape; the
+# indexed/appended entries share one checkpointed nb_term_freqs
+# tokenize pass), the five LR entries (the _gd coalesce width now
+# scales with defaultParallelism), and the four lease-taking
+# stored-index entries touched by the write_neardup_index /
+# incremental_neardup_pairs signature checkpoints and the
+# _local_lease_path urllib parse (doc_incremental_neardup,
+# doc_incremental_spans, doc_bm25_indexed/appended_topk; the other
+# four lease entries are already in the ANN set) — then the 20
+# remaining r10-vintage entries (CORRECTNESS_r10 keys minus r11 keys
+# minus _R12/13/14_WINDOW minus the changed set: emb_ivf_topk of the
+# 21 leftovers moved into changed-first), then the 3 oldest
+# r11-vintage entries to exactly 50.  After this window no registry
+# entry's driver evidence predates r11 except the 19 r10-vintage
+# entries this window itself re-proves.  The full registry surface
+# is swept locally via tools/check_oracle.py at sf0.01 and sf0.1
+# each round (docs/COVERAGE.md; sweep lines carry the HEAD SHA) —
+# the window is a budget cap, not the evidence.
+_R15_WINDOW = [
+    "emb_ivf_topk",
+    "emb_ivf_trained_topk",
+    "emb_ivf_pq_topk",
+    "emb_ivfadc_topk",
+    "emb_ivfadc_rerank_topk",
+    "emb_pq_topk",
+    "emb_ivfpq_indexed_topk",
+    "emb_ivfpq_appended_topk",
+    "emb_ivf_appended_topk",
+    "emb_semdedup",
+    "ann_recall",
+    "ann_recall_curve",
+    "emb_hybrid_indexed_rrf",
+    "doc_source_nb",
+    "doc_source_nb_sparse",
+    "doc_source_nb_confusion",
+    "doc_source_nb_indexed",
+    "doc_source_nb_appended",
+    "doc_quality_lr",
+    "doc_quality_lr_scores",
+    "doc_quality_lr_eval",
+    "doc_quality_lr_calibration",
+    "doc_lr_filtered",
+    "doc_incremental_neardup",
+    "doc_incremental_spans",
+    "doc_bm25_indexed_topk",
+    "doc_bm25_appended_topk",
+    "doc_fingerprint",
+    "doc_importance_sample",
+    "doc_lang_id",
+    "doc_ngram_jaccard",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_quality",
+    "doc_reservoir",
+    "doc_sample_stratified",
+    "doc_simhash",
+    "doc_simhash_pairs",
+    "doc_token_stats",
+    "doc_train_split",
+    "doc_vocab_topk",
+    "earliest_per_symbol",
+    "emb_cosine_topk",
+    "emb_neardup",
+    "emb_quantized_topk",
+    "event_attribution",
+    "events_json",
+    "doc_dup_flow",
+    "doc_dedup_normalized",
+    "doc_source_cap",
+]
+
 #
 # r14 driver window (VERDICT r13 #1, computed EXACTLY per the
 # committed r13 plan comment): the 20 entries r14 changes — the new
@@ -1982,9 +2058,9 @@ _R12_WINDOW = [
 
 def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _registry()
-    missing = [k for k in _R14_WINDOW if k not in base]
+    missing = [k for k in _R15_WINDOW if k not in base]
     assert not missing, f"window names drifted from registry: {missing}"
-    out = {k: base[k] for k in _R14_WINDOW}
+    out = {k: base[k] for k in _R15_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 
